@@ -1,38 +1,927 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator family from SURVEY.md §2
+plus the training-data-pipeline operators (dedup / similarity / text /
+multimodal). Each has a DuckDB ``oracle_sql()`` twin unless the operator is
+genuinely non-SQL-expressible (approximate ANN, binary mapInPandas stub —
+those get rows-only checks).
+
+Determinism discipline (so value-hashes match across engines):
+- money aggregates go through exact DECIMAL(12,2) arithmetic and are cast
+  to DOUBLE only at the end — bit-identical in Spark and DuckDB;
+- every computed column is aliased identically on both sides;
+- top-k windows tie-break on the id column so LIMIT sets are total-ordered;
+- the hash family for dedup sketches is md5 (same function both engines).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from hmpps_digital_prison_reporting_glue_poc_spark.catalog import testdata_catalog
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import dedup as dd
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import similarity as sim
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import textstats as ts
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import multimodal as mm
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.cdc import (
+    first_event_per_key,
+    latest_event_per_key,
+)
+from hmpps_digital_prison_reporting_glue_poc_spark.plans.domains import (
+    DomainDefinition,
+    run_definition,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read nanos as long (runtime-settable legacy conf) and truncate
+    to microseconds — the same truncation DuckDB applies natively."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(12,2)")
+
+
+def _one() -> F.Column:
+    return F.lit(1).cast("decimal(12,2)")
+
+
+# disc price / charge in exact decimal; cast to double only on the final sum
+def _disc_price() -> F.Column:
+    return _dec("l_extendedprice") * (_one() - _dec("l_discount"))
+
+
+def _charge() -> F.Column:
+    return _disc_price() * (_one() + _dec("l_tax"))
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+)
+_CHARGE_SQL = (
+    f"({_DISC_PRICE_SQL}) * "
+    "(CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))"
+)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-adapted analytics (scan -> filter -> join -> agg -> sort/limit)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide grouped aggregation with map-side combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, grouped agg, deterministic top-10.
+    customer is small -> broadcast; lineitem never shuffles before the agg."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue, o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; all dims broadcast, one agg shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+agg — entirely pushdown-able."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: join + agg + deterministic top-20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: join + conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), _disc_price()).otherwise(zero)
+                ).cast("double")
+                / F.sum(_disc_price()).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_DISC_PRICE_SQL}
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg -> having -> join back to dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", "l_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, l_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > 300
+"""
+
+
+# --------------------------------------------------------------------------
+# Operator families from SURVEY.md §2 (scan/project/filter, joins, windows,
+# set ops, sort/limit, scalar functions, CDC folds, domain-SQL runner)
+# --------------------------------------------------------------------------
+
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6: projection + predicates (isin / range / not-null) on events."""
+    ev = _events(spark, sf_dir)
+    return ev.filter(
+        F.col("event_type").isin("click", "view")
+        & (F.col("value") > 50.0)
+        & F.col("props").isNotNull()
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+SCAN_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_type IN ('click', 'view') AND value > 50.0 AND props IS NOT NULL
+"""
+
+
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: distinct over a projection."""
+    return _events(spark, sf_dir).select("user_id", "event_type").distinct()
+
+
+DISTINCT_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 idiomatic: left_semi (EXISTS) — customers with a big order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+"""
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 idiomatic: left_anti (NOT EXISTS) — customers with no order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def union_by_name_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: schema-tolerant union — second frame lacks the value column
+    (the I/U/D envelope-merge pattern, reference src/gg_logs_to_parquet.py:216-226)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id")
+    return clicks.unionByName(errors, allowMissingColumns=True)
+
+
+UNION_SQL = """
+SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value FROM events WHERE event_type = 'error'
+"""
+
+
+def window_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W1: earliest event per key via row_number (insert seeding)."""
+    ev = _events(spark, sf_dir)
+    first = first_event_per_key(ev, ["user_id"], "event_id")
+    return first.select(
+        "user_id",
+        F.col("event_id").alias("first_event_id"),
+        F.col("event_type").alias("first_event_type"),
+    )
+
+
+WINDOW_FIRST_SQL = """
+SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
+def window_min_over(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 reference-faithful form: min() over partition, keep rows at the min
+    (reference src/apply_change_log_to_delta.py:607-612)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("__min_ts", F.min("ts").over(w))
+        .filter(F.col("ts") == F.col("__min_ts"))
+        .select("user_id", "event_id", "ts")
+    )
+
+
+WINDOW_MIN_SQL = """
+SELECT user_id, event_id, ts
+FROM (SELECT *, MIN(ts) OVER (PARTITION BY user_id) AS min_ts FROM events)
+WHERE ts = min_ts
+"""
+
+
+def cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 fast path: final event per key in position order — the CDC fold
+    that replaces the reference's driver-side replay."""
+    ev = _events(spark, sf_dir)
+    last = latest_event_per_key(ev, ["user_id"], "event_id")
+    return last.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+CDC_LAST_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
+def cdc_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 merge semantics on the events CDC stand-in: fold per key by
+    position; a final 'error' acts as the delete marker and drops the key
+    (reference keeps __action in {U, I}, src/apply_change_log_to_delta.py:645-646)."""
+    ev = _events(spark, sf_dir)
+    last = latest_event_per_key(ev, ["user_id"], "event_id")
+    return last.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_id").alias("final_event_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.col("value").alias("final_value"),
+    )
+
+
+CDC_MERGE_SQL = """
+SELECT user_id, event_id AS final_event_id, event_type AS final_event_type, value AS final_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def sort_limit_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: global sort + limit with a total-order tie-break."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id", "user_id", "value")
+    )
+
+
+SORT_LIMIT_SQL = """
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 100
+"""
+
+
+def date_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 analogues: part_date / part_time derivation + JSON extraction
+    (get_json_object on the props payload)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.col("ts").cast("date").alias("part_date"),
+        F.date_format("ts", "HH:mm").alias("part_time"),
+        F.year("ts").cast("long").alias("event_year"),
+        F.month("ts").cast("long").alias("event_month"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+DATE_FUNC_SQL = """
+SELECT event_id,
+       CAST(ts AS DATE) AS part_date,
+       strftime(ts, '%H:%M') AS part_time,
+       CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS event_year,
+       CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS event_month,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+def domain_sql_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: metadata-driven SQL materialisation through the domains module —
+    temp views + spark.sql + process_id stamp (deterministic pid for the
+    oracle)."""
+    definition = DomainDefinition(
+        domain="domain1",
+        target="domain1_cust_orders",
+        dependencies=["customer", "orders"],
+        resolution=(
+            "select customer.c_custkey, "
+            "customer.c_name || ' ' || customer.c_mktsegment as customer_label, "
+            "orders.o_orderkey, orders.o_orderstatus "
+            "from customer INNER JOIN orders ON customer.c_custkey = orders.o_custkey"
+        ),
+    )
+    return run_definition(spark, definition, testdata_catalog(sf_dir), process_id=0)
+
+
+DOMAIN_SQL = """
+SELECT c_custkey,
+       c_name || ' ' || c_mktsegment AS customer_label,
+       o_orderkey, o_orderstatus,
+       CAST(0 AS BIGINT) AS process_id
+FROM customer INNER JOIN orders ON c_custkey = o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup operators (documents corpus; a mutated shifted copy is unioned in so
+# near-dup detection has real signal)
+# --------------------------------------------------------------------------
+
+def _dup_corpus(spark: SparkSession, sf_dir: str, mutate: bool) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    if mutate:
+        shifted = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzznear zzzdup")).alias("text"),
+        )
+    else:
+        shifted = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return docs.unionByName(shifted)
+
+
+_DUP_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+"""
+
+_NEAR_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' zzznear zzzdup' AS text FROM documents
+"""
+
+_TOKS_SQL = """
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS token
+  FROM corpus
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 content fingerprint per document."""
+    return dd.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: duplicate groups (canonical id + group size) over the
+    corpus with exact copies injected."""
+    return dd.exact_dup_groups(_dup_corpus(spark, sf_dir, mutate=False), "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL})
+SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM corpus GROUP BY md5(text)
+"""
+
+
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: surviving ids (one per distinct content)."""
+    return dd.exact_dedup(_dup_corpus(spark, sf_dir, mutate=False), "doc_id", "text").select(
+        "doc_id"
+    )
+
+
+DEDUP_KEEP_SQL = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL})
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+  FROM corpus
+) WHERE rn = 1
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5-family hashes) per document."""
+    return dd.minhash_signatures(
+        _dup_corpus(spark, sf_dir, mutate=True), "doc_id", "text", num_hashes=8
+    )
+
+
+_MINHASH_AGGS = ",\n       ".join(
+    f"min(md5('{i}:' || token)) AS mh{i}" for i in range(8)
+)
+
+MINHASH_SQL = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+toks AS ({_TOKS_SQL})
+SELECT doc_id, {_MINHASH_AGGS}
+FROM toks GROUP BY doc_id
+"""
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over minhash signatures (4 bands x 2 rows)."""
+    sigs = dd.minhash_signatures(
+        _dup_corpus(spark, sf_dir, mutate=True), "doc_id", "text", num_hashes=8
+    )
+    return dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, rows_per_band=2)
+
+
+LSH_SQL = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+toks AS ({_TOKS_SQL}),
+sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM toks GROUP BY doc_id)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
+     (a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+  OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+  OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
+  OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+"""
+
+
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard >= 0.8 via the inverted-index self-join."""
+    return dd.jaccard_pairs(
+        _dup_corpus(spark, sf_dir, mutate=True), "doc_id", "text", threshold=0.8
+    )
+
+
+JACCARD_SQL = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+toks AS ({_TOKS_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM toks l JOIN toks r ON l.token = r.token AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT id_a, id_b, inter, sa.size AS size_a, sb.size AS size_b,
+       CAST(inter AS DOUBLE) / CAST(sa.size + sb.size - inter AS DOUBLE) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.size + sb.size - inter AS DOUBLE) >= 0.8
+"""
+
+
+def simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document (md5-derived bit votes)."""
+    return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(32)
+)
+_SIMHASH_SUMS_SQL = ",\n       ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32)
+)
+
+SIMHASH_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+toks AS ({_TOKS_SQL}),
+hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM toks),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS_SQL} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM sums
+"""
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via pigeonhole chunk buckets.
+    No oracle — the chunked candidate generation is the operator under test;
+    rows-only check."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    sketches = dd.simhash(corpus, "doc_id", "text", bits=32)
+    return dd.simhash_near_dup_pairs(sketches, "doc_id", max_hamming=3, bits=32)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_TOKS_EXPR_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+_STOP_LIST_SQL = (
+    "['the','a','an','and','or','of','to','in','is','are',"
+    "'was','for','on','with','as','at','by','it','be','this']"
+)
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len({_TOKS_EXPR_SQL}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKS_EXPR_SQL})) AS BIGINT) AS n_distinct_tokens,
+       CAST(list_aggregate(list_transform({_TOKS_EXPR_SQL}, x -> strlen(x)), 'sum') AS BIGINT) AS sum_token_len
+FROM documents
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_filter({_TOKS_EXPR_SQL}, x -> list_contains({_STOP_LIST_SQL}, lower(x)))) AS DOUBLE)
+         / CAST(greatest(len({_TOKS_EXPR_SQL}), 1) AS DOUBLE) AS stopword_ratio,
+       CASE WHEN CAST(len(list_filter({_TOKS_EXPR_SQL}, x -> list_contains({_STOP_LIST_SQL}, lower(x)))) AS DOUBLE)
+                 / CAST(greatest(len({_TOKS_EXPR_SQL}), 1) AS DOUBLE) > 0.05
+            THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+       0.4 * (CAST(len(list_filter({_TOKS_EXPR_SQL}, x -> list_contains({_STOP_LIST_SQL}, lower(x)))) AS DOUBLE)
+              / CAST(greatest(len({_TOKS_EXPR_SQL}), 1) AS DOUBLE))
+     + 0.3 * (CAST(len(list_distinct({_TOKS_EXPR_SQL})) AS DOUBLE)
+              / CAST(greatest(len({_TOKS_EXPR_SQL}), 1) AS DOUBLE))
+     + 0.3 * least(CAST(1.0 AS DOUBLE), CAST(len({_TOKS_EXPR_SQL}) AS DOUBLE) / 100.0)
+       AS quality_score
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 10 vectors as queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk(emb, queries, k=5)
+
+
+ANN_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.v, q.v) AS score
+  FROM e, q WHERE e.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, "rank" FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS "rank"
+  FROM scored
+) WHERE "rank" <= 5
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= 0.4 (ids only — scores are
+    FP-accumulation-order sensitive across engines; ids are not)."""
+    return sim.cosine_pairs_above(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+EMB_PAIRS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+def ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy fast-path top-k (mapInPandas partial top-k + global
+    reduce). Same oracle as the pure-DataFrame version."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk_np(spark, emb, queries, k=5)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (no oracle: approximate by construction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(spark, emb, queries, k=5, n_lists=8, nprobe=3)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction through mapInPandas (stub decode)."""
+    media = mm.attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return mm.extract_media_meta(media)
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 1920 + 1 AS BIGINT) AS fake_width,
+       CAST(octet_length(encode(text)) % 1080 + 1 AS BIGINT) AS fake_height
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # TPC-H-adapted analytics
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_effect": q14_promo_effect,
+        "q18_large_orders": q18_large_orders,
+        # operator families (SURVEY.md §2)
+        "scan_filter_project": scan_filter_project,
+        "distinct_projection": distinct_projection,
+        "semi_join_customers": semi_join_customers,
+        "anti_join_customers": anti_join_customers,
+        "union_by_name_events": union_by_name_events,
+        "window_first_event": window_first_event,
+        "window_min_over": window_min_over,
+        "cdc_last_writer_wins": cdc_last_writer_wins,
+        "cdc_merge_events": cdc_merge_events,
+        "sort_limit_top_events": sort_limit_top_events,
+        "date_time_functions": date_time_functions,
+        "domain_sql_runner": domain_sql_runner,
+        # dedup
+        "doc_fingerprint": doc_fingerprint,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_exact_keep": dedup_exact_keep,
+        "minhash_signatures": minhash_signatures,
+        "lsh_candidate_pairs": lsh_candidate_pairs,
+        "jaccard_pairs": jaccard_pairs,
+        "simhash_sketches": simhash_sketches,
+        "simhash_near_dups": simhash_near_dups,
+        # text analysis
+        "text_token_stats": text_token_stats,
+        "text_language_id": text_language_id,
+        "text_quality_score": text_quality_score,
+        # similarity search
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_topk_numpy": ann_topk_numpy,
+        "ann_ivf_topk": ann_ivf_topk,
+        "embedding_neardup_pairs": embedding_neardup_pairs,
+        # multimodal
+        "multimodal_meta": multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_local_supplier_volume": Q5_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q14_promo_effect": Q14_SQL,
+        "q18_large_orders": Q18_SQL,
+        "scan_filter_project": SCAN_SQL,
+        "distinct_projection": DISTINCT_SQL,
+        "semi_join_customers": SEMI_SQL,
+        "anti_join_customers": ANTI_SQL,
+        "union_by_name_events": UNION_SQL,
+        "window_first_event": WINDOW_FIRST_SQL,
+        "window_min_over": WINDOW_MIN_SQL,
+        "cdc_last_writer_wins": CDC_LAST_SQL,
+        "cdc_merge_events": CDC_MERGE_SQL,
+        "sort_limit_top_events": SORT_LIMIT_SQL,
+        "date_time_functions": DATE_FUNC_SQL,
+        "domain_sql_runner": DOMAIN_SQL,
+        "doc_fingerprint": FINGERPRINT_SQL,
+        "dedup_exact_groups": DEDUP_EXACT_SQL,
+        "dedup_exact_keep": DEDUP_KEEP_SQL,
+        "minhash_signatures": MINHASH_SQL,
+        "lsh_candidate_pairs": LSH_SQL,
+        "jaccard_pairs": JACCARD_SQL,
+        "simhash_sketches": SIMHASH_SQL,
+        # simhash_near_dups: rows-only (chunked candidate generation)
+        "text_token_stats": TOKEN_STATS_SQL,
+        "text_language_id": LANG_ID_SQL,
+        "text_quality_score": QUALITY_SQL,
+        "ann_cosine_topk": ANN_TOPK_SQL,
+        "ann_topk_numpy": ANN_TOPK_SQL,
+        # ann_ivf_topk: rows-only (approximate)
+        "embedding_neardup_pairs": EMB_PAIRS_SQL,
+        "multimodal_meta": MULTIMODAL_SQL,
+    }

@@ -1,0 +1,230 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Exact dedup, MinHash+LSH, SimHash, and token-Jaccard near-dup — each built
+from shuffle-friendly DataFrame primitives:
+
+- exact:   one hash-groupBy (map-side partial agg; one shuffle on the
+           fingerprint).
+- minhash: explode distinct tokens -> ONE groupBy(id) carrying all k min()
+           aggregates (one shuffle, k-wide combine), not k passes.
+- LSH:     band keys -> self-equi-join per band (hash join on band key; at
+           100 TB each band join is a co-partitioned shuffle, never a cross
+           join).
+- jaccard: token-inverted-index self-join; candidate generation prunes by
+           shared token before any pairwise math.
+
+Hash family is md5 (hex string order) rather than murmur3 so every stage is
+reproducible in ANSI SQL — the DuckDB oracle computes byte-identical
+signatures. Swap in xxhash64 for raw speed later; the band/bucket algebra is
+hash-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """md5 content fingerprint per row."""
+    return df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical documents: fingerprint -> (canonical id =
+    min id, group size). One shuffle on the fingerprint."""
+    return (
+        fingerprint(df, id_col, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one row (lowest id) per distinct content."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) pairs, tokens distinct within a doc."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per document: ``mh_i = min over tokens of
+    md5(i || ':' || token)`` (lexicographic min of hex digests — a valid
+    min-wise permutation family, and byte-reproducible in any SQL engine).
+
+    All ``num_hashes`` minima ride one groupBy — a single shuffle keyed on
+    the doc id regardless of k.
+    """
+    toks = _doc_tokens(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Banded LSH over minhash signatures: docs sharing any full band are
+    candidates. Per band: build a band key and self-equi-join on it — a
+    hash-partitioned join that scales linearly in bucket sizes. Pairs are
+    deduped across bands with a distinct.
+    Returns (id_a, id_b) with id_a < id_b."""
+    bands = num_hashes // rows_per_band
+    pair_frames = []
+    for b in range(bands):
+        cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        keyed = signatures.select(
+            F.col(id_col), F.concat_ws("|", *cols).alias("band_key")
+        )
+        left = keyed.alias("l")
+        right = keyed.alias("r")
+        pairs = left.join(right, on="band_key").filter(
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        pair_frames.append(pairs)
+    out = pair_frames[0]
+    for frame in pair_frames[1:]:
+        out = out.unionByName(frame)
+    return out.distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Token-set Jaccard similarity for candidate pairs generated through a
+    token inverted index (docs sharing >=1 token). Intersection sizes come
+    from one groupBy over the index self-join; set sizes broadcast back in.
+
+    At 100 TB the inverted-index join is the scalable skeleton, but hot
+    tokens skew the index — production path drops top-frequency tokens
+    (stop the head) before the self-join; AQE skew-join splits the rest.
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard).
+    """
+    toks = _doc_tokens(df, id_col, text_col)
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
+
+    left = toks.alias("l")
+    right = toks.alias("r")
+    inter = (
+        left.join(right, on="token")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("size").alias("size_b"))
+    scored = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "inter", "size_a", "size_b", "jaccard"
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash document sketch: each token votes +-1 per bit position of its
+    32-bit hash (taken from the first 8 hex chars of md5 so the oracle can
+    reproduce it); the sign of each bit-sum forms the sketch.
+
+    Expressed as one explode + one groupBy with ``bits`` conditional sums —
+    single shuffle, map-side combined.
+    """
+    toks = _doc_tokens(df, id_col, text_col).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    summed = toks.groupBy(id_col).agg(*aggs)
+    sketch = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << b).cast("long")
+        sketch = term if sketch is None else sketch + term
+    return summed.select(F.col(id_col), sketch.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    sketches: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed for scale:
+    split the sketch into (max_hamming + 1) chunks — two sketches within
+    ``max_hamming`` must agree exactly on at least one chunk (pigeonhole),
+    so candidate generation is an equi-join per chunk, never a cross join.
+    """
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    frames = []
+    for c in range(chunks):
+        key = F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(
+            (1 << chunk_bits) - 1
+        )
+        keyed = sketches.select(
+            F.col(id_col), F.col("simhash"), key.alias("chunk_key")
+        )
+        pairs = (
+            keyed.alias("l")
+            .join(keyed.alias("r"), on="chunk_key")
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.simhash").alias("sh_a"),
+                F.col("r.simhash").alias("sh_b"),
+            )
+        )
+        frames.append(pairs)
+    cand = frames[0]
+    for frame in frames[1:]:
+        cand = cand.unionByName(frame)
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

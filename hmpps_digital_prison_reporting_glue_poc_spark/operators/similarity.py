@@ -1,0 +1,264 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- ``cosine_topk``: exact brute-force top-k, pure DataFrame — the *queries*
+  side (small) is broadcast, the corpus streams through one narrow
+  projection + per-query window top-k. No shuffle of the corpus beyond the
+  final top-k aggregation; linear scans like this are how exact ANN
+  baselines run at cluster scale.
+- ``cosine_topk_np``: same semantics on the numpy fast path — mapInPandas
+  computes partition-local top-k against the broadcast query matrix with
+  one BLAS matmul per Arrow batch, then a tiny global window reduces
+  per-partition candidates. The rows shuffled for the final reduce are
+  O(partitions * queries * k), independent of corpus size.
+- ``ivf_topk``: the scale path — k-means-style coarse quantizer (centroids
+  fit on a sample, driver-side numpy; assignment + search distributed),
+  probing only ``nprobe`` inverted lists per query.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hmpps_digital_prison_reporting_glue_poc_spark.functions.vectors import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours per query by cosine similarity.
+
+    Returns (query_id, neighbor_id, rank); rank ties broken by neighbor id
+    so results are total-ordered and engine-comparable. Self-matches are
+    excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("__cvec"), F.col("__qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_topk_np(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same result as ``cosine_topk`` on the Arrow/numpy fast path."""
+    qrows = queries.select(id_col, vec_col).collect()  # queries are small
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, qm = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = cmat @ qm.T  # (corpus_batch, queries)
+            rows = []
+            for j, qid in enumerate(ids_b):
+                col = sims[:, j]
+                mask = cids != qid
+                order = np.argsort(-col[mask], kind="stable")[:k]
+                sel_ids = cids[mask][order]
+                sel_scores = col[mask][order]
+                rows.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": sel_ids, "score": sel_scores}
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        partial_topk, schema=out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_pairs_above(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
+
+    Brute-force form (corpus joined to itself with the smaller projection
+    broadcast) — correct baseline; at scale swap the candidate generation
+    for ``ivf_topk`` buckets or random-hyperplane LSH.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer.
+
+    Train: sample corpus -> numpy k-means (few iterations, driver-side on a
+    bounded sample). Index: assign every corpus vector to its nearest
+    centroid (mapInPandas, one pass). Search: each query probes its
+    ``nprobe`` closest lists; the candidate join is an equi-join on
+    ``list_id`` — the 100 TB-safe replacement for the brute-force cross
+    product. Returns (query_id, neighbor_id, rank).
+    """
+    sample = corpus.select(vec_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    train = np.vstack(
+        [np.asarray(r[0], dtype=np.float64) for r in sample.collect()]
+    )
+    train /= np.linalg.norm(train, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    centroids = train[rng.choice(len(train), size=min(n_lists, len(train)), replace=False)]
+    for _ in range(10):  # Lloyd iterations on the sample
+        assign = np.argmax(train @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = train[assign == c]
+            if len(members):
+                centroid = members.mean(axis=0)
+                centroids[c] = centroid / np.linalg.norm(centroid)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("__vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def assign_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            lists = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "list_id": lists,
+                    "__vec": list(mat),
+                }
+            )
+
+    indexed = corpus.select(id_col, vec_col).mapInPandas(
+        assign_lists, schema=assign_schema
+    )
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("__qvec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def probe_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            near = np.argsort(-(mat @ cents.T), axis=1)[:, :nprobe]
+            rows = []
+            for i, qid in enumerate(pdf[id_col].to_numpy(dtype=np.int64)):
+                for lid in near[i]:
+                    rows.append((qid, int(lid), mat[i]))
+            yield pd.DataFrame(rows, columns=["query_id", "list_id", "__qvec"])
+
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        probe_lists, schema=probe_schema
+    )
+
+    scored = (
+        indexed.join(F.broadcast(probes), on="list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__vec"), F.col("__qvec"), lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,70 @@
+"""Text analysis operators: token stats, language ID, quality scoring.
+
+Everything is built-in column expressions (split/filter/aggregate/size) —
+JVM-side, codegen'd, zero Python in the row path — so a 100 TB corpus scan
+is one embarrassingly-parallel stage with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import (
+    EN_STOPWORDS,
+    tokens,
+)
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics:
+    (id, n_chars, n_tokens, n_distinct_tokens, sum_token_len)."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("sum_token_len"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.05
+) -> DataFrame:
+    """Heuristic language ID: function-word hit-rate against a small English
+    stopword list. (A production version scores several per-language lists
+    and takes the argmax — same shape, more lists.)
+    Returns (id, stopword_ratio, lang_pred)."""
+    toks = tokens(F.col(text_col))
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+    ratio = hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return df.select(
+        F.col(id_col),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("unknown")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality signal in [0, 1]:
+    0.4 * stopword_ratio + 0.3 * distinct-token ratio + 0.3 * length factor
+    (length factor = min(1, n_tokens / 100)). The exact formula matters less
+    than determinism — it must be replicable in the SQL oracle."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_safe = F.greatest(n, F.lit(1)).cast("double")
+    stop = (
+        F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS))).cast("double")
+        / n_safe
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_safe
+    length_factor = F.least(F.lit(1.0), n.cast("double") / F.lit(100.0))
+    score = (
+        F.lit(0.4) * stop + F.lit(0.3) * distinct_ratio + F.lit(0.3) * length_factor
+    )
+    return df.select(F.col(id_col), score.alias("quality_score"))

