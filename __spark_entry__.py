@@ -571,6 +571,17 @@ _TOKS_SQL = """
   FROM corpus
 """
 
+# 3-token shingles (MinHash/LSH unit — see operators/dedup.py rationale)
+_SHINGLES_SQL = """
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(tl) >= 3
+                THEN list_transform(generate_series(1, len(tl) - 2),
+                                    i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+                ELSE [array_to_string(tl, ' ')] END)) AS token
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+        FROM corpus)
+"""
+
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 content fingerprint per document."""
@@ -622,7 +633,7 @@ _MINHASH_AGGS = ",\n       ".join(
 
 MINHASH_SQL = f"""
 WITH corpus AS ({_NEAR_CORPUS_SQL}),
-toks AS ({_TOKS_SQL})
+toks AS ({_SHINGLES_SQL})
 SELECT doc_id, {_MINHASH_AGGS}
 FROM toks GROUP BY doc_id
 """
@@ -638,7 +649,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LSH_SQL = f"""
 WITH corpus AS ({_NEAR_CORPUS_SQL}),
-toks AS ({_TOKS_SQL}),
+toks AS ({_SHINGLES_SQL}),
 sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM toks GROUP BY doc_id)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (

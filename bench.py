@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": N}.
+
+Execution is forced with the noop sink (computes every row/column without
+collecting to the driver), so timings reflect full plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from hmpps_digital_prison_reporting_glue_poc_spark.session import get_spark  # noqa: E402
+
+# Headline set: the TPC-H-shaped analytics + the CDC fold + the dedup /
+# similarity / text operators that define this engine. Quadratic pair
+# operators (jaccard_pairs, embedding_neardup_pairs) are correctness-scale
+# only and excluded from the headline bench.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "scan_filter_project",
+    "distinct_projection",
+    "semi_join_customers",
+    "anti_join_customers",
+    "window_first_event",
+    "cdc_last_writer_wins",
+    "cdc_merge_events",
+    "sort_limit_top_events",
+    "date_time_functions",
+    "domain_sql_runner",
+    "dedup_exact_groups",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash_sketches",
+    "text_token_stats",
+    "text_quality_score",
+    "ann_topk_numpy",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark(app_name="dpr_spark_bench")
+
+    queries = entry_mod.queries()
+
+    # Warm up the JVM / codegen / parquet footer caches with a cheap query.
+    queries["scan_filter_project"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,17 +65,53 @@ def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
+def _doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """MinHash signature per document: ``mh_i = min over tokens of
-    md5(i || ':' || token)`` (lexicographic min of hex digests — a valid
-    min-wise permutation family, and byte-reproducible in any SQL engine).
+    """(id, shingle) pairs: k-token shingles, distinct within a doc.
+    Shingling (vs bare tokens) is what keeps MinHash discriminative on
+    small vocabularies — with bare tokens every long document converges on
+    the full vocabulary and all LSH buckets collapse into one giant skewed
+    bucket (a quadratic self-join at scale). Documents shorter than k
+    tokens contribute one whole-text shingle."""
+    if k <= 1:
+        return _doc_tokens(df, id_col, text_col)
+    # Materialise the token array first: the shingle expression references
+    # it many times (size + k element_at's per shingle), and as a bare
+    # attribute each reference is free — inlined, the split/filter would
+    # re-evaluate per reference.
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return toked.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("token")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document over k-token shingles: ``mh_i = min
+    over shingles of md5(i || ':' || shingle)`` (lexicographic min of hex
+    digests — a valid min-wise permutation family, and byte-reproducible in
+    any SQL engine).
 
     All ``num_hashes`` minima ride one groupBy — a single shuffle keyed on
     the doc id regardless of k.
     """
-    toks = _doc_tokens(df, id_col, text_col)
+    toks = _doc_shingles(df, id_col, text_col, shingle_k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -90,29 +126,43 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
 ) -> DataFrame:
     """Banded LSH over minhash signatures: docs sharing any full band are
-    candidates. Per band: build a band key and self-equi-join on it — a
-    hash-partitioned join that scales linearly in bucket sizes. Pairs are
-    deduped across bands with a distinct.
+    candidates. All bands ride ONE self-equi-join on (band_idx, band_key)
+    — the banded frame is exploded from the signatures and persisted so the
+    (possibly expensive) signature computation runs once, not once per band
+    per join side. The join is hash-partitioned on the band key; bucket
+    sizes stay small as long as the hash family discriminates (which is why
+    signatures are shingled, not bare-token).
     Returns (id_a, id_b) with id_a < id_b."""
     bands = num_hashes // rows_per_band
-    pair_frames = []
-    for b in range(bands):
-        cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        keyed = signatures.select(
-            F.col(id_col), F.concat_ws("|", *cols).alias("band_key")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{i}")
+                  for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            ).alias("band_key"),
         )
-        left = keyed.alias("l")
-        right = keyed.alias("r")
-        pairs = left.join(right, on="band_key").filter(
-            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
-        ).select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")
+    ).select(id_col, "__b.band_idx", "__b.band_key")
+    # The self-join scans the banded plan twice (signature computation is
+    # cheap relative to a shuffle, so recompute beats caching here —
+    # empirically, persist() of even this tiny frame degrades the whole
+    # local session). For a 100 TB corpus, materialise the signature table
+    # to storage once and join that, rather than caching executor-side.
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band_idx", "band_key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
         )
-        pair_frames.append(pairs)
-    out = pair_frames[0]
-    for frame in pair_frames[1:]:
-        out = out.unionByName(frame)
-    return out.distinct()
+        .distinct()
+    )
 
 
 def jaccard_pairs(

@@ -3,11 +3,16 @@
 Everything is built-in column expressions (split/filter/aggregate/size) —
 JVM-side, codegen'd, zero Python in the row path — so a 100 TB corpus scan
 is one embarrassingly-parallel stage with no shuffle at all.
+
+Each operator materialises the token array in a first projection and
+computes all statistics off that attribute: a bare column reference is free,
+while an inlined ``split(...)`` expression would re-evaluate per reference
+(5+ times per row for the quality score).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import (
@@ -16,11 +21,25 @@ from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import (
 )
 
 
+def _with_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+
+
+def _stop_ratio(toks: Column) -> Column:
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document token statistics:
     (id, n_chars, n_tokens, n_distinct_tokens, sum_token_len)."""
-    toks = tokens(F.col(text_col))
-    return df.select(
+    toked = _with_tokens(df, id_col, text_col)
+    toks = F.col("__toks")
+    return toked.select(
         F.col(id_col),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
@@ -38,15 +57,15 @@ def language_id(
     stopword list. (A production version scores several per-language lists
     and takes the argmax — same shape, more lists.)
     Returns (id, stopword_ratio, lang_pred)."""
-    toks = tokens(F.col(text_col))
-    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
-    ratio = hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
-    return df.select(
+    toked = _with_tokens(df, id_col, text_col).withColumn(
+        "stopword_ratio", _stop_ratio(F.col("__toks"))
+    )
+    return toked.select(
         F.col(id_col),
-        ratio.alias("stopword_ratio"),
-        F.when(ratio > threshold, F.lit("en")).otherwise(F.lit("unknown")).alias(
-            "lang_pred"
-        ),
+        F.col("stopword_ratio"),
+        F.when(F.col("stopword_ratio") > threshold, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang_pred"),
     )
 
 
@@ -55,16 +74,15 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     0.4 * stopword_ratio + 0.3 * distinct-token ratio + 0.3 * length factor
     (length factor = min(1, n_tokens / 100)). The exact formula matters less
     than determinism — it must be replicable in the SQL oracle."""
-    toks = tokens(F.col(text_col))
+    toked = _with_tokens(df, id_col, text_col)
+    toks = F.col("__toks")
     n = F.size(toks)
     n_safe = F.greatest(n, F.lit(1)).cast("double")
-    stop = (
-        F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS))).cast("double")
-        / n_safe
-    )
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_safe
     length_factor = F.least(F.lit(1.0), n.cast("double") / F.lit(100.0))
     score = (
-        F.lit(0.4) * stop + F.lit(0.3) * distinct_ratio + F.lit(0.3) * length_factor
+        F.lit(0.4) * _stop_ratio(toks)
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * length_factor
     )
-    return df.select(F.col(id_col), score.alias("quality_score"))
+    return toked.select(F.col(id_col), score.alias("quality_score"))

@@ -51,7 +51,11 @@ def get_spark(
         # batched when we do cross it).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+        # Right-sized heap beats a huge one: measured locally, a 90g heap
+        # produced multi-second GC pauses (3-10x slowdowns on individual
+        # queries); 16g runs the same workload with stable timings. On a
+        # cluster the executor memory comes from the cluster manager.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -1,0 +1,153 @@
+"""Operator semantics tests: dedup family, similarity search, text stats,
+multimodal plumbing — small handcrafted frames with known answers (the
+DuckDB parity suite covers the synthetic corpus at scale)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import dedup as dd
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import similarity as sim
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import textstats as ts
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import multimodal as mm
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the quick brown fox"),          # exact dup of 1
+        (3, "the quick brown fox jumps"),    # near dup of 1
+        (4, "completely different words entirely unrelated"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = dd.exact_dup_groups(docs, "doc_id", "text").collect()
+    by_canon = {r.canonical_id: r.n_docs for r in groups}
+    assert by_canon == {1: 2, 3: 1, 4: 1}
+    kept = sorted(r.doc_id for r in dd.exact_dedup(docs, "doc_id", "text").collect())
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sigs = {r.doc_id: tuple(r)[1:] for r in dd.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=8).collect()}
+    assert sigs[1] == sigs[2]          # identical text -> identical signature
+    assert sigs[1] != sigs[4]          # disjoint text -> different signature
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    pairs = {(r.id_a, r.id_b) for r in dd.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=8, rows_per_band=2).collect()}
+    assert (1, 2) in pairs             # exact dup always collides
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_pairs_values(docs):
+    pairs = {(r.id_a, r.id_b): r for r in dd.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5).collect()}
+    assert pairs[(1, 2)].jaccard == 1.0
+    assert pairs[(1, 3)].jaccard == pytest.approx(4 / 5)
+    assert (1, 4) not in pairs
+
+
+def test_simhash_near_dups(docs):
+    sketches = dd.simhash(docs, "doc_id", "text", bits=32)
+    vals = {r.doc_id: r.simhash for r in sketches.collect()}
+    assert vals[1] == vals[2]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dd.simhash_near_dup_pairs(
+        sketches, "doc_id", max_hamming=3, bits=32).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.8, 0.2, 0.0]),   # close to 0 and 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = sim.cosine_topk(vectors, queries, k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (4, 2)]
+
+
+def test_cosine_topk_np_matches_dataframe_path(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 2)
+    a = {(r.query_id, r.rank): r.neighbor_id
+         for r in sim.cosine_topk(vectors, queries, k=3).collect()}
+    b = {(r.query_id, r.rank): r.neighbor_id
+         for r in sim.cosine_topk_np(spark, vectors, queries, k=3).collect()}
+    assert a == b
+
+
+def test_cosine_pairs_above(vectors):
+    pairs = {(r.id_a, r.id_b) for r in sim.cosine_pairs_above(
+        vectors, threshold=0.95).collect()}
+    assert (0, 1) in pairs and (1, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ivf_topk_recovers_nearest_on_clustered_data(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = []
+    for c, center in enumerate([np.array([10.0, 0, 0]), np.array([0, 10.0, 0])]):
+        for i in range(50):
+            v = center + rng.normal(0, 0.1, 3)
+            rows.append((c * 50 + i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") == 0)
+    exact = {r.neighbor_id for r in sim.cosine_topk(corpus, queries, k=5).collect()}
+    approx = {r.neighbor_id for r in sim.ivf_topk(
+        spark, corpus, queries, k=5, n_lists=4, nprobe=2).collect()}
+    # same-cluster neighbours; IVF should recover the exact set here
+    assert approx == exact
+
+
+def test_token_stats_values(spark):
+    df = spark.createDataFrame([(1, "aa bb  aa")], "doc_id long, text string")
+    r = ts.token_stats(df, "doc_id", "text").first()
+    assert (r.n_chars, r.n_tokens, r.n_distinct_tokens, r.sum_token_len) == (9, 3, 2, 6)
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat"), (2, "zzz qqq xxx www")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in ts.language_id(df, "doc_id", "text").collect()}
+    assert out == {1: "en", 2: "unknown"}
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "the of and to in is"), (2, "x")], "doc_id long, text string"
+    )
+    scores = {r.doc_id: r.quality_score for r in ts.quality_score(
+        df, "doc_id", "text").collect()}
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+    assert scores[1] > scores[2]
+
+
+def test_multimodal_meta_shapes(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "")], "doc_id long, text string")
+    media = mm.attach_binary(df, "doc_id", "text")
+    assert dict(media.dtypes)["content"] == "binary"
+    out = {r.media_id: r for r in mm.extract_media_meta(media).collect()}
+    assert out[1].n_bytes == 5 and out[1].fake_width == 6 and out[1].fake_height == 6
+    assert out[2].n_bytes == 0
+
+
+def test_multimodal_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        mm.decode_media_real(b"\x00", "image/png")
