@@ -895,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": embedding_neardup_pairs,
         # multimodal
         "multimodal_meta": multimodal_meta,
+        **_WAVE2_QUERIES,
     }
 
 
@@ -935,4 +936,580 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf_topk: rows-only (approximate)
         "embedding_neardup_pairs": EMB_PAIRS_SQL,
         "multimodal_meta": MULTIMODAL_SQL,
+        **_WAVE2_SQL,
     }
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 2: more TPC-H shapes, grouped-agg features (rollup / cube /
+# grouping sets / pivot / collect), window family (running / lag / rank /
+# sessionize), string & regex functions, and the real merge_cdc code path.
+# --------------------------------------------------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join + grouped count."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: nation-pair volume, two dimension legs + year bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
+"""
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table -> revenue stands in for
+    profit): supplier-nation x order-year rollup over a green-part filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("green"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%green%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+"""
+
+
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: returnflag plays shipmode): conditional
+    counts by priority class."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + two-level aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count aggregation over a join."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 15, 25, 35))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (5, 15, 25, 35)
+GROUP BY p_brand, p_type
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & (F.col("l_quantity") < 20)
+    ) | (
+        (F.col("p_brand") == "Brand#17")
+        & F.col("p_size").between(11, 20)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(21, 30)
+        & (F.col("l_quantity") > 25)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 10 AND l_quantity < 20)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 21 AND 30 AND l_quantity > 25)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (exact decimal avg, so the
+    threshold is engine-identical) + anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouped aggregation (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouped aggregation (all grouping-set combinations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (spark.sql path)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (fixed category list;
+    absent combinations are NULL on both engines)."""
+    ev = _events(spark, sf_dir)
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return ev.groupBy("user_id").pivot("event_type", kinds).agg(
+        F.count(F.lit(1))
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       NULLIF(COUNT(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS click,
+       NULLIF(COUNT(CASE WHEN event_type = 'view'     THEN 1 END), 0) AS view,
+       NULLIF(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+       NULLIF(COUNT(CASE WHEN event_type = 'signup'   THEN 1 END), 0) AS signup,
+       NULLIF(COUNT(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS error
+FROM events GROUP BY user_id
+"""
+
+
+def collect_sorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: sorted list of distinct event types per user."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types")
+    )
+
+
+COLLECT_SQL = """
+SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types
+FROM events GROUP BY user_id
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (prefix) sum per key — exact decimal accumulation."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+RUNNING_SUM_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+            PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): per-key delta between consecutive event values."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value", 1).over(w)).alias("value_delta"),
+    )
+
+
+LAG_SQL = """
+SELECT user_id, event_id,
+       value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS value_delta
+FROM events
+"""
+
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number, total order)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a >30-minute gap starts a new session; session index
+    is a prefix sum of gap flags — the standard windowed formulation (the
+    streaming twin uses applyInPandasWithState)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    flag = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("__flag", flag)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("__flag").over(wsum).cast("long").alias("session_idx"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+FROM (
+  SELECT user_id, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id)) > 1800000000
+              OR LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+              THEN 1 ELSE 0 END AS flag
+  FROM events)
+"""
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function coverage: upper / substring / replace /
+    length / concat."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.expr("replace(c_name, 'Customer', 'Cust')").alias("short_name"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+    )
+
+
+STRING_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS uname,
+       substring(c_name, 1, 8) AS prefix,
+       replace(c_name, 'Customer', 'Cust') AS short_name,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       c_mktsegment || '|' || c_name AS seg_name
+FROM customer
+"""
+
+
+def regexp_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction: numeric id out of the formatted name."""
+    cust = _t(spark, sf_dir, "customer")
+    digits = F.regexp_extract("c_name", "([0-9]+)", 1)
+    return cust.select(
+        "c_custkey",
+        digits.alias("digits"),
+        digits.cast("long").alias("digits_num"),
+    )
+
+
+REGEX_SQL = """
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS digits_num
+FROM customer
+"""
+
+
+def cdc_merge_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL merge_cdc code path on the events CDC stand-in: state before
+    a cutoff is the target table, events after it are the incoming batch
+    ('error' acts as delete). Exercises the anti-join partition + window
+    fold + action filter of operators.cdc.merge_cdc end-to-end."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.cdc import merge_cdc
+
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    cols = ["user_id", "event_id", "event_type", "value"]
+    target = latest_event_per_key(
+        ev.filter(F.col("ts") < cutoff), ["user_id"], "event_id"
+    ).select(*cols)
+    batch = (
+        ev.filter(F.col("ts") >= cutoff)
+        .select(
+            "user_id",
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("event_type"),
+            "value",
+        )
+    )
+    return merge_cdc(target, batch, pk=["user_id"], order_col="event_id")
+
+
+CDC_MERGE_REAL_SQL = """
+WITH pre AS (
+  SELECT user_id, event_id, event_type, value
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-15')
+  WHERE rn = 1),
+post AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS event_type,
+         value
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+  WHERE rn = 1)
+SELECT * FROM pre WHERE user_id NOT IN (SELECT user_id FROM post)
+UNION ALL
+SELECT * FROM post WHERE event_type <> 'D'
+"""
+
+
+_WAVE2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q12_priority_counts": q12_priority_counts,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q16_supplier_count": q16_supplier_count,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_idle_customers": q22_idle_customers,
+    "rollup_lineitem": rollup_lineitem,
+    "cube_lineitem": cube_lineitem,
+    "grouping_sets_orders": grouping_sets_orders,
+    "pivot_event_counts": pivot_event_counts,
+    "collect_sorted_events": collect_sorted_events,
+    "window_running_sum": window_running_sum,
+    "window_lag_delta": window_lag_delta,
+    "window_rank_orders": window_rank_orders,
+    "sessionize_events": sessionize_events,
+    "string_functions": string_functions,
+    "regexp_extract_ids": regexp_extract_ids,
+    "cdc_merge_real": cdc_merge_real,
+}
+
+_WAVE2_SQL: dict[str, str] = {
+    "q4_order_priority": Q4_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q9_profit_by_nation_year": Q9_SQL,
+    "q12_priority_counts": Q12_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q16_supplier_count": Q16_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q22_idle_customers": Q22_SQL,
+    "rollup_lineitem": ROLLUP_SQL,
+    "cube_lineitem": CUBE_SQL,
+    "grouping_sets_orders": GROUPING_SETS_SQL,
+    "pivot_event_counts": PIVOT_SQL,
+    "collect_sorted_events": COLLECT_SQL,
+    "window_running_sum": RUNNING_SUM_SQL,
+    "window_lag_delta": LAG_SQL,
+    "window_rank_orders": RANK_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "string_functions": STRING_SQL,
+    "regexp_extract_ids": REGEX_SQL,
+    "cdc_merge_real": CDC_MERGE_REAL_SQL,
+}

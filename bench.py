@@ -49,6 +49,27 @@ BENCH_QUERIES = [
     "text_quality_score",
     "ann_topk_numpy",
     "multimodal_meta",
+    # wave 2
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_profit_by_nation_year",
+    "q12_priority_counts",
+    "q13_customer_distribution",
+    "q16_supplier_count",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "rollup_lineitem",
+    "cube_lineitem",
+    "grouping_sets_orders",
+    "pivot_event_counts",
+    "collect_sorted_events",
+    "window_running_sum",
+    "window_lag_delta",
+    "window_rank_orders",
+    "sessionize_events",
+    "string_functions",
+    "regexp_extract_ids",
+    "cdc_merge_real",
 ]
 
 

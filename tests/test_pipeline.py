@@ -1,0 +1,135 @@
+"""Full 4-stage pipeline integration test: raw CDC JSON -> event log ->
+structured merge -> curated -> domain SQL, mirroring the reference's
+end-to-end flow (reference dev/_dummy_records_run_order.txt) on synthetic
+offender-shaped data."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hmpps_digital_prison_reporting_glue_poc_spark.catalog import Catalog, TableSpec
+from hmpps_digital_prison_reporting_glue_poc_spark.plans.pipeline import (
+    PipelineConfig,
+    run_landing,
+    run_pipeline,
+)
+from hmpps_digital_prison_reporting_glue_poc_spark.types import (
+    schema_from_ddl,
+    with_admin_columns,
+)
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("OFFENDER_ID", T.LongType()),
+        T.StructField("LAST_NAME", T.StringType()),
+        T.StructField("FIRST_NAME", T.StringType()),
+    ]
+)
+TARGET_SCHEMA = with_admin_columns(
+    schema_from_ddl(
+        "offender_id bigint, last_name varchar2(40), first_name varchar2(40)"
+    )
+)
+
+
+def _event(op, pos, oid, first, last):
+    row = {"OFFENDER_ID": oid, "LAST_NAME": last, "FIRST_NAME": first}
+    out = {
+        "table": "OMS_OWNER.OFFENDERS",
+        "op_type": op,
+        "op_ts": f"2022-09-{7 + pos % 2:02d} 21:35:18.818430",
+        "current_ts": "c",
+        "pos": f"{pos:020d}",
+    }
+    if op in ("U", "D"):
+        out["before"] = row
+    if op in ("I", "U"):
+        out["after"] = row
+    return out
+
+
+@pytest.fixture()
+def wiring(spark, tmp_path):
+    base = str(tmp_path)
+    raw = os.path.join(base, "raw")
+    os.makedirs(raw)
+    events = [
+        _event("I", 1, 1, "Pat", "Murphy"),
+        _event("U", 2, 1, "Patrick", "Murphy"),
+        _event("I", 3, 2, "David", "Martin"),
+        _event("I", 4, 3, "Tmp", "Row"),
+        _event("D", 5, 3, "Tmp", "Row"),
+    ]
+    with open(os.path.join(raw, "batch.json"), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    cat = Catalog()
+    cat.register(TableSpec("gg_event_log", os.path.join(base, "log"),
+                           partition_by=["part_date"]))
+    cat.register(TableSpec("offenders", os.path.join(base, "offenders"),
+                           pk=["offender_id"]))
+    cat.register(TableSpec("offenders_curated", os.path.join(base, "offenders_curated")))
+    cat.register(TableSpec("domain1_names", os.path.join(base, "domain1")))
+
+    # seed an empty structured target with the declared schema
+    spark.createDataFrame([], TARGET_SCHEMA).write.parquet(
+        cat.get("offenders").path
+    )
+    cfg = PipelineConfig(
+        raw_path=raw,
+        event_log_table="gg_event_log",
+        row_schema=ROW_SCHEMA,
+        tables={"offenders": ("offenders", "offenders_curated")},
+    )
+    return cfg, cat
+
+
+def test_pipeline_end_to_end(spark, wiring):
+    cfg, cat = wiring
+    defs = spark.createDataFrame(
+        [(
+            "Active", "SQL", "domain1", "offenders_curated", "domain1_names",
+            "select offender_id, first_name || ' ' || last_name as full_name "
+            "from offenders_curated",
+        )],
+        "Status string, Type string, Domain string, Dependancies string, Target string, Resolution string",
+    )
+    domains = run_pipeline(spark, cfg, cat, defs_df=defs, process_id=5)
+
+    # event log: partitioned parquet with hashes
+    log = cat.read(spark, "gg_event_log")
+    assert log.count() == 5
+    assert {"before_hash", "after_hash", "part_date"} <= set(log.columns)
+    # partition layout on disk
+    parts = [p for p in os.listdir(cat.get("gg_event_log").path)
+             if p.startswith("part_date=")]
+    assert len(parts) == 2  # two distinct op_ts dates
+
+    # structured: merged state (U over I, D removed)
+    structured = cat.read(spark, "offenders")
+    state = {r.offender_id: r.first_name for r in structured.collect()}
+    assert state == {1: "Patrick", 2: "David"}
+
+    # curated: identity copy
+    curated = cat.read(spark, "offenders_curated")
+    assert curated.count() == 2
+
+    # domain: SQL over curated with process_id
+    assert set(domains) == {"domain1_names"}
+    dom = cat.read(spark, "domain1_names")
+    names = {r.full_name for r in dom.collect()}
+    assert names == {"Patrick Murphy", "David Martin"}
+    assert dom.first().process_id == 5
+
+
+def test_landing_append_is_incremental(spark, wiring):
+    cfg, cat = wiring
+    run_landing(spark, cfg, cat)
+    first = cat.read(spark, "gg_event_log").count()
+    run_landing(spark, cfg, cat)  # second batch appends, never rewrites
+    assert cat.read(spark, "gg_event_log").count() == 2 * first
