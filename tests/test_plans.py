@@ -1,0 +1,87 @@
+"""Physical-plan regression tests: lock in the scale properties — filter
+pushdown into the parquet scan, broadcast joins for dimension tables (no
+sort-merge on the TPC-H shapes), single-shuffle aggregations, and no
+Python row-path in JVM-expressible operators."""
+
+import re
+
+import pytest
+
+import __spark_entry__ as m
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return m.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_single_shuffle_with_pushdown(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert plan.count("Exchange") == 1, "q1 must be scan -> partial agg -> one shuffle"
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "l_shipdate" in pushed.group(1), "shipdate filter must reach the scan"
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_q5_all_joins_broadcast(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 5
+
+
+def test_scan_projects_only_needed_columns(spark):
+    plan = _plan(spark, "scan_filter_project")
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schema is not None
+    cols = {c.split(":")[0] for c in schema.group(1).split(",")}
+    assert cols == {"event_id", "user_id", "event_type", "value", "props"}
+    assert "ts" not in cols, "untouched column must be pruned from the scan"
+
+
+def test_semi_anti_joins_are_native(spark):
+    semi = _plan(spark, "semi_join_customers")
+    anti = _plan(spark, "anti_join_customers")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_cdc_fold_is_single_window_shuffle(spark):
+    plan = _plan(spark, "cdc_last_writer_wins")
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    # one exchange for the window partition; no extra repartition
+    assert plan.count("Exchange") == 1
+
+
+def test_no_python_row_path_in_columnar_operators(spark):
+    """Operators claimed as JVM-columnar must not contain Python eval nodes
+    (BatchEvalPython / ArrowEvalPython / MapInPandas)."""
+    for name in [
+        "q1_pricing_summary", "cdc_merge_events", "minhash_signatures",
+        "lsh_candidate_pairs", "simhash_sketches", "text_quality_score",
+        "text_token_stats", "sessionize_events",
+    ]:
+        plan = _plan(spark, name)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, f"{name} unexpectedly crosses into Python ({marker})"
+
+
+def test_wholestage_codegen_covers_arithmetic_ops(spark):
+    """Pure-arithmetic plans stay inside whole-stage codegen (the '*(n)'
+    stage markers). Text operators using higher-order array functions are
+    interpreted-expression territory by Spark design — those are covered by
+    the no-Python-row-path assertion instead."""
+    # AQE hides codegen subtrees until runtime; disable it for the static check
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = m.queries()["q1_pricing_summary"](spark, SF)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+        text = df._jdf.queryExecution().explainString(mode)
+        assert "WholeStageCodegen subtrees" in text and "Found 0" not in text
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

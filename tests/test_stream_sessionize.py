@@ -1,0 +1,82 @@
+"""Stateful streaming sessionization: state must carry across micro-batches
+(the property the batch window version cannot provide on an unbounded
+stream)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hmpps_digital_prison_reporting_glue_poc_spark.streaming.sessionize import (
+    stream_sessionize,
+)
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+    ]
+)
+
+
+def _write_batch(srcdir, name, rows):
+    with open(os.path.join(srcdir, name), "w") as f:
+        for user_id, event_id, ts in rows:
+            f.write(json.dumps({"user_id": user_id, "event_id": event_id, "ts": ts}) + "\n")
+
+
+def _run(spark, srcdir, outdir, ckpt):
+    stream = (
+        spark.readStream.schema(SRC_SCHEMA)
+        .json(srcdir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream_sessionize(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_sessions_span_micro_batches(spark, tmp_path):
+    srcdir = os.path.join(str(tmp_path), "src")
+    outdir = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(srcdir)
+
+    # batch 1: user 1 -> two events 10 min apart (one session);
+    #          user 2 -> one event
+    _write_batch(srcdir, "b1.json", [
+        (1, 1, "2024-01-01 10:00:00"),
+        (1, 2, "2024-01-01 10:10:00"),
+        (2, 3, "2024-01-01 09:00:00"),
+    ])
+    _run(spark, srcdir, outdir, ckpt)
+
+    # batch 2: user 1 -> +10 min (SAME session: state crossed the batch
+    # boundary), then +2 h (new session); user 2 -> +5 h (new session)
+    _write_batch(srcdir, "b2.json", [
+        (1, 4, "2024-01-01 10:20:00"),
+        (1, 5, "2024-01-01 12:20:00"),
+        (2, 6, "2024-01-01 14:00:00"),
+    ])
+    _run(spark, srcdir, outdir, ckpt)
+
+    got = {
+        r.event_id: (r.user_id, r.session_idx)
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert got == {
+        1: (1, 1), 2: (1, 1),          # batch 1, one session
+        3: (2, 1),
+        4: (1, 1),                     # continuation across batch boundary
+        5: (1, 2),                     # 2h gap -> new session
+        6: (2, 2),
+    }
