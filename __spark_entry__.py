@@ -896,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal
         "multimodal_meta": multimodal_meta,
         **_WAVE2_QUERIES,
+        **_WAVE3_QUERIES,
     }
 
 
@@ -937,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": EMB_PAIRS_SQL,
         "multimodal_meta": MULTIMODAL_SQL,
         **_WAVE2_SQL,
+        **_WAVE3_SQL,
     }
 
 
@@ -1512,4 +1514,78 @@ _WAVE2_SQL: dict[str, str] = {
     "string_functions": STRING_SQL,
     "regexp_extract_ids": REGEX_SQL,
     "cdc_merge_real": CDC_MERGE_REAL_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 3: set operations (absent from the reference — SURVEY §2.7
+# "No intersect/except" — but table stakes for an analytics engine) and
+# date arithmetic.
+# --------------------------------------------------------------------------
+
+def intersect_buyers_viewers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users who both purchased and errored."""
+    ev = _events(spark, sf_dir)
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    return buyers.intersect(err)
+
+
+INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def except_non_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: users who clicked but never purchased."""
+    ev = _events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(buyers)  # EXCEPT (set semantics)
+
+
+EXCEPT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: truncation, offsets, diffs, day-of-week."""
+    orders = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", od).alias("order_month"),
+        F.date_add(od.cast("date"), 30).alias("due_date"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), od.cast("date")
+        ).cast("long").alias("age_days"),
+        F.dayofweek(od).cast("long").alias("dow"),
+    )
+
+
+DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS age_days,
+       CAST(dayofweek(o_orderdate) AS BIGINT) + 1 AS dow
+FROM orders
+"""
+
+
+_WAVE3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "intersect_buyers_viewers": intersect_buyers_viewers,
+    "except_non_buyers": except_non_buyers,
+    "date_arithmetic": date_arithmetic,
+}
+
+_WAVE3_SQL: dict[str, str] = {
+    "intersect_buyers_viewers": INTERSECT_SQL,
+    "except_non_buyers": EXCEPT_SQL,
+    "date_arithmetic": DATE_ARITH_SQL,
 }

@@ -56,6 +56,12 @@ def get_spark(
         # queries); 16g runs the same workload with stable timings. On a
         # cluster the executor memory comes from the cluster manager.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Warehouse for bucketed saveAsTable tables (static conf — must be
+        # set before the first session in the JVM).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/dpr_spark_warehouse"),
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
