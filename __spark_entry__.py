@@ -897,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta,
         **_WAVE2_QUERIES,
         **_WAVE3_QUERIES,
+        **_WAVE4_QUERIES,
     }
 
 
@@ -939,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": MULTIMODAL_SQL,
         **_WAVE2_SQL,
         **_WAVE3_SQL,
+        **_WAVE4_SQL,
     }
 
 
@@ -1588,4 +1590,89 @@ _WAVE3_SQL: dict[str, str] = {
     "intersect_buyers_viewers": INTERSECT_SQL,
     "except_non_buyers": EXCEPT_SQL,
     "date_arithmetic": DATE_ARITH_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 4: BPE-ish token counting, multi-language argmax ID,
+# winnowing fingerprints.
+# --------------------------------------------------------------------------
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per document."""
+    return ts.bpe_token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+BPE_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def text_language_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax language classification over en/fr/de function-word rates."""
+    return ts.language_id_multi(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_LANG_LISTS_SQL = {
+    "en": "['the','and','of','to','in','is','was','for','with','on']",
+    "fr": "['le','la','les','de','des','et','en','un','une','est']",
+    "de": "['der','die','das','und','ist','von','mit','ein','eine','zu']",
+}
+_RATIO_SQL = {
+    lang: (
+        f"CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), "
+        f"x -> list_contains({lst}, lower(x)))) AS DOUBLE) "
+        f"/ CAST(greatest(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) AS DOUBLE)"
+    )
+    for lang, lst in _LANG_LISTS_SQL.items()
+}
+
+LANG_MULTI_SQL = f"""
+SELECT doc_id, ratio_en, ratio_fr, ratio_de,
+       CASE WHEN greatest(ratio_en, ratio_fr, ratio_de) < 0.02 THEN 'unknown'
+            WHEN ratio_en = greatest(ratio_en, ratio_fr, ratio_de) THEN 'en'
+            WHEN ratio_fr = greatest(ratio_en, ratio_fr, ratio_de) THEN 'fr'
+            WHEN ratio_de = greatest(ratio_en, ratio_fr, ratio_de) THEN 'de'
+            ELSE 'unknown' END AS lang_pred
+FROM (SELECT doc_id,
+             {_RATIO_SQL['en']} AS ratio_en,
+             {_RATIO_SQL['fr']} AS ratio_fr,
+             {_RATIO_SQL['de']} AS ratio_de
+      FROM documents)
+"""
+
+
+def winnow_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=8 char-grams, window 4) per document."""
+    return dd.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=8, w=4
+    )
+
+
+WINNOW_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                        i -> md5(substring(text, i, 8))) AS kg
+  FROM documents)
+SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, greatest(len(kg) - 3, 1)),
+                        j -> list_aggregate(kg[j:j+3], 'min')))) AS fp
+FROM grams
+"""
+
+
+_WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_bpe_token_count": text_bpe_token_count,
+    "text_language_id_multi": text_language_id_multi,
+    "winnow_doc_fingerprints": winnow_doc_fingerprints,
+}
+
+_WAVE4_SQL: dict[str, str] = {
+    "text_bpe_token_count": BPE_SQL,
+    "text_language_id_multi": LANG_MULTI_SQL,
+    "winnow_doc_fingerprints": WINNOW_SQL,
 }

@@ -210,6 +210,41 @@ def jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every char k-gram, then keep the minimum hash of each sliding
+    window of ``w`` consecutive k-grams — the classic plagiarism/copy
+    detection sketch. Guarantees any shared substring of length >= k+w-1
+    contributes at least one common fingerprint.
+
+    All columnar: substring k-grams via transform over a sequence, window
+    minima via array_min over slices. Hash family is md5 (lexicographic
+    min), same engine-portability rationale as MinHash.
+    Returns exploded (id, fp) pairs, distinct per document.
+    """
+    prepped = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__n"),
+        F.col(text_col).alias("__t"),
+    )
+    kgrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("__n") - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.col("__t").substr(i, F.lit(k))),
+    )
+    grammed = prepped.select(F.col(id_col), kgrams.alias("__kg"))
+    windows = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(F.col("__kg")) - (w - 1), F.lit(1))
+        ),
+        lambda j: F.array_min(F.slice(F.col("__kg"), j, w)),
+    )
+    return grammed.select(
+        F.col(id_col), F.explode(F.array_distinct(windows)).alias("fp")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash document sketch: each token votes +-1 per bit position of its
     32-bit hash (taken from the first 8 hex chars of md5 so the oracle can

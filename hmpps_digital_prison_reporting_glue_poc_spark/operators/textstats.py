@@ -69,6 +69,60 @@ def language_id(
     )
 
 
+# BPE-ish pre-tokenisation: letter runs, digit runs, single punctuation —
+# the classic GPT-2-style pre-split shape, kept to regex constructs whose
+# semantics agree across regex engines (no lookarounds, no \p classes).
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Per-language function-word lists for the argmax language classifier.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "was", "for", "with", "on"],
+    "fr": ["le", "la", "les", "de", "des", "et", "en", "un", "une", "est"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"],
+}
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counts under a BPE-ish regex pre-tokeniser (vs whitespace):
+    (id, n_ws_tokens, n_bpe_tokens)."""
+    toked = _with_tokens(df, id_col, text_col)
+    return toked.select(
+        F.col(id_col),
+        F.size(F.col("__toks")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def language_id_multi(
+    df: DataFrame, id_col: str, text_col: str, min_ratio: float = 0.02
+) -> DataFrame:
+    """Argmax language ID over per-language function-word hit-rates; ties
+    and everything under ``min_ratio`` fall to 'unknown'. Tie-break is by
+    list order (en > fr > de), deterministic.
+    Returns (id, ratio_en, ratio_fr, ratio_de, lang_pred)."""
+    toked = _with_tokens(df, id_col, text_col)
+    toks = F.col("__toks")
+    n_safe = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    ratios = {
+        lang: (
+            F.size(F.filter(toks, lambda t: F.lower(t).isin(*words))).cast("double")
+            / n_safe
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    scored = toked.select(
+        F.col(id_col),
+        *[ratio.alias(f"ratio_{lang}") for lang, ratio in ratios.items()],
+    )
+    best = F.greatest(*[F.col(f"ratio_{lang}") for lang in LANG_STOPWORDS])
+    pred = F.when(best < min_ratio, F.lit("unknown"))
+    for lang in LANG_STOPWORDS:  # first match wins -> list-order tie-break
+        pred = pred.when(F.col(f"ratio_{lang}") == best, F.lit(lang))
+    return scored.withColumn("lang_pred", pred.otherwise(F.lit("unknown")))
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Composite quality signal in [0, 1]:
     0.4 * stopword_ratio + 0.3 * distinct-token ratio + 0.3 * length factor

@@ -151,3 +151,22 @@ def test_multimodal_meta_shapes(spark):
 def test_multimodal_real_decode_is_gated():
     with pytest.raises(NotImplementedError):
         mm.decode_media_real(b"\x00", "image/png")
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee: a shared substring of length >= k+w-1 yields at
+    least one common fingerprint; disjoint texts share none."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "CCCC " + shared + " DDDD"),
+        (3, "0123456789 completely unrelated zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dd.winnow_fingerprints(df, "doc_id", "text", k=8, w=4)
+    sets = {
+        doc: {r.fp for r in fps.filter(F.col("doc_id") == doc).collect()}
+        for doc in (1, 2, 3)
+    }
+    assert sets[1] & sets[2], "overlapping docs must share a fingerprint"
+    assert not (sets[1] & sets[3]), "disjoint docs must not"

@@ -71,6 +71,29 @@ def test_no_python_row_path_in_columnar_operators(spark):
             assert marker not in plan, f"{name} unexpectedly crosses into Python ({marker})"
 
 
+def test_partition_pruning_on_event_log(spark, tmp_path):
+    """A part_date filter must prune partitions at planning time — the
+    incremental-merge read path depends on it."""
+    import os
+    from pyspark.sql import functions as F
+
+    path = os.path.join(str(tmp_path), "log")
+    df = spark.range(300).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 3).cast("int"))
+        .alias("part_date"),
+    )
+    df.write.partitionBy("part_date").parquet(path)
+    read = spark.read.parquet(path).filter(F.col("part_date") == "2024-01-02")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part_date" in plan.split(
+        "PartitionFilters:"
+    )[1][:200]
+    # the filter sits in PartitionFilters (directory-level pruning), not in
+    # PushedFilters (row-group-level) — and the pruned read is correct
+    assert read.count() == 100
+
+
 def test_wholestage_codegen_covers_arithmetic_ops(spark):
     """Pure-arithmetic plans stay inside whole-stage codegen (the '*(n)'
     stage markers). Text operators using higher-order array functions are
