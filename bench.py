@@ -70,6 +70,13 @@ BENCH_QUERIES = [
     "string_functions",
     "regexp_extract_ids",
     "cdc_merge_real",
+    # waves 3-4
+    "intersect_buyers_viewers",
+    "except_non_buyers",
+    "date_arithmetic",
+    "text_bpe_token_count",
+    "text_language_id_multi",
+    "winnow_doc_fingerprints",
 ]
 
 

@@ -32,6 +32,9 @@ class TableSpec:
     pk: list[str] = field(default_factory=list)
     partition_by: list[str] = field(default_factory=list)
     options: dict[str, str] = field(default_factory=dict)
+    # Published result schema (StructType.json()), the stand-in for the
+    # reference's Glue schema publish (S9, src/apply_to_domains.py:147-166).
+    schema_json: str | None = None
 
 
 class Catalog:
@@ -72,6 +75,19 @@ class Catalog:
         if spec.partition_by:
             writer = writer.partitionBy(*spec.partition_by)
         writer.save(spec.path)
+
+    # -- schema publish (S9) ------------------------------------------------
+    def publish_schema(self, name: str, schema) -> None:
+        """Record a table's result schema in the catalog (the reference
+        pushes this to Glue with a struct->string downcast workaround; no
+        downcast needed here — StructType serialises losslessly)."""
+        self.get(name).schema_json = schema.json()
+
+    def published_schema(self, name: str):
+        from pyspark.sql import types as T
+
+        raw = self.get(name).schema_json
+        return None if raw is None else T.StructType.fromJson(json.loads(raw))
 
     # -- persistence (JSON file stands in for the metastore) ---------------
     def save(self, path: str) -> None:

@@ -115,5 +115,9 @@ def run_domains(
         result = run_definition(spark, definition, catalog, process_id)
         if write and definition.target in catalog:
             catalog.write(result, definition.target)
+            # S9: publish the result schema alongside the data (the
+            # reference pushes this to the Glue catalog,
+            # src/apply_to_domains.py:147-166).
+            catalog.publish_schema(definition.target, result.schema)
         out[definition.target] = result
     return out

@@ -50,10 +50,45 @@ def cdc_envelope_schema(row_schema: T.StructType) -> T.StructType:
 
 
 def read_cdc_json(
-    spark: SparkSession, path: str, row_schema: T.StructType
+    spark: SparkSession, path: str, row_schema: T.StructType,
+    quarantine: bool = False,
 ) -> DataFrame:
-    """S1: schema-first JSON read of raw CDC events."""
-    return spark.read.schema(cdc_envelope_schema(row_schema)).json(path)
+    """S1: schema-first JSON read of raw CDC events.
+
+    ``quarantine=True`` adds a ``_corrupt_record`` column (PERMISSIVE mode):
+    malformed lines land there with every schema field null, instead of
+    silently becoming all-null rows — use ``split_corrupt`` to fork the
+    stream into clean/quarantine frames. At 100 TB a poison line must not
+    kill the batch, and must not vanish either."""
+    schema = cdc_envelope_schema(row_schema)
+    if quarantine:
+        schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_corrupt_record", T.StringType())]
+        )
+        return (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
+    return spark.read.schema(schema).json(path)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fork a quarantine-enabled CDC read into (clean, corrupt)."""
+    from pyspark.sql import functions as F
+
+    # Caching is required by Spark for referencing _corrupt_record in a
+    # filter (see SPARK-21610); the frame is one batch of raw events.
+    cached = df.cache()
+    clean = cached.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    corrupt = cached.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return clean, corrupt
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -133,7 +168,10 @@ def merge_write(
         live = updates
     if exists:
         untouched = target.join(updates.select(*pk).distinct(), on=pk, how="left_anti")
-        result = untouched.unionByName(live)
+        # Schema evolution (reference S8: Delta mergeSchema on domain
+        # writes, src/apply_to_domains.py:223-224): new columns on either
+        # side surface as nulls on the other.
+        result = untouched.unionByName(live, allowMissingColumns=True)
     else:
         result = live
     # Write via temp dir then swap is avoided here (local fallback only);
