@@ -898,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE2_QUERIES,
         **_WAVE3_QUERIES,
         **_WAVE4_QUERIES,
+        **_WAVE5_QUERIES,
     }
 
 
@@ -941,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE2_SQL,
         **_WAVE3_SQL,
         **_WAVE4_SQL,
+        **_WAVE5_SQL,
     }
 
 
@@ -1675,4 +1677,134 @@ _WAVE4_SQL: dict[str, str] = {
     "text_bpe_token_count": BPE_SQL,
     "text_language_id_multi": LANG_MULTI_SQL,
     "winnow_doc_fingerprints": WINNOW_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 5: correlated scalar subquery, explode/frequency, map
+# functions, moment statistics from exact sums.
+# --------------------------------------------------------------------------
+
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface (Catalyst
+    rewrites it to an aggregate + join)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_cs")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_cs")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT COUNT(*) FROM lineitem_cs WHERE l_orderkey = o_orderkey) AS n_lines
+        FROM orders_cs
+        WHERE o_orderstatus = 'F'
+        """
+    )
+
+
+CORRELATED_SQL = """
+SELECT o_orderkey, o_totalprice,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_lines
+FROM orders
+WHERE o_orderstatus = 'F'
+"""
+
+
+def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode + groupBy: corpus-wide token frequencies, deterministic
+    top-20 (count desc, token asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+TOKEN_FREQ_SQL = """
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+"""
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse the JSON props payload into
+    map<string,long>, read size and key membership."""
+    ev = _events(spark, sf_dir)
+    props_map = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.size(props_map).cast("long").alias("n_props"),
+        F.array_contains(F.map_keys(props_map), "k").alias("has_k"),
+        F.element_at(props_map, "k").alias("k_value"),
+    )
+
+
+MAP_FUNC_SQL = """
+SELECT event_id,
+       CAST(1 AS BIGINT) AS n_props,
+       TRUE AS has_k,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+
+
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / variance / stddev per group, derived from EXACT decimal sums
+    (sum, sum-of-squares, count) so the moments are engine-identical —
+    a float sum() would be partition-order-dependent."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.sum(q).cast("double").alias("__s"),
+        F.sum(q * q).cast("double").alias("__ss"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    n = F.col("n_rows").cast("double")
+    mean = F.col("__s") / n
+    var = (F.col("__ss") - (F.col("__s") * F.col("__s")) / n) / (n - F.lit(1.0))
+    return grouped.select(
+        "l_returnflag",
+        "n_rows",
+        mean.alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+    )
+
+
+STATS_SQL = """
+SELECT l_returnflag, n_rows,
+       __s / n AS mean_qty,
+       (__ss - (__s * __s) / n) / (n - 1.0) AS var_qty,
+       sqrt((__ss - (__s * __s) / n) / (n - 1.0)) AS std_qty
+FROM (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS __s,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS __ss,
+         COUNT(*) AS n_rows,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM lineitem GROUP BY l_returnflag)
+"""
+
+
+_WAVE5_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "correlated_scalar_subquery": correlated_scalar_subquery,
+    "token_frequency": token_frequency,
+    "map_functions": map_functions,
+    "stats_summary": stats_summary,
+}
+
+_WAVE5_SQL: dict[str, str] = {
+    "correlated_scalar_subquery": CORRELATED_SQL,
+    "token_frequency": TOKEN_FREQ_SQL,
+    "map_functions": MAP_FUNC_SQL,
+    "stats_summary": STATS_SQL,
 }

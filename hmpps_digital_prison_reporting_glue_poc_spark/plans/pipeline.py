@@ -55,6 +55,8 @@ class PipelineConfig:
     # logical table name -> (target catalog name, curated catalog name)
     tables: dict[str, tuple[str, str]] = field(default_factory=dict)
     validate_hash_chain: bool = False
+    # quarantine malformed raw lines into <event_log_path>_quarantine
+    quarantine: bool = False
 
 
 def run_landing(
@@ -63,9 +65,17 @@ def run_landing(
     """Stage 1 (E1): raw JSON -> hashed, date-partitioned event log.
     Append-only — the event log is immutable history; partition pruning on
     part_date serves the downstream incremental reads."""
-    raw = read_cdc_json(spark, cfg.raw_path, cfg.row_schema)
-    log = ingest_events(raw)
     spec = catalog.get(cfg.event_log_table)
+    if cfg.quarantine:
+        from hmpps_digital_prison_reporting_glue_poc_spark.sources.io import split_corrupt
+
+        raw, corrupt = split_corrupt(
+            read_cdc_json(spark, cfg.raw_path, cfg.row_schema, quarantine=True)
+        )
+        corrupt.write.mode("append").parquet(spec.path + "_quarantine")
+    else:
+        raw = read_cdc_json(spark, cfg.raw_path, cfg.row_schema)
+    log = ingest_events(raw)
     write_partitioned_parquet(log, spec.path, ["part_date"], mode="append")
     return log
 

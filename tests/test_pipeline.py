@@ -133,3 +133,15 @@ def test_landing_append_is_incremental(spark, wiring):
     first = cat.read(spark, "gg_event_log").count()
     run_landing(spark, cfg, cat)  # second batch appends, never rewrites
     assert cat.read(spark, "gg_event_log").count() == 2 * first
+
+
+def test_landing_quarantine_path(spark, wiring, tmp_path):
+    cfg, cat = wiring
+    # poison the raw dir with a malformed line
+    with open(os.path.join(cfg.raw_path, "bad.json"), "a") as f:
+        f.write("THIS IS NOT JSON\n")
+    cfg.quarantine = True
+    log = run_landing(spark, cfg, cat)
+    assert log.count() == 5  # clean events only
+    q = spark.read.parquet(cat.get("gg_event_log").path + "_quarantine")
+    assert q.count() == 1 and "NOT JSON" in q.first()[0]
