@@ -899,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE3_QUERIES,
         **_WAVE4_QUERIES,
         **_WAVE5_QUERIES,
+        "cdc_hash_chain_fold": cdc_hash_chain_fold,
     }
 
 
@@ -1808,3 +1809,51 @@ _WAVE5_SQL: dict[str, str] = {
     "map_functions": MAP_FUNC_SQL,
     "stats_summary": STATS_SQL,
 }
+
+
+def cdc_hash_chain_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas sequential chain-fold (dev-variant hash-chain
+    validation, operators/cdc._chain_fold) on a synthetic but deterministic
+    chain built from events: each user's events chain via md5(event_id);
+    every event with event_id % 97 == 0 carries a broken previous_hash and
+    must be skipped by the fold. Non-SQL-expressible (sequential per-key
+    state) -> rows-only check."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.cdc import merge_cdc
+    from pyspark.sql import types as T
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev_id = F.lag("event_id").over(w)
+    chained = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lit("I").alias("event_type"),
+        F.format_string("%020d", F.col("event_id")).alias("admin_gg_pos"),
+        F.md5(F.col("event_id").cast("string")).alias("admin_hash"),
+        F.when(prev_id.isNull(), F.lit(None))
+        .when(  # corrupt every 97th event's chain link
+            F.col("event_id") % 97 == 0, F.lit("deadbeef")
+        )
+        .otherwise(F.md5(prev_id.cast("string")))
+        .alias("previous_hash"),
+    )
+    # First event per user is an insert; the rest are updates.
+    chained = chained.withColumn(
+        "event_type", F.when(F.col("previous_hash").isNull(), "I").otherwise("U")
+    )
+    target_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("admin_gg_pos", T.StringType()),
+            T.StructField("admin_hash", T.StringType()),
+            T.StructField("previous_hash", T.StringType()),
+        ]
+    )
+    empty = spark.createDataFrame([], target_schema)
+    return merge_cdc(
+        empty, chained, pk=["user_id"], validate_hash_chain=True
+    ).select("user_id", "event_id", "value")
