@@ -900,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE4_QUERIES,
         **_WAVE5_QUERIES,
         "cdc_hash_chain_fold": cdc_hash_chain_fold,
+        "percentiles_by_flag": percentiles_by_flag,
+        "approx_distinct_parts": approx_distinct_parts,
     }
 
 
@@ -944,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE3_SQL,
         **_WAVE4_SQL,
         **_WAVE5_SQL,
+        "percentiles_by_flag": PERCENTILE_SQL,
     }
 
 
@@ -1857,3 +1860,33 @@ def cdc_hash_chain_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_cdc(
         empty, chained, pk=["user_id"], validate_hash_chain=True
     ).select("user_id", "event_id", "value")
+
+
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — verified bit-identical to
+    DuckDB's quantile_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+        F.percentile("l_extendedprice", 0.95).alias("p95_price"),
+    )
+
+
+PERCENTILE_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_price,
+       quantile_cont(l_extendedprice, 0.95) AS p95_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct count (absent from the reference;
+    the approx family every warehouse engine needs). Sketch merges are
+    commutative so the result is deterministic for fixed data, but HLL
+    implementations differ across engines -> rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
