@@ -145,3 +145,46 @@ def test_landing_quarantine_path(spark, wiring, tmp_path):
     assert log.count() == 5  # clean events only
     q = spark.read.parquet(cat.get("gg_event_log").path + "_quarantine")
     assert q.count() == 1 and "NOT JSON" in q.first()[0]
+
+
+def test_pipeline_routes_multiple_tables(spark, tmp_path):
+    """One event log carrying two source tables: each routes to its own
+    structured target; untouched configured tables are not rewritten."""
+    base = str(tmp_path)
+    raw = os.path.join(base, "raw2")
+    os.makedirs(raw)
+    events = [
+        _event("I", 1, 1, "Pat", "Murphy"),
+        _event("I", 2, 2, "Ann", "Smith"),
+    ]
+    # second table's events: same envelope, different table name
+    bookings = [dict(e) for e in [_event("I", 3, 7, "x", "y")]]
+    for b in bookings:
+        b["table"] = "OMS_OWNER.OFFENDER_BOOKINGS"
+    with open(os.path.join(raw, "batch.json"), "w") as f:
+        for e in events + bookings:
+            f.write(json.dumps(e) + "\n")
+
+    cat = Catalog()
+    cat.register(TableSpec("log2", os.path.join(base, "log2"),
+                           partition_by=["part_date"]))
+    for t in ("offenders", "offender_bookings", "untouched_t"):
+        cat.register(TableSpec(t, os.path.join(base, t), pk=["offender_id"]))
+        cat.register(TableSpec(f"{t}_curated", os.path.join(base, f"{t}_cur")))
+        spark.createDataFrame([], TARGET_SCHEMA).write.parquet(cat.get(t).path)
+
+    cfg = PipelineConfig(
+        raw_path=raw, event_log_table="log2", row_schema=ROW_SCHEMA,
+        tables={
+            "offenders": ("offenders", "offenders_curated"),
+            "offender_bookings": ("offender_bookings", "offender_bookings_curated"),
+            "untouched_t": ("untouched_t", "untouched_t_curated"),
+        },
+    )
+    from hmpps_digital_prison_reporting_glue_poc_spark.plans.pipeline import run_structured
+    log = run_landing(spark, cfg, cat)
+    touched = run_structured(spark, cfg, cat, event_log=log)
+    assert sorted(touched) == ["offender_bookings", "offenders"]
+    assert cat.read(spark, "offenders").count() == 2
+    assert cat.read(spark, "offender_bookings").count() == 1
+    assert cat.read(spark, "untouched_t").count() == 0
