@@ -38,7 +38,16 @@ from hmpps_digital_prison_reporting_glue_poc_spark.plans.domains import (
 SF001 = "/root/testdata/sf0.001"
 
 
+def _session_guard(spark: SparkSession) -> None:
+    """The oracles assume UTC timestamps and case-insensitive resolution
+    (the engine's session contract, session.py). The driver runs queries in
+    ITS OWN session, so pin the runtime-settable confs here."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.caseSensitive", "false")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _session_guard(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -47,6 +56,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
     rejects; read nanos as long (runtime-settable legacy conf) and truncate
     to microseconds — the same truncation DuckDB applies natively."""
+    _session_guard(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -902,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hash_chain_fold": cdc_hash_chain_fold,
         "percentiles_by_flag": percentiles_by_flag,
         "approx_distinct_parts": approx_distinct_parts,
+        "embedding_lsh_pairs": embedding_lsh_pairs,
     }
 
 
@@ -1889,4 +1900,15 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs (scale path for
+    embedding_neardup_pairs) with exact cosine re-scoring of candidates.
+    Candidate generation is approximate -> rows-only check; precision is
+    pytest-verified (every emitted pair exceeds the true threshold)."""
+    return sim.hyperplane_lsh_pairs(
+        spark, _t(spark, sf_dir, "embeddings"),
+        threshold=0.4, n_bits=12, n_tables=4,
     )

@@ -262,3 +262,94 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def hyperplane_lsh_pairs(
+    spark: SparkSession,
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 16,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane (SimHash-for-vectors)
+    LSH: ``n_tables`` independent sign-bit sketches of ``n_bits`` planes
+    each; two vectors are candidates if any table's full sketch matches
+    (P[bit match] = 1 - angle/pi, so near-parallel vectors collide with
+    high probability). Candidates are then exactly re-scored and filtered
+    by the true cosine threshold.
+
+    The candidate join is an equi-join on (table_id, sketch) — the 100 TB
+    replacement for the brute-force O(n^2) pair scan in
+    ``cosine_pairs_above``. Planes are derived deterministically from
+    ``seed``, so sketches are stable across runs/retries.
+    """
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_bits, dim))
+    bp = spark.sparkContext.broadcast(planes)
+
+    sketch_schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType()),
+            T.StructField("table_id", T.IntegerType()),
+            T.StructField("sketch", T.LongType()),
+            T.StructField("__vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pls = bp.value
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            out = []
+            for t in range(n_tables):
+                bits = (mat @ pls[t].T) > 0  # (rows, n_bits)
+                codes = bits @ weights
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "__id": ids,
+                            "table_id": t,
+                            "sketch": codes.astype(np.int64),
+                            "__vec": list(mat),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    sketched = corpus.select(id_col, vec_col).mapInPandas(
+        sketch, schema=sketch_schema
+    )
+    cand = (
+        sketched.alias("l")
+        .join(sketched.alias("r"), on=["table_id", "sketch"])
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__vec").alias("__va"),
+            F.col("r.__vec").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (
+        F.sqrt(F.aggregate(F.col("__va"), F.lit(0.0), lambda a, x: a + x * x))
+        * F.sqrt(F.aggregate(F.col("__vb"), F.lit(0.0), lambda a, x: a + x * x))
+    )
+    return (
+        cand.withColumn("score", score)
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b")
+    )

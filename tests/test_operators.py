@@ -170,3 +170,26 @@ def test_winnow_shared_substring_shares_fingerprint(spark):
     }
     assert sets[1] & sets[2], "overlapping docs must share a fingerprint"
     assert not (sets[1] & sets[3]), "disjoint docs must not"
+
+
+def test_hyperplane_lsh_recovers_near_dups(spark):
+    """Near-parallel vectors must collide in some hash table and survive the
+    exact re-score; orthogonal vectors must not pass the threshold."""
+    import numpy as np
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a near-duplicate: tiny perturbation
+        rows.append((100 + i, [float(x) for x in v + rng.normal(0, 0.01, 16)]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in sim.hyperplane_lsh_pairs(
+        spark, corpus, threshold=0.95, n_bits=12, n_tables=6).collect()}
+    expected = {(i, 100 + i) for i in range(20)}
+    recall = len(pairs & expected) / len(expected)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+    # exact re-score keeps precision: no pair below the cosine threshold
+    brute = {(r.id_a, r.id_b) for r in sim.cosine_pairs_above(
+        corpus, threshold=0.95).collect()}
+    assert pairs <= brute
