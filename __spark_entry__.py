@@ -913,6 +913,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_by_flag": percentiles_by_flag,
         "approx_distinct_parts": approx_distinct_parts,
         "embedding_lsh_pairs": embedding_lsh_pairs,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q8_market_share": q8_market_share,
+        "q11_important_parts": q11_important_parts,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q20_promotion_suppliers": q20_promotion_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "asof_join_events": asof_join_events,
     }
 
 
@@ -958,6 +966,14 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE4_SQL,
         **_WAVE5_SQL,
         "percentiles_by_flag": PERCENTILE_SQL,
+        "q2_min_cost_supplier": Q2_SQL,
+        "q8_market_share": Q8_SQL,
+        "q11_important_parts": Q11_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q17_small_qty_revenue": Q17_SQL,
+        "q20_promotion_suppliers": Q20_SQL,
+        "q21_waiting_suppliers": Q21_SQL,
+        "asof_join_events": ASOF_SQL,
     }
 
 
@@ -1043,9 +1059,9 @@ GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
 
 def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (adapted: no partsupp table -> revenue stands in for
-    profit): supplier-nation x order-year rollup over a green-part filter."""
+    profit): supplier-nation x order-year rollup over a red-part filter."""
     li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("green"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
@@ -1071,7 +1087,7 @@ JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN nation   ON s_nationkey = n_nationkey
-WHERE p_name LIKE '%green%'
+WHERE p_name LIKE '%red%'
 GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
 """
 
@@ -1912,3 +1928,319 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _t(spark, sf_dir, "embeddings"),
         threshold=0.4, n_bits=12, n_tables=4,
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H completion wave: q2/q8/q11/q15/q17/q20/q21 (adapted: no partsupp,
+# lineitem stands in as the part-supplier relation) + as-of join
+# --------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: s_acctbal plays ps_supplycost): per part,
+    the EUROPE supplier(s) with minimal account balance among suppliers
+    that shipped it. Correlated-min via groupBy + join-back."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nr = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    elig = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nr), F.col("s_nationkey") == nr.n_nationkey)
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "s_acctbal")
+        .distinct()
+    )
+    minb = elig.groupBy("p_partkey").agg(F.min("s_acctbal").alias("__min_bal"))
+    return (
+        elig.join(F.broadcast(minb), on="p_partkey")
+        .filter(F.col("s_acctbal") == F.col("__min_bal"))
+        .select("p_partkey", "s_name", "n_name", "s_acctbal")
+    )
+
+
+Q2_SQL = """
+SELECT DISTINCT p_partkey, s_name, n_name, s_acctbal
+FROM part, lineitem, supplier, nation, region
+WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE' AND p_size = 15
+  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                   FROM supplier s2, lineitem l2, nation n2, region r2
+                   WHERE l2.l_partkey = part.p_partkey AND l2.l_suppkey = s2.s_suppkey
+                     AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+                     AND r2.r_name = 'EUROPE')
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of AMERICA-customer ECONOMY-part
+    order volume per year. Two nation roles (customer region filter,
+    supplier nation name) via aliased broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(region), F.col("cn.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("sn.n_name") == "NATION_3", _disc_price()).otherwise(zero)
+                ).cast("double")
+                / F.sum(_disc_price()).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN {_DISC_PRICE_SQL}
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part      ON l_partkey = p_partkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region    ON cn.n_regionkey = r_regionkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY EXTRACT(YEAR FROM o_orderdate)
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value from one nation's suppliers, kept
+    when above a scalar-subquery fraction of the total."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    base = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    )
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum(_disc_price()).cast("double").alias("part_value")
+    )
+    thr = base.agg(
+        (F.sum(_disc_price()).cast("double") * F.lit(0.001)).alias("__thr")
+    )
+    return (
+        per_part.join(F.broadcast(thr))
+        .filter(F.col("part_value") > F.col("__thr"))
+        .select("l_partkey", "part_value")
+    )
+
+
+Q11_SQL = f"""
+SELECT l_partkey, CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS part_value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+GROUP BY l_partkey
+HAVING CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) >
+  (SELECT CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) * 0.001
+   FROM lineitem, supplier, nation
+   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_9')
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier; keep the max
+    (scalar-subquery equality on exact-decimal-then-double sums)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_disc_price()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below 20%% of their part's
+    average quantity (correlated avg via groupBy + broadcast join-back)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    li_p = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part = li_p.groupBy("p_partkey").agg(
+        (
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            * F.lit(0.2)
+        ).alias("__thr")
+    )
+    return (
+        li_p.join(F.broadcast(per_part), on="p_partkey")
+        .filter(F.col("l_quantity") < F.col("__thr"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
+  AND l_quantity < (SELECT (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                            / COUNT(*)) * 0.2
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers that shipped >50 units of PROMO parts in
+    1997 (grouped-HAVING subquery -> left_semi join)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    qualified = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("__qty"))
+        .filter(F.col("__qty") > 50.0)
+    )
+    return (
+        supp.join(qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem, part
+    WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 50.0)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: l_returnflag='R' plays "late"): suppliers
+    whose returned lines sit in finalized multi-supplier orders where no
+    other supplier returned. The EXISTS / NOT EXISTS pair is rebuilt as
+    per-order distinct-supplier counts joined back — two shuffles on
+    l_orderkey instead of two correlated scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    r_lines = li.filter(F.col("l_returnflag") == "R")
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp")
+    )
+    ret_stats = r_lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_ret")
+    )
+    return (
+        r_lines.join(orders.select("o_orderkey"), r_lines.l_orderkey == F.col("o_orderkey"))
+        .join(order_stats, on="l_orderkey")
+        .join(ret_stats, on="l_orderkey")
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_ret") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/joins.py asof_join): each purchase
+    event picks up the most recent 'view' event by the same user. Right
+    side is pre-aggregated per (user_id, ts) so ties are deterministic in
+    both engines."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["view_value"],
+    ).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("__asof_ts").alias("view_ts"),
+        "view_value",
+    )
+
+
+ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+views AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.value, v.ts AS view_ts, v.view_value
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""

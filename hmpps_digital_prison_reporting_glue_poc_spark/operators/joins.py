@@ -70,3 +70,81 @@ def bucketed_write(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_expr: F.Column | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the columns of the
+    most recent right row with the same key and ``right_ts <= left_ts``
+    (inclusive), or NULLs when none exists (left-join semantics).
+
+    The reference has no as-of/range joins (SURVEY.md §2.3); this is the
+    time-series primitive its event-log model calls for. Implemented as a
+    single-shuffle union-sort instead of a range join: tag both sides,
+    union them (right payload as one struct, absent left columns
+    null-filled), and run ``last(payload, ignorenulls=True)`` over a
+    window partitioned by key and ordered by (ts, side) so each left row
+    sees the latest preceding right values. Cost is one shuffle of
+    |L|+|R| rows and a per-key sort — no O(|L|·|R|) range-condition
+    explosion, no skewed inequality join, which is what makes it survive
+    a 100 TB event log.
+
+    ``right_cols`` defaults to every non-key, non-ts right column; they
+    are emitted with their original names (callers rename beforehand on
+    collision). The matched right timestamp is emitted as ``__asof_ts``;
+    pass ``tolerance_expr`` (e.g. ``F.expr("interval 1 hour")``) to null
+    out matches older than ``left_ts - tolerance``.
+    """
+    from pyspark.sql import Window
+
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on + [right_ts]]
+    payload = F.struct(
+        F.col(right_ts).alias("__asof_ts"),
+        *[F.col(c) for c in right_cols],
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn(
+            "__payload", F.lit(None).cast(r.schema["__payload"].dataType)
+        )
+    )
+    # Right rows sort before left rows at equal ts (__side 0 < 1) so an
+    # exactly-simultaneous right row is visible to the left row.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l.unionByName(r, allowMissingColumns=True)
+        .withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance_expr is not None:
+        matched = matched.withColumn(
+            "__m",
+            F.when(
+                F.col("__m.__asof_ts") >= F.col("__ts") - tolerance_expr,
+                F.col("__m"),
+            ),
+        )
+    return matched.select(
+        *left.columns,
+        F.col("__m.__asof_ts").alias("__asof_ts"),
+        *[F.col(f"__m.{c}").alias(c) for c in right_cols],
+    )

@@ -193,3 +193,48 @@ def test_hyperplane_lsh_recovers_near_dups(spark):
     brute = {(r.id_a, r.id_b) for r in sim.cosine_pairs_above(
         corpus, threshold=0.95).collect()}
     assert pairs <= brute
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: inclusive at equal ts, NULL when nothing precedes,
+    tolerance nulls out stale matches, duplicate left rows preserved."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 10:00:00", "a"),
+            (2, "u1", "2024-01-01 10:00:00", "b"),   # duplicate (key, ts)
+            (3, "u1", "2024-01-01 09:00:00", "c"),   # before any right row
+            (4, "u2", "2024-01-02 00:00:00", "d"),
+            (5, "u3", "2024-01-02 00:00:00", "e"),   # key with no right rows
+        ],
+        "id long, user string, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:00:00", 10.0),  # equal ts -> visible
+            ("u1", "2024-01-01 09:30:00", 9.0),
+            ("u2", "2024-01-01 00:00:00", 20.0),  # a day earlier
+        ],
+        "user string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {
+        r.id: (r.v, r["__asof_ts"])
+        for r in asof_join(left, right, on=["user"]).collect()
+    }
+    assert out[1][0] == 10.0 and out[2][0] == 10.0
+    assert out[3] == (None, None)
+    assert out[4][0] == 20.0
+    assert out[5] == (None, None)
+    assert len(out) == 5
+
+    # tolerance: u2's only match is 24h old; a 1-hour tolerance nulls it
+    tol = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, on=["user"],
+            tolerance_expr=F.expr("interval 1 hour"),
+        ).collect()
+    }
+    assert tol[4] is None and tol[1] == 10.0
