@@ -921,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_promotion_suppliers": q20_promotion_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "asof_join_events": asof_join_events,
+        "range_join_events": range_join_events,
     }
 
 
@@ -974,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
         "q20_promotion_suppliers": Q20_SQL,
         "q21_waiting_suppliers": Q21_SQL,
         "asof_join_events": ASOF_SQL,
+        "range_join_events": RANGE_JOIN_SQL,
     }
 
 
@@ -2243,4 +2245,38 @@ views AS (
 SELECT p.event_id, p.user_id, p.value, v.ts AS view_ts, v.view_value
 FROM purchases p ASOF LEFT JOIN views v
   ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-band join (operators/joins.py interval_join): purchase events
+    paired with error events by the same user within +/-1 hour. Binned
+    equi-join — no O(|P|x|I|) nested loop."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.joins import (
+        interval_join,
+    )
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        (F.col("ts") - F.expr("interval 1 hour")).alias("win_start"),
+        (F.col("ts") + F.expr("interval 1 hour")).alias("win_end"),
+    )
+    return interval_join(
+        purchases, errors, point_ts="ts", start_ts="win_start",
+        end_ts="win_end", on=["user_id"], bin_seconds=3600,
+    ).select("purchase_id", "error_id", "user_id")
+
+
+RANGE_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id
+FROM events p JOIN events e
+  ON p.user_id = e.user_id
+ AND p.ts >= e.ts - INTERVAL 1 HOUR
+ AND p.ts <= e.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
 """

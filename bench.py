@@ -77,6 +77,15 @@ BENCH_QUERIES = [
     "text_bpe_token_count",
     "text_language_id_multi",
     "winnow_doc_fingerprints",
+    # wave 6: TPC-H completion + as-of join
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "asof_join_events",
 ]
 
 

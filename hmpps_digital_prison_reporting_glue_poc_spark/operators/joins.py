@@ -148,3 +148,48 @@ def asof_join(
         F.col("__m.__asof_ts").alias("__asof_ts"),
         *[F.col(f"__m.{c}").alias(c) for c in right_cols],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    on: list[str] | None = None,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair — optionally
+    key-matched via ``on`` — with ``start_ts <= point_ts <= end_ts``
+    (inclusive both ends).
+
+    A naive range join is a broadcast-nested-loop (O(|P|·|I|)) the moment
+    the only equi-keys are low-cardinality. This instead *bins* time into
+    ``bin_seconds`` buckets: each interval row is exploded to every bucket
+    it overlaps, points land in exactly one bucket, and the join becomes an
+    equi-join on (keys + bucket) followed by the exact range filter. A
+    point's single bucket meets each overlapping interval exactly once, so
+    no dedup pass is needed. Replication factor is interval_length /
+    bin_seconds — pick a bin width near the typical interval length so
+    shuffled volume stays ~2× input at any scale.
+    """
+    on = on or []
+    w = F.lit(bin_seconds) * F.lit(1_000_000).cast("long")
+    p = points.withColumn("__bin", F.floor(F.unix_micros(F.col(point_ts)) / w))
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_ts)) / w),
+                F.floor(F.unix_micros(F.col(end_ts)) / w),
+            )
+        ),
+    )
+    return (
+        p.join(i, on=on + ["__bin"], how="inner")
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts))
+            & (F.col(point_ts) <= F.col(end_ts))
+        )
+        .drop("__bin")
+    )

@@ -238,3 +238,44 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert tol[4] is None and tol[1] == 10.0
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    """Binned interval join must equal the naive range-condition join,
+    including intervals spanning many bins and boundary-inclusive points."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.joins import (
+        interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(i, "k%d" % (i % 3), "2024-01-01 00:%02d:00" % (i % 60)) for i in range(200)],
+        "pid long, k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    intervals = spark.createDataFrame(
+        [
+            (100, "k0", "2024-01-01 00:10:00", "2024-01-01 00:20:00"),
+            (101, "k1", "2023-12-31 22:00:00", "2024-01-01 01:00:00"),  # 3h span
+            (102, "k2", "2024-01-01 00:05:00", "2024-01-01 00:05:00"),  # zero-width
+            (103, "k0", "2024-01-02 00:00:00", "2024-01-02 01:00:00"),  # no points
+        ],
+        "iid long, k string, s string, e string",
+    ).withColumn("s", F.col("s").cast("timestamp")).withColumn(
+        "e", F.col("e").cast("timestamp")
+    )
+
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "ts", "s", "e", on=["k"], bin_seconds=600
+        ).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals,
+            (points.k == intervals.k)
+            & (points.ts >= intervals.s)
+            & (points.ts <= intervals.e),
+        ).collect()
+    }
+    assert got == naive and len(got) > 0
