@@ -922,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
+        "neardup_components": neardup_components,
     }
 
 
@@ -976,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": Q21_SQL,
         "asof_join_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
+        "neardup_components": NEARDUP_COMPONENTS_SQL,
     }
 
 
@@ -2279,4 +2281,48 @@ FROM events p JOIN events e
  AND p.ts >= e.ts - INTERVAL 1 HOUR
  AND p.ts <= e.ts + INTERVAL 1 HOUR
 WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+"""
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup-group resolution: jaccard pairs -> distributed connected
+    components (operators/graph.py min-label propagation) -> every doc
+    mapped to its group's canonical (minimum) id. The DuckDB oracle computes
+    the same transitive closure with a recursive CTE."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import graph
+
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    pairs = dd.jaccard_pairs(corpus, "doc_id", "text", threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    return graph.neardup_groups(pairs, corpus, id_col="doc_id")
+
+
+NEARDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+toks AS ({_TOKS_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM toks l JOIN toks r ON l.token = r.token AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / CAST(sa.size + sb.size - inter AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+),
+comps AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)
+SELECT c.doc_id, COALESCE(comps.component, c.doc_id) AS component
+FROM corpus c LEFT JOIN comps ON comps.id = c.doc_id
 """

@@ -279,3 +279,30 @@ def test_interval_join_matches_naive_range_join(spark):
         ).collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_connected_components_known_graphs(spark):
+    """Chain, cycle, star and singleton-free graph shapes resolve to the
+    min-id component; disjoint clusters stay separate."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.graph import (
+        connected_components,
+        neardup_groups,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+            (10, 11), (11, 12), (12, 10),  # cycle 10-11-12
+            (20, 21),                      # pair
+        ],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]], "doc_id long"
+    )
+    groups = {r.doc_id: r.component for r in neardup_groups(edges, docs).collect()}
+    assert groups[99] == 99  # singleton keeps itself
+    assert groups[4] == 1 and groups[12] == 10
