@@ -1,0 +1,78 @@
+"""Cross-micro-batch streaming dedup: re-delivered keys within the
+watermark horizon are dropped exactly once, distinct keys all survive."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hmpps_digital_prison_reporting_glue_poc_spark.streaming.dedup_stream import (
+    stream_dedup,
+)
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write(srcdir, name, rows):
+    with open(os.path.join(srcdir, name), "w") as f:
+        for event_id, ts, value in rows:
+            f.write(
+                json.dumps({"event_id": event_id, "ts": ts, "value": value})
+                + "\n"
+            )
+
+
+def _run(spark, srcdir, outdir, ckpt):
+    stream = (
+        spark.readStream.schema(SRC_SCHEMA)
+        .json(srcdir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream_dedup(stream, ["event_id"], "ts", "1 hour")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_dedup_drops_redeliveries_across_batches(spark, tmp_path):
+    srcdir = os.path.join(str(tmp_path), "src")
+    outdir = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(srcdir)
+
+    # batch 1: ids 1-3, with an in-batch duplicate of id 2
+    _write(srcdir, "b1.json", [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (2, "2024-01-01 10:01:00", 2.0),
+        (2, "2024-01-01 10:02:00", 99.0),   # in-batch re-delivery
+        (3, "2024-01-01 10:03:00", 3.0),
+    ])
+    _run(spark, srcdir, outdir, ckpt)
+
+    # batch 2: re-delivery of id 3 (within the 1h watermark -> dropped)
+    # plus a genuinely new id 4
+    _write(srcdir, "b2.json", [
+        (3, "2024-01-01 10:10:00", 98.0),
+        (4, "2024-01-01 10:20:00", 4.0),
+    ])
+    _run(spark, srcdir, outdir, ckpt)
+
+    out = spark.read.parquet(outdir)
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3, 4]
+    # the FIRST arrival won: id 2 kept value 2.0, id 3 kept 3.0
+    vals = {r.event_id: r.value for r in out.collect()}
+    assert vals[2] == 2.0 and vals[3] == 3.0
