@@ -2179,16 +2179,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
     r_lines = li.filter(F.col("l_returnflag") == "R")
+    # one aggregation pass computes both distinct counts (total suppliers
+    # and returning suppliers per order) — one lineitem shuffle, not two
     order_stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp")
-    )
-    ret_stats = r_lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_ret")
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("__n_ret"),
     )
     return (
         r_lines.join(orders.select("o_orderkey"), r_lines.l_orderkey == F.col("o_orderkey"))
         .join(order_stats, on="l_orderkey")
-        .join(ret_stats, on="l_orderkey")
         .filter((F.col("__n_supp") > 1) & (F.col("__n_ret") == 1))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")

@@ -108,3 +108,35 @@ def test_wholestage_codegen_covers_arithmetic_ops(spark):
         assert "WholeStageCodegen subtrees" in text and "Found 0" not in text
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_asof_join_has_no_range_explosion(spark):
+    """As-of must be the union-sort plan: no nested-loop/cartesian join and
+    no O(L*R) range condition — just shuffles into the window."""
+    plan = _plan(spark, "asof_join_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_interval_join_is_equi_join_on_bins(spark):
+    """Binned interval join must plan as a hash/sort-merge EQUI join (on
+    key+bin), never a nested loop over the range condition."""
+    plan = _plan(spark, "range_join_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_q8_all_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "q8_market_share")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 7
+
+
+def test_q21_single_lineitem_aggregation_pass(spark):
+    """The EXISTS/NOT-EXISTS rewrite folds both distinct counts into ONE
+    grouped pass over lineitem (<= 6 exchanges; the naive two-pass plan
+    had 9)."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert plan.count("Exchange") <= 6
