@@ -923,6 +923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
         "neardup_components": neardup_components,
+        "argmax_order_per_customer": argmax_order_per_customer,
+        "null_handling_functions": null_handling_functions,
+        "incremental_agg_events": incremental_agg_events,
     }
 
 
@@ -978,6 +981,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": ASOF_SQL,
         "range_join_events": RANGE_JOIN_SQL,
         "neardup_components": NEARDUP_COMPONENTS_SQL,
+        "argmax_order_per_customer": ARGMAX_SQL,
+        "null_handling_functions": NULL_FUNC_SQL,
+        "incremental_agg_events": INCREMENTAL_AGG_SQL,
     }
 
 
@@ -2326,4 +2332,94 @@ walk(id, comp) AS (
 comps AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)
 SELECT c.doc_id, COALESCE(comps.component, c.doc_id) AS component
 FROM corpus c LEFT JOIN comps ON comps.id = c.doc_id
+"""
+
+
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max aggregation: each customer's highest-priced order in ONE
+    grouped pass via max(struct) lexicographic ordering (no window, no
+    second shuffle). Tie-broken by orderkey so both engines agree."""
+    orders = _t(spark, sf_dir, "orders")
+    best = F.max(F.struct("o_totalprice", "o_orderkey")).alias("__best")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(best)
+        .select(
+            "c_custkey",
+            F.col("__best.o_orderkey").alias("best_order"),
+            F.col("__best.o_totalprice").alias("best_price"),
+        )
+    )
+
+
+ARGMAX_SQL = """
+SELECT c_custkey, o_orderkey AS best_order, o_totalprice AS best_price
+FROM (SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+def null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-pipeline scalars: NULLIF / COALESCE / null-safe equality, and
+    count semantics over produced NULLs."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_or_null = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count(disc_or_null).alias("n_discounted"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_discount").eqNullSafe(F.lit(0.0)), 1).otherwise(0)
+        ).cast("long").alias("n_zero_disc"),
+        F.max(F.coalesce(disc_or_null, F.lit(-1.0))).alias("max_disc_or_sentinel"),
+    )
+
+
+NULL_FUNC_SQL = """
+SELECT l_returnflag,
+       COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_discount IS NOT DISTINCT FROM 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_disc,
+       MAX(COALESCE(NULLIF(l_discount, 0.0), -1.0)) AS max_disc_or_sentinel
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def incremental_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py): the
+    per-user rollup is built as partial_agg(history) merged with
+    partial_agg(new batch) — cost shuffle(|agg|+|batch|), never a history
+    rescan. The oracle aggregates the full table flat; results must be
+    identical."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import incremental as inc
+
+    ev = _events(spark, sf_dir)
+    split = F.lit("2024-01-20").cast("timestamp")
+    history = inc.partial_agg(
+        ev.filter(F.col("ts") < split), ["user_id"], ["value"], "n_events"
+    )
+    batch = inc.partial_agg(
+        ev.filter(F.col("ts") >= split), ["user_id"], ["value"], "n_events"
+    )
+    merged = inc.merge_partial_aggs(history, batch, ["user_id"])
+    return merged.select(
+        "user_id",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+        (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+    )
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY user_id
 """

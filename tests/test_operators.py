@@ -306,3 +306,35 @@ def test_connected_components_known_graphs(spark):
     groups = {r.doc_id: r.component for r in neardup_groups(edges, docs).collect()}
     assert groups[99] == 99  # singleton keeps itself
     assert groups[4] == 1 and groups[12] == 10
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    """Two-step (history + increment) partial merge must bit-match the
+    one-shot aggregation; merge output stays mergeable (third fold works);
+    non-mergeable columns are rejected."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import (
+        incremental as inc,
+    )
+
+    rows = [(i % 4, float(i) / 3.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    full = inc.partial_agg(df, ["k"], ["v"])
+
+    d1 = df.filter(F.col("v") < 11.0)
+    d2 = df.filter(F.col("v") >= 11.0)
+    merged = inc.merge_partial_aggs(
+        inc.partial_agg(d1, ["k"], ["v"]), inc.partial_agg(d2, ["k"], ["v"]), ["k"]
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    # closed under merge: folding an empty increment changes nothing
+    empty = inc.partial_agg(df.filter(F.lit(False)), ["k"], ["v"])
+    again = inc.merge_partial_aggs(merged, empty, ["k"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, full.collect()))
+
+    with pytest.raises(ValueError):
+        inc.merge_partial_aggs(
+            merged.withColumn("avg_v", F.lit(1.0)),
+            merged.withColumn("avg_v", F.lit(1.0)),
+            ["k"],
+        )
