@@ -926,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "argmax_order_per_customer": argmax_order_per_customer,
         "null_handling_functions": null_handling_functions,
         "incremental_agg_events": incremental_agg_events,
+        "unpivot_lineitem_measures": unpivot_lineitem_measures,
     }
 
 
@@ -984,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
         "argmax_order_per_customer": ARGMAX_SQL,
         "null_handling_functions": NULL_FUNC_SQL,
         "incremental_agg_events": INCREMENTAL_AGG_SQL,
+        "unpivot_lineitem_measures": UNPIVOT_SQL,
     }
 
 
@@ -2422,4 +2424,31 @@ SELECT user_id, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value
 FROM events
 GROUP BY user_id
+"""
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (DataFrame.unpivot / melt), then re-aggregated
+    per measure — the inverse of pivot_event_counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.sum(F.col("val").cast("decimal(12,2)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_vals"),
+    )
+
+
+UNPIVOT_SQL = """
+SELECT measure, CAST(SUM(CAST(val AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n_vals
+FROM (
+  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+GROUP BY measure
 """

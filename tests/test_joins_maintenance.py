@@ -83,3 +83,40 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     dirs = {d for d in os.listdir(path) if d.startswith("p=")}
     assert dirs == {"p=0", "p=1", "p=2"}
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_zorder_write_narrows_file_stats_on_both_columns(spark, tmp_path):
+    """Z-order clustering: per-file value ranges on BOTH interleaved
+    columns must be far narrower than an unclustered write, so min-max
+    data skipping works for either predicate."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.maintenance import zorder_write
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.floor(F.col("id") / 64)).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    # shuffle row order so the input has no pre-existing locality
+    df = df.orderBy(F.hash("payload"))
+
+    plain_path = str(tmp_path / "plain")
+    z_path = str(tmp_path / "zorder")
+    df.repartition(16).write.parquet(plain_path)
+    zorder_write(df, ["x", "y"], z_path, n_files=16, bits=8)
+
+    def mean_span(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        spans = [r.span for r in per_file.collect()]
+        return sum(spans) / len(spans)
+
+    for col, domain in (("x", 63.0), ("y", 63.0)):
+        z_span = mean_span(z_path, col)
+        plain_span = mean_span(plain_path, col)
+        assert plain_span > 0.9 * domain, "random write should span the domain"
+        assert z_span < 0.45 * domain, (
+            f"z-ordered files must be narrow on {col}: {z_span} vs {plain_span}"
+        )
