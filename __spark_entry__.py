@@ -927,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_handling_functions": null_handling_functions,
         "incremental_agg_events": incremental_agg_events,
         "unpivot_lineitem_measures": unpivot_lineitem_measures,
+        "fuzzy_match_docs": fuzzy_match_docs,
     }
 
 
@@ -986,6 +987,7 @@ def oracle_sql() -> dict[str, str]:
         "null_handling_functions": NULL_FUNC_SQL,
         "incremental_agg_events": INCREMENTAL_AGG_SQL,
         "unpivot_lineitem_measures": UNPIVOT_SQL,
+        "fuzzy_match_docs": FUZZY_SQL,
     }
 
 
@@ -2451,4 +2453,41 @@ FROM (
   UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
   UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
 GROUP BY measure
+"""
+
+
+def fuzzy_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching with prefix blocking: only docs whose
+    first 24 chars agree are compared (turning the O(n^2) all-pairs scan
+    into an equi-join on the block key), then exact levenshtein over the
+    first 120 chars keeps pairs within distance 16. JVM-side levenshtein,
+    no UDF."""
+    corpus = _dup_corpus(spark, sf_dir, mutate=True).select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("__t"),
+        F.substring("text", 1, 24).alias("__blk"),
+    )
+    a, b = corpus.alias("a"), corpus.alias("b")
+    return (
+        a.join(b, on="__blk")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("edit_dist", F.levenshtein(F.col("a.__t"), F.col("b.__t")))
+        .filter(F.col("edit_dist") <= 16)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("edit_dist").cast("long").alias("edit_dist"),
+        )
+    )
+
+
+FUZZY_SQL = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+keyed AS (
+  SELECT doc_id, substr(text, 1, 120) AS t, substr(text, 1, 24) AS blk
+  FROM corpus)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist
+FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.t, b.t) <= 16
 """
