@@ -928,6 +928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg_events": incremental_agg_events,
         "unpivot_lineitem_measures": unpivot_lineitem_measures,
         "fuzzy_match_docs": fuzzy_match_docs,
+        "scd2_user_history": scd2_user_history,
+        "forward_fill_events": forward_fill_events,
+        "ntile_value_buckets": ntile_value_buckets,
+        "histogram_order_totals": histogram_order_totals,
     }
 
 
@@ -988,6 +992,10 @@ def oracle_sql() -> dict[str, str]:
         "incremental_agg_events": INCREMENTAL_AGG_SQL,
         "unpivot_lineitem_measures": UNPIVOT_SQL,
         "fuzzy_match_docs": FUZZY_SQL,
+        "scd2_user_history": SCD2_SQL,
+        "forward_fill_events": FFILL_SQL,
+        "ntile_value_buckets": NTILE_SQL,
+        "histogram_order_totals": HISTOGRAM_SQL,
     }
 
 
@@ -2490,4 +2498,119 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist
 FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.t, b.t) <= 16
+"""
+
+
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history (operators/cdc.py scd2_history): every signup/
+    purchase change per user becomes a versioned row with effective range
+    [valid_from, valid_to) and an is_current flag."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.cdc import scd2_history
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    # tie-break equal timestamps by event_id so both engines order alike
+    keyed = ev.select(
+        "user_id",
+        F.struct(F.col("ts"), F.col("event_id")).alias("__ord"),
+        "event_type",
+        "value",
+    )
+    hist = scd2_history(keyed, ["user_id"], "__ord", ["event_type", "value"])
+    return hist.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("valid_from.ts").alias("valid_from"),
+        F.col("valid_to.ts").alias("valid_to"),
+        "is_current",
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_type, value,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM events
+WHERE event_type IN ('signup', 'purchase')
+"""
+
+
+def forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill: every event carries the most recent non-null purchase
+    value for its user (last_value IGNORE NULLS over an ordered window) —
+    the standard time-series forward fill."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+FFILL_SQL = """
+SELECT event_id, user_id,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+FROM events
+"""
+
+
+def ntile_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows: NTILE quartiles + percent_rank + cume_dist
+    over order totalprice, aggregated per quartile."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("pr").alias("min_pr"),
+        F.max("cd").alias("max_cd"),
+    )
+
+
+NTILE_SQL = """
+SELECT quartile, COUNT(*) AS n_orders, MIN(pr) AS min_pr, MAX(cd) AS max_cd
+FROM (SELECT NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+             PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pr,
+             CUME_DIST() OVER (ORDER BY o_totalprice, o_orderkey) AS cd
+      FROM orders)
+GROUP BY quartile
+"""
+
+
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals — pure columnar bucketing
+    (floor arithmetic), the building block for distribution profiling."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(10000.0)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("bucket_total"),
+        )
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bucket_total
+FROM orders
+GROUP BY FLOOR(o_totalprice / 10000.0)
 """

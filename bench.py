@@ -86,6 +86,14 @@ BENCH_QUERIES = [
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
     "asof_join_events",
+    # wave 7
+    "range_join_events",
+    "argmax_order_per_customer",
+    "null_handling_functions",
+    "unpivot_lineitem_measures",
+    "incremental_agg_events",
+    "fuzzy_match_docs",
+    "embedding_lsh_pairs",
 ]
 
 

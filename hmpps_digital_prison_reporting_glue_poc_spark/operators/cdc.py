@@ -257,3 +257,30 @@ def apply_to_curated(
     """Stage 3 (reference src/apply_to_curated.py:153-161): identity today,
     pluggable business-rule transform tomorrow."""
     return transform(df) if transform else df
+
+
+def scd2_history(
+    events: DataFrame,
+    pk: list[str],
+    order_col: str,
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn a change stream into a
+    history table with effective ranges — every version of every key kept,
+    with ``valid_from`` (the change's own ordering value), ``valid_to``
+    (the NEXT change's, NULL while current) and ``is_current``.
+
+    The reference only materialises last-writer-wins state (SURVEY.md A4,
+    src/apply_change_log_to_delta.py:376-422); SCD2 is the standard
+    reporting answer to "what did this row look like when the report ran
+    last March". One window over (pk, order) — a single shuffle at any
+    scale, and the same ``pos``-style total ordering contract the
+    reference relies on.
+    """
+    w = Window.partitionBy(*pk).orderBy(order_col)
+    out = events if attr_cols is None else events.select(*pk, order_col, *attr_cols)
+    return (
+        out.withColumn("valid_from", F.col(order_col))
+        .withColumn("valid_to", F.lead(order_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
