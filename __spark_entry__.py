@@ -932,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill_events": forward_fill_events,
         "ntile_value_buckets": ntile_value_buckets,
         "histogram_order_totals": histogram_order_totals,
+        "cap_docs_per_source": cap_docs_per_source,
     }
 
 
@@ -996,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "forward_fill_events": FFILL_SQL,
         "ntile_value_buckets": NTILE_SQL,
         "histogram_order_totals": HISTOGRAM_SQL,
+        "cap_docs_per_source": CAP_SQL,
     }
 
 
@@ -2567,7 +2569,13 @@ FROM events
 
 def ntile_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family windows: NTILE quartiles + percent_rank + cume_dist
-    over order totalprice, aggregated per quartile."""
+    over order totalprice, aggregated per quartile.
+
+    Scale note: an unpartitioned ORDER BY window funnels every row through
+    one task — correct but sequential. This query demonstrates the exact
+    functions; at 100 TB the same answer comes from approx_percentile
+    boundaries (percentiles_by_flag) + width_bucket-style assignment,
+    which stays fully parallel."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     ranked = orders.select(
@@ -2613,4 +2621,26 @@ SELECT CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS bucket,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bucket_total
 FROM orders
 GROUP BY FLOOR(o_totalprice / 10000.0)
+"""
+
+
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus balancing (operators/sampling.py
+    cap_per_group): at most 5 documents per source, ranked by md5(doc_id)
+    so the engine-independent oracle picks the identical rows."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, ["source"], 5, order_col="doc_id")
+
+
+CAP_SQL = """
+SELECT doc_id, source
+FROM (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+WHERE rn <= 5
 """

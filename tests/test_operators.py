@@ -338,3 +338,27 @@ def test_incremental_agg_merge_equals_full_recompute(spark):
             merged.withColumn("avg_v", F.lit(1.0)),
             ["k"],
         )
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.sampling import (
+        cap_per_group,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(100)], "id long, g string"
+    )
+    out1 = cap_per_group(df, ["g"], 7, order_col="id")
+    out2 = cap_per_group(df.repartition(13), ["g"], 7, order_col="id")
+    rows1 = sorted((r.g, r.id) for r in out1.collect())
+    rows2 = sorted((r.g, r.id) for r in out2.collect())
+    assert rows1 == rows2, "cap must not depend on partition layout"
+    from collections import Counter
+    counts = Counter(g for g, _ in rows1)
+    assert all(c == 7 for c in counts.values())
+
+    # stratified: fractions honoured roughly, absent key -> dropped
+    s = stratified_sample(df, "g", {"g0": 1.0, "g1": 0.0}, seed=1)
+    got = {r.g for r in s.collect()}
+    assert "g0" in got and "g1" not in got and "g2" not in got
