@@ -933,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_value_buckets": ntile_value_buckets,
         "histogram_order_totals": histogram_order_totals,
         "cap_docs_per_source": cap_docs_per_source,
+        "bm25_doc_scores": bm25_doc_scores,
     }
 
 
@@ -998,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "ntile_value_buckets": NTILE_SQL,
         "histogram_order_totals": HISTOGRAM_SQL,
         "cap_docs_per_source": CAP_SQL,
+        "bm25_doc_scores": BM25_SQL,
     }
 
 
@@ -2643,4 +2645,35 @@ FROM (SELECT doc_id, source,
                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
       FROM documents)
 WHERE rn <= 5
+"""
+
+
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (operators/textstats.py bm25_scores) of the
+    documents table against a 3-term query."""
+    return ts.bm25_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        terms=["scan", "merge", "vector"],
+    )
+
+
+BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       WHERE token IN ('scan', 'merge', 'vector') GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * tf * 2.2
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       ), 6) AS bm25
+FROM tf JOIN doclen ON tf.doc_id = doclen.doc_id
+        JOIN dfreq ON tf.token = dfreq.token
+        CROSS JOIN stats
+GROUP BY tf.doc_id
 """

@@ -140,3 +140,54 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.lit(0.3) * length_factor
     )
     return toked.select(F.col(id_col), score.alias("quality_score"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query ``terms``
+    (Robertson/Sparck-Jones, the IDF+1 variant that keeps weights
+    positive). Everything is JVM-columnar: one explode for term
+    frequencies, one tiny per-term document-frequency aggregate and one
+    corpus-stats scalar frame, both broadcast back onto the tf rows — the
+    corpus-sized side is touched exactly twice (tokenise, score) no
+    matter how many query terms there are.
+
+    Scores are rounded to 6 dp: ln() differs in the last ulp across libm
+    implementations, and the rounding makes results engine-portable.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    contrib = idf * F.col("__tf") * F.lit(k1 + 1.0) / denom
+    return (
+        tf.join(doclen, on=id_col)
+        .join(F.broadcast(dfreq), on="token")
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
