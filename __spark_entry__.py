@@ -934,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_order_totals": histogram_order_totals,
         "cap_docs_per_source": cap_docs_per_source,
         "bm25_doc_scores": bm25_doc_scores,
+        "ohlc_resample_events": ohlc_resample_events,
     }
 
 
@@ -1000,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_order_totals": HISTOGRAM_SQL,
         "cap_docs_per_source": CAP_SQL,
         "bm25_doc_scores": BM25_SQL,
+        "ohlc_resample_events": OHLC_SQL,
     }
 
 
@@ -2676,4 +2678,53 @@ FROM tf JOIN doclen ON tf.doc_id = doclen.doc_id
         JOIN dfreq ON tf.token = dfreq.token
         CROSS JOIN stats
 GROUP BY tf.doc_id
+"""
+
+
+def ohlc_resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: daily OHLC bars of purchase values per
+    event_type-free user stream — open/close via arg-min/arg-max structs
+    (one grouped pass, no window), high/low/volume as plain aggregates."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    day = F.col("ts").cast("date")
+    first = F.min(F.struct(F.col("ts"), F.col("event_id"), F.col("value"))).alias("__f")
+    last = F.max(F.struct(F.col("ts"), F.col("event_id"), F.col("value"))).alias("__l")
+    return (
+        ev.groupBy(F.col("user_id"), day.alias("day"))
+        .agg(
+            first,
+            last,
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            "user_id",
+            "day",
+            F.col("__f.value").alias("open"),
+            "high",
+            "low",
+            F.col("__l.value").alias("close"),
+            "n_trades",
+        )
+    )
+
+
+OHLC_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+  FROM events WHERE event_type = 'purchase'),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM p)
+SELECT user_id, day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_trades
+FROM ranked
+GROUP BY user_id, day
 """
