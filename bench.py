@@ -94,6 +94,14 @@ BENCH_QUERIES = [
     "incremental_agg_events",
     "fuzzy_match_docs",
     "embedding_lsh_pairs",
+    # wave 8
+    "scd2_user_history",
+    "forward_fill_events",
+    "ntile_value_buckets",
+    "histogram_order_totals",
+    "cap_docs_per_source",
+    "bm25_doc_scores",
+    "ohlc_resample_events",
 ]
 
 

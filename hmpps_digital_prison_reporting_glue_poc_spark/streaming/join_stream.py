@@ -41,3 +41,17 @@ def stream_enrich(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"interval {lookback}"))
     )
     return l.join(r, cond, "inner").drop(r[on])
+
+
+def stream_enrich_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a live stream against a dimension
+    table. The static side is re-read per micro-batch (so slowly-changing
+    dims pick up updates) and broadcast — no stream-side state at all,
+    which is why this is the default enrichment path and the
+    stream-stream join above is reserved for two genuinely live sides."""
+    return stream.join(F.broadcast(dim), on=on, how=how)

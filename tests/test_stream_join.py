@@ -94,3 +94,39 @@ def test_stream_stream_join_bounded_lookback(spark, tmp_path):
     assert (5, 1) in pairs, "cross-batch match via buffered state"
     assert (7, 6) in pairs
     assert not any(p == 4 for p, _ in pairs), "3h-old view must not match"
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream rows pick up dimension attributes; unmatched keys survive
+    with NULLs (left join)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.join_stream import (
+        stream_enrich_static,
+    )
+
+    srcdir = os.path.join(str(tmp_path), "src2")
+    outdir = os.path.join(str(tmp_path), "out2")
+    ckpt = os.path.join(str(tmp_path), "ckpt2")
+    os.makedirs(srcdir)
+    _write(srcdir, "b1.json", [
+        (1, 100, "purchase", "2024-01-01 10:00:00"),
+        (2, 999, "purchase", "2024-01-01 10:05:00"),  # no dim row
+    ])
+    dim = spark.createDataFrame(
+        [(100, "gold")], "user_id long, tier string"
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .json(srcdir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream_enrich_static(stream, dim, on="user_id")
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.event_id: r.tier for r in spark.read.parquet(outdir).collect()}
+    assert rows == {1: "gold", 2: None}
