@@ -935,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_docs_per_source": cap_docs_per_source,
         "bm25_doc_scores": bm25_doc_scores,
         "ohlc_resample_events": ohlc_resample_events,
+        "profile_lineitem": profile_lineitem,
     }
 
 
@@ -1002,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_docs_per_source": CAP_SQL,
         "bm25_doc_scores": BM25_SQL,
         "ohlc_resample_events": OHLC_SQL,
+        "profile_lineitem": PROFILE_SQL,
     }
 
 
@@ -2727,4 +2729,38 @@ SELECT user_id, day,
        COUNT(*) AS n_trades
 FROM ranked
 GROUP BY user_id, day
+"""
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan dataset profile (operators/profiling.py profile_table):
+    null counts, exact cardinality and string-rendered bounds for three
+    heterogeneous lineitem columns."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        profile_table,
+    )
+
+    return profile_table(
+        _t(spark, sf_dir, "lineitem"),
+        cols=["l_quantity", "l_returnflag", "l_shipdate"],
+    )
+
+
+PROFILE_SQL = """
+SELECT 'l_quantity' AS column, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(l_quantity) AS n_null,
+       COUNT(DISTINCT l_quantity) AS n_distinct,
+       CAST(MIN(l_quantity) AS VARCHAR) AS min_value,
+       CAST(MAX(l_quantity) AS VARCHAR) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+       COUNT(DISTINCT l_returnflag),
+       CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+       COUNT(DISTINCT l_shipdate),
+       CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+FROM lineitem
 """

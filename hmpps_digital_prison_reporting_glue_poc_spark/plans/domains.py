@@ -103,21 +103,37 @@ def run_domains(
     catalog: Catalog,
     process_id: int | None = None,
     write: bool = False,
+    on_error: str = "raise",
+    failures: dict | None = None,
 ) -> dict[str, DataFrame]:
     """E3 end-to-end: filter to active definitions, execute each, optionally
     write to the catalog target (schema-merge semantics are the sink's
     concern; reference used Delta mergeSchema, src/apply_to_domains.py:223-224).
+
+    ``on_error="skip"`` quarantines a failing definition (recorded in the
+    caller-supplied ``failures`` dict as target -> exception) and keeps
+    running the rest; the default re-raises immediately.
     """
     tagged = active_definitions(defs_df, event_tables)
     active = load_definitions(tagged.filter(F.col("Status") == "ACTIVE"))
     out: dict[str, DataFrame] = {}
     for definition in active:
-        result = run_definition(spark, definition, catalog, process_id)
-        if write and definition.target in catalog:
-            catalog.write(result, definition.target)
-            # S9: publish the result schema alongside the data (the
-            # reference pushes this to the Glue catalog,
-            # src/apply_to_domains.py:147-166).
-            catalog.publish_schema(definition.target, result.schema)
+        # Error isolation (on_error="skip"): one bad Resolution — typo'd
+        # SQL, dropped source column, missing dependency — must not take
+        # down every other domain in the batch; the reference's linear
+        # script would crash the whole job.
+        try:
+            result = run_definition(spark, definition, catalog, process_id)
+            if write and definition.target in catalog:
+                catalog.write(result, definition.target)
+                # S9: publish the result schema alongside the data (the
+                # reference pushes this to the Glue catalog,
+                # src/apply_to_domains.py:147-166).
+                catalog.publish_schema(definition.target, result.schema)
+        except Exception as exc:  # noqa: BLE001 — quarantined below
+            if on_error == "raise" or failures is None:
+                raise
+            failures[definition.target] = exc
+            continue
         out[definition.target] = result
     return out

@@ -87,3 +87,27 @@ def test_catalog_roundtrip(tmp_path):
     spec = loaded.get("t1")
     assert spec.pk == ["id"] and spec.partition_by == ["dt"]
     assert "T1" in loaded and "nope" not in loaded
+
+
+def test_run_domains_quarantines_failing_definition(spark, defs_df):
+    """on_error='skip': a broken Resolution SQL is recorded, the healthy
+    definitions still produce results; default mode still raises."""
+    bad = spark.createDataFrame(
+        [("Active", "SQL", "bad_domain", "customer",
+          "bad_target", "select no_such_column from customer")],
+        defs_df.schema,
+    )
+    all_defs = defs_df.unionByName(bad)
+    cat = make_testdata_catalog(SF)
+
+    failures = {}
+    out = run_domains(
+        spark, all_defs, ["customer"], cat,
+        process_id=7, on_error="skip", failures=failures,
+    )
+    assert set(failures) == {"bad_target"} and "bad_target" not in out
+    assert set(out) == {"d1_cust_orders"}
+    assert out["d1_cust_orders"].count() > 0
+
+    with pytest.raises(Exception, match="no_such_column|UNRESOLVED"):
+        run_domains(spark, all_defs, ["customer"], cat, process_id=7)
