@@ -936,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_doc_scores": bm25_doc_scores,
         "ohlc_resample_events": ohlc_resample_events,
         "profile_lineitem": profile_lineitem,
+        "date_spine_zero_fill": date_spine_zero_fill,
     }
 
 
@@ -1004,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_doc_scores": BM25_SQL,
         "ohlc_resample_events": OHLC_SQL,
         "profile_lineitem": PROFILE_SQL,
+        "date_spine_zero_fill": DATE_SPINE_SQL,
     }
 
 
@@ -2763,4 +2765,47 @@ SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
        COUNT(DISTINCT l_shipdate),
        CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
 FROM lineitem
+"""
+
+
+def date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine reporting: generate the full Jan-2024 day x
+    event_type grid (sequence + explode + cross join of two tiny frames)
+    and left-join daily counts onto it so quiet days appear as zeros
+    instead of vanishing."""
+    ev = _events(spark, sf_dir)
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+            )
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        days.crossJoin(types)
+        .join(daily, on=["day", "event_type"], how="left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("__n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+DATE_SPINE_SQL = """
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS day),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+  FROM events GROUP BY CAST(ts AS DATE), event_type)
+SELECT days.day, types.event_type, COALESCE(daily.n, 0) AS n_events
+FROM days CROSS JOIN types
+LEFT JOIN daily ON daily.day = days.day AND daily.event_type = types.event_type
 """

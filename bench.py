@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "cap_docs_per_source",
     "bm25_doc_scores",
     "ohlc_resample_events",
+    "profile_lineitem",
+    "date_spine_zero_fill",
 ]
 
 
