@@ -937,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_resample_events": ohlc_resample_events,
         "profile_lineitem": profile_lineitem,
         "date_spine_zero_fill": date_spine_zero_fill,
+        "topk_orders_per_segment": topk_orders_per_segment,
     }
 
 
@@ -1006,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_resample_events": OHLC_SQL,
         "profile_lineitem": PROFILE_SQL,
         "date_spine_zero_fill": DATE_SPINE_SQL,
+        "topk_orders_per_segment": TOPK_SEGMENT_SQL,
     }
 
 
@@ -2808,4 +2810,33 @@ daily AS (
 SELECT days.day, types.event_type, COALESCE(daily.n, 0) AS n_events
 FROM days CROSS JOIN types
 LEFT JOIN daily ON daily.day = days.day AND daily.event_type = types.event_type
+"""
+
+
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-pruned top-k (operators/topk.py): the 3 priciest orders per
+    market segment. Each input partition keeps only its local top-3 per
+    segment before the shuffle, so the window sees <= partitions x 3 rows
+    per segment instead of every order."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.topk import (
+        topk_per_group,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    return topk_per_group(
+        joined, ["c_mktsegment"], ["o_totalprice", "o_orderkey"], k=3
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank"))
+
+
+TOPK_SEGMENT_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rank
+FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rank <= 3
 """

@@ -362,3 +362,47 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     s = stratified_sample(df, "g", {"g0": 1.0, "g1": 0.0}, seed=1)
     got = {r.g for r in s.collect()}
     assert "g0" in got and "g1" not in got and "g2" not in got
+
+
+def test_topk_per_group_matches_naive_window(spark):
+    """Local pruning must not change the answer: exact match with the
+    full-shuffle window top-k, across many partitions and group sizes."""
+    from pyspark.sql import Window
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.topk import (
+        topk_per_group,
+    )
+
+    # v is a bijection of id (37 invertible mod prime 5003) so orderings
+    # are tie-free and both paths are fully deterministic
+    df = spark.range(5000).select(
+        (F.col("id") % 17).alias("g"),
+        F.pmod(F.col("id") * 37, F.lit(5003)).alias("v"),
+        F.col("id"),
+    ).repartition(32)
+
+    got = {
+        (r.g, r.id, r.rank)
+        for r in topk_per_group(df, ["g"], "v", k=5).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").desc())
+    naive = {
+        (r.g, r.id, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == naive and len(got) == 17 * 5
+
+    # ascending flavour too
+    got_asc = {
+        (r.g, r.id)
+        for r in topk_per_group(df, ["g"], "v", k=3, ascending=True).collect()
+    }
+    w_asc = Window.partitionBy("g").orderBy(F.col("v").asc())
+    naive_asc = {
+        (r.g, r.id)
+        for r in df.withColumn("rank", F.row_number().over(w_asc))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got_asc == naive_asc
