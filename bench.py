@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "ohlc_resample_events",
     "profile_lineitem",
     "date_spine_zero_fill",
+    "topk_orders_per_segment",
 ]
 
 
