@@ -938,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": profile_lineitem,
         "date_spine_zero_fill": date_spine_zero_fill,
         "topk_orders_per_segment": topk_orders_per_segment,
+        "normalized_dedup_groups": normalized_dedup_groups,
+        "revenue_share_per_nation": revenue_share_per_nation,
     }
 
 
@@ -1008,6 +1010,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_lineitem": PROFILE_SQL,
         "date_spine_zero_fill": DATE_SPINE_SQL,
         "topk_orders_per_segment": TOPK_SEGMENT_SQL,
+        "normalized_dedup_groups": NORM_DEDUP_SQL,
+        "revenue_share_per_nation": REVENUE_SHARE_SQL,
     }
 
 
@@ -2839,4 +2843,71 @@ FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
                                 ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
       FROM orders JOIN customer ON o_custkey = c_custkey)
 WHERE rank <= 3
+"""
+
+
+def normalized_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: case-folded, punctuation-stripped,
+    whitespace-collapsed text hashed with md5 — catches dups that differ
+    only in formatting. Same single-shuffle shape as dedup_exact_groups."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_key"))
+        .groupBy("norm_key")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+NORM_DEDUP_SQL = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS norm_key,
+       MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def revenue_share_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each supplier nation's share of total revenue via
+    an unbounded window sum over the (tiny) aggregated frame — the window
+    runs on 25 rows, never on the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).alias("__rev"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.col("__rev").cast("double").alias("revenue"),
+        (F.col("__rev").cast("double") / F.sum("__rev").over(w).cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+REVENUE_SHARE_SQL = f"""
+WITH per_nation AS (
+  SELECT n_name, SUM({_DISC_PRICE_SQL}) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share
+FROM per_nation
 """
