@@ -828,10 +828,15 @@ def ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (no oracle: approximate by construction)."""
+    """IVF approximate top-k (no oracle: approximate by construction).
+    Explicit sample_fraction + the operator's hard max_train_rows cap keep
+    centroid training driver-safe at any corpus size."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return sim.ivf_topk(spark, emb, queries, k=5, n_lists=8, nprobe=3)
+    return sim.ivf_topk(
+        spark, emb, queries, k=5, n_lists=8, nprobe=3,
+        sample_fraction=0.5, max_train_rows=50_000,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -108,6 +108,38 @@ BENCH_QUERIES = [
 ]
 
 
+# The driver captures only the LAST 2000 characters of stdout and parses the
+# final line as JSON (round-1 BENCH had "parsed": null because the full
+# 76-query line was longer than the capture window and lost its head).
+MAX_LINE_CHARS = 1800
+
+
+def format_bench_line(timings: dict[str, float], sf: float) -> str:
+    """One JSON line, guaranteed <= MAX_LINE_CHARS: keeps the slowest
+    queries and drops the fastest until the line fits. Total always covers
+    ALL queries regardless of how many survive into the line."""
+    total = round(sum(timings.values()), 3)
+    kept = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+
+    def render(q: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in q.items()},
+                "n_queries": len(timings),
+                "sf": sf,
+            }
+        )
+
+    line = render(kept)
+    while len(line) > MAX_LINE_CHARS and kept:
+        kept.pop(next(reversed(kept)))  # drop the current fastest
+        line = render(kept)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -126,18 +158,11 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # Full per-query map for humans (NOT the contract line).
+    print("FULL_TIMINGS: " + json.dumps(timings), flush=True)
+    # Contract line: final line of stdout, short enough to survive the
+    # driver's tail capture, flushed with nothing after it.
+    print(format_bench_line(timings, sf), flush=True)
 
 
 if __name__ == "__main__":

@@ -31,7 +31,19 @@ def salted_join(
 
     Use when: one key holds >~1 partition of data AND the right side is too
     big to broadcast. Otherwise prefer the plain join + AQE.
+
+    Only left-preserving joins are legal: the right side is replicated once
+    per salt value, so 'right'/'full'/'right_semi' would emit every
+    unmatched right row ``salt_buckets`` times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated right "
+            "side would duplicate unmatched right rows. Use inner/left/"
+            "left_semi/left_anti, or a plain join with AQE skew handling."
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
     salted_left = left.withColumn("__salt", salt)
     salted_right = right.withColumn(

@@ -101,7 +101,13 @@ def cosine_topk_np(
             for j, qid in enumerate(ids_b):
                 col = sims[:, j]
                 mask = cids != qid
-                order = np.argsort(-col[mask], kind="stable")[:k]
+                # Tie-break by neighbor_id ASC inside the kernel so the
+                # partial prune keeps exactly the rows the global
+                # (score desc, neighbor_id asc) window would: under exact
+                # score ties at the k-th boundary, batch order must not
+                # decide which tied id survives. lexsort: last key is
+                # primary -> sort by -score, then id.
+                order = np.lexsort((cids[mask], -col[mask]))[:k]
                 sel_ids = cids[mask][order]
                 sel_scores = col[mask][order]
                 rows.append(
@@ -158,6 +164,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_fraction: float = 1.0,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer.
 
@@ -167,10 +174,16 @@ def ivf_topk(
     ``nprobe`` closest lists; the candidate join is an equi-join on
     ``list_id`` — the 100 TB-safe replacement for the brute-force cross
     product. Returns (query_id, neighbor_id, rank).
+
+    Training rows collected to the driver are HARD-CAPPED at
+    ``max_train_rows`` regardless of ``sample_fraction`` — a full-corpus
+    driver collect at 100 TB is an OOM, and k-means centroid quality
+    saturates far below 100k samples for n_lists this small.
     """
     sample = corpus.select(vec_col)
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
+    sample = sample.limit(max_train_rows)
     train = np.vstack(
         [np.asarray(r[0], dtype=np.float64) for r in sample.collect()]
     )

@@ -40,9 +40,11 @@ def topk_per_group(
         for pdf in batches:
             if pdf.empty:
                 continue
+            # dropna=False: the exact window keeps null-key groups, so the
+            # prune must too (pandas drops them by default).
             yield (
                 pdf.sort_values(order_cols, ascending=ascending)
-                .groupby(keys, sort=False)
+                .groupby(keys, sort=False, dropna=False)
                 .head(k)
             )
 

@@ -174,6 +174,15 @@ def merge_write(
         result = untouched.unionByName(live, allowMissingColumns=True)
     else:
         result = live
-    # Write via temp dir then swap is avoided here (local fallback only);
-    # checkpoint to break lineage on the self-referencing read.
-    result.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    # Non-destructive swap: materialize the merged result to a sibling temp
+    # dir FIRST (reading the old data while writing the new), then swap it
+    # into place. A failure mid-write leaves the existing target untouched;
+    # a failure between delete and rename leaves the complete merged copy
+    # in the temp dir for recovery — never a half-overwritten table.
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__merge_tmp__")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    result.write.mode("overwrite").parquet(tmp.toString())
+    if exists:
+        fs.delete(jpath, True)
+    fs.rename(tmp, jpath)

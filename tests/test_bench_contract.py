@@ -1,0 +1,46 @@
+"""The driver parses bench.py's FINAL stdout line as JSON from a 2000-char
+tail capture. Round 1 lost the line head (76 queries > 2000 chars) and
+recorded "parsed": null — these tests pin the contract: always valid JSON,
+always short enough to survive the tail window, total covers every query.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _fake_timings(n: int) -> dict[str, float]:
+    return {f"query_with_a_long_name_{i:03d}": 0.001 * (i + 1) for i in range(n)}
+
+
+def test_line_is_valid_json_and_fits_tail_window():
+    for n in (1, 10, 76, 200):
+        line = bench.format_bench_line(_fake_timings(n), sf=0.1)
+        assert len(line) <= bench.MAX_LINE_CHARS < 2000
+        parsed = json.loads(line)
+        assert parsed["metric"] == "headline_queries_total"
+        assert parsed["unit"] == "sec"
+        assert parsed["sf"] == 0.1
+        assert parsed["n_queries"] == n
+
+
+def test_total_covers_all_queries_even_when_truncated():
+    timings = _fake_timings(200)
+    line = bench.format_bench_line(timings, sf=0.1)
+    parsed = json.loads(line)
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    # Truncation keeps the SLOWEST queries.
+    if len(parsed["queries"]) < len(timings):
+        kept_min = min(parsed["queries"].values())
+        dropped = set(timings) - set(parsed["queries"])
+        assert all(round(timings[q], 2) <= kept_min for q in dropped)
+
+
+def test_bench_query_list_is_resolvable():
+    import __spark_entry__ as entry_mod
+
+    declared = entry_mod.queries()
+    missing = [q for q in bench.BENCH_QUERIES if q not in declared]
+    assert not missing, f"bench names not in queries(): {missing}"

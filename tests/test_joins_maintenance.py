@@ -120,3 +120,13 @@ def test_zorder_write_narrows_file_stats_on_both_columns(spark, tmp_path):
         assert z_span < 0.45 * domain, (
             f"z-ordered files must be narrow on {col}: {z_span} vs {plain_span}"
         )
+
+
+def test_salted_join_rejects_right_preserving_modes(spark):
+    # Replicated right side would duplicate unmatched right rows for
+    # right/full joins — must be an explicit error, not silent duplicates.
+    left = spark.range(10).withColumnRenamed("id", "k")
+    right = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, on=["k"], how=how)

@@ -406,3 +406,59 @@ def test_topk_per_group_matches_naive_window(spark):
         .collect()
     }
     assert got_asc == naive_asc
+
+
+def test_topk_per_group_keeps_null_key_groups(spark):
+    # pandas groupby drops null keys by default; the prune pass must not
+    # (the exact window it mirrors keeps them).
+    from pyspark.sql import Window
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.topk import (
+        topk_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(None, i) for i in range(20)] + [("a", i) for i in range(20)],
+        "g string, v int",
+    ).repartition(4)
+    got = {
+        (r.g, r.v, r.rank)
+        for r in topk_per_group(df, ["g"], "v", k=3).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").desc())
+    want = {
+        (r.g, r.v, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == want
+    assert any(g is None for g, _, _ in got)
+
+
+def test_ivf_topk_training_is_hard_capped(spark, monkeypatch):
+    # Default args must never collect the full corpus: the limit is applied
+    # before .collect() regardless of sample_fraction.
+    import numpy as np
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(400)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.limit(3)
+
+    collected_sizes = []
+    orig_collect = type(corpus).collect
+
+    def spy_collect(self):
+        out = orig_collect(self)
+        collected_sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(type(corpus), "collect", spy_collect)
+    res = sim.ivf_topk(
+        spark, corpus, queries, k=3, n_lists=4, nprobe=2, max_train_rows=100
+    )
+    n = res.count()
+    assert n > 0
+    # The training collect (first collect call) obeys the cap.
+    assert collected_sizes[0] <= 100
