@@ -671,15 +671,23 @@ FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
 
 
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard >= 0.8 via the inverted-index self-join."""
+    """Token-set Jaccard >= 0.8 via the inverted-index self-join, with
+    hot-token pruning (df > 100) so no single token creates a quadratic
+    join bucket — the oracle applies the identical df filter."""
     return dd.jaccard_pairs(
-        _dup_corpus(spark, sf_dir, mutate=True), "doc_id", "text", threshold=0.8
+        _dup_corpus(spark, sf_dir, mutate=True), "doc_id", "text",
+        threshold=0.8, max_df=100,
     )
 
 
 JACCARD_SQL = f"""
 WITH corpus AS ({_NEAR_CORPUS_SQL}),
-toks AS ({_TOKS_SQL}),
+toks_all AS ({_TOKS_SQL}),
+dfreq AS (SELECT token, COUNT(*) AS df FROM toks_all GROUP BY token),
+toks AS (
+  SELECT t.doc_id, t.token FROM toks_all t
+  JOIN dfreq d ON t.token = d.token AND d.df <= 100
+),
 sizes AS (SELECT doc_id, COUNT(*) AS size FROM toks GROUP BY doc_id),
 inter AS (
   SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter

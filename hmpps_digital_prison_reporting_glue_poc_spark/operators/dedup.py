@@ -170,17 +170,32 @@ def jaccard_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Token-set Jaccard similarity for candidate pairs generated through a
     token inverted index (docs sharing >=1 token). Intersection sizes come
     from one groupBy over the index self-join; set sizes broadcast back in.
 
-    At 100 TB the inverted-index join is the scalable skeleton, but hot
-    tokens skew the index — production path drops top-frequency tokens
-    (stop the head) before the self-join; AQE skew-join splits the rest.
+    ``max_df``: hot-token pruning — tokens appearing in more than ``max_df``
+    documents are dropped BEFORE the self-join, and document sizes are
+    computed over the pruned vocabulary so the jaccard stays internally
+    consistent. A single stopword-frequency token makes the index self-join
+    quadratic on that key (df=10^6 -> 10^12 pairs from one token); pruning
+    the head bounds every join bucket at max_df^2 pairs. The hot-token set
+    is tiny by construction (the vocabulary head), so it broadcasts.
+    ``max_df=None`` keeps exact full-vocabulary semantics — only safe when
+    the caller knows the df distribution (e.g. shingled input).
     Returns (id_a, id_b, inter, size_a, size_b, jaccard).
     """
     toks = _doc_tokens(df, id_col, text_col)
+    if max_df is not None:
+        hot = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(hot), on="token", how="left_anti")
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
 
     left = toks.alias("l")

@@ -462,3 +462,41 @@ def test_ivf_topk_training_is_hard_capped(spark, monkeypatch):
     assert n > 0
     # The training collect (first collect call) obeys the cap.
     assert collected_sizes[0] <= 100
+
+
+def test_jaccard_hot_token_pruning(spark):
+    # One token in ~90% of docs: with max_df pruning the pairs must be
+    # exactly the brute-force jaccard over the PRUNED token sets, and the
+    # hot token must contribute no candidate pairs.
+    import itertools
+
+    docs = []
+    for i in range(40):
+        base = f"alpha{i} beta{i} gamma{i} delta{i}"
+        if i < 36:  # hot stop-token in 90% of docs
+            base += " thestopword"
+        docs.append((i, base))
+    # two real near-dup pairs sharing rare tokens
+    docs.append((100, "alpha1 beta1 gamma1 delta1 extra"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.jaccard_pairs(df, "doc_id", "text", threshold=0.5, max_df=10).collect()
+    }
+
+    # brute force on pruned vocab
+    toksets = {}
+    from collections import Counter
+    freq = Counter(t for _, txt in docs for t in set(txt.split()))
+    for i, txt in docs:
+        toksets[i] = {t for t in set(txt.split()) if freq[t] <= 10}
+    want = {}
+    for a, b in itertools.combinations(sorted(toksets), 2):
+        inter = len(toksets[a] & toksets[b])
+        union = len(toksets[a] | toksets[b])
+        if union and inter / union >= 0.5:
+            want[(a, b)] = inter / union
+    assert got == pytest.approx(want)
+    # hot token alone must not make every doc-pair a candidate
+    assert (0, 1) not in got
