@@ -2813,9 +2813,11 @@ GROUP BY user_id, day
 
 
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-scan dataset profile (operators/profiling.py profile_table):
-    null counts, exact cardinality and string-rendered bounds for three
-    heterogeneous lineitem columns."""
+    """Dataset profile (operators/profiling.py profile_table): null counts,
+    exact cardinality and string-rendered bounds for three heterogeneous
+    lineitem columns. exact=True uses the no-Expand per-column groupBy path
+    (pruned single-column scans); the default HLL mode is the full-corpus
+    scale path but is not DuckDB-hash-comparable."""
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
         profile_table,
     )
@@ -2823,6 +2825,7 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         _t(spark, sf_dir, "lineitem"),
         cols=["l_quantity", "l_returnflag", "l_shipdate"],
+        exact=True,
     )
 
 

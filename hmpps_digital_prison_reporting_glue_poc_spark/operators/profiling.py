@@ -1,35 +1,65 @@
 """Dataset profiling — the QC pass a pipeline runs before trusting a new
-drop of data: per-column null counts, cardinality and value bounds, in
-ONE scan of the table.
+drop of data: per-column null counts, cardinality and value bounds.
 
-All per-column statistics are computed in a single ``agg`` (so the input
-is read once no matter how many columns), then the one-row result is
-exploded to long format driver-side-free. Exact ``countDistinct`` on many
-columns multiplies the aggregation via Catalyst's Expand operator — fine
-for QC on a sample or a partition; pass ``exact=False`` to switch to HLL
-``approx_count_distinct`` (single pass, no Expand) for full-corpus runs.
+Two cardinality modes:
+
+- ``exact=False`` (default — the 100 TB path): ONE scan of the table, all
+  statistics in a single ``agg`` with HLL ``approx_count_distinct``. No
+  Catalyst Expand, no row multiplication; partial aggregation makes the
+  shuffle one row per partition.
+- ``exact=True``: exact distinct counts WITHOUT the Expand blow-up of
+  multi-column ``countDistinct`` (which multiplies every input row once
+  per profiled column before the hash aggregate). Each column is profiled
+  from its own pruned single-column scan via groupBy(col) -> two-stage
+  aggregation: the shuffle carries only the per-partition distinct values
+  of that column, and parquet column pruning means the k scans together
+  read the same bytes as one k-column scan. Exact results, no Expand.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _profile_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    frames = []
+    for c in cols:
+        grouped = df.select(c).groupBy(c).agg(F.count(F.lit(1)).alias("__cnt"))
+        frames.append(
+            grouped.agg(
+                F.lit(c).alias("column"),
+                F.sum("__cnt").cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col(c).isNull(), F.col("__cnt"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_null"),
+                F.count(c).cast("long").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
 def profile_table(
     df: DataFrame,
     cols: list[str] | None = None,
-    exact: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
     """Return one row per profiled column:
     (column, n_rows, n_null, n_distinct, min_value, max_value) with the
     bounds rendered as strings so heterogeneous column types coexist."""
     cols = cols or df.columns
-    distinct = F.countDistinct if exact else F.approx_count_distinct
+    if exact:
+        return _profile_exact(df, cols)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"__nn_{c}"))
-        aggs.append(distinct(c).alias(f"__nd_{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
         aggs.append(F.min(c).cast("string").alias(f"__mn_{c}"))
         aggs.append(F.max(c).cast("string").alias(f"__mx_{c}"))
     row = df.agg(*aggs)

@@ -500,3 +500,23 @@ def test_jaccard_hot_token_pruning(spark):
     assert got == pytest.approx(want)
     # hot token alone must not make every doc-pair a candidate
     assert (0, 1) not in got
+
+
+def test_profile_table_exact_and_hll_modes(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (None, "b")], "x int, s string"
+    )
+    exact = {r.column: r for r in profile_table(df, exact=True).collect()}
+    assert (exact["x"].n_rows, exact["x"].n_null, exact["x"].n_distinct) == (4, 1, 2)
+    assert (exact["x"].min_value, exact["x"].max_value) == ("1", "2")
+    assert (exact["s"].n_rows, exact["s"].n_null, exact["s"].n_distinct) == (4, 1, 2)
+    # HLL default: same shape, approximate cardinality (exact at this size)
+    hll = {r.column: r for r in profile_table(df).collect()}
+    assert hll["x"].n_distinct == 2 and hll["s"].n_null == 1
+    # no Expand in the exact plan
+    plan = profile_table(df, exact=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
