@@ -724,11 +724,29 @@ SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM sums
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via pigeonhole chunk buckets.
-    No oracle — the chunked candidate generation is the operator under test;
-    rows-only check."""
+    Chunked candidate generation is lossless for hamming <= max_hamming
+    (pigeonhole: 3 differing bits cannot touch all 4 chunks), so the result
+    equals the brute-force hamming predicate — which is what the DuckDB
+    oracle computes."""
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
     sketches = dd.simhash(corpus, "doc_id", "text", bits=32)
-    return dd.simhash_near_dup_pairs(sketches, "doc_id", max_hamming=3, bits=32)
+    pairs = dd.simhash_near_dup_pairs(sketches, "doc_id", max_hamming=3, bits=32)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+toks AS ({_TOKS_SQL}),
+hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM toks),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS_SQL} FROM hashed GROUP BY doc_id),
+sketches AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM sums)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sketches a JOIN sketches b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 # --------------------------------------------------------------------------
@@ -889,7 +907,9 @@ _R01_GREEN = {
     "cdc_merge_events", "sort_limit_top_events", "date_time_functions",
     "domain_sql_runner", "doc_fingerprint", "dedup_exact_groups",
     "dedup_exact_keep", "minhash_signatures", "lsh_candidate_pairs",
-    "jaccard_pairs", "simhash_sketches", "simhash_near_dups",
+    # simhash_near_dups deliberately absent: its r01 row was rows-only
+    # (no_oracle); it now has a real oracle and must be re-checked.
+    "jaccard_pairs", "simhash_sketches",
     "text_token_stats", "text_language_id", "text_quality_score",
     "ann_cosine_topk", "ann_topk_numpy", "ann_ivf_topk",
     "embedding_neardup_pairs", "multimodal_meta", "q4_order_priority",
@@ -1015,7 +1035,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidate_pairs": LSH_SQL,
         "jaccard_pairs": JACCARD_SQL,
         "simhash_sketches": SIMHASH_SQL,
-        # simhash_near_dups: rows-only (chunked candidate generation)
+        "simhash_near_dups": SIMHASH_PAIRS_SQL,
         "text_token_stats": TOKEN_STATS_SQL,
         "text_language_id": LANG_ID_SQL,
         "text_quality_score": QUALITY_SQL,

@@ -27,6 +27,10 @@ try:  # delta-spark is optional in this environment
 
     HAS_DELTA = True
 except Exception:  # pragma: no cover - environment without delta
+    # delta-spark is not installed in this container and package installs
+    # are disallowed, so the MERGE INTO branch below cannot execute here;
+    # the logical anti-join+union merge is its tested stand-in and the
+    # Delta branch is the path that runs on a real cluster.
     DeltaTable = None
     HAS_DELTA = False
 
