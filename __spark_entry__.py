@@ -999,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_segment": topk_orders_per_segment,
         "normalized_dedup_groups": normalized_dedup_groups,
         "revenue_share_per_nation": revenue_share_per_nation,
+        **_WAVE9_QUERIES,
     }
     # Never-driver-checked queries first so the driver's fixed-size window
     # rotates through the whole declared surface across rounds.
@@ -1077,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders_per_segment": TOPK_SEGMENT_SQL,
         "normalized_dedup_groups": NORM_DEDUP_SQL,
         "revenue_share_per_nation": REVENUE_SHARE_SQL,
+        **_WAVE9_SQL,
     }
 
 
@@ -3006,3 +3008,162 @@ SELECT n_name, CAST(rev AS DOUBLE) AS revenue,
        CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share
 FROM per_nation
 """
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 9: corpus-preparation operators (operators/corpus.py) —
+# n-gram statistics, benchmark decontamination, sequence packing,
+# deterministic splits, repetition quality.
+# --------------------------------------------------------------------------
+
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import corpus as cp  # noqa: E402
+
+_NGRAMS2_SQL = (
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+)
+_NGRAMS5_SQL = (
+    "list_transform(range(1, len(toks) - 3), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+    "toks[i+3] || ' ' || toks[i+4])"
+)
+_DOC_TOKS_SQL = (
+    "SELECT doc_id, source, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents"
+)
+
+
+def ngram_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table, top-100 by (count desc, ngram asc)."""
+    return cp.ngram_counts(
+        _t(spark, sf_dir, "documents"), text_col="text", n=2, top_k=100
+    )
+
+
+NGRAM_COUNTS_SQL = f"""
+WITH toksed AS ({_DOC_TOKS_SQL}),
+grams AS (SELECT doc_id, unnest({_NGRAMS2_SQL}) AS ngram FROM toksed)
+SELECT ngram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC LIMIT 100
+"""
+
+
+def contamination_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: 5-gram overlap between the train partition
+    (doc_id % 10 != 0) and the eval partition (doc_id % 10 == 0)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    evalset = docs.filter(F.col("doc_id") % 10 == 0)
+    return cp.contamination_pairs(train, evalset, n=5)
+
+
+CONTAMINATION_SQL = f"""
+WITH toksed AS ({_DOC_TOKS_SQL}),
+grams AS (
+  SELECT doc_id, unnest(list_distinct({_NGRAMS5_SQL})) AS ngram FROM toksed),
+t AS (SELECT doc_id AS train_id, ngram FROM grams WHERE doc_id % 10 <> 0),
+e AS (SELECT doc_id AS eval_id, ngram FROM grams WHERE doc_id % 10 = 0)
+SELECT train_id, eval_id, COUNT(*) AS n_shared
+FROM t JOIN e USING (ngram)
+GROUP BY train_id, eval_id
+"""
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pack-and-chunk bin assignment per source, 512-token bins."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))).alias(
+            "n_tokens"
+        ),
+    )
+    return cp.pack_sequences(
+        docs, id_col="doc_id", length_col="n_tokens", budget=512, by="source"
+    )
+
+
+PACK_SQL = f"""
+WITH toksed AS ({_DOC_TOKS_SQL}),
+sized AS (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toksed),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+  FROM sized)
+SELECT source, doc_id, n_tokens,
+       CAST(floor(before / 512.0) AS BIGINT) AS bin_id,
+       CAST(before % 512 AS BIGINT) AS bin_offset
+FROM cum
+"""
+
+
+def split_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment; counts per (source, split)
+    so the driver checks both the hash mapping and its distribution."""
+    assigned = cp.split_assign(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="v1",
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SPLIT_SQL = """
+WITH assigned AS (
+  SELECT source, doc_id,
+         CASE
+           WHEN CAST(('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0 < 0.8 THEN 'train'
+           WHEN CAST(('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0 < 0.9 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents)
+SELECT source, split, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM assigned GROUP BY source, split
+"""
+
+
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram repetition signals (C4/Gopher-style quality)."""
+    return cp.repetition_stats(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", n=2
+    )
+
+
+REPETITION_SQL = f"""
+WITH toksed AS ({_DOC_TOKS_SQL}),
+grams AS (SELECT doc_id, unnest({_NGRAMS2_SQL}) AS ngram FROM toksed),
+per_ngram AS (
+  SELECT doc_id, ngram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, ngram)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+       COUNT(*) AS n_distinct_ngrams,
+       CAST(MAX(cnt) AS BIGINT) AS top_ngram_count,
+       CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS dup_ngram_frac
+FROM per_ngram GROUP BY doc_id
+"""
+
+
+_WAVE9_QUERIES = {
+    "ngram_counts_top": ngram_counts_top,
+    "contamination_pairs_docs": contamination_pairs_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "split_assign_docs": split_assign_docs,
+    "repetition_stats_docs": repetition_stats_docs,
+}
+
+_WAVE9_SQL = {
+    "ngram_counts_top": NGRAM_COUNTS_SQL,
+    "contamination_pairs_docs": CONTAMINATION_SQL,
+    "pack_sequences_docs": PACK_SQL,
+    "split_assign_docs": SPLIT_SQL,
+    "repetition_stats_docs": REPETITION_SQL,
+}

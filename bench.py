@@ -105,6 +105,12 @@ BENCH_QUERIES = [
     "profile_lineitem",
     "date_spine_zero_fill",
     "topk_orders_per_segment",
+    # wave 9: corpus preparation
+    "ngram_counts_top",
+    "contamination_pairs_docs",
+    "pack_sequences_docs",
+    "split_assign_docs",
+    "repetition_stats_docs",
 ]
 
 

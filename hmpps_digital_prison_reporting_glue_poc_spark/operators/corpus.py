@@ -1,0 +1,199 @@
+"""Corpus-preparation operators for LLM training-data pipelines: n-gram
+statistics, benchmark decontamination, sequence packing, deterministic
+dataset splits, and repetition-based quality signals.
+
+All candidate generation is equi-join- or window-shaped (never a cross
+join), aggregation is partial-agg friendly, and every expression is a
+JVM-side built-in so the hot path stays in whole-stage codegen. Each
+operator has an exact ANSI-SQL twin in ``__spark_entry__.py`` — the
+determinism contract (md5 hashing, id tie-breaks) exists to keep them
+engine-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+
+
+def _ngrams(text_col, n: int):
+    """Array of space-joined word n-grams (column expression).
+
+    Built with transform over an index sequence — one pass, no explode
+    until the caller wants rows."""
+    toks = tokens(text_col)
+    if n <= 1:
+        return toks
+    # Guard: sequence(1, m) with m < 1 DESCENDS in Spark, which would
+    # fabricate reversed/negative-index n-grams for docs shorter than n
+    # tokens — short docs must contribute an empty array instead.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-level n-gram frequency table: (ngram, n_docs, n_occurrences).
+
+    explode -> ONE groupBy(ngram) with both aggregates (map-side combine
+    carries most of the reduction; the shuffle key is the ngram itself).
+    ``top_k`` orders by (count desc, ngram asc) — a total order, so LIMIT
+    sets are deterministic.
+    """
+    exploded = df.select(
+        F.col("doc_id"), F.explode(_ngrams(F.col(text_col), n)).alias("ngram")
+    )
+    counts = exploded.groupBy("ngram").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    if top_k is not None:
+        counts = counts.orderBy(
+            F.col("n_occurrences").desc(), F.col("ngram").asc()
+        ).limit(top_k)
+    return counts
+
+
+def contamination_pairs(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: which training docs share word n-grams
+    with an evaluation set (the GPT-3-style 13-gram check, smaller n here).
+
+    Returns (train_id, eval_id, n_shared) for every contaminated pair.
+    Candidate generation is an equi-join on the n-gram — never a cross
+    join; n-grams are distinct within each doc so ``n_shared`` counts
+    distinct shared n-grams. At 100 TB the eval side is tiny and
+    broadcasts; the train side streams through one explode + join.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(F.array_distinct(_ngrams(F.col(text_col), n))).alias("ngram"),
+    )
+    e = evalset.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(F.array_distinct(_ngrams(F.col(text_col), n))).alias("ngram"),
+    )
+    return (
+        t.join(F.broadcast(e), on="ngram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_tokens",
+    budget: int = 512,
+    by: str | None = "source",
+) -> DataFrame:
+    """Streaming sequence packing (GPT-style pack-and-chunk): documents are
+    concatenated in ``id_col`` order within each ``by`` group and split
+    into fixed ``budget``-token bins. Emits, per doc, the bin its FIRST
+    token lands in and the offset inside that bin — a doc may straddle a
+    bin boundary (the concatenate-then-chunk semantics used for
+    pretraining batches, not first-fit bin packing).
+
+    One window shuffle per group; bin arithmetic is pure codegen.
+    """
+    part = [by] if by else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(length_col)).over(w)
+    before = (cum - F.col(length_col)).cast("long")
+    out_cols = ([F.col(by)] if by else []) + [
+        F.col(id_col),
+        F.col(length_col).cast("long").alias(length_col),
+        F.floor(before / F.lit(budget)).alias("bin_id"),
+        (before % F.lit(budget)).alias("bin_offset"),
+    ]
+    return df.select(*out_cols)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(salt || id) maps each
+    row to a bucket in [0, 1); cumulative weight ranges carve the buckets
+    into named splits. Content-stable (re-runs and late-arriving data land
+    in the same split), partition-independent, no RNG state.
+
+    Returns the input plus a ``split`` column.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    # First 8 hex chars of md5 -> uniform 32-bit integer -> [0, 1).
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """C4/Gopher-style repetition signals per document:
+    (id, n_ngrams, n_distinct_ngrams, top_ngram_count, dup_ngram_frac).
+
+    ``dup_ngram_frac`` is the fraction of n-gram occurrences that are
+    repeats of an already-seen n-gram in the same doc;
+    ``top_ngram_count`` is the multiplicity of the most repeated n-gram.
+    explode -> groupBy(id, ngram) -> groupBy(id): two partial-agg shuffles
+    on keys that include the doc id, so no skew beyond document length.
+    """
+    per_ngram = (
+        df.select(
+            F.col(id_col), F.explode(_ngrams(F.col(text_col), n)).alias("ngram")
+        )
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_ngram.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        F.max("cnt").cast("long").alias("top_ngram_count"),
+        (
+            (F.sum("cnt") - F.count(F.lit(1))).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("dup_ngram_frac"),
+    )

@@ -1,0 +1,115 @@
+"""Corpus-preparation operators (operators/corpus.py): n-gram stats,
+decontamination, sequence packing, deterministic splits, repetition."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import corpus as cp
+
+
+def test_ngram_counts_and_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b"),
+            (2, "a b"),
+            (3, "solo"),  # shorter than n: contributes NO bigrams
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.ngram: (r.n_docs, r.n_occurrences)
+        for r in cp.ngram_counts(df, n=2).collect()
+    }
+    assert got == {"a b": (2, 3), "b c": (1, 1), "c a": (1, 1)}
+
+
+def test_ngram_counts_topk_is_total_ordered(spark):
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "p q")], "doc_id long, text string"
+    )
+    rows = cp.ngram_counts(df, n=2, top_k=2).collect()
+    # (x y: 2) first, then tie between 'p q' and 'y x' broken by ngram asc
+    assert [r.ngram for r in rows] == ["x y", "p q"]
+
+
+def test_contamination_pairs(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text with no overlap at all here")],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the moon tonight")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.train_id, r.eval_id): r.n_shared
+        for r in cp.contamination_pairs(train, evalset, n=5).collect()
+    }
+    # shared 5-grams: "quick brown fox jumps over" and "brown fox jumps over the"
+    assert got == {(1, 100): 2}
+
+
+def test_pack_sequences_bin_arithmetic(spark):
+    df = spark.createDataFrame(
+        [("s", 1, 300), ("s", 2, 300), ("s", 3, 500), ("t", 4, 100)],
+        "source string, doc_id long, n_tokens long",
+    )
+    got = {
+        r.doc_id: (r.bin_id, r.bin_offset)
+        for r in cp.pack_sequences(df, budget=512).collect()
+    }
+    # doc1 starts at 0 -> bin 0 offset 0; doc2 starts at 300 -> bin 0
+    # offset 300 (straddles into bin 1); doc3 starts at 600 -> bin 1
+    # offset 88; source t restarts at 0.
+    assert got == {1: (0, 0), 2: (0, 300), 3: (1, 88), 4: (0, 0)}
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    a = {r.doc_id: r.split for r in cp.split_assign(df).collect()}
+    b = {r.doc_id: r.split for r in cp.split_assign(df).collect()}
+    assert a == b  # content-stable across runs
+    counts = {s: sum(1 for v in a.values() if v == s) for s in ("train", "val", "test")}
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > 700  # ~80%
+    assert 40 < counts["val"] < 180 and 40 < counts["test"] < 180
+
+    # matches the documented md5-bucket formula exactly
+    def expected(i):
+        bucket = int(hashlib.md5(f"v1{i}".encode()).hexdigest()[:8], 16) / 2**32
+        return "train" if bucket < 0.8 else ("val" if bucket < 0.9 else "test")
+
+    assert all(a[i] == expected(i) for i in range(0, 1000, 37))
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in cp.repetition_stats(df, n=2).collect()}
+    # doc1 bigrams: [a b, b a, a b, b a, a b] -> 5 total, 2 distinct, top 3
+    assert (got[1].n_ngrams, got[1].n_distinct_ngrams, got[1].top_ngram_count) == (5, 2, 3)
+    assert got[1].dup_ngram_frac == pytest.approx(3 / 5)
+    assert (got[2].n_ngrams, got[2].n_distinct_ngrams) == (3, 3)
+    assert got[2].dup_ngram_frac == 0.0
+
+
+def test_corpus_ops_stay_in_codegen(spark):
+    # No Python UDFs anywhere: plans must be free of BatchEvalPython /
+    # ArrowEvalPython nodes (100 TB hot-path contract).
+    df = spark.createDataFrame([(1, "a b c", "s", 3)],
+                               "doc_id long, text string, source string, n_tokens long")
+    for frame in (
+        cp.ngram_counts(df, n=2),
+        cp.pack_sequences(df),
+        cp.split_assign(df),
+        cp.repetition_stats(df),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
