@@ -1000,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup_groups": normalized_dedup_groups,
         "revenue_share_per_nation": revenue_share_per_nation,
         **_WAVE9_QUERIES,
+        **_WAVE10_QUERIES,
     }
     # Never-driver-checked queries first so the driver's fixed-size window
     # rotates through the whole declared surface across rounds.
@@ -1079,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
         "normalized_dedup_groups": NORM_DEDUP_SQL,
         "revenue_share_per_nation": REVENUE_SHARE_SQL,
         **_WAVE9_SQL,
+        **_WAVE10_SQL,
     }
 
 
@@ -3166,4 +3168,180 @@ _WAVE9_SQL = {
     "pack_sequences_docs": PACK_SQL,
     "split_assign_docs": SPLIT_SQL,
     "repetition_stats_docs": REPETITION_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 10: behavioral analytics (operators/behavior.py funnel /
+# cohort), JSON property extraction, per-group mode, exact-decimal moment
+# statistics.
+# --------------------------------------------------------------------------
+
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import behavior as bh  # noqa: E402
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase (strictly increasing ts)."""
+    return bh.funnel_conversion(
+        _events(spark, sf_dir), stages=["view", "click", "purchase"]
+    )
+
+
+FUNNEL_SQL = """
+WITH w1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t0
+  FROM events),
+w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM w1),
+w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w2),
+per_user AS (
+  SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2
+  FROM w3 GROUP BY user_id),
+counts AS (SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM per_user)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, n0 AS n_users FROM counts
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', n1 FROM counts
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'purchase', n2 FROM counts
+"""
+
+
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the event log."""
+    return bh.cohort_retention(_events(spark, sf_dir), period="week")
+
+
+COHORT_SQL = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id)
+SELECT CAST(f.cohort AS DATE) AS cohort_period,
+       CAST(datediff('day', f.cohort, date_trunc('week', e.ts)) / 7 AS BIGINT)
+         AS period_offset,
+       COUNT(DISTINCT e.user_id) AS n_active_users
+FROM events e JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull props.$.k out of the JSON payload
+    column and aggregate it per event type (get_json_object stays in
+    codegen — no UDF, no full JSON parse into a struct)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       COUNT(k) AS n_with_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+GROUP BY event_type
+"""
+
+
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (count desc, type asc tie-break)."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "n_events")
+    )
+
+
+MODE_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY user_id, event_type),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY n_events DESC, event_type ASC) AS rn
+  FROM counts)
+SELECT user_id, event_type AS top_event_type, n_events
+FROM ranked WHERE rn = 1
+"""
+
+
+def value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample-variance / sample-stddev of event value per type via
+    EXACT decimal moment sums (sum, sum-of-squares), so the double math is
+    a deterministic function of identical inputs in both engines — no
+    float-summation association drift."""
+    ev = _events(spark, sf_dir)
+    v = F.col("value").cast("decimal(12,2)")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    n = F.col("n").cast("double")
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    return agg.select(
+        "event_type",
+        "n",
+        (s / n).alias("mean_value"),
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+    )
+
+
+MOMENTS_SQL = """
+WITH agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS s,
+         SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS ss
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+       (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0) AS var_value,
+       sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0)) AS stddev_value
+FROM agg
+"""
+
+
+_WAVE10_QUERIES = {
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "cohort_retention_weekly": cohort_retention_weekly,
+    "json_props_extract": json_props_extract,
+    "mode_event_type_per_user": mode_event_type_per_user,
+    "value_moments_by_type": value_moments_by_type,
+}
+
+_WAVE10_SQL = {
+    "funnel_view_click_purchase": FUNNEL_SQL,
+    "cohort_retention_weekly": COHORT_SQL,
+    "json_props_extract": JSON_PROPS_SQL,
+    "mode_event_type_per_user": MODE_SQL,
+    "value_moments_by_type": MOMENTS_SQL,
 }

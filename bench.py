@@ -111,6 +111,12 @@ BENCH_QUERIES = [
     "pack_sequences_docs",
     "split_assign_docs",
     "repetition_stats_docs",
+    # wave 10: behavioral analytics + JSON + moments
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "json_props_extract",
+    "mode_event_type_per_user",
+    "value_moments_by_type",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Funnel / cohort behavioral analytics (operators/behavior.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+    cohort_retention,
+    funnel_conversion,
+)
+
+
+def _ts(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+def test_funnel_requires_stage_order(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+        # user 2: clicked BEFORE viewing -> stops at view
+        (2, "click", _ts(1)), (2, "view", _ts(2)),
+        # user 3: view+click, purchase before click -> stops at click
+        (3, "view", _ts(1)), (3, "purchase", _ts(1, 12)), (3, "click", _ts(2)),
+        # user 4: never viewed -> counts nowhere
+        (4, "purchase", _ts(1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.stage: r.n_users
+        for r in funnel_conversion(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_timestamp_is_not_after(spark):
+    # strictly-after semantics: simultaneous click does not complete stage 2
+    rows = [(1, "view", _ts(1)), (1, "click", _ts(1))]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.stage: r.n_users for r in funnel_conversion(ev, ["view", "click"]).collect()
+    }
+    assert got == {"view": 1, "click": 0}
+
+
+def test_cohort_retention_offsets(spark):
+    rows = [
+        # user 1 first active week of Jan 1 (Monday), returns in week of Jan 8
+        (1, _ts(2)), (1, _ts(9)),
+        # user 2 first active week of Jan 8, never returns
+        (2, _ts(10)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort_period), r.period_offset): r.n_active_users
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_funnel_single_window_shuffle(spark):
+    # All stage windows share one partition spec -> exactly one Exchange
+    # below the Window in the physical plan.
+    rows = [(1, "view", _ts(1)), (1, "click", _ts(2))]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    plan = (
+        funnel_conversion(ev, ["view", "click", "purchase"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
