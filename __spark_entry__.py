@@ -3330,12 +3330,43 @@ FROM agg
 """
 
 
+
+
+def neardup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL: jaccard pairs -> connected components
+    -> keep only each group's canonical (minimum-id) doc, with the size of
+    the group it represents. The deduped-corpus shape a training pipeline
+    actually materialises; one extra groupBy over the component mapping."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import graph
+
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    pairs = dd.jaccard_pairs(corpus, "doc_id", "text", threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    groups = graph.neardup_groups(pairs, corpus, id_col="doc_id")
+    survivors = groups.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return survivors.select(
+        F.col("component").alias("doc_id"), "n_members"
+    )
+
+
+NEARDUP_DEDUP_SQL = NEARDUP_COMPONENTS_SQL.rstrip().rsplit("SELECT", 1)[0] + """SELECT component AS doc_id, COUNT(*) AS n_members
+FROM (
+  SELECT c.doc_id, COALESCE(comps.component, c.doc_id) AS component
+  FROM corpus c LEFT JOIN comps ON comps.id = c.doc_id)
+GROUP BY component
+"""
+
+
 _WAVE10_QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,
     "json_props_extract": json_props_extract,
     "mode_event_type_per_user": mode_event_type_per_user,
     "value_moments_by_type": value_moments_by_type,
+    "neardup_dedup_corpus": neardup_dedup_corpus,
 }
 
 _WAVE10_SQL = {
@@ -3344,4 +3375,5 @@ _WAVE10_SQL = {
     "json_props_extract": JSON_PROPS_SQL,
     "mode_event_type_per_user": MODE_SQL,
     "value_moments_by_type": MOMENTS_SQL,
+    "neardup_dedup_corpus": NEARDUP_DEDUP_SQL,
 }

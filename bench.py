@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "json_props_extract",
     "mode_event_type_per_user",
     "value_moments_by_type",
+    "neardup_dedup_corpus",
 ]
 
 

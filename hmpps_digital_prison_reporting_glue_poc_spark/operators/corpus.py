@@ -48,17 +48,23 @@ def ngram_counts(
 ) -> DataFrame:
     """Corpus-level n-gram frequency table: (ngram, n_docs, n_occurrences).
 
-    explode -> ONE groupBy(ngram) with both aggregates (map-side combine
-    carries most of the reduction; the shuffle key is the ngram itself).
-    ``top_k`` orders by (count desc, ngram asc) — a total order, so LIMIT
-    sets are deterministic.
+    Two-phase aggregation: groupBy(ngram, doc_id) partial counts, then
+    groupBy(ngram) rolls docs and occurrences up together. Counting
+    distinct docs this way avoids the Catalyst Expand that a
+    countDistinct-plus-count agg would inject (which doubles every
+    exploded row before the hash aggregate) — same exact result, one
+    fewer row-multiplying pass. ``top_k`` orders by (count desc, ngram
+    asc) — a total order, so LIMIT sets are deterministic.
     """
     exploded = df.select(
         F.col("doc_id"), F.explode(_ngrams(F.col(text_col), n)).alias("ngram")
     )
-    counts = exploded.groupBy("ngram").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_occurrences"),
+    per_doc = exploded.groupBy("ngram", "doc_id").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    counts = per_doc.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__c").cast("long").alias("n_occurrences"),
     )
     if top_k is not None:
         counts = counts.orderBy(
