@@ -3360,6 +3360,72 @@ GROUP BY component
 """
 
 
+
+
+def moving_avg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, the mean event value over the
+    trailing 1-hour interval (range frame over epoch seconds — bounded
+    state per key, no self-join against the event log)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    # exact decimal sum / exact count, divided in double — Spark's decimal
+    # AVG truncates to scale 6, DuckDB's promotes to full double; the
+    # sum/count form is bit-identical in both engines.
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("avg_1h"),
+    )
+
+
+MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family completion: dense_rank / percent_rank / cume_dist of
+    order totals within each customer segment (exact rationals in double,
+    deterministic across engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return joined.select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+RANK_METRICS_SQL = """
+SELECT c_mktsegment, o_orderkey,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+       PERCENT_RANK() OVER w AS prank,
+       CUME_DIST() OVER w AS cdist
+FROM orders JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
 _WAVE10_QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,
@@ -3367,6 +3433,8 @@ _WAVE10_QUERIES = {
     "mode_event_type_per_user": mode_event_type_per_user,
     "value_moments_by_type": value_moments_by_type,
     "neardup_dedup_corpus": neardup_dedup_corpus,
+    "moving_avg_time_window": moving_avg_time_window,
+    "window_rank_metrics": window_rank_metrics,
 }
 
 _WAVE10_SQL = {
@@ -3376,4 +3444,6 @@ _WAVE10_SQL = {
     "mode_event_type_per_user": MODE_SQL,
     "value_moments_by_type": MOMENTS_SQL,
     "neardup_dedup_corpus": NEARDUP_DEDUP_SQL,
+    "moving_avg_time_window": MOVING_AVG_SQL,
+    "window_rank_metrics": RANK_METRICS_SQL,
 }

@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "mode_event_type_per_user",
     "value_moments_by_type",
     "neardup_dedup_corpus",
+    "moving_avg_time_window",
+    "window_rank_metrics",
 ]
 
 
