@@ -140,3 +140,37 @@ def test_q21_single_lineitem_aggregation_pass(spark):
     had 9)."""
     plan = _plan(spark, "q21_waiting_suppliers")
     assert plan.count("Exchange") <= 6
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    # The eval set is tiny; candidate generation must be a broadcast
+    # equi-join on the n-gram, never a SortMergeJoin of two exploded logs.
+    plan = _plan(spark, "contamination_pairs_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_counts_has_no_expand(spark):
+    # Distinct-doc counting is two-phase; a countDistinct+count agg would
+    # inject Expand and double every exploded row.
+    plan = _plan(spark, "ngram_counts_top")
+    assert "Expand" not in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    plan = _plan(spark, "pack_sequences_docs")
+    assert plan.count("Exchange") <= 2  # source-key window + final select
+    assert "EvalPython" not in plan
+
+
+def test_profile_exact_has_no_expand(spark):
+    plan = _plan(spark, "profile_lineitem")
+    assert "Expand" not in plan
+
+
+def test_moving_avg_no_self_join(spark):
+    plan = _plan(spark, "moving_avg_time_window")
+    assert "Join" not in plan  # pure window, no event-log self-join
+    assert plan.count("Exchange") == 1
