@@ -3426,6 +3426,54 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice ASC, o_orderkey ASC
 """
 
 
+
+
+def media_frame_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: 64-byte chunk geometry plus a
+    per-frame md5 fingerprint, fully columnar. The documents' payload is
+    ASCII utf-8, so the oracle slices the TEXT where Spark slices BYTES —
+    byte-identical for this corpus (DuckDB cannot substring a BLOB)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.attach_binary(docs, "doc_id", "text")
+    return mm.chunk_media(media, frame_bytes=64)
+
+
+MEDIA_CHUNKS_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents),
+frames AS (
+  SELECT media_id, text,
+         unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS frame_idx
+  FROM media WHERE n > 0)
+SELECT media_id, frame_idx,
+       CAST(octet_length(encode(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))) AS BIGINT)
+         AS n_frame_bytes,
+       md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+FROM frames
+"""
+
+
+def media_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched embedding-kernel plumbing: deterministic md5-derived
+    4-dim vectors, verified exactly against the DuckDB closed form."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.attach_binary(docs, "doc_id", "text")
+    return mm.embed_media_stub(media, dim=4)
+
+
+_EMBED_DIM_SQL = ",\n       ".join(
+    f"CAST(('0x' || substr(md5('{j}:' || text), 1, 8)) AS BIGINT) / 4294967296.0 AS e{j}"
+    for j in range(4)
+)
+
+MEDIA_EMBED_SQL = f"""
+SELECT doc_id AS media_id,
+       {_EMBED_DIM_SQL}
+FROM documents
+"""
+
+
 _WAVE10_QUERIES = {
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "cohort_retention_weekly": cohort_retention_weekly,
@@ -3435,6 +3483,8 @@ _WAVE10_QUERIES = {
     "neardup_dedup_corpus": neardup_dedup_corpus,
     "moving_avg_time_window": moving_avg_time_window,
     "window_rank_metrics": window_rank_metrics,
+    "media_frame_chunks": media_frame_chunks,
+    "media_embed_stub": media_embed_stub,
 }
 
 _WAVE10_SQL = {
@@ -3446,4 +3496,6 @@ _WAVE10_SQL = {
     "neardup_dedup_corpus": NEARDUP_DEDUP_SQL,
     "moving_avg_time_window": MOVING_AVG_SQL,
     "window_rank_metrics": RANK_METRICS_SQL,
+    "media_frame_chunks": MEDIA_CHUNKS_SQL,
+    "media_embed_stub": MEDIA_EMBED_SQL,
 }

@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "neardup_dedup_corpus",
     "moving_avg_time_window",
     "window_rank_metrics",
+    "media_frame_chunks",
+    "media_embed_stub",
 ]
 
 

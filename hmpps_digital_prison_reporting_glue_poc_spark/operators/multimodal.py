@@ -83,3 +83,73 @@ def extract_media_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(kernel, schema=out_schema)
+
+
+def chunk_media(df: DataFrame, frame_bytes: int = 64) -> DataFrame:
+    """Frame/chunk sampling over the binary column: split each payload
+    into fixed-size byte frames — the video-frame / audio-window pattern.
+
+    Fully columnar (sequence -> explode -> binary substring): chunk
+    geometry and slicing stay in whole-stage codegen; no Python touches
+    the bytes. Returns (media_id, frame_idx, n_frame_bytes, frame_md5) —
+    the frame payload itself is sliced but only its fingerprint is
+    emitted here; a downstream decode kernel would take the slice.
+    """
+    n = F.octet_length(F.col("content"))
+    n_frames = F.ceil(n / F.lit(frame_bytes)).cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    # content rides through the explode — no join back, no extra shuffle
+    exploded = df.select(
+        "media_id", "content", F.explode(idx).alias("__i")
+    ).withColumn("frame_idx", F.col("__i").cast("long"))
+    chunk = F.substring(
+        F.col("content"),
+        (F.col("frame_idx") * frame_bytes + 1).cast("int"),
+        frame_bytes,
+    )
+    return exploded.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length(chunk).cast("long").alias("n_frame_bytes"),
+        F.md5(chunk).alias("frame_md5"),
+    )
+
+
+def embed_media_stub(df: DataFrame, dim: int = 4) -> DataFrame:
+    """Embedding-generation plumbing: an Arrow-batched mapInPandas kernel
+    that maps each binary payload to a dense vector — the exact shape a
+    real image/audio embedding model runs in (batch in, vector batch out).
+
+    The kernel is a deterministic md5-derived stub (the model libraries
+    are not in this container): dim j = uint32(md5(j ':' payload)) / 2^32.
+    Deterministic and closed-form, so the DuckDB oracle can verify the
+    kernel's output exactly — proving the Arrow plumbing end to end.
+    Emits flattened columns (media_id, e0..e{dim-1}).
+    """
+    import hashlib
+
+    out_schema = T.StructType(
+        [T.StructField("media_id", T.LongType())]
+        + [T.StructField(f"e{j}", T.DoubleType()) for j in range(dim)]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cols = {"media_id": pdf["media_id"].astype("int64")}
+            payloads = pdf["content"]
+            for j in range(dim):
+                prefix = f"{j}:".encode()
+                cols[f"e{j}"] = [
+                    int.from_bytes(
+                        hashlib.md5(prefix + bytes(p)).digest()[:4], "big"
+                    )
+                    / 2**32
+                    for p in payloads
+                ]
+            yield pd.DataFrame(cols)
+
+    return df.select("media_id", "content").mapInPandas(kernel, schema=out_schema)

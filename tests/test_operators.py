@@ -520,3 +520,37 @@ def test_profile_table_exact_and_hll_modes(spark):
     # no Expand in the exact plan
     plan = profile_table(df, exact=True)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_chunk_media_geometry_and_fingerprints(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import multimodal as mm
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "a" * 130), (2, "b" * 64), (3, "")], "doc_id long, text string"
+    )
+    media = mm.attach_binary(df, "doc_id", "text")
+    got = {
+        (r.media_id, r.frame_idx): (r.n_frame_bytes, r.frame_md5)
+        for r in mm.chunk_media(media, frame_bytes=64).collect()
+    }
+    # 130 bytes -> 64 + 64 + 2; exactly-64 -> one frame; empty -> no rows
+    assert {k: v[0] for k, v in got.items()} == {
+        (1, 0): 64, (1, 1): 64, (1, 2): 2, (2, 0): 64,
+    }
+    assert got[(1, 2)][1] == hashlib.md5(b"aa").hexdigest()
+    assert got[(2, 0)][1] == hashlib.md5(b"b" * 64).hexdigest()
+
+
+def test_embed_media_stub_matches_closed_form(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import multimodal as mm
+    import hashlib
+
+    df = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+    media = mm.attach_binary(df, "doc_id", "text")
+    row = mm.embed_media_stub(media, dim=2).collect()[0]
+    for j in (0, 1):
+        want = int.from_bytes(
+            hashlib.md5(f"{j}:hello world".encode()).digest()[:4], "big"
+        ) / 2**32
+        assert getattr(row, f"e{j}") == want
