@@ -48,7 +48,28 @@ def _session_guard(spark: SparkSession) -> None:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _session_guard(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # every documents consumer is a CPU-heavy narrow transform
+        # (n-grams, shingles, winnowing) — see _spread. embeddings are NOT
+        # spread: their queries collect a filtered slice, and forcing a
+        # full dense-vector shuffle first costs more than the kernel
+        # parallelism buys (measured 2.1s -> 14s on ann_topk_numpy).
+        df = _spread(spark, df)
+    return df
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Give CPU-heavy narrow transforms (n-gram building, shingling,
+    per-vector numpy) at least one task per core. Small parquet inputs
+    arrive as ONE split, which serialises the whole transform on a single
+    thread (measured 4-19x slowdowns at sf0.1). Repartition ONLY when
+    under-parallel: at real scale input splits abound and this branch is
+    a no-op — never an unconditional full-corpus shuffle."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 
