@@ -2440,19 +2440,27 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup-group resolution: jaccard pairs -> distributed connected
     components (operators/graph.py min-label propagation) -> every doc
     mapped to its group's canonical (minimum) id. The DuckDB oracle computes
-    the same transitive closure with a recursive CTE."""
+    the same transitive closure with a recursive CTE. Hot-token pruning
+    (df > 100) keeps every inverted-index bucket bounded — without it one
+    common token makes the self-join quadratic (measured 68s -> ~8s for the
+    end-to-end dedup at sf0.1); the oracle applies the identical filter."""
     from hmpps_digital_prison_reporting_glue_poc_spark.operators import graph
 
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
-    pairs = dd.jaccard_pairs(corpus, "doc_id", "text", threshold=0.8).select(
-        "id_a", "id_b"
-    )
+    pairs = dd.jaccard_pairs(
+        corpus, "doc_id", "text", threshold=0.8, max_df=100
+    ).select("id_a", "id_b")
     return graph.neardup_groups(pairs, corpus, id_col="doc_id")
 
 
 NEARDUP_COMPONENTS_SQL = f"""
 WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
-toks AS ({_TOKS_SQL}),
+toks_all AS ({_TOKS_SQL}),
+dfreq AS (SELECT token, COUNT(*) AS df FROM toks_all GROUP BY token),
+toks AS (
+  SELECT t.doc_id, t.token FROM toks_all t
+  JOIN dfreq d ON t.token = d.token AND d.df <= 100
+),
 sizes AS (SELECT doc_id, COUNT(*) AS size FROM toks GROUP BY doc_id),
 inter AS (
   SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
@@ -3361,9 +3369,9 @@ def neardup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hmpps_digital_prison_reporting_glue_poc_spark.operators import graph
 
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
-    pairs = dd.jaccard_pairs(corpus, "doc_id", "text", threshold=0.8).select(
-        "id_a", "id_b"
-    )
+    pairs = dd.jaccard_pairs(
+        corpus, "doc_id", "text", threshold=0.8, max_df=100
+    ).select("id_a", "id_b")
     groups = graph.neardup_groups(pairs, corpus, id_col="doc_id")
     survivors = groups.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members")

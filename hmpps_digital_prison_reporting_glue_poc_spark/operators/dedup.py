@@ -77,18 +77,19 @@ def _doc_shingles(
     if k <= 1:
         return _doc_tokens(df, id_col, text_col)
     # Materialise the token array first: the shingle expression references
-    # it many times (size + k element_at's per shingle), and as a bare
-    # attribute each reference is free — inlined, the split/filter would
-    # re-evaluate per reference.
+    # it several times (size + slice per shingle), and as a bare attribute
+    # each reference is free — inlined, the split/filter would re-evaluate
+    # per reference. slice + array_join per index (not k element_at's):
+    # one array op per shingle keeps the generated code small — janino
+    # compile time dominates the wide concat form cold, and it is ~2x
+    # faster warm (same measurement as corpus._ngrams).
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     toks = F.col("__toks")
     shingles = F.when(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return toked.select(

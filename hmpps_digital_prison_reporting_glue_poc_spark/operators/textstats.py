@@ -191,3 +191,125 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.round(F.sum(contrib), 6).alias("bm25"))
     )
+
+
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition and \b only — no
+# lookarounds, no backrefs. That compatibility is what makes the PII scan
+# oracle-checkable.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII detection + redaction over a document corpus: per-doc counts of
+    email addresses and IPv4 literals, plus the md5 fingerprint of the
+    redacted text (emails first, then IPs — order matters and is part of
+    the contract).
+
+    Pure regexp column expressions — the 100 TB path is one
+    embarrassingly-parallel scan, zero shuffles, zero Python. A production
+    pipeline materialises the redacted text itself; the fingerprint is
+    emitted here so the result stays compact and hash-comparable.
+    Returns (id, n_emails, n_ipv4, redacted_md5).
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        IPV4_RE,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(IPV4_RE)).cast("long").alias("n_ipv4"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf
+    (idf = ln(n_docs / df), the plain unsmoothed variant).
+
+    Shape: one explode for term frequencies, one tiny vocabulary-sized
+    document-frequency aggregate and a one-row corpus count, both
+    broadcast back onto the tf rows; the corpus-sized data is shuffled
+    once (on the doc id, for the per-doc ranking window). Scores are
+    rounded to 6 dp before ranking — ln() differs in the last ulp across
+    libm implementations, and ranking on the rounded value (ties broken
+    by token) keeps the result engine-portable.
+    Returns (id, token, tf, tfidf, term_rank), term_rank in [1, k].
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), on="token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "token", "tf", "tfidf", "term_rank")
+    )
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, simplified to
+    the signals computable from whitespace tokens): word-count bounds,
+    mean-word-length bounds, alphabetic-word fraction, and a minimum
+    stopword hit count. Emits each rule verdict plus the conjunction —
+    pipelines filter on ``keep`` but audit the per-rule columns.
+
+    One projection over the token array: every rule is a codegen'd
+    expression off the same attribute, no shuffle anywhere.
+    Returns (id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
+    ok_word_count, ok_mean_len, ok_alpha, ok_stopwords, keep).
+    """
+    toked = _with_tokens(df, id_col, text_col)
+    toks = F.col("__toks")
+    n = F.size(toks)
+    n_safe = F.greatest(n, F.lit(1)).cast("double")
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        .cast("double")
+        / n_safe
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / n_safe
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+    ok_words = (n >= 5) & (n <= 100_000)
+    ok_mean = (mean_len >= 2.0) & (mean_len <= 12.0)
+    ok_alpha = alpha_frac >= 0.8
+    ok_stop = stop_hits >= 2
+    return toked.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("frac_alpha_words"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_alpha & ok_stop).alias("keep"),
+    )
