@@ -1022,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_share_per_nation": revenue_share_per_nation,
         **_WAVE9_QUERIES,
         **_WAVE10_QUERIES,
+        **_WAVE11_QUERIES,
     }
     # Never-driver-checked queries first so the driver's fixed-size window
     # rotates through the whole declared surface across rounds.
@@ -1102,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_share_per_nation": REVENUE_SHARE_SQL,
         **_WAVE9_SQL,
         **_WAVE10_SQL,
+        **_WAVE11_SQL,
     }
 
 
@@ -3527,4 +3529,153 @@ _WAVE10_SQL = {
     "window_rank_metrics": RANK_METRICS_SQL,
     "media_frame_chunks": MEDIA_CHUNKS_SQL,
     "media_embed_stub": MEDIA_EMBED_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 11: PII scan/redaction, tf-idf characteristic terms,
+# Gopher-style quality rules, corpus Zipf statistics.
+# --------------------------------------------------------------------------
+
+# Synthetic PII injection (documents carry none): every 5th doc gets a
+# deterministic email + IPv4 appended, so detection/redaction has real
+# positives AND real negatives. Identical expression in the oracle.
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".25"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, injected).otherwise(F.col("text")),
+    )
+
+
+_PII_CORPUS_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
+              ELSE text END AS text
+  FROM documents
+"""
+
+
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scan over the corpus with synthetic positives injected:
+    per-doc email/IPv4 counts + redacted-text fingerprint. Pure regexp
+    codegen — one shuffle-free scan at any scale."""
+    return ts.pii_stats(_pii_corpus(spark, sf_dir), "doc_id", "text")
+
+
+PII_SQL = f"""
+WITH corpus AS ({_PII_CORPUS_SQL})
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+       len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+       md5(regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g')) AS redacted_md5
+FROM corpus
+"""
+
+
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf (rounded before
+    ranking so both engines rank identical values)."""
+    return ts.tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS term_rank
+  FROM scored)
+SELECT doc_id, token, tf, tfidf, term_rank FROM ranked WHERE term_rank <= 3
+"""
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality rule verdicts + keep flag."""
+    return ts.gopher_rules(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import EN_STOPWORDS  # noqa: E402
+
+_GOPHER_STOPS_SQL = "'" + "', '".join(EN_STOPWORDS) + "'"
+
+GOPHER_SQL = f"""
+WITH toksed AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+           / GREATEST(len(toks), 1) AS mean_word_len,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+           / GREATEST(len(toks), 1) AS frac_alpha_words,
+         len(list_filter(toks, t -> lower(t) IN ({_GOPHER_STOPS_SQL}))) AS n_stop_hits
+  FROM toksed)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(frac_alpha_words, 6) AS frac_alpha_words,
+       CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+       n_words BETWEEN 5 AND 100000 AS ok_word_count,
+       mean_word_len BETWEEN 2.0 AND 12.0 AS ok_mean_len,
+       frac_alpha_words >= 0.8 AS ok_alpha,
+       n_stop_hits >= 2 AS ok_stopwords,
+       (n_words BETWEEN 5 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 12.0)
+         AND frac_alpha_words >= 0.8 AND n_stop_hits >= 2 AS keep
+FROM base
+"""
+
+
+def token_zipf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf table: token counts, frequency rank, cumulative share."""
+    return cp.token_zipf(_t(spark, sf_dir, "documents"), text_col="text")
+
+
+ZIPF_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+counts AS (SELECT token, COUNT(*) AS n_occurrences FROM toks GROUP BY token)
+SELECT token, n_occurrences,
+       ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS freq_rank,
+       ROUND(CAST(SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token ASC
+                                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(SUM(n_occurrences) OVER () AS DOUBLE), 6) AS cum_share
+FROM counts
+"""
+
+
+_WAVE11_QUERIES = {
+    "pii_redact_stats": pii_redact_stats,
+    "tfidf_top_terms": tfidf_top_terms_docs,
+    "gopher_quality_rules": gopher_quality_rules,
+    "token_zipf": token_zipf_corpus,
+}
+
+_WAVE11_SQL = {
+    "pii_redact_stats": PII_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+    "gopher_quality_rules": GOPHER_SQL,
+    "token_zipf": ZIPF_SQL,
 }

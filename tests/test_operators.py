@@ -554,3 +554,84 @@ def test_embed_media_stub_matches_closed_form(spark):
             hashlib.md5(f"{j}:hello world".encode()).digest()[:4], "big"
         ) / 2**32
         assert getattr(row, f"e{j}") == want
+
+
+def test_pii_stats_counts_and_redaction(spark):
+    import hashlib
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d@e.org from 10.0.0.1 ok"),
+            (2, "no pii here"),
+            (3, "999.999.1.1 still matches the ipv4 shape"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ts.pii_stats(df, "doc_id", "text").collect()}
+    assert (got[1].n_emails, got[1].n_ipv4) == (2, 1)
+    assert (got[2].n_emails, got[2].n_ipv4) == (0, 0)
+    # the regex is a shape check, not a validator — 999.x matches by design
+    assert got[3].n_ipv4 == 1
+    want = hashlib.md5(b"mail <EMAIL> and <EMAIL> from <IP> ok").hexdigest()
+    assert got[1].redacted_md5 == want
+    assert got[2].redacted_md5 == hashlib.md5(b"no pii here").hexdigest()
+
+
+def test_tfidf_top_terms_exact_small_corpus(spark):
+    import math
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import textstats as ts
+
+    # 3 docs: "common" in all (idf=0), "rare" only in doc 1.
+    df = spark.createDataFrame(
+        [
+            (1, "common rare rare"),
+            (2, "common mid"),
+            (3, "common mid"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ts.tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = {d: rows[0] for d, rows in by_doc.items()
+            for rows in [sorted(rows, key=lambda r: r.term_rank)]}
+    assert top1[1].token == "rare"
+    assert top1[1].tfidf == round(2 * math.log(3 / 1), 6)
+    # idf=0 terms score 0 and rank after positive-idf terms
+    assert top1[2].token == "mid"
+    for rows in by_doc.values():
+        assert [r.term_rank for r in sorted(rows, key=lambda r: r.term_rank)] == list(
+            range(1, len(rows) + 1)
+        )
+
+
+def test_gopher_rules_verdicts(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import textstats as ts
+
+    good = "the quick brown fox jumps over a lazy dog today"
+    short = "too short"
+    symbols = "§§ ¶¶ 1234 %% ## !! @@ (( )) ++"
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in ts.gopher_rules(df, "doc_id", "text").collect()}
+    assert got[1].keep and got[1].ok_word_count and got[1].ok_stopwords
+    assert not got[2].ok_word_count and not got[2].keep
+    assert not got[3].ok_alpha and not got[3].ok_stopwords and not got[3].keep
+    assert got[1].n_words == 10 and got[1].n_stop_hits >= 2
+
+
+def test_token_zipf_ranks_and_shares(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import corpus as cp
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z")], "doc_id long, text string"
+    )
+    rows = {r.token: r for r in cp.token_zipf(df, "text").collect()}
+    # counts: a=4, b=3, c=1, z=1 (ties broken by token asc)
+    assert [rows[t].freq_rank for t in ("a", "b", "c", "z")] == [1, 2, 3, 4]
+    assert rows["a"].cum_share == round(4 / 9, 6)
+    assert rows["b"].cum_share == round(7 / 9, 6)
+    assert rows["z"].cum_share == 1.0
