@@ -3,8 +3,8 @@
 One ``queries()`` entry per implemented operator family from SURVEY.md §2
 plus the training-data-pipeline operators (dedup / similarity / text /
 multimodal). Each has a DuckDB ``oracle_sql()`` twin unless the operator is
-genuinely non-SQL-expressible (approximate ANN, binary mapInPandas stub —
-those get rows-only checks).
+genuinely non-SQL-expressible (the hyperplane-LSH candidate generator is
+the only remaining rows-only check; its precision is pytest-verified).
 
 Determinism discipline (so value-hashes match across engines):
 - money aggregates go through exact DECIMAL(12,2) arithmetic and are cast
@@ -875,13 +875,19 @@ def ann_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (no oracle: approximate by construction).
+    """IVF top-k with nprobe == n_lists, which makes the index EXACT (every
+    query probes every inverted list, so the candidate set is the full
+    corpus) — giving the whole IVF pipeline (driver-capped centroid
+    training, distributed list assignment, probe fan-out, list_id equi-join,
+    rescoring) a hard brute-force oracle. Any bug in assignment or the
+    probe join breaks exactness and turns this row red. The approximate
+    regime (nprobe < n_lists) is recall-tested in tests/test_operators.py.
     Explicit sample_fraction + the operator's hard max_train_rows cap keep
     centroid training driver-safe at any corpus size."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.ivf_topk(
-        spark, emb, queries, k=5, n_lists=8, nprobe=3,
+        spark, emb, queries, k=5, n_lists=8, nprobe=8,
         sample_fraction=0.5, max_train_rows=50_000,
     )
 
@@ -932,7 +938,9 @@ _R01_GREEN = {
     # (no_oracle); it now has a real oracle and must be re-checked.
     "jaccard_pairs", "simhash_sketches",
     "text_token_stats", "text_language_id", "text_quality_score",
-    "ann_cosine_topk", "ann_topk_numpy", "ann_ivf_topk",
+    # ann_ivf_topk deliberately absent: its r01 row was rows-only
+    # (no_oracle); it now has an exact oracle and must be re-checked.
+    "ann_cosine_topk", "ann_topk_numpy",
     "embedding_neardup_pairs", "multimodal_meta", "q4_order_priority",
     "q7_volume_shipping", "q9_profit_by_nation_year", "q12_priority_counts",
     "q13_customer_distribution", "q16_supplier_count",
@@ -1065,7 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": QUALITY_SQL,
         "ann_cosine_topk": ANN_TOPK_SQL,
         "ann_topk_numpy": ANN_TOPK_SQL,
-        # ann_ivf_topk: rows-only (approximate)
+        "ann_ivf_topk": ANN_TOPK_SQL,  # exact: entry probes all lists
         "embedding_neardup_pairs": EMB_PAIRS_SQL,
         "multimodal_meta": MULTIMODAL_SQL,
         **_WAVE2_SQL,
@@ -1074,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE5_SQL,
         "cdc_hash_chain_fold": HASH_CHAIN_SQL,
         "percentiles_by_flag": PERCENTILE_SQL,
+        "approx_distinct_parts": APPROX_DISTINCT_SQL,
         "q2_min_cost_supplier": Q2_SQL,
         "q8_market_share": Q8_SQL,
         "q11_important_parts": Q11_SQL,
@@ -2066,14 +2075,30 @@ FROM lineitem GROUP BY l_returnflag
 
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct count (absent from the reference;
-    the approx family every warehouse engine needs). Sketch merges are
-    commutative so the result is deterministic for fixed data, but HLL
-    implementations differ across engines -> rows-only check."""
+    the approx family every warehouse engine needs). HLL estimates differ
+    across engines, so the raw sketch value is not oracle-comparable —
+    instead the query emits the exact count plus a boolean asserting the
+    HLL estimate landed within 3x the configured rsd, which IS hard-
+    checkable: the oracle computes the same exact count and expects TRUE.
+    A broken sketch (or a broken merge) flips the boolean and the row red."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.06 * F.countDistinct("l_partkey")
+        ).alias("hll_within_tolerance"),
     )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS hll_within_tolerance
+FROM lineitem
+"""
 
 
 def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

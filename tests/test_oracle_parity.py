@@ -62,6 +62,19 @@ def _normalise(rows, columns):
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, ddb):
     sdf = QUERIES[name](spark, SF_DIR)
+    # Driver-proofing: the harness canonicalizes results with a pandas
+    # sort, which raises "unhashable type" on array/map/struct cells
+    # (round-1 collect_sorted_events went red exactly this way). Every
+    # oracle-backed query must emit only atomic columns.
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, (
+        f"{name}: non-atomic output columns {complex_cols} would crash the "
+        "driver canonicalizer; emit them as joined strings instead"
+    )
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = [c.lower() for c in sdf.columns]
 
