@@ -1031,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE9_QUERIES,
         **_WAVE10_QUERIES,
         **_WAVE11_QUERIES,
+        **_WAVE12_QUERIES,
     }
     # Never-driver-checked queries first so the driver's fixed-size window
     # rotates through the whole declared surface across rounds.
@@ -1113,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE9_SQL,
         **_WAVE10_SQL,
         **_WAVE11_SQL,
+        **_WAVE12_SQL,
     }
 
 
@@ -3640,7 +3642,10 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.gopher_rules(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import EN_STOPWORDS  # noqa: E402
+from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import (  # noqa: E402
+    EN_STOPWORDS,
+    tokens as txt_tokens,
+)
 
 _GOPHER_STOPS_SQL = "'" + "', '".join(EN_STOPWORDS) + "'"
 
@@ -3703,4 +3708,190 @@ _WAVE11_SQL = {
     "tfidf_top_terms": TFIDF_SQL,
     "gopher_quality_rules": GOPHER_SQL,
     "token_zipf": ZIPF_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 12: sliding-window chunking, skew-salted join parity,
+# generator (posexplode) family, char-class quality stats, MinHash
+# estimate-vs-truth, approx-quantile tolerance check.
+# --------------------------------------------------------------------------
+
+def chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (size 32, stride 24 -> 8-token
+    overlap): the long-document split for LLM context windows. Shuffle-free
+    — every chunk derives from its own input row."""
+    return cp.chunk_tokens(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", size=32, stride=24
+    )
+
+
+CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, 24)) AS start
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+       CAST(start // 24 AS BIGINT) AS chunk_idx,
+       CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[start + 1 : start + 32], ' ')) AS chunk_md5
+FROM s
+"""
+
+
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF family: posexplode of the token array with ordinal
+    positions (first 100 docs — position-indexed tokens are corpus-sized
+    output, so the entry keeps it bounded)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toked = docs.select("doc_id", txt_tokens(F.col("text")).alias("__toks"))
+    return toked.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+TOKEN_POS_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 100),
+p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS BIGINT)] AS token
+FROM p
+"""
+
+
+def char_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact character-class composition per document (digits /
+    uppercase / spaces / punctuation) — quality signals with no float
+    tolerance anywhere."""
+    return ts.char_class_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+CHAR_CLASS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+       CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+       CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_spaces,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
+def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join with a plain-join oracle: the salted rewrite must
+    produce EXACTLY the unsalted result (any salt-replication bug changes
+    the per-segment counts and turns this row red). Aggregates ride the
+    decimal-exact sum contract."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.joins import salted_join
+
+    ev = _events(spark, sf_dir).select("user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on=["user_id"], how="inner", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: per LSH candidate pair, signature
+    agreement count next to the true shingle Jaccard — the numbers a dedup
+    pipeline tunes band/row configuration against."""
+    return dd.minhash_jaccard_estimates(
+        _dup_corpus(spark, sf_dir, mutate=True), "doc_id", "text",
+        num_hashes=8, rows_per_band=2, shingle_k=3,
+    )
+
+
+_SIG_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+MINHASH_JACCARD_SQL = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+toks AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM toks GROUP BY doc_id),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
+       (a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+    OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+    OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
+    OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7))),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+matches AS (
+  SELECT c.id_a, c.id_b, CAST({_SIG_MATCH_SQL} AS BIGINT) AS n_sig_matches
+  FROM cands c JOIN sigs a ON a.doc_id = c.id_a JOIN sigs b ON b.doc_id = c.id_b),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cands c
+  JOIN toks l ON l.doc_id = c.id_a
+  JOIN toks r ON r.doc_id = c.id_b AND r.token = l.token
+  GROUP BY c.id_a, c.id_b)
+SELECT m.id_a, m.id_b, m.n_sig_matches, i.inter,
+       sa.sz + sb.sz - i.inter AS union_sz,
+       CAST(m.n_sig_matches AS DOUBLE) / 8 AS est_jaccard,
+       CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) AS true_jaccard
+FROM matches m
+JOIN inter i ON i.id_a = m.id_a AND i.id_b = m.id_b
+JOIN sizes sa ON sa.doc_id = m.id_a
+JOIN sizes sb ON sb.doc_id = m.id_b
+"""
+
+
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentile hard-checked through the
+    tolerance-boolean pattern: exact p50 (bit-identical to quantile_cont)
+    plus a flag that the GK sketch landed within 2% of it."""
+    li = _t(spark, sf_dir, "lineitem")
+    exact = F.percentile("l_extendedprice", 0.5)
+    approx = F.percentile_approx("l_extendedprice", 0.5, 10000)
+    return li.groupBy("l_returnflag").agg(
+        exact.alias("p50_exact"),
+        (F.abs(approx - exact) <= F.lit(0.02) * exact).alias(
+            "approx_within_tolerance"
+        ),
+    )
+
+
+APPROX_QUANTILE_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+       TRUE AS approx_within_tolerance
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+_WAVE12_QUERIES = {
+    "chunk_docs_overlap": chunk_docs_overlap,
+    "token_positions": token_positions,
+    "char_class_stats": char_class_stats,
+    "salted_join_events": salted_join_events,
+    "minhash_jaccard_pairs": minhash_jaccard_pairs,
+    "approx_quantile_check": approx_quantile_check,
+}
+
+_WAVE12_SQL = {
+    "chunk_docs_overlap": CHUNK_SQL,
+    "token_positions": TOKEN_POS_SQL,
+    "char_class_stats": CHAR_CLASS_SQL,
+    "salted_join_events": SALTED_JOIN_SQL,
+    "minhash_jaccard_pairs": MINHASH_JACCARD_SQL,
+    "approx_quantile_check": APPROX_QUANTILE_SQL,
 }

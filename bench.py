@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     "window_rank_metrics",
     "media_frame_chunks",
     "media_embed_stub",
+    # wave 12
+    "chunk_docs_overlap",
+    "char_class_stats",
+    "salted_join_events",
+    "minhash_jaccard_pairs",
 ]
 
 

@@ -102,6 +102,46 @@ def contamination_pairs(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding token-window chunking with overlap (stride < size), the
+    standard long-document split for LLM context windows — distinct from
+    ``pack_sequences`` (which concatenates short docs): here one long doc
+    becomes many overlapping chunks.
+
+    Chunk starts are a stride sequence over the token array; each chunk is
+    one slice + array_join — all codegen, no Python, and perfectly
+    parallel (no shuffle: every chunk derives from its own row). Emits the
+    chunk as (token count, md5) rather than raw text so downstream
+    compares/dedups ship 32 hex chars instead of the text body.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)  # sequence(0, -1) would descend
+    starts = F.sequence(
+        F.lit(0), F.size("__toks") - 1, F.lit(stride)
+    )
+    exploded = toked.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -226,6 +226,82 @@ def jaccard_pairs(
     )
 
 
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash pipeline check: for every banded-LSH candidate
+    pair, the signature-agreement count (the MinHash Jaccard estimator's
+    numerator) NEXT TO the true shingle-set Jaccard — the pair of numbers a
+    dedup pipeline tunes its band/row configuration against.
+
+    Candidates necessarily share >= 1 shingle (a band match means equal
+    min-md5 digests, i.e. the same argmin shingle exists in both docs), so
+    the true-intersection join below never drops a candidate.
+
+    Scale shape: signatures ride one groupBy; candidates one banded
+    self-equi-join; true intersections one equi-join of the (pruned,
+    candidate-scoped) shingle index — no cross joins anywhere. Every output
+    is an integer or a ratio of integers, so it is engine-exact.
+    Returns (id_a, id_b, n_sig_matches, inter, union_sz, est_jaccard,
+    true_jaccard).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band)
+
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    n_matches = None
+    for i in range(num_hashes):
+        term = F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        n_matches = term if n_matches is None else n_matches + term
+    estimated = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", n_matches.cast("long").alias("n_sig_matches"))
+    )
+
+    shingles = _doc_shingles(df, id_col, text_col, shingle_k)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    inter = (
+        shingles.select(F.col(id_col).alias("id_a"), "token")
+        .join(cands, "id_a")
+        .join(
+            shingles.select(F.col(id_col).alias("id_b"), "token"),
+            on=["id_b", "token"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        estimated.join(inter, ["id_a", "id_b"])
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_sig_matches",
+            "inter",
+            (F.col("__sza") + F.col("__szb") - F.col("inter")).alias("union_sz"),
+            (F.col("n_sig_matches").cast("double") / num_hashes).alias("est_jaccard"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("__sza") + F.col("__szb") - F.col("inter")).cast("double")
+            ).alias("true_jaccard"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 4
 ) -> DataFrame:

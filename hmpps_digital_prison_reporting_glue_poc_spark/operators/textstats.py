@@ -226,6 +226,34 @@ def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def char_class_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-class composition per document: exact counts of digits,
+    uppercase letters, spaces and sentence punctuation — the integer-exact
+    quality signals (code/boilerplate detection, shouting-caps filters)
+    that complement the ratio-based ``quality_score``.
+
+    Counts are length deltas after class removal, so everything is
+    codegen'd string ops in one shuffle-free scan, and every output is an
+    exact integer — no float tolerance needed anywhere.
+    Returns (id, n_chars, n_digits, n_upper, n_spaces, n_punct).
+    """
+    t = F.col(text_col)
+
+    def class_count(pattern: str) -> Column:
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+        ).cast("long")
+
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        class_count("[0-9]").alias("n_digits"),
+        class_count("[A-Z]").alias("n_upper"),
+        class_count(" ").alias("n_spaces"),
+        class_count("[.,!?;:]").alias("n_punct"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

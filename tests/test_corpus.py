@@ -100,6 +100,33 @@ def test_repetition_stats(spark):
     assert got[2].dup_ngram_frac == 0.0
 
 
+def test_chunk_tokens_geometry(spark):
+    # 10 tokens, size 4, stride 3 -> starts 0,3,6,9: three full(ish) chunks
+    # and a 1-token tail. Adjacent chunks overlap by size - stride = 1.
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        cp.chunk_tokens(df, size=4, stride=3).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.doc_id for r in rows] == [1, 1, 1, 1]  # empty doc: no rows
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    assert [r.n_chunk_tokens for r in rows] == [4, 4, 4, 1]
+    # chunk 1 covers tokens 3..6 — overlaps chunk 0 (0..3) on token 3
+    expected = hashlib.md5(b"t3 t4 t5 t6").hexdigest()
+    assert rows[1].chunk_md5 == expected
+
+
+def test_chunk_tokens_rejects_bad_geometry(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        cp.chunk_tokens(df, size=0, stride=3)
+    with pytest.raises(ValueError):
+        cp.chunk_tokens(df, size=4, stride=0)
+
+
 def test_corpus_ops_stay_in_codegen(spark):
     # No Python UDFs anywhere: plans must be free of BatchEvalPython /
     # ArrowEvalPython nodes (100 TB hot-path contract).
@@ -107,6 +134,7 @@ def test_corpus_ops_stay_in_codegen(spark):
                                "doc_id long, text string, source string, n_tokens long")
     for frame in (
         cp.ngram_counts(df, n=2),
+        cp.chunk_tokens(df),
         cp.pack_sequences(df),
         cp.split_assign(df),
         cp.repetition_stats(df),

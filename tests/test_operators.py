@@ -53,6 +53,38 @@ def test_jaccard_pairs_values(docs):
     assert (1, 4) not in pairs
 
 
+def test_minhash_jaccard_estimates(docs):
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in dd.minhash_jaccard_estimates(
+            docs, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_k=3
+        ).collect()
+    }
+    exact = rows[(1, 2)]  # identical docs: estimator and truth both 1
+    assert exact.n_sig_matches == 8
+    assert exact.est_jaccard == 1.0
+    assert exact.true_jaccard == 1.0
+    # doc 3 adds one token -> shingles {2 shared, 1 new}: true J = 2/3
+    if (1, 3) in rows:
+        near = rows[(1, 3)]
+        assert near.inter == 2 and near.union_sz == 3
+        assert near.true_jaccard == pytest.approx(2 / 3)
+    assert not any(4 in p for p in rows)  # unrelated doc never a candidate
+
+
+def test_char_class_stats_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Ab1 c2, d!"), (2, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in ts.char_class_stats(df, "doc_id", "text").collect()}
+    assert got[1].n_chars == 10
+    assert got[1].n_digits == 2
+    assert got[1].n_upper == 1
+    assert got[1].n_spaces == 2
+    assert got[1].n_punct == 2  # ',' and '!' ('!' in class, '!' counted)
+    assert tuple(got[2])[1:] == (0, 0, 0, 0, 0)
+
+
 def test_simhash_near_dups(docs):
     sketches = dd.simhash(docs, "doc_id", "text", bits=32)
     vals = {r.doc_id: r.simhash for r in sketches.collect()}
