@@ -1032,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE10_QUERIES,
         **_WAVE11_QUERIES,
         **_WAVE12_QUERIES,
+        **_WAVE13_QUERIES,
     }
     # Never-driver-checked queries first so the driver's fixed-size window
     # rotates through the whole declared surface across rounds.
@@ -1115,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE10_SQL,
         **_WAVE11_SQL,
         **_WAVE12_SQL,
+        **_WAVE13_SQL,
     }
 
 
@@ -3894,4 +3896,174 @@ _WAVE12_SQL = {
     "salted_join_events": SALTED_JOIN_SQL,
     "minhash_jaccard_pairs": MINHASH_JACCARD_SQL,
     "approx_quantile_check": APPROX_QUANTILE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 13: behavioral/temporal completion — Markov transitions,
+# time-window dedup, rolling distinct actives, ordered sequence agg,
+# robust (median/MAD) stats, full-outer reconciliation.
+# --------------------------------------------------------------------------
+
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order (prev type -> type) transition counts per user stream —
+    the Markov edge table. One user-key window shuffle + one tiny groupBy."""
+    return bh.event_transitions(_events(spark, sf_dir))
+
+
+TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events)
+SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n_transitions
+FROM seq WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+"""
+
+
+def dedup_events_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed dedup (retry-storm suppression): drop an event whose
+    same-(user,type) predecessor is <= 60 s before it. Batch twin of
+    streaming dropDuplicatesWithinWatermark."""
+    kept = bh.dedup_time_window(_events(spark, sf_dir), gap_seconds=60)
+    return kept.select("event_id", "user_id", "event_type", "ts")
+
+
+DEDUP_WINDOW_SQL = """
+WITH seq AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS prev_ts
+  FROM events)
+SELECT event_id, user_id, event_type, ts
+FROM seq WHERE prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 60
+"""
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per observed day (DAU/WAU):
+    dedupe to (day,user), explode the bounded 7-day coverage, equi-join —
+    no nested-loop range join, no sliding COUNT(DISTINCT) window."""
+    return bh.rolling_distinct_users(_events(spark, sf_dir), window_days=7)
+
+
+ROLLING_ACTIVE_SQL = """
+WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d AS day FROM pairs)
+SELECT day, COUNT(DISTINCT user_id) AS n_active_users
+FROM days JOIN pairs ON pairs.d <= day AND pairs.d > day - 7
+GROUP BY day
+"""
+
+
+def event_sequence_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (the string_agg/group_concat family):
+    each user's full event-type path in (ts, id) order, emitted as one
+    comma-joined string (bounded to users < 200 — paths are corpus-sized
+    output). Deterministic via array_sort over (ts, id, type) structs."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 200)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["event_type"]), ","
+        ).alias("event_sequence"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENT_SEQ_SQL = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts ASC, event_id ASC) AS event_sequence,
+       COUNT(*) AS n_events
+FROM events WHERE user_id < 200
+GROUP BY user_id
+"""
+
+
+def robust_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion statistics: per event type, the median and the
+    median absolute deviation (MAD) — two exact-percentile passes with the
+    tiny per-type medians broadcast back between them."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "__absdev", F.abs(F.col("value") - F.col("med_value"))
+    )
+    return dev.groupBy("event_type").agg(
+        F.min("med_value").alias("med_value"),
+        F.percentile("__absdev", 0.5).alias("mad_value"),
+    )
+
+
+ROBUST_STATS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med_value
+  FROM events GROUP BY event_type)
+SELECT e.event_type, MIN(m.med_value) AS med_value,
+       quantile_cont(abs(e.value - m.med_value), 0.5) AS mad_value
+FROM events e JOIN med m ON e.event_type = m.event_type
+GROUP BY e.event_type
+"""
+
+
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join family: daily order volume vs daily event volume
+    reconciled on the calendar day, with a presence verdict per day."""
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ed = (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    full = od.join(ed, on="day", how="full_outer")
+    status = (
+        F.when(F.col("n_orders").isNotNull() & F.col("n_events").isNotNull(), "both")
+        .when(F.col("n_orders").isNotNull(), "orders_only")
+        .otherwise("events_only")
+    )
+    return full.select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        status.alias("status"),
+    )
+
+
+FULL_OUTER_SQL = """
+WITH od AS (SELECT o_orderdate AS day, COUNT(*) AS n_orders FROM orders GROUP BY o_orderdate),
+ed AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events FROM events GROUP BY CAST(ts AS DATE))
+SELECT COALESCE(od.day, ed.day) AS day,
+       COALESCE(od.n_orders, 0) AS n_orders,
+       COALESCE(ed.n_events, 0) AS n_events,
+       CASE WHEN od.day IS NOT NULL AND ed.day IS NOT NULL THEN 'both'
+            WHEN od.day IS NOT NULL THEN 'orders_only'
+            ELSE 'events_only' END AS status
+FROM od FULL JOIN ed ON od.day = ed.day
+"""
+
+
+_WAVE13_QUERIES = {
+    "event_transition_counts": event_transition_counts,
+    "dedup_events_time_window": dedup_events_time_window,
+    "rolling_active_users": rolling_active_users,
+    "event_sequence_per_user": event_sequence_per_user,
+    "robust_stats_by_type": robust_stats_by_type,
+    "full_outer_reconciliation": full_outer_reconciliation,
+}
+
+_WAVE13_SQL = {
+    "event_transition_counts": TRANSITIONS_SQL,
+    "dedup_events_time_window": DEDUP_WINDOW_SQL,
+    "rolling_active_users": ROLLING_ACTIVE_SQL,
+    "event_sequence_per_user": EVENT_SEQ_SQL,
+    "robust_stats_by_type": ROBUST_STATS_SQL,
+    "full_outer_reconciliation": FULL_OUTER_SQL,
 }

@@ -63,6 +63,101 @@ def funnel_conversion(
     return counts.select(F.explode(rows).alias("r")).select("r.*")
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition counts (the Markov-chain edge table behind
+    next-action prediction and path analysis): for each user's event stream
+    in (ts, id) order, count (previous type -> type) occurrences.
+
+    One lag window on the user key, one small groupBy on the (from, to)
+    pair — the event log shuffles once.
+    Returns (from_type, to_type, n_transitions).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        events.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def dedup_time_window(
+    events: DataFrame,
+    gap_seconds: int = 60,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-windowed event dedup: drop an event if the PREVIOUS event of
+    the same (user, type) lies within ``gap_seconds`` of it — the standard
+    double-fire / retry-storm suppressor. Lag-based (each event compares to
+    its immediate predecessor), so it is a single window pass with no
+    chained state; the batch twin of the streaming
+    ``dropDuplicatesWithinWatermark`` family.
+    """
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    prev_ts = F.lag(ts_col).over(w)
+    keep = prev_ts.isNull() | (
+        F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+        > gap_seconds
+    )
+    return (
+        events.withColumn("__keep", keep)
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )
+
+
+def rolling_distinct_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing-N-day distinct active users per day (the DAU/WAU family).
+    COUNT(DISTINCT) over a sliding range frame isn't expressible as a
+    window, and a day-spine range-join would be a nested-loop join — so:
+    dedupe to (day, user) pairs (one shuffle, at 100 TB orders of
+    magnitude smaller than the event log), explode each pair into the N
+    future days it keeps the user "active" for (bounded xN fan-out),
+    semi-join to the observed-day spine (broadcast — it's tiny), and count
+    distinct per day. Every join is an equi-join; no BNLJ anywhere.
+    Returns (day, n_active_users).
+    """
+    pairs = events.select(
+        F.to_date(F.col(ts_col)).alias("__day"), F.col(user_col)
+    ).distinct()
+    days = pairs.select(F.col("__day").alias("day")).distinct()
+    covered = pairs.select(
+        F.col(user_col),
+        F.explode(
+            F.sequence(
+                F.col("__day"),
+                F.date_add(F.col("__day"), window_days - 1),
+            )
+        ).alias("day"),
+    )
+    return (
+        covered.join(F.broadcast(days), on="day", how="left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct(user_col).alias("n_active_users"))
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

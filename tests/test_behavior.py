@@ -6,7 +6,10 @@ import datetime
 
 from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
     cohort_retention,
+    dedup_time_window,
+    event_transitions,
     funnel_conversion,
+    rolling_distinct_users,
 )
 
 
@@ -60,6 +63,61 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01", 1): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_event_transitions_counts_and_ordering(spark):
+    rows = [
+        (1, 1, "view", _ts(1)),
+        (2, 1, "click", _ts(2)),
+        (3, 1, "view", _ts(3)),
+        (4, 2, "view", _ts(1)),
+        (5, 2, "click", _ts(2)),
+        # same ts as event 5: event_id breaks the tie -> click then view
+        (6, 2, "view", _ts(2)),
+        (7, 3, "purchase", _ts(1)),  # single event: no transition
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {("view", "click"): 2, ("click", "view"): 2}
+
+
+def test_dedup_time_window_lag_semantics(spark):
+    rows = [
+        (1, 1, "view", _ts(1, 0)),                       # kept (first)
+        (2, 1, "view", datetime.datetime(2024, 1, 1, 0, 0, 30)),   # 30s gap: dropped
+        (3, 1, "view", datetime.datetime(2024, 1, 1, 0, 1, 31)),   # 61s after #2: kept
+        (4, 1, "click", datetime.datetime(2024, 1, 1, 0, 0, 10)),  # other type: kept
+        (5, 2, "view", datetime.datetime(2024, 1, 1, 0, 0, 5)),    # other user: kept
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    kept = sorted(r.event_id for r in dedup_time_window(ev, gap_seconds=60).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_rolling_distinct_users_window(spark):
+    rows = [
+        (1, 1, "view", _ts(1)),
+        (2, 2, "view", _ts(1)),
+        (3, 1, "view", _ts(5)),   # day 5: users {1} new + {1,2} trailing
+        (4, 3, "view", _ts(20)),  # far later: window contains only day 20
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        str(r.day): r.n_active_users
+        for r in rolling_distinct_users(ev, window_days=7).collect()
+    }
+    # day 1: {1,2}; day 5: day-1 pairs still inside 7-day window -> {1,2};
+    # day 20: only user 3
+    assert got == {"2024-01-01": 2, "2024-01-05": 2, "2024-01-20": 1}
 
 
 def test_funnel_single_window_shuffle(spark):

@@ -170,6 +170,24 @@ def test_profile_exact_has_no_expand(spark):
     assert "Expand" not in plan
 
 
+def test_chunking_and_char_stats_are_shuffle_free(spark):
+    # Per-row transforms: chunks/counts derive from their own input row, so
+    # the only Exchange allowed is the under-parallel-input repartition
+    # (_spread) — never a key shuffle introduced by the operator itself.
+    for name in ("chunk_docs_overlap", "char_class_stats"):
+        plan = _plan(spark, name)
+        assert "hashpartitioning" not in plan.lower(), (
+            f"{name} must not shuffle on a key"
+        )
+        assert "EvalPython" not in plan
+
+
+def test_salted_join_replicates_without_extra_shuffle(spark):
+    plan = _plan(spark, "salted_join_events")
+    # tiny dimension side: salt replication must not force a sort-merge join
+    assert "SortMergeJoin" not in plan
+
+
 def test_moving_avg_no_self_join(spark):
     plan = _plan(spark, "moving_avg_time_window")
     assert "Join" not in plan  # pure window, no event-log self-join
