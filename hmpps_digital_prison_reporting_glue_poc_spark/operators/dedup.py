@@ -251,25 +251,53 @@ def minhash_jaccard_estimates(
     true_jaccard).
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, rows_per_band)
 
-    sa = sigs.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(num_hashes)],
-    )
-    sb = sigs.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    # Carry the signature columns THROUGH the band join instead of joining
+    # sigs back onto the candidate pairs afterwards: the signature
+    # aggregation (explode + k-wide groupBy over the shingle index) is the
+    # expensive input here, and the join-back form computes it three times
+    # (once per band-join side, once per signature re-join side pair).
+    # This form computes it once per band-join side — nothing else.
+    bands = num_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{i}")
+                  for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        *[F.col(f"mh{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_structs)).alias("__b"),
+    ).select(
+        id_col, *[f"mh{i}" for i in range(num_hashes)],
+        "__b.band_idx", "__b.band_key",
     )
     n_matches = None
     for i in range(num_hashes):
-        term = F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        term = F.when(
+            F.col(f"l.mh{i}") == F.col(f"r.mh{i}"), 1
+        ).otherwise(0)
         n_matches = term if n_matches is None else n_matches + term
-    estimated = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", n_matches.cast("long").alias("n_sig_matches"))
+    # all rows of a (id_a, id_b) pair carry identical signature columns, so
+    # the multi-band dedup can keep any one of them
+    cands = (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band_idx", "band_key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            n_matches.cast("long").alias("n_sig_matches"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
+    estimated = cands
 
     shingles = _doc_shingles(df, id_col, text_col, shingle_k)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
