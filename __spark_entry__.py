@@ -74,13 +74,22 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read nanos as long (runtime-settable legacy conf) and truncate
-    to microseconds — the same truncation DuckDB applies natively."""
+    """events.parquet has carried two physical schemas across driver rounds:
+    TIMESTAMP(NANOS) (which Spark's parquet reader rejects — read nanos as
+    long via the runtime-settable legacy conf, then truncate to micros, the
+    same truncation DuckDB applies natively) and plain TIMESTAMP(MICROS)
+    (reads as timestamp directly). Adapt to whichever is on disk."""
     _session_guard(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts", "")
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        # timestamp_ntz on disk; session tz is pinned UTC so the cast is a
+        # pure retag to the LTZ type every downstream comparison uses.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _dec(col: str) -> F.Column:
