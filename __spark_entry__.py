@@ -2,9 +2,10 @@
 
 One ``queries()`` entry per implemented operator family from SURVEY.md §2
 plus the training-data-pipeline operators (dedup / similarity / text /
-multimodal). Each has a DuckDB ``oracle_sql()`` twin unless the operator is
-genuinely non-SQL-expressible (the hyperplane-LSH candidate generator is
-the only remaining rows-only check; its precision is pytest-verified).
+multimodal). Every declared query has a DuckDB ``oracle_sql()`` twin —
+including the hyperplane-LSH candidate generator, which derives its plane
+weights from md5 and stays in integer arithmetic end-to-end so both
+engines agree bit-for-bit.
 
 Determinism discipline (so value-hashes match across engines):
 - money aggregates go through exact DECIMAL(12,2) arithmetic and are cast
@@ -46,15 +47,22 @@ def _session_guard(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.caseSensitive", "false")
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
     _session_guard(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "documents":
-        # every documents consumer is a CPU-heavy narrow transform
+    if spread is None:
+        # documents consumers are mostly CPU-heavy narrow transforms
         # (n-grams, shingles, winnowing) — see _spread. embeddings are NOT
         # spread: their queries collect a filtered slice, and forcing a
         # full dense-vector shuffle first costs more than the kernel
         # parallelism buys (measured 2.1s -> 14s on ann_topk_numpy).
+        # Consumers whose kernel is NOT CPU-bound (e.g. multimodal_meta's
+        # len()-only stub) pass spread=False: for them the repartition is
+        # a pure-cost corpus shuffle (measured 0.34s -> 1.97s in round 2).
+        spread = name == "documents"
+    if spread:
         df = _spread(spark, df)
     return df
 
@@ -85,10 +93,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = dict(raw.dtypes).get("ts", "")
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type != "timestamp":
-        # timestamp_ntz on disk; session tz is pinned UTC so the cast is a
-        # pure retag to the LTZ type every downstream comparison uses.
+    elif ts_type == "timestamp_ntz":
+        # session tz is pinned UTC so the cast is a pure retag to the LTZ
+        # type every downstream comparison uses.
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif ts_type != "timestamp":
+        raise ValueError(
+            f"events.parquet ts column has unexpected dtype {ts_type!r}; "
+            "expected bigint (nanos-as-long), timestamp or timestamp_ntz"
+        )
     return raw
 
 
@@ -906,8 +919,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column metadata extraction through mapInPandas (stub decode)."""
-    media = mm.attach_binary(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    """Binary-column metadata extraction through mapInPandas (stub decode).
+    spread=False: the stub kernel is len()-bound, not CPU-bound, so a
+    pre-shuffle of the corpus costs more than it buys."""
+    media = mm.attach_binary(
+        _t(spark, sf_dir, "documents", spread=False), "doc_id", "text"
+    )
     return mm.extract_media_meta(media)
 
 
@@ -957,6 +974,37 @@ _R01_GREEN = {
     "cube_lineitem", "grouping_sets_orders", "pivot_event_counts",
     "window_running_sum", "window_lag_delta",
 }
+
+
+# Queries with a driver CORRECTNESS row in round 2 (49 green + the one
+# no_oracle). Everything declared in waves 9-13 after the round-2 window
+# closed sits at the tail un-checked; rotating it to the front gives all
+# 127 declared queries a hard driver row across rounds.
+# embedding_lsh_pairs is deliberately ABSENT from this set: its r02 row was
+# rows-only (no_oracle); it now has an exact md5-hyperplane oracle and must
+# be re-checked with it.
+_R02_CHECKED = {
+    "ann_ivf_topk", "approx_distinct_parts", "argmax_order_per_customer",
+    "asof_join_events", "bm25_doc_scores", "cap_docs_per_source",
+    "cdc_hash_chain_fold", "cdc_merge_real", "collect_sorted_events",
+    "correlated_scalar_subquery", "date_arithmetic", "date_spine_zero_fill",
+    "except_non_buyers", "forward_fill_events", "fuzzy_match_docs",
+    "histogram_order_totals", "incremental_agg_events",
+    "intersect_buyers_viewers", "map_functions", "neardup_components",
+    "ngram_counts_top", "normalized_dedup_groups", "ntile_value_buckets",
+    "null_handling_functions", "ohlc_resample_events", "percentiles_by_flag",
+    "profile_lineitem", "q11_important_parts", "q15_top_supplier",
+    "q17_small_qty_revenue", "q20_promotion_suppliers",
+    "q21_waiting_suppliers", "q2_min_cost_supplier", "q8_market_share",
+    "range_join_events", "regexp_extract_ids", "revenue_share_per_nation",
+    "scd2_user_history", "sessionize_events", "simhash_near_dups",
+    "stats_summary", "string_functions", "text_bpe_token_count",
+    "text_language_id_multi", "token_frequency", "topk_orders_per_segment",
+    "unpivot_lineitem_measures", "window_rank_orders",
+    "winnow_doc_fingerprints",
+}
+
+_DRIVER_CHECKED = _R01_GREEN | _R02_CHECKED
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1045,8 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Never-driver-checked queries first so the driver's fixed-size window
     # rotates through the whole declared surface across rounds.
-    ordered = {k: v for k, v in all_q.items() if k not in _R01_GREEN}
-    ordered.update({k: v for k, v in all_q.items() if k in _R01_GREEN})
+    ordered = {k: v for k, v in all_q.items() if k not in _DRIVER_CHECKED}
+    ordered.update({k: v for k, v in all_q.items() if k in _DRIVER_CHECKED})
     return ordered
 
 
@@ -1094,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_hash_chain_fold": HASH_CHAIN_SQL,
         "percentiles_by_flag": PERCENTILE_SQL,
         "approx_distinct_parts": APPROX_DISTINCT_SQL,
+        "embedding_lsh_pairs": EMBEDDING_LSH_SQL,
         "q2_min_cost_supplier": Q2_SQL,
         "q8_market_share": Q8_SQL,
         "q11_important_parts": Q11_SQL,
@@ -2116,13 +2165,66 @@ FROM lineitem
 
 def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs (scale path for
-    embedding_neardup_pairs) with exact cosine re-scoring of candidates.
-    Candidate generation is approximate -> rows-only check; precision is
-    pytest-verified (every emitted pair exceeds the true threshold)."""
-    return sim.hyperplane_lsh_pairs(
+    embedding_neardup_pairs), engine-exact: md5-derived integer plane
+    weights over 1e-6-quantized vectors, candidates re-scored by integer
+    cross-multiplied cosine threshold — the DuckDB oracle reproduces every
+    sketch bit and the final pair set exactly (no float summation-order
+    hazards). 8 bits x 4 tables keeps bucket collisions (and thus recall)
+    meaningful at sf0.01's 500 vectors."""
+    return sim.hyperplane_lsh_pairs_md5(
         spark, _t(spark, sf_dir, "embeddings"),
-        threshold=0.4, n_bits=12, n_tables=4,
+        threshold=0.4, n_bits=8, n_tables=4,
     )
+
+
+# Mirrors hyperplane_lsh_pairs_md5 step for step; every intermediate is an
+# integer so the two engines agree bit-for-bit. dim=64 per TESTDATA.md.
+_HP_BITS, _HP_TABLES, _HP_DIM = 8, 4, 64
+_HP_NUM, _HP_DEN = 4, 25  # threshold 0.4 -> 2/5; squared = 4/25 exact
+
+EMBEDDING_LSH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings),
+dims AS (SELECT unnest(generate_series(0, {_HP_DIM - 1})) AS d),
+tabs AS (SELECT unnest(generate_series(0, {_HP_TABLES - 1})) AS table_id),
+bits AS (SELECT unnest(generate_series(0, {_HP_BITS - 1})) AS bit),
+planes AS (
+  SELECT d, table_id, bit,
+         CAST(('0x' || substr(md5(CAST(table_id AS VARCHAR) || ':' ||
+                                  CAST(bit AS VARCHAR) || ':' ||
+                                  CAST(d AS VARCHAR)), 1, 8)) AS BIGINT)
+           - 2147483648 AS w
+  FROM dims, tabs, bits),
+qe AS (SELECT vid, d, qv[d + 1] AS qx FROM q, dims),
+dots AS (
+  SELECT vid, table_id, bit, SUM(qx * w) AS dot
+  FROM qe JOIN planes USING (d)
+  GROUP BY vid, table_id, bit),
+sk AS (
+  SELECT vid, table_id,
+         SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS sketch
+  FROM dots GROUP BY vid, table_id),
+cand AS (
+  SELECT DISTINCT l.vid AS id_a, r.vid AS id_b
+  FROM sk l JOIN sk r
+    ON l.table_id = r.table_id AND l.sketch = r.sketch AND l.vid < r.vid),
+re AS (
+  SELECT c.id_a, c.id_b,
+         SUM(ea.qx * eb.qx) AS qdot,
+         SUM(ea.qx * ea.qx) AS na,
+         SUM(eb.qx * eb.qx) AS nb
+  FROM cand c
+  JOIN qe ea ON ea.vid = c.id_a
+  JOIN qe eb ON eb.vid = c.id_b AND eb.d = ea.d
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b FROM re
+WHERE qdot > 0
+  AND {_HP_DEN} * (CAST(qdot AS HUGEINT) * qdot)
+      >= {_HP_NUM} * (CAST(na AS HUGEINT) * nb)
+"""
 
 
 # --------------------------------------------------------------------------

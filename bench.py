@@ -185,11 +185,28 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # min-of-2 repetitions per query: the second run re-executes the full
+    # plan (noop sink, nothing cached) but skips one-off costs (janino
+    # compile of that query's codegen, parquet footer reads), so the min is
+    # the steady-state number and round-over-round comparisons stop being
+    # confounded by ambient session drift. Periodic System.gc() between
+    # queries keeps 100-query sessions from degrading late queries via GC
+    # pressure (measured ~6x drift on minhash_signatures in round 2).
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        start = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    jvm_gc = spark.sparkContext._jvm.System.gc
+    for i, name in enumerate(BENCH_QUERIES):
+        if i % 10 == 0:
+            spark.catalog.clearCache()
+            jvm_gc()
+        best = None
+        for _rep in range(2):
+            start = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     # Full per-query map for humans (NOT the contract line).
     print("FULL_TIMINGS: " + json.dumps(timings), flush=True)

@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+    materialize as _materialize,
+)
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -125,15 +128,20 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Banded LSH over minhash signatures: docs sharing any full band are
-    candidates. All bands ride ONE self-equi-join on (band_idx, band_key)
-    — the banded frame is exploded from the signatures and persisted so the
-    (possibly expensive) signature computation runs once, not once per band
-    per join side. The join is hash-partitioned on the band key; bucket
-    sizes stay small as long as the hash family discriminates (which is why
-    signatures are shingled, not bare-token).
+    candidates. All bands ride ONE self-equi-join on (band_idx, band_key).
+    The signature frame is materialized to storage first (``materialize``),
+    so the expensive signature aggregation (explode + k-wide groupBy over
+    the shingle index) runs ONCE and both self-join sides scan the stored
+    table — the same compute-once/store/join shape a 100 TB pipeline uses
+    for its signature table. The join is hash-partitioned on the band key;
+    bucket sizes stay small as long as the hash family discriminates (which
+    is why signatures are shingled, not bare-token).
     Returns (id_a, id_b) with id_a < id_b."""
+    if materialize:
+        signatures = _materialize(signatures, "minhash_sigs_")
     bands = num_hashes // rows_per_band
     band_structs = [
         F.struct(
@@ -149,11 +157,9 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")
     ).select(id_col, "__b.band_idx", "__b.band_key")
-    # The self-join scans the banded plan twice (signature computation is
-    # cheap relative to a shuffle, so recompute beats caching here —
-    # empirically, persist() of even this tiny frame degrades the whole
-    # local session). For a 100 TB corpus, materialise the signature table
-    # to storage once and join that, rather than caching executor-side.
+    # The self-join scans the banded plan twice, but with the signature
+    # table materialized that is two cheap parquet scans + narrow explodes,
+    # not two runs of the corpus-wide aggregation.
     return (
         banded.alias("l")
         .join(banded.alias("r"), on=["band_idx", "band_key"])
@@ -243,21 +249,30 @@ def minhash_jaccard_estimates(
     min-md5 digests, i.e. the same argmin shingle exists in both docs), so
     the true-intersection join below never drops a candidate.
 
-    Scale shape: signatures ride one groupBy; candidates one banded
-    self-equi-join; true intersections one equi-join of the (pruned,
-    candidate-scoped) shingle index — no cross joins anywhere. Every output
-    is an integer or a ratio of integers, so it is engine-exact.
+    Scale shape: the shingle index is computed ONCE and materialized to
+    storage (every downstream consumer — signature aggregation, both sides
+    of the true-intersection join, the size aggregation — scans the stored
+    table instead of re-tokenizing the corpus); signatures ride one groupBy
+    and are materialized too, so the banded self-join scans a stored table
+    per side. No cross joins anywhere. Every output is an integer or a
+    ratio of integers, so it is engine-exact.
     Returns (id_a, id_b, n_sig_matches, inter, union_sz, est_jaccard,
     true_jaccard).
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    shingles = _materialize(
+        _doc_shingles(df, id_col, text_col, shingle_k), "shingle_idx_"
+    )
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = _materialize(
+        shingles.groupBy(id_col).agg(*sig_aggs), "minhash_sigs_"
+    )
 
     # Carry the signature columns THROUGH the band join instead of joining
-    # sigs back onto the candidate pairs afterwards: the signature
-    # aggregation (explode + k-wide groupBy over the shingle index) is the
-    # expensive input here, and the join-back form computes it three times
-    # (once per band-join side, once per signature re-join side pair).
-    # This form computes it once per band-join side — nothing else.
+    # sigs back onto the candidate pairs afterwards — with sigs stored, each
+    # band-join side is a cheap parquet scan + narrow explode.
     bands = num_hashes // rows_per_band
     band_structs = [
         F.struct(
@@ -299,7 +314,6 @@ def minhash_jaccard_estimates(
     )
     estimated = cands
 
-    shingles = _doc_shingles(df, id_col, text_col, shingle_k)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     inter = (
         shingles.select(F.col(id_col).alias("id_a"), "token")

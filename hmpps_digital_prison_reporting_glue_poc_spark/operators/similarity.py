@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hmpps_digital_prison_reporting_glue_poc_spark.functions.vectors import cosine
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+    materialize,
+)
 
 
 def cosine_topk(
@@ -310,7 +313,6 @@ def hyperplane_lsh_pairs(
             T.StructField("__id", T.LongType()),
             T.StructField("table_id", T.IntegerType()),
             T.StructField("sketch", T.LongType()),
-            T.StructField("__vec", T.ArrayType(T.DoubleType())),
         ]
     )
 
@@ -332,14 +334,20 @@ def hyperplane_lsh_pairs(
                             "__id": ids,
                             "table_id": t,
                             "sketch": codes.astype(np.int64),
-                            "__vec": list(mat),
                         }
                     )
                 )
             yield pd.concat(out, ignore_index=True)
 
-    sketched = corpus.select(id_col, vec_col).mapInPandas(
-        sketch, schema=sketch_schema
+    # ids-only through the candidate self-join: carrying the dense vectors
+    # through the (table_id, sketch) shuffle multiplies shuffle bytes by
+    # the vector width; join them back for re-scoring instead — candidate
+    # pairs are a vanishing fraction of the corpus at any scale. The sketch
+    # table is materialized so the mapInPandas kernel runs once, not once
+    # per join side.
+    sketched = materialize(
+        corpus.select(id_col, vec_col).mapInPandas(sketch, schema=sketch_schema),
+        "hp_sketches_",
     )
     cand = (
         sketched.alias("l")
@@ -348,11 +356,17 @@ def hyperplane_lsh_pairs(
         .select(
             F.col("l.__id").alias("id_a"),
             F.col("r.__id").alias("id_b"),
-            F.col("l.__vec").alias("__va"),
-            F.col("r.__vec").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    to_dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    va = corpus.select(
+        F.col(id_col).alias("id_a"), to_dbl(F.col(vec_col)).alias("__va")
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"), to_dbl(F.col(vec_col)).alias("__vb")
+    )
+    rescored = cand.join(va, "id_a").join(vb, "id_b")
     score = F.aggregate(
         F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
         F.lit(0.0),
@@ -362,7 +376,144 @@ def hyperplane_lsh_pairs(
         * F.sqrt(F.aggregate(F.col("__vb"), F.lit(0.0), lambda a, x: a + x * x))
     )
     return (
-        cand.withColumn("score", score)
+        rescored.withColumn("score", score)
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def md5_plane_weights(
+    n_tables: int, n_bits: int, dim: int
+) -> list[tuple[int, int, int, int]]:
+    """Deterministic integer hyperplane weights derived from md5: for each
+    (table, bit, dimension), ``w = int(md5("t:b:d")[:8], 16) - 2^31`` — a
+    signed 32-bit value any SQL engine reproduces exactly (the same
+    ``('0x' || substr(md5(...), 1, 8))::BIGINT`` trick the multimodal
+    embed stub uses). Returns (d, table_id, bit, w) rows."""
+    import hashlib
+
+    return [
+        (
+            d,
+            t,
+            b,
+            int(hashlib.md5(f"{t}:{b}:{d}".encode()).hexdigest()[:8], 16)
+            - 2**31,
+        )
+        for t in range(n_tables)
+        for b in range(n_bits)
+        for d in range(dim)
+    ]
+
+
+def hyperplane_lsh_pairs_md5(
+    spark: SparkSession,
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 1_000_000,
+) -> DataFrame:
+    """Engine-exact random-hyperplane LSH near-dup pairs: same banding
+    algebra as ``hyperplane_lsh_pairs`` but every arithmetic step is
+    integer-exact, so an independent SQL engine reproduces the output
+    bit-for-bit (no float summation-order hazards anywhere):
+
+    - vectors quantized to ``floor(x * quant_scale)`` int64 — both engines
+      compute the identical double product and floor;
+    - plane weights are md5-derived int64 (``md5_plane_weights``);
+    - a sketch bit is the sign of an INTEGER dot product (order-free);
+    - the cosine threshold is applied by integer cross-multiplication:
+      ``den * qdot^2 >= num * |qa|^2 * |qb|^2 (and qdot > 0)`` where
+      num/den is the exact rational ``threshold^2`` — evaluated in
+      decimal(38,0) (Spark) / HUGEINT (DuckDB), both exact at these
+      magnitudes (|qdot| <= dim * quant_scale^2 ~ 1e14 squared ~ 1e28).
+
+    Scale shape: quantized vectors are materialized once; the sketch
+    pipeline is a broadcast join against the tiny plane table + two
+    keyed aggregations; candidates ride one ids-only self-equi-join on
+    (table_id, sketch); vectors join back only for the final re-score.
+    Returns (id_a, id_b), id_a < id_b.
+    """
+    from fractions import Fraction
+
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    frac = Fraction(str(threshold)) ** 2
+    num, den = frac.numerator, frac.denominator
+
+    q = materialize(
+        corpus.select(
+            F.col(id_col).cast("long").alias("vid"),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(quant_scale))
+                ).cast("long"),
+            ).alias("qv"),
+        ),
+        "hp_qvec_",
+    )
+    qe = q.select("vid", F.posexplode("qv").alias("d", "qx"))
+    planes = spark.createDataFrame(
+        md5_plane_weights(n_tables, n_bits, dim),
+        schema="d INT, table_id INT, bit INT, w LONG",
+    )
+    dots = (
+        qe.join(F.broadcast(planes), "d")
+        .groupBy("vid", "table_id", "bit")
+        .agg(F.sum(F.col("qx") * F.col("w")).alias("dot"))
+    )
+    sk = materialize(
+        dots.groupBy("vid", "table_id").agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("sketch")
+        ),
+        "hp_sketch_",
+    )
+    cand = (
+        sk.alias("l")
+        .join(sk.alias("r"), on=["table_id", "sketch"])
+        .filter(F.col("l.vid") < F.col("r.vid"))
+        .select(
+            F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    qa = q.select(F.col("vid").alias("id_a"), F.col("qv").alias("__qa"))
+    qb = q.select(F.col("vid").alias("id_b"), F.col("qv").alias("__qb"))
+
+    def long_sum(arr: F.Column) -> F.Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    scored = (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
+        .withColumn(
+            "__qdot",
+            long_sum(
+                F.zip_with(F.col("__qa"), F.col("__qb"), lambda x, y: x * y)
+            ),
+        )
+        .withColumn(
+            "__na", long_sum(F.transform(F.col("__qa"), lambda x: x * x))
+        )
+        .withColumn(
+            "__nb", long_sum(F.transform(F.col("__qb"), lambda x: x * x))
+        )
+    )
+    dec = "decimal(38,0)"
+    keep = (F.col("__qdot") > 0) & (
+        F.lit(den).cast(dec)
+        * (F.col("__qdot").cast(dec) * F.col("__qdot").cast(dec))
+        >= F.lit(num).cast(dec) * (F.col("__na").cast(dec) * F.col("__nb").cast(dec))
+    )
+    return scored.filter(keep).select("id_a", "id_b")
