@@ -203,6 +203,10 @@ def jaccard_pairs(
             .select("token")
         )
         toks = toks.join(F.broadcast(hot), on="token", how="left_anti")
+    # The (pruned) inverted index feeds three consumers (both self-join
+    # sides + the size aggregation); store it once instead of re-tokenizing
+    # the corpus per consumer.
+    toks = _materialize(toks, "jaccard_toks_")
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
 
     left = toks.alias("l")
@@ -408,13 +412,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
 
 def simhash_near_dup_pairs(
-    sketches: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 32
+    sketches: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, bucketed for scale:
     split the sketch into (max_hamming + 1) chunks — two sketches within
     ``max_hamming`` must agree exactly on at least one chunk (pigeonhole),
     so candidate generation is an equi-join per chunk, never a cross join.
+
+    The sketch table is materialized first: the chunk joins scan it
+    2 x (max_hamming + 1) times, and without the lineage cut each scan
+    re-runs the full sketch aggregation (a corpus-wide ``bits``-column
+    groupBy).
     """
+    if materialize:
+        sketches = _materialize(sketches, "simhash_sketches_")
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     frames = []

@@ -444,37 +444,64 @@ def hyperplane_lsh_pairs_md5(
     frac = Fraction(str(threshold)) ** 2
     num, den = frac.numerator, frac.denominator
 
-    q = materialize(
-        corpus.select(
-            F.col(id_col).cast("long").alias("vid"),
-            F.transform(
-                F.col(vec_col),
-                lambda x: F.floor(
-                    x.cast("double") * F.lit(float(quant_scale))
-                ).cast("long"),
-            ).alias("qv"),
-        ),
-        "hp_qvec_",
+    # Quantization is a narrow per-row transform of the source scan; the
+    # three consumers (sketch kernel + both re-score sides) just recompute
+    # it — cheaper than a store/read round trip at any scale.
+    q = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(quant_scale))
+            ).cast("long"),
+        ).alias("qv"),
     )
-    qe = q.select("vid", F.posexplode("qv").alias("d", "qx"))
-    planes = spark.createDataFrame(
-        md5_plane_weights(n_tables, n_bits, dim),
-        schema="d INT, table_id INT, bit INT, w LONG",
+    # Sketch stage: Arrow-batched INTEGER matmul against the broadcast
+    # plane matrix — int64 arithmetic is order-free, so the numpy fast
+    # path is bit-identical to the oracle's SUM. (A pure column-expression
+    # form was tried and rejected: n_tables*n_bits*dim literal terms make
+    # Catalyst's own tree walks the bottleneck; an explode + plane-table
+    # join shuffles |corpus| x dim rows for no benefit. The kernel is the
+    # same shape a real embedding model runs in.)
+    planes = np.empty((n_tables, n_bits, dim), dtype=np.int64)
+    for d, t, b, w in md5_plane_weights(n_tables, n_bits, dim):
+        planes[t, b, d] = w
+    bp = spark.sparkContext.broadcast(planes)
+    sketch_schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("table_id", T.IntegerType()),
+            T.StructField("sketch", T.LongType()),
+        ]
     )
-    dots = (
-        qe.join(F.broadcast(planes), "d")
-        .groupBy("vid", "table_id", "bit")
-        .agg(F.sum(F.col("qx") * F.col("w")).alias("dot"))
-    )
+
+    def sketch_kernel(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        pls = bp.value
+        weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            ids = pdf["vid"].to_numpy(dtype=np.int64)
+            out = []
+            for t in range(n_tables):
+                dots = mat @ pls[t].T  # exact int64 dot products
+                codes = (dots > 0) @ weights
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vid": ids,
+                            "table_id": t,
+                            "sketch": codes.astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
     sk = materialize(
-        dots.groupBy("vid", "table_id").agg(
-            F.sum(
-                F.when(
-                    F.col("dot") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("sketch")
-        ),
+        q.select("vid", "qv").mapInPandas(sketch_kernel, schema=sketch_schema),
         "hp_sketch_",
     )
     cand = (
