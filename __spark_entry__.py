@@ -1090,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE11_QUERIES,
         **_WAVE12_QUERIES,
         **_WAVE13_QUERIES,
+        **_WAVE14_QUERIES,
     }
     # Never-driver-checked queries first so the driver's fixed-size window
     # rotates through the whole declared surface across rounds.
@@ -1175,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE11_SQL,
         **_WAVE12_SQL,
         **_WAVE13_SQL,
+        **_WAVE14_SQL,
     }
 
 
@@ -4177,4 +4179,239 @@ _WAVE13_SQL = {
     "event_sequence_per_user": EVENT_SEQ_SQL,
     "robust_stats_by_type": ROBUST_STATS_SQL,
     "full_outer_reconciliation": FULL_OUTER_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 14: data-selection / mixture operators (operators/mixing.py
+# DSIR importance weights, domain mix factors, deterministic weighted
+# sampling), cross-document duplicate-text coverage, tokenizer fertility,
+# and the corr/covar/regression scalar family from exact decimal sums.
+# --------------------------------------------------------------------------
+
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import mixing as mx  # noqa: E402
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style unigram log-likelihood-ratio importance weight per doc
+    (target domain = every 5th doc, synthetically). Order-free decimal
+    summation of 6-decimal-rounded ln terms keeps it engine-exact."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 5 == 0).alias("is_target")
+    )
+    return mx.dsir_importance_weights(
+        docs, id_col="doc_id", text_col="text", target_col="is_target"
+    )
+
+
+DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, (doc_id % 5 = 0) AS is_tgt,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+freqs AS (
+  SELECT token, COUNT(*) AS all_c,
+         SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_c
+  FROM toks GROUP BY token),
+tot AS (SELECT SUM(all_c) AS all_total, SUM(tgt_c) AS tgt_total,
+               COUNT(*) AS vocab FROM freqs)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(ROUND(LN(
+           CAST((tgt_c + 1) * (all_total + vocab) AS DOUBLE)
+           / CAST((all_c + 1) * (tgt_total + vocab) AS DOUBLE)
+         ), 6) AS DECIMAL(28,6))) AS DOUBLE) AS dsir_logweight
+FROM toks JOIN freqs USING (token) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture statistics with sqrt-temperature sampling
+    factors (sqrt because IEEE sqrt is correctly rounded -> engine-exact,
+    unlike pow)."""
+    return mx.domain_mix_weights(
+        _t(spark, sf_dir, "documents"), group_col="source", text_col="text"
+    )
+
+
+MIX_WEIGHTS_SQL = """
+WITH per AS (
+  SELECT source AS grp, COUNT(*) AS n_docs,
+         SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_tokens) AS all_tokens, MAX(n_tokens) AS max_tokens FROM per)
+SELECT grp AS source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(all_tokens AS DOUBLE) AS token_share,
+       sqrt(CAST(all_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS upsample_factor,
+       sqrt(CAST(n_tokens AS DOUBLE) / CAST(max_tokens AS DOUBLE)) AS weight_vs_max
+FROM per CROSS JOIN tot
+"""
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli sampling: keep-rate md5-derived
+    per source, keep decision md5-derived per doc — pure integer
+    comparisons, content-stable and partition-independent."""
+    return mx.weighted_sample(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", group_col="source"
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH rated AS (
+  SELECT doc_id, source,
+         CAST(floor(CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) / 2)
+              AS BIGINT) + 1073741824 AS rate_u32,
+         CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS draw
+  FROM documents)
+SELECT doc_id, source, rate_u32 FROM rated WHERE draw < rate_u32
+"""
+
+
+def cross_doc_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 8-gram instances shared with at least one other
+    document (the Lee-et-al substring-dedup signal, summarised per doc)."""
+    return cp.cross_doc_ngram_coverage(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", n=8
+    )
+
+
+_NGRAMS8_SQL = (
+    "list_transform(range(1, len(toks) - 6), "
+    "i -> array_to_string(toks[i : i + 7], ' '))"
+)
+
+CROSS_NGRAM_SQL = f"""
+WITH toksed AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+grams AS (SELECT doc_id, unnest({_NGRAMS8_SQL}) AS ngram FROM toksed),
+per_doc AS (
+  SELECT doc_id, ngram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, ngram),
+dfq AS (SELECT ngram, COUNT(*) AS ndocs FROM per_doc GROUP BY ngram)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN ndocs > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
+       CAST(SUM(CASE WHEN ndocs > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(cnt) AS DOUBLE) AS cross_dup_frac
+FROM per_doc JOIN dfq USING (ngram)
+GROUP BY doc_id
+"""
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chars/bytes per whitespace token, grouped by document language."""
+    return ts.tokenizer_fertility(
+        _t(spark, sf_dir, "documents"), group_col="lang", text_col="text"
+    )
+
+
+FERTILITY_SQL = """
+WITH agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_tokens,
+         SUM(length(text)) AS n_chars,
+         SUM(octet_length(encode(text))) AS n_bytes
+  FROM documents GROUP BY lang)
+SELECT lang, n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token,
+       CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS bytes_per_token
+FROM agg
+"""
+
+
+def regr_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / least-squares regression of extended
+    price on quantity per return flag — the regr_* scalar family — rebuilt
+    from exact DECIMAL power sums so both engines feed identical doubles
+    into the identical closed-form expressions (never the engines' own
+    corr()/covar(), whose internal accumulation orders differ)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    # Integer-cent scaling end to end: x.yz * 100 is EXACTLY integral, so
+    # every power sum is an integer decimal and its double conversion is a
+    # single correctly-rounded step in both engines. (Fractional decimal
+    # sums beyond 2^53 double-round differently across engines, and
+    # decimal scale-reduction casts disagree too — Spark rounds HALF_UP,
+    # DuckDB truncates.) corr and slope are scale-invariant; covar and
+    # intercept are de-scaled at the end with the same double ops.
+    xc = (_dec("l_quantity") * 100).cast("decimal(38,0)")
+    yc = (_dec("l_extendedprice") * 100).cast("decimal(38,0)")
+    cents = li.select(
+        "l_returnflag", xc.alias("xc"), yc.alias("yc")
+    )
+    sums = cents.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xc").cast("double").alias("sx"),
+        F.sum("yc").cast("double").alias("sy"),
+        F.sum(F.col("xc") * F.col("yc")).cast("double").alias("sxy"),
+        F.sum(F.col("xc") * F.col("xc")).cast("double").alias("sx2"),
+        F.sum(F.col("yc") * F.col("yc")).cast("double").alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    return sums.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        ((n * sxy - sx * sy) / (n - 1) / n / F.lit(10000.0)).alias(
+            "covar_samp"
+        ),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+        ).alias("corr"),
+        slope.alias("regr_slope"),
+        (((sy - slope * sx) / n) / F.lit(100.0)).alias("regr_intercept"),
+    )
+
+
+REGR_CORR_SQL = """
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT) AS xc,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS yc
+  FROM lineitem),
+sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(xc) AS DOUBLE) AS sx,
+         CAST(SUM(yc) AS DOUBLE) AS sy,
+         CAST(SUM(xc * yc) AS DOUBLE) AS sxy,
+         CAST(SUM(xc * xc) AS DOUBLE) AS sx2,
+         CAST(SUM(yc * yc) AS DOUBLE) AS sy2
+  FROM cents GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       (n * sxy - sx * sy) / (n - 1) / n / 10000.0 AS covar_samp,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr,
+       (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS regr_slope,
+       ((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n) / 100.0 AS regr_intercept
+FROM sums
+"""
+
+
+_WAVE14_QUERIES = {
+    "dsir_importance_weights": dsir_importance_weights,
+    "domain_mix_weights": domain_mix_weights,
+    "weighted_sample_docs": weighted_sample_docs,
+    "cross_doc_ngram_coverage": cross_doc_ngram_coverage,
+    "tokenizer_fertility": tokenizer_fertility_by_lang,
+    "regr_corr_lineitem": regr_corr_lineitem,
+}
+
+_WAVE14_SQL = {
+    "dsir_importance_weights": DSIR_SQL,
+    "domain_mix_weights": MIX_WEIGHTS_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "cross_doc_ngram_coverage": CROSS_NGRAM_SQL,
+    "tokenizer_fertility": FERTILITY_SQL,
+    "regr_corr_lineitem": REGR_CORR_SQL,
 }

@@ -133,6 +133,13 @@ BENCH_QUERIES = [
     "rolling_active_users",
     "robust_stats_by_type",
     "full_outer_reconciliation",
+    # wave 14: data selection / mixture
+    "dsir_importance_weights",
+    "domain_mix_weights",
+    "weighted_sample_docs",
+    "cross_doc_ngram_coverage",
+    "tokenizer_fertility",
+    "regr_corr_lineitem",
 ]
 
 

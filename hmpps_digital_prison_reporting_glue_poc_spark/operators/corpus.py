@@ -278,3 +278,50 @@ def token_zipf(
             round_to,
         ).alias("cum_share"),
     )
+
+
+def cross_doc_ngram_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document duplicate-text signal (the per-document summary of
+    Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better" substring dedup): for each document, the fraction of its
+    n-gram INSTANCES whose n-gram also appears in at least one OTHER
+    document. Documents with high coverage are boilerplate/templated text
+    even when no whole-document near-dup fires.
+
+    Scale shape: one (ngram, doc) partial-count aggregation, one
+    vocabulary-sized doc-frequency aggregation joined back on the ngram
+    key, one doc-keyed rollup — all equi-shuffles keyed by ngram/doc, no
+    cross joins, integer counts end to end (the ratio is a division of two
+    exact int64s).
+    Returns (id, n_ngrams, n_dup_ngrams, cross_dup_frac).
+    """
+    per_doc = (
+        df.select(
+            F.col(id_col), F.explode(_ngrams(F.col(text_col), n)).alias("ngram")
+        )
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    docfreq = per_doc.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("ndocs")
+    )
+    return (
+        per_doc.join(docfreq, "ngram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("ndocs") > 1, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_ngrams"),
+        )
+        .withColumn(
+            "cross_dup_frac",
+            F.col("n_dup_ngrams").cast("double")
+            / F.col("n_ngrams").cast("double"),
+        )
+    )

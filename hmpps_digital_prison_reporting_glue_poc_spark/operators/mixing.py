@@ -1,0 +1,176 @@
+"""Data-selection and mixture operators for LLM training pipelines:
+DSIR-style importance weights, domain mixing factors, and deterministic
+weighted sampling.
+
+Determinism contract (same as the dedup family): every random choice is an
+md5 hash, every floating-point reduction is either avoided (integer
+counts, ratios of exact integers) or made order-free by rounding each term
+to a fixed decimal scale and summing DECIMALs — so an independent SQL
+engine reproduces the outputs bit-for-bit.
+
+Scale shape: unigram statistics ride one token-keyed shuffle each; the
+per-document reductions are second shuffles keyed by doc id; vocabulary
+and per-group tables are broadcast. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+
+
+def _u32(col: F.Column) -> F.Column:
+    """First 8 hex chars of md5 as an unsigned 32-bit integer — the
+    engine-portable uniform hash used across this repo."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+) -> DataFrame:
+    """DSIR-style (Xie et al., Data Selection via Importance Resampling)
+    importance weight per document: the log-likelihood ratio of the doc
+    under add-1-smoothed unigram models of the TARGET subcorpus (rows
+    where ``target_col``) versus the FULL corpus.
+
+        w(doc) = sum over token occurrences of
+                 ln( (tgt_c+1)/(tgt_total+V) / ((all_c+1)/(all_total+V)) )
+
+    Exactness: each occurrence term is computed as ln of a ratio of exact
+    int64 products (both engines divide the same two doubles), rounded to
+    6 decimals, and summed as DECIMAL(28,6) — an order-free reduction, so
+    the result is reproducible in ANSI SQL despite float ln.
+
+    Scale shape: token frequency tables are one groupBy each over the
+    token explode; they join back to the exploded stream on the token key
+    (Catalyst broadcasts them when small; at web scale this is the
+    standard skew-safe token-keyed equi-join), and the per-doc sum is one
+    doc-keyed shuffle. V (vocabulary size) and totals are scalar
+    aggregates crossed in, never collected.
+    Returns (id, n_tokens, dsir_logweight).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.col(target_col).alias("__is_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    freqs = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("all_c"),
+        F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("tgt_c"),
+    )
+    totals = freqs.agg(
+        F.sum("all_c").alias("all_total"),
+        F.sum("tgt_c").alias("tgt_total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    # ln of a ratio of exact integer products: (tgt_c+1)*(all_total+V)
+    # and (all_c+1)*(tgt_total+V) each fit int64 comfortably (counts and
+    # totals are bounded by corpus token count ~ 1e12 at 100 TB; the
+    # product of a per-token count and a corpus total can exceed int64
+    # there, so the division is done double/double — conversion of each
+    # int64 to double is exact below 2^53 and identical in both engines).
+    term = F.round(
+        F.log(
+            ((F.col("tgt_c") + 1) * (F.col("all_total") + F.col("vocab")))
+            .cast("double")
+            / ((F.col("all_c") + 1) * (F.col("tgt_total") + F.col("vocab")))
+            .cast("double")
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    scored = (
+        toks.join(freqs, "token")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(term).cast("double").alias("dsir_logweight"),
+        )
+    )
+    return scored
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain mixture statistics for temperature-scaled sampling
+    (the alpha=0.5 regime — sqrt — because IEEE sqrt is correctly rounded
+    and therefore engine-exact, unlike pow): document/token counts, the
+    domain's exact token share, and two sampling factors —
+
+    - ``upsample_factor = sqrt(all_tokens / domain_tokens)``: the relative
+      oversampling a sqrt-temperature mixture applies to this domain;
+    - ``weight_vs_max = sqrt(domain_tokens / max_domain_tokens)``: the
+      domain's sampling weight normalised by the largest domain (max is an
+      order-free reduction, so no float-summation hazard).
+
+    One token-count groupBy per domain + a broadcast of the tiny per-domain
+    table; no driver collection.
+    Returns (group, n_docs, n_tokens, token_share, upsample_factor,
+    weight_vs_max).
+    """
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("all_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("all_tokens").cast("double")
+            ).alias("token_share"),
+            F.sqrt(
+                F.col("all_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("upsample_factor"),
+            F.sqrt(
+                F.col("n_tokens").cast("double")
+                / F.col("max_tokens").cast("double")
+            ).alias("weight_vs_max"),
+        )
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-group Bernoulli sampling — the "apply the mixture
+    weights" step. Each group's keep-rate is itself md5-derived (uniform in
+    [0.25, 0.75): ``rate_u32 = u32(md5(group))/2 + 2^30``) and a document
+    is kept iff ``u32(md5('s:' || id)) < rate_u32``. Pure integer
+    comparisons: content-stable, partition-independent, reproducible in
+    any engine — re-running the pipeline keeps the same documents.
+
+    Shuffle-free: both hashes are narrow row-local expressions.
+    Returns the kept rows as (id, group, rate_u32).
+    """
+    rate = F.floor(_u32(F.col(group_col)) / F.lit(2)).cast("long") + F.lit(
+        1 << 30
+    ).cast("long")
+    draw = _u32(F.concat(F.lit("s:"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__rate", rate)
+        .filter(draw < F.col("__rate"))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("__rate").alias("rate_u32"),
+        )
+    )

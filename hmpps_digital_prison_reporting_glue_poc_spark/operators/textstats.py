@@ -341,3 +341,41 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_mean & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility statistics per language (or any grouping):
+    characters and utf-8 bytes per whitespace token — the signal a
+    multilingual pipeline uses to spot languages a tokenizer serves badly
+    (high bytes/token => fragmenting scripts). One grouped aggregation of
+    integer sums; the ratios are divisions of exact int64s, so the output
+    is engine-exact.
+    Returns (group, n_docs, n_tokens, n_chars, n_bytes, chars_per_token,
+    bytes_per_token).
+    """
+    toks = tokens(F.col(text_col))
+    agg = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("n_chars"),
+        F.sum(F.octet_length(F.encode(F.col(text_col), "utf-8")))
+        .cast("long")
+        .alias("n_bytes"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        (F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "chars_per_token"
+        ),
+        (F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "bytes_per_token"
+        ),
+    )
