@@ -2474,13 +2474,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
     r_lines = li.filter(F.col("l_returnflag") == "R")
-    # one aggregation pass computes both distinct counts (total suppliers
-    # and returning suppliers per order) — one lineitem shuffle, not two
-    order_stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("__n_ret"),
+    # Both distinct counts via a two-level exact aggregation: first
+    # collapse to (order, supplier, has-return) — heavy map-side combine,
+    # one lineitem shuffle — then count rows/flags per order. A dual
+    # countDistinct agg would inject a Catalyst Expand that doubles every
+    # lineitem row before the hash aggregate (the profile_lineitem lesson).
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("l_returnflag") == "R").alias("__ret")
+    )
+    order_stats = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum(F.when(F.col("__ret"), 1).otherwise(0)).alias("__n_ret"),
     )
     return (
         r_lines.join(orders.select("o_orderkey"), r_lines.l_orderkey == F.col("o_orderkey"))
@@ -4252,9 +4256,12 @@ FROM per CROSS JOIN tot
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source Bernoulli sampling: keep-rate md5-derived
     per source, keep decision md5-derived per doc — pure integer
-    comparisons, content-stable and partition-independent."""
+    comparisons, content-stable and partition-independent. spread=False:
+    two md5s per row is not CPU-bound, so the plan stays shuffle-free."""
     return mx.weighted_sample(
-        _t(spark, sf_dir, "documents"), id_col="doc_id", group_col="source"
+        _t(spark, sf_dir, "documents", spread=False),
+        id_col="doc_id",
+        group_col="source",
     )
 
 

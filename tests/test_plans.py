@@ -192,3 +192,39 @@ def test_moving_avg_no_self_join(spark):
     plan = _plan(spark, "moving_avg_time_window")
     assert "Join" not in plan  # pure window, no event-log self-join
     assert plan.count("Exchange") == 1
+
+
+def test_q21_has_no_expand(spark):
+    """The dual distinct-count is a two-level exact aggregation; a dual
+    countDistinct agg would Expand (double) every lineitem row."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "Expand" not in plan
+
+
+def test_wave14_columnar_operators_stay_jvm_side(spark):
+    """The data-selection wave is pure column expressions + joins — no
+    Python eval nodes, no cartesian products."""
+    for name in [
+        "dsir_importance_weights", "domain_mix_weights",
+        "weighted_sample_docs", "cross_doc_ngram_coverage",
+        "tokenizer_fertility", "regr_corr_lineitem",
+    ]:
+        plan = _plan(spark, name)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "CartesianProduct"):
+            assert marker not in plan, f"{name}: unexpected {marker}"
+
+
+def test_weighted_sample_is_shuffle_free(spark):
+    """Sampling decisions are row-local md5 comparisons — the plan must be
+    scan -> project/filter with zero exchanges."""
+    plan = _plan(spark, "weighted_sample_docs")
+    assert plan.count("Exchange") == 0
+
+
+def test_regr_corr_single_shuffle(spark):
+    """Power sums ride one grouped aggregation: scan -> partial agg ->
+    one exchange -> final agg -> project."""
+    plan = _plan(spark, "regr_corr_lineitem")
+    assert plan.count("Exchange") == 1
+    assert "Expand" not in plan
