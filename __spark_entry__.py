@@ -1091,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE12_QUERIES,
         **_WAVE13_QUERIES,
         **_WAVE14_QUERIES,
+        **_WAVE15_QUERIES,
     }
     # Never-driver-checked queries first so the driver's fixed-size window
     # rotates through the whole declared surface across rounds.
@@ -1177,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE12_SQL,
         **_WAVE13_SQL,
         **_WAVE14_SQL,
+        **_WAVE15_SQL,
     }
 
 
@@ -4421,4 +4423,179 @@ _WAVE14_SQL = {
     "cross_doc_ngram_coverage": CROSS_NGRAM_SQL,
     "tokenizer_fertility": FERTILITY_SQL,
     "regr_corr_lineitem": REGR_CORR_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 15: vector compression (PQ encode), dedup-at-ingest against
+# a historical store, distributed exact training-order shuffle, linear
+# quality scoring.
+# --------------------------------------------------------------------------
+
+def pq_encode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for every embedding (8 subspaces x 16
+    centroids, md5-derived integer codebook): integer L2 argmin per
+    subspace, nibble-packed into one int64 — engine-exact, so the DuckDB
+    oracle reproduces every code bit-for-bit."""
+    return sim.pq_encode(
+        spark, _t(spark, sf_dir, "embeddings"), n_subspaces=8, n_centroids=16
+    )
+
+
+PQ_ENCODE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+cents AS (SELECT unnest(generate_series(0, 15)) AS c),
+js AS (SELECT unnest(generate_series(0, 7)) AS j),
+cb AS (
+  SELECT s, c, j,
+         CAST(('0x' || substr(md5('pq:' || CAST(s AS VARCHAR) || ':' ||
+                                  CAST(c AS VARCHAR) || ':' ||
+                                  CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2000 - 1000 AS w
+  FROM subs, cents, js),
+qe AS (
+  SELECT vec_id, subs.s, js.j, qv[subs.s * 8 + js.j + 1] AS qx
+  FROM q, subs, js),
+d2 AS (
+  SELECT vec_id, qe.s, cb.c, SUM((qx - w) * (qx - w)) AS dist
+  FROM qe JOIN cb ON cb.s = qe.s AND cb.j = qe.j
+  GROUP BY vec_id, qe.s, cb.c),
+best AS (
+  SELECT vec_id, s, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                            ORDER BY dist ASC, c ASC) AS rn
+  FROM d2)
+SELECT vec_id, CAST(SUM(c << (4 * s)) AS BIGINT) AS pq_code
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+def dedup_ingest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest: a synthetic incoming batch (the doc_id%10>=8 slice,
+    plus re-ingested copies of store docs, plus intra-batch duplicates) is
+    anti-joined against the historical fingerprint store (doc_id%10<8),
+    then batch-locally deduped keeping the lowest id."""
+    docs = _t(spark, sf_dir, "documents", spread=False).select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 10 < 8)
+    store = dd.fingerprint(store_docs, "doc_id", "text").select("fingerprint")
+    fresh = docs.filter(F.col("doc_id") % 10 >= 8)
+    reingested = store_docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    intra_dupes = fresh.select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    incoming = fresh.unionByName(reingested).unionByName(intra_dupes)
+    return dd.dedup_against_store(incoming, store, "doc_id", "text")
+
+
+DEDUP_INGEST_SQL = """
+WITH docs AS (SELECT doc_id, text FROM documents),
+store AS (SELECT DISTINCT md5(text) AS fingerprint FROM docs WHERE doc_id % 10 < 8),
+incoming AS (
+  SELECT doc_id, text FROM docs WHERE doc_id % 10 >= 8
+  UNION ALL
+  SELECT doc_id + 200000, text FROM docs WHERE doc_id % 10 < 8 AND doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 300000, text FROM docs WHERE doc_id % 10 >= 8),
+fresh AS (
+  SELECT doc_id, md5(text) AS fingerprint FROM incoming
+  WHERE md5(text) NOT IN (SELECT fingerprint FROM store)),
+ranked AS (
+  SELECT doc_id, fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+  FROM fresh)
+SELECT doc_id, fingerprint FROM ranked WHERE rn = 1
+"""
+
+
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-stable training order: md5 sort key per doc,
+    exact global rank via the bucketed two-level ranking (no
+    single-partition window)."""
+    keyed = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))).alias("sort_key")
+    )
+    return cp.global_sort_rank(keyed, key_col="sort_key", id_col="doc_id")
+
+
+TRAIN_ORDER_SQL = """
+WITH keyed AS (
+  SELECT doc_id, md5('ord:' || CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM documents)
+SELECT doc_id, sort_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY sort_key ASC, doc_id ASC) AS BIGINT)
+         AS shuffle_rank
+FROM keyed
+"""
+
+
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over integer text features with fixed
+    milli-unit weights — the shape of a fasttext-style filter's scoring
+    pass. The logit is an exact integer dot product divided once by 1000;
+    keep = logit > 0. Shuffle-free scan."""
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    toks = F.split(F.regexp_replace(F.col("text"), r"\s+", " "), " ")
+    n_tokens = F.size(F.filter(toks, lambda t: t != ""))
+    n_chars = F.length("text")
+    n_digits = n_chars - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    n_spaces = n_chars - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    # milli-weights: +3/token, -1/char, -20/digit, +5/space, bias -40
+    logit_milli = (
+        n_tokens * 3 - n_chars + n_digits * -20 + n_spaces * 5 - 40
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_digits.cast("long").alias("n_digits"),
+        n_spaces.cast("long").alias("n_spaces"),
+        (logit_milli.cast("double") / F.lit(1000.0)).alias("logit"),
+        (logit_milli > 0).alias("keep"),
+    )
+
+
+QUALITY_LINEAR_SQL = """
+WITH feats AS (
+  SELECT doc_id,
+         len(list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                         x -> x <> '')) AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+         length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_spaces
+  FROM documents),
+scored AS (
+  SELECT doc_id, n_tokens, n_chars, n_digits, n_spaces,
+         n_tokens * 3 - n_chars + n_digits * -20 + n_spaces * 5 - 40 AS logit_milli
+  FROM feats)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_digits AS BIGINT) AS n_digits,
+       CAST(n_spaces AS BIGINT) AS n_spaces,
+       CAST(logit_milli AS DOUBLE) / 1000.0 AS logit,
+       logit_milli > 0 AS keep
+FROM scored
+"""
+
+
+_WAVE15_QUERIES = {
+    "pq_encode_vectors": pq_encode_vectors,
+    "dedup_ingest_batch": dedup_ingest_batch,
+    "training_order_shuffle": training_order_shuffle,
+    "quality_linear_score": quality_linear_score,
+}
+
+_WAVE15_SQL = {
+    "pq_encode_vectors": PQ_ENCODE_SQL,
+    "dedup_ingest_batch": DEDUP_INGEST_SQL,
+    "training_order_shuffle": TRAIN_ORDER_SQL,
+    "quality_linear_score": QUALITY_LINEAR_SQL,
 }

@@ -140,6 +140,11 @@ BENCH_QUERIES = [
     "cross_doc_ngram_coverage",
     "tokenizer_fertility",
     "regr_corr_lineitem",
+    # wave 15: vector compression, ingest dedup, training order
+    "pq_encode_vectors",
+    "dedup_ingest_batch",
+    "training_order_shuffle",
+    "quality_linear_score",
 ]
 
 

@@ -325,3 +325,46 @@ def cross_doc_ngram_coverage(
             / F.col("n_ngrams").cast("double"),
         )
     )
+
+
+def global_sort_rank(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Exact global 1-based rank under the total order (key, id) WITHOUT a
+    single-partition window: the naive ``row_number() over (order by key)``
+    funnels the whole dataset through one task. Instead: bucket rows by the
+    key's first two hex chars (prefix-consistent with lexicographic order),
+    rank inside each bucket in parallel, and add each bucket's cumulative
+    offset — a 256-row table that broadcasts. This is the deterministic
+    "training-order shuffle" a data pipeline materialises so every epoch
+    reads the same order.
+
+    Assumes ``key_col`` is a lowercase hex string (md5). Two shuffles: the
+    bucket window and the bucket-count aggregation (both keyed), plus a
+    broadcast join — no global exchange-to-one anywhere.
+    """
+    bucketed = df.withColumn(
+        "__bucket", F.conv(F.substring(F.col(key_col), 1, 2), 16, 10).cast("int")
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(
+        F.col(key_col).asc(), F.col(id_col).asc()
+    )
+    counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    return (
+        bucketed.withColumn("__intra", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            rank_col, (F.col("__offset") + F.col("__intra")).cast("long")
+        )
+        .drop("__bucket", "__intra", "__offset")
+    )

