@@ -29,3 +29,64 @@ def stream_dedup(
     return events.withWatermark(
         ts_col, watermark_delay
     ).dropDuplicatesWithinWatermark(dedup_keys or ["event_id"])
+
+
+def stream_ingest_dedup(
+    spark,
+    source_path: str,
+    schema,
+    store_path: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous corpus growth with dedup-at-ingest: stream incoming
+    documents, drop anything whose content fingerprint already exists in
+    the persistent store (or earlier in the same batch, lowest id wins),
+    append survivors to the corpus and their fingerprints to the store.
+
+    This is the streaming twin of ``dedup.dedup_against_store``: each
+    micro-batch costs one anti-join against the store table plus one
+    batch-local shuffle — the store is the ONLY state, it lives in
+    storage (not executor memory), and it grows by exactly the accepted
+    fingerprints, so the operator's state burden at 100 TB is a parquet
+    table of (id, fingerprint), not stream-lifetime executor state.
+    """
+    from pyspark.sql import functions as F
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.dedup import (
+        dedup_against_store,
+    )
+
+    raw = spark.readStream.schema(schema).json(source_path)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            store = spark.read.parquet(store_path)
+        else:
+            store = spark.createDataFrame([], f"{id_col} long, fingerprint string")
+        kept = dedup_against_store(
+            batch_df, store, id_col=id_col, text_col=text_col
+        )
+        # join survivors back to their full rows; append-only sinks
+        survivors = batch_df.join(kept.select(id_col), on=id_col)
+        survivors.write.mode("append").parquet(corpus_path)
+        kept.select(F.col(id_col), "fingerprint").write.mode("append").parquet(
+            store_path
+        )
+
+    writer = (
+        raw.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

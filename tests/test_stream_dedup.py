@@ -76,3 +76,55 @@ def test_stream_dedup_drops_redeliveries_across_batches(spark, tmp_path):
     # the FIRST arrival won: id 2 kept value 2.0, id 3 kept 3.0
     vals = {r.event_id: r.value for r in out.collect()}
     assert vals[2] == 2.0 and vals[3] == 3.0
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _write_docs(srcdir, name, rows):
+    with open(os.path.join(srcdir, name), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def test_stream_ingest_dedup_across_batches(spark, tmp_path):
+    """Batch 2 must not re-admit content accepted in batch 1 (the store is
+    the cross-batch state); intra-batch dupes keep the lowest id."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.dedup_stream import (
+        stream_ingest_dedup,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    store = os.path.join(str(tmp_path), "store")
+    corpus = os.path.join(str(tmp_path), "corpus")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def run():
+        q = stream_ingest_dedup(
+            spark, src, DOC_SCHEMA, store, corpus, ckpt, trigger_once=True
+        )
+        q.awaitTermination(180)
+
+    _write_docs(src, "b1.json", [(1, "alpha"), (2, "beta"), (3, "beta")])
+    run()
+    got1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 2}  # intra-batch dupe 3 dropped
+
+    _write_docs(
+        src, "b2.json", [(10, "alpha"), (11, "gamma"), (12, "gamma")]
+    )
+    run()
+    rows = spark.read.parquet(corpus).collect()
+    got2 = {r.doc_id for r in rows}
+    assert got2 == {1, 2, 11}  # 10 (store dup) and 12 (intra dup) dropped
+    texts = sorted(r.text for r in rows)
+    assert texts == ["alpha", "beta", "gamma"]
+    # the store carries exactly the accepted fingerprints
+    fps = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert fps == {1, 2, 11}
