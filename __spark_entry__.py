@@ -4599,3 +4599,94 @@ _WAVE15_SQL = {
     "training_order_shuffle": TRAIN_ORDER_SQL,
     "quality_linear_score": QUALITY_LINEAR_SQL,
 }
+
+
+def ivfpq_topk_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ approximate search (coarse quantize -> PQ codes -> probe
+    -> ADC scan -> top-k), integer-exact end to end: the oracle reproduces
+    the APPROXIMATE pipeline bit-for-bit — list assignment, probe choice,
+    ADC distances and ranks — not merely an exact-mode configuration."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivfpq_topk(
+        spark, emb, queries, k=5, n_lists=8, nprobe=2,
+        n_subspaces=8, n_centroids=16,
+    )
+
+
+IVFPQ_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+dims AS (SELECT unnest(generate_series(0, 63)) AS j),
+lists AS (SELECT unnest(generate_series(0, 7)) AS l),
+cc AS (
+  SELECT l, j,
+         CAST(('0x' || substr(md5('ivf:' || CAST(l AS VARCHAR) || ':' ||
+                                  CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2000 - 1000 AS w
+  FROM lists, dims),
+subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+cents AS (SELECT unnest(generate_series(0, 15)) AS c),
+js AS (SELECT unnest(generate_series(0, 7)) AS sj),
+cb AS (
+  SELECT s, c, sj,
+         CAST(('0x' || substr(md5('pq:' || CAST(s AS VARCHAR) || ':' ||
+                                  CAST(c AS VARCHAR) || ':' ||
+                                  CAST(sj AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2000 - 1000 AS w
+  FROM subs, cents, js),
+qe AS (SELECT vec_id, j, qv[j + 1] AS qx FROM q, dims),
+cdist AS (
+  SELECT vec_id, l, SUM((qx - w) * (qx - w)) AS d
+  FROM qe JOIN cc USING (j) GROUP BY vec_id, l),
+assign AS (
+  SELECT vec_id AS neighbor_id, l AS list_id FROM (
+    SELECT vec_id, l,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, l ASC) AS rn
+    FROM cdist) WHERE rn = 1),
+sqe AS (
+  SELECT vec_id, subs.s, js.sj, qv[subs.s * 8 + js.sj + 1] AS qx
+  FROM q, subs, js),
+d2 AS (
+  SELECT vec_id, sqe.s, cb.c, SUM((qx - w) * (qx - w)) AS dist
+  FROM sqe JOIN cb ON cb.s = sqe.s AND cb.sj = sqe.sj
+  GROUP BY vec_id, sqe.s, cb.c),
+codes AS (
+  SELECT vec_id AS neighbor_id, CAST(SUM(c << (4 * s)) AS BIGINT) AS pq_code
+  FROM (
+    SELECT vec_id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, c ASC) AS rn
+    FROM d2) WHERE rn = 1
+  GROUP BY vec_id),
+probes AS (
+  SELECT vec_id AS query_id, l AS list_id FROM (
+    SELECT vec_id, l,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, l ASC) AS rn
+    FROM cdist WHERE vec_id < 5) WHERE rn <= 2),
+lut AS (
+  SELECT vec_id AS query_id, s, c, dist FROM d2 WHERE vec_id < 5),
+cand AS (
+  SELECT p.query_id, a.neighbor_id, co.pq_code
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN codes co ON co.neighbor_id = a.neighbor_id),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, SUM(l2.dist) AS adc_dist
+  FROM cand c
+  CROSS JOIN subs
+  JOIN lut l2 ON l2.query_id = c.query_id AND l2.s = subs.s
+             AND l2.c = ((c.pq_code >> (4 * subs.s)) & 15)
+  GROUP BY c.query_id, c.neighbor_id)
+SELECT query_id, neighbor_id, adc_dist, "rank" FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS "rank"
+  FROM adc) WHERE "rank" <= 5
+"""
+
+_WAVE15_QUERIES["ivfpq_topk"] = ivfpq_topk_vectors
+_WAVE15_SQL["ivfpq_topk"] = IVFPQ_SQL

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "dedup_ingest_batch",
     "training_order_shuffle",
     "quality_linear_score",
+    "ivfpq_topk",
 ]
 
 

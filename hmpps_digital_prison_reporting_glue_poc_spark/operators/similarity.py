@@ -624,3 +624,163 @@ def pq_encode(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(kernel, schema=out_schema)
+
+
+def md5_coarse_centroids(
+    n_lists: int, dim: int, scale: int = 1000
+) -> "np.ndarray":
+    """Deterministic IVF coarse-quantizer centroids, same md5-integer
+    construction as ``md5_pq_codebook`` (component (l, j) from
+    md5('ivf:l:j')). Production trains these with k-means; fixing them
+    makes the whole search path exactly verifiable."""
+    import hashlib
+
+    cc = np.empty((n_lists, dim), dtype=np.int64)
+    for li in range(n_lists):
+        for j in range(dim):
+            h = hashlib.md5(f"ivf:{li}:{j}".encode()).hexdigest()[:8]
+            cc[li, j] = int(h, 16) % (2 * scale) - scale
+    return cc
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ approximate nearest-neighbour search, end to end:
+
+    1. **Index** (one corpus pass, no shuffle): every vector is assigned
+       to its nearest coarse centroid (integer L2, ties to the lowest
+       list id) and PQ-encoded against the subspace codebook — the
+       corpus is represented as (id, list_id, pq_code): 12 bytes/vector.
+    2. **Probe**: each query (small frame, collected like
+       ``cosine_topk_np``'s queries) selects its ``nprobe`` nearest
+       coarse lists and precomputes the 16 x n_subspaces ADC lookup
+       table of integer distances to every codebook centroid.
+    3. **Scan**: candidates = index rows equi-joined to the broadcast
+       (query, list) probe table — the only shuffle-ish step, and it
+       moves codes, not vectors. ADC distance = sum of LUT entries
+       selected by the code's nibbles (Arrow-batched integer lookups).
+    4. **Top-k** per query by (adc_dist asc, neighbor id asc).
+
+    Every arithmetic step is int64, so the FULL APPROXIMATE pipeline —
+    not just an exact-mode configuration — has a bit-exact SQL oracle.
+    Returns (query_id, neighbor_id, adc_dist, rank).
+    """
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    sub_dim = dim // n_subspaces
+    cb = md5_pq_codebook(n_subspaces, n_centroids, sub_dim, quant_scale)
+    cc = md5_coarse_centroids(n_lists, dim, quant_scale)
+    bcb = spark.sparkContext.broadcast(cb)
+    bcc = spark.sparkContext.broadcast(cc)
+
+    idx_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("pq_code", T.LongType()),
+        ]
+    )
+
+    def index_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codebook, coarse = bcb.value, bcc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qmat = np.floor(mat * quant_scale).astype(np.int64)
+            cd = ((qmat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+            list_id = np.argmin(cd, axis=1).astype(np.int32)  # first min = lowest id
+            codes = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(n_subspaces):
+                sub = qmat[:, s * sub_dim : (s + 1) * sub_dim]
+                diffs = sub[:, None, :] - codebook[s][None, :, :]
+                d2 = np.einsum("rcj,rcj->rc", diffs, diffs)
+                codes |= np.argmin(d2, axis=1).astype(np.int64) << (4 * s)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].astype("int64"),
+                    "list_id": list_id,
+                    "pq_code": codes,
+                }
+            )
+
+    index = corpus.select(id_col, vec_col).mapInPandas(
+        index_kernel, schema=idx_schema
+    )
+
+    qrows = queries.select(id_col, vec_col).collect()  # queries are small
+    probe_rows = []
+    luts: dict[int, "np.ndarray"] = {}
+    for r in qrows:
+        qid = int(r[0])
+        qv = np.floor(np.asarray(r[1], dtype=np.float64) * quant_scale).astype(
+            np.int64
+        )
+        cdist = ((cc - qv[None, :]) ** 2).sum(axis=1)
+        order = np.argsort(cdist, kind="stable")[:nprobe]  # ties -> low list id
+        probe_rows.extend((qid, int(li)) for li in order)
+        lut = np.empty((n_subspaces, n_centroids), dtype=np.int64)
+        for s in range(n_subspaces):
+            sub = qv[s * sub_dim : (s + 1) * sub_dim]
+            lut[s] = ((cb[s] - sub[None, :]) ** 2).sum(axis=1)
+        luts[qid] = lut
+    probes = spark.createDataFrame(
+        probe_rows, schema="query_id LONG, list_id INT"
+    )
+    bluts = spark.sparkContext.broadcast(luts)
+
+    cand = index.join(F.broadcast(probes), "list_id")
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc_dist", T.LongType()),
+        ]
+    )
+
+    def adc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tables = bluts.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = pdf["pq_code"].to_numpy(dtype=np.int64)
+            qids = pdf["query_id"].to_numpy(dtype=np.int64)
+            dists = np.zeros(len(pdf), dtype=np.int64)
+            for qid in np.unique(qids):
+                mask = qids == qid
+                lut = tables[int(qid)]
+                sub_codes = codes[mask]
+                acc = np.zeros(mask.sum(), dtype=np.int64)
+                for s in range(n_subspaces):
+                    nib = (sub_codes >> (4 * s)) & 15
+                    acc += lut[s][nib]
+                dists[mask] = acc
+            yield pd.DataFrame(
+                {
+                    "query_id": qids,
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "adc_dist": dists,
+                }
+            )
+
+    scored = cand.mapInPandas(adc_kernel, schema=adc_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -106,3 +106,38 @@ def test_global_sort_rank_plan_has_no_single_partition_window(spark):
     # the row-data window is keyed by __bucket (appears as a Window with
     # partition spec); assert the broadcast of the offsets happened
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_topk_deterministic_and_reasonable(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(80, 16)).astype(np.float64)
+    # plant an exact near-duplicate of vector 0 at id 70
+    vecs[70] = vecs[0] + 1e-9
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 3)
+    got = sim.ivfpq_topk(
+        spark, df, queries, k=3, n_lists=4, nprobe=4,
+        n_subspaces=4, n_centroids=16,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.adc_dist))
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        assert [r[0] for r in sorted(rows)] == [1, 2, 3]
+        # self-match has the minimal ADC distance (identical codes)
+        top = sorted(rows)[0]
+        assert top[1] in (qid, 70) if qid == 0 else True
+    # full-probe: query 0's code equals its near-dup's code, so both sit
+    # at the same (minimal) distance, tie-broken by id: 0 then 70
+    q0 = [n for _, n, _ in sorted(by_q[0])]
+    assert q0[0] == 0 and 70 in q0
+    # determinism: second run returns identical rows
+    again = sim.ivfpq_topk(
+        spark, df, queries, k=3, n_lists=4, nprobe=4,
+        n_subspaces=4, n_centroids=16,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
