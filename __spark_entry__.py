@@ -4299,14 +4299,18 @@ WITH toksed AS (
   FROM documents),
 grams AS (SELECT doc_id, unnest({_NGRAMS8_SQL}) AS ngram FROM toksed),
 per_doc AS (
-  SELECT doc_id, ngram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, ngram),
-dfq AS (SELECT ngram, COUNT(*) AS ndocs FROM per_doc GROUP BY ngram)
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(ngram), 1, 15)) AS BIGINT) AS gkey,
+         COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, CAST(('0x' || substr(md5(ngram), 1, 15)) AS BIGINT)),
+flagged AS (
+  SELECT doc_id, cnt, COUNT(*) OVER (PARTITION BY gkey) AS ndocs FROM per_doc)
 SELECT doc_id,
        CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
        CAST(SUM(CASE WHEN ndocs > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_ngrams,
        CAST(SUM(CASE WHEN ndocs > 1 THEN cnt ELSE 0 END) AS DOUBLE)
          / CAST(SUM(cnt) AS DOUBLE) AS cross_dup_frac
-FROM per_doc JOIN dfq USING (ngram)
+FROM flagged
 GROUP BY doc_id
 """
 

@@ -293,26 +293,32 @@ def cross_doc_ngram_coverage(
     document. Documents with high coverage are boilerplate/templated text
     even when no whole-document near-dup fires.
 
-    Scale shape: one (ngram, doc) partial-count aggregation, one
-    vocabulary-sized doc-frequency aggregation joined back on the ngram
-    key, one doc-keyed rollup — all equi-shuffles keyed by ngram/doc, no
-    cross joins, integer counts end to end (the ratio is a division of two
-    exact int64s).
+    Scale shape: n-grams are keyed by their 60-bit md5 prefix (an int64)
+    the moment they are built, so every shuffle moves 8-byte keys instead
+    of ~n*8-byte strings; the doc-frequency pass is a window over the
+    (doc, gram) partial counts — the producing aggregation runs ONCE (a
+    join back to a separately-derived frequency table would re-run it per
+    join side). Three keyed shuffles total, no self-joins, integer counts
+    end to end. Hash collisions (2^-60-scale) would merge two grams
+    corpus-wide — deterministically, and identically in any engine that
+    uses the same key.
     Returns (id, n_ngrams, n_dup_ngrams, cross_dup_frac).
     """
+    gram_key = F.conv(
+        F.substring(F.md5(F.col("ngram")), 1, 15), 16, 10
+    ).cast("long")
     per_doc = (
         df.select(
             F.col(id_col), F.explode(_ngrams(F.col(text_col), n)).alias("ngram")
         )
-        .groupBy(id_col, "ngram")
+        .select(F.col(id_col), gram_key.alias("gkey"))
+        .groupBy(id_col, "gkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    docfreq = per_doc.groupBy("ngram").agg(
-        F.count(F.lit(1)).alias("ndocs")
-    )
+    w = Window.partitionBy("gkey")
+    flagged = per_doc.withColumn("ndocs", F.count(F.lit(1)).over(w))
     return (
-        per_doc.join(docfreq, "ngram")
-        .groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.sum("cnt").cast("long").alias("n_ngrams"),
             F.sum(F.when(F.col("ndocs") > 1, F.col("cnt")).otherwise(0))

@@ -15,10 +15,13 @@ and per-group tables are broadcast. Nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+    materialize as _materialize,
+)
 
 
 def _u32(col: F.Column) -> F.Column:
@@ -59,9 +62,15 @@ def dsir_importance_weights(
         F.col(target_col).alias("__is_tgt"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
-    freqs = toks.groupBy("token").agg(
-        F.count(F.lit(1)).alias("all_c"),
-        F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("tgt_c"),
+    # The frequency table feeds both the totals aggregate and the
+    # per-occurrence scoring join; store it once (vocabulary-sized) so
+    # the corpus-wide token count does not re-run per consumer.
+    freqs = _materialize(
+        toks.groupBy("token").agg(
+            F.count(F.lit(1)).alias("all_c"),
+            F.sum(F.when(F.col("__is_tgt"), 1).otherwise(0)).alias("tgt_c"),
+        ),
+        "dsir_freqs_",
     )
     totals = freqs.agg(
         F.sum("all_c").alias("all_total"),
@@ -111,8 +120,10 @@ def domain_mix_weights(
       domain's sampling weight normalised by the largest domain (max is an
       order-free reduction, so no float-summation hazard).
 
-    One token-count groupBy per domain + a broadcast of the tiny per-domain
-    table; no driver collection.
+    One corpus token-count groupBy; the totals come from an unpartitioned
+    window OVER THE AGGREGATED per-domain table (domain-count rows, not
+    corpus rows) so the corpus aggregation runs once — a crossJoin with a
+    separately-derived totals frame would re-run it per side.
     Returns (group, n_docs, n_tokens, token_share, upsample_factor,
     weight_vs_max).
     """
@@ -120,12 +131,12 @@ def domain_mix_weights(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens(F.col(text_col)))).cast("long").alias("n_tokens"),
     )
-    tot = per.agg(
-        F.sum("n_tokens").alias("all_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
-    )
+    w = Window.partitionBy()
+    per = per.withColumn(
+        "all_tokens", F.sum("n_tokens").over(w)
+    ).withColumn("max_tokens", F.max("n_tokens").over(w))
     return (
-        per.crossJoin(F.broadcast(tot))
+        per
         .select(
             F.col("grp").alias(group_col),
             "n_docs",
