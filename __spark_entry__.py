@@ -1092,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE13_QUERIES,
         **_WAVE14_QUERIES,
         **_WAVE15_QUERIES,
+        **_WAVE16_QUERIES,
     }
     # Never-driver-checked queries first so the driver's fixed-size window
     # rotates through the whole declared surface across rounds.
@@ -1179,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE13_SQL,
         **_WAVE14_SQL,
         **_WAVE15_SQL,
+        **_WAVE16_SQL,
     }
 
 
@@ -4694,3 +4696,139 @@ SELECT query_id, neighbor_id, adc_dist, "rank" FROM (
 
 _WAVE15_QUERIES["ivfpq_topk"] = ivfpq_topk_vectors
 _WAVE15_SQL["ivfpq_topk"] = IVFPQ_SQL
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 16: remaining scalar/set surface — array function family,
+# bitwise aggregates, null-preserving generators, multiset EXCEPT ALL.
+# --------------------------------------------------------------------------
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over token arrays: sort, distinct, slice,
+    set-intersect/union/except against a constant vocabulary, contains,
+    position — all JVM codegen, engine-exact (first 200 docs bound the
+    output)."""
+    docs = _t(spark, sf_dir, "documents", spread=False).filter(
+        F.col("doc_id") < 200
+    )
+    toks = F.array_sort(F.array_distinct(txt_tokens(F.col("text"))))
+    probe = F.array(F.lit("data"), F.lit("query"), F.lit("table"))
+    # array-typed intermediates are exercised; outputs are emitted as
+    # joined strings (atomic columns) for the driver canonicalizer
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_distinct"),
+        F.array_join(F.slice(toks, 1, 3), ",").alias("first3"),
+        F.array_join(
+            F.array_sort(F.array_intersect(toks, probe)), ","
+        ).alias("inter_probe"),
+        F.size(F.array_except(toks, probe)).cast("long").alias("n_minus_probe"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_position(toks, "query").cast("long").alias("query_pos"),
+    )
+
+
+ARRAY_FUNCS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(string_split(text, ' '),
+                                             x -> x <> ''))) AS toks
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_distinct,
+       COALESCE(array_to_string(toks[1:3], ','), '') AS first3,
+       COALESCE(array_to_string(
+           list_sort(list_intersect(toks, ['data', 'query', 'table'])), ','), '')
+         AS inter_probe,
+       CAST(len(list_filter(toks, x -> x NOT IN ('data', 'query', 'table')))
+            AS BIGINT) AS n_minus_probe,
+       list_contains(toks, 'data') AS has_data,
+       CAST(COALESCE(list_position(toks, 'query'), 0) AS BIGINT) AS query_pos
+FROM t
+"""
+
+
+def bitwise_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor of event ids
+    per type) — integer-exact by definition."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("ids_and"),
+        F.bit_or("event_id").alias("ids_or"),
+        F.bit_xor("event_id").alias("ids_xor"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+BITWISE_SQL = """
+SELECT event_type,
+       bit_and(event_id) AS ids_and,
+       bit_or(event_id) AS ids_or,
+       bit_xor(event_id) AS ids_xor,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def explode_outer_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving generator: posexplode_outer over a conditionally
+    empty array — rows with no elements survive with NULL pos/token (the
+    LEFT JOIN LATERAL shape)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    arr = F.when(
+        F.col("event_type").isin("view", "click"),
+        txt_tokens(F.col("event_type")),
+    )  # other types -> NULL array
+    return ev.select(
+        "event_id", posexplode_outer_cols(arr)
+    ).select(
+        "event_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("token"),
+    )
+
+
+def posexplode_outer_cols(arr):
+    return F.posexplode_outer(arr).alias("pos", "token")
+
+
+# the generated array is a single token when non-null (event_type has no
+# spaces), so the null-preserving explode's closed form is a CASE
+EXPLODE_OUTER_SQL = """
+SELECT event_id,
+       CASE WHEN event_type IN ('view', 'click') THEN CAST(0 AS BIGINT) END AS pos,
+       CASE WHEN event_type IN ('view', 'click') THEN event_type END AS token
+FROM events WHERE event_id < 2000
+"""
+
+
+def except_all_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: each user's view events minus purchase events
+    BY MULTIPLICITY (a user with 5 views and 2 purchases keeps 3 view
+    rows) — projected to user_id so the multiset difference is visible."""
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.exceptAll(purch)
+
+
+EXCEPT_ALL_SQL = """
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+_WAVE16_QUERIES = {
+    "array_functions": array_functions,
+    "bitwise_agg_events": bitwise_agg_events,
+    "explode_outer_props": explode_outer_props,
+    "except_all_purchases": except_all_purchases,
+}
+
+_WAVE16_SQL = {
+    "array_functions": ARRAY_FUNCS_SQL,
+    "bitwise_agg_events": BITWISE_SQL,
+    "explode_outer_props": EXPLODE_OUTER_SQL,
+    "except_all_purchases": EXCEPT_ALL_SQL,
+}

@@ -146,6 +146,11 @@ BENCH_QUERIES = [
     "training_order_shuffle",
     "quality_linear_score",
     "ivfpq_topk",
+    # wave 16: scalar/set surface completion
+    "array_functions",
+    "bitwise_agg_events",
+    "explode_outer_props",
+    "except_all_purchases",
 ]
 
 
