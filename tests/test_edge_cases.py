@@ -1,0 +1,107 @@
+"""Degenerate-input sweep: empty frames, single rows, empty/whitespace
+text, zero vectors — the inputs that break sequence()/slice() arithmetic,
+argmin ties, and division if an operator hasn't guarded them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import corpus as cp
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import dedup as dd
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import mixing as mx
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import similarity as sim
+from hmpps_digital_prison_reporting_glue_poc_spark.operators import textstats as ts
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_ops_on_empty_frame(spark):
+    empty = _docs(spark, [])
+    assert dd.exact_dup_groups(empty, "doc_id", "text").count() == 0
+    assert dd.minhash_signatures(empty, "doc_id", "text").count() == 0
+    assert dd.jaccard_pairs(empty, "doc_id", "text", max_df=5).count() == 0
+    assert dd.simhash(empty, "doc_id", "text").count() == 0
+    assert (
+        dd.minhash_jaccard_estimates(empty, "doc_id", "text").count() == 0
+    )
+
+
+def test_text_ops_on_empty_and_whitespace_text(spark):
+    df = _docs(spark, [(1, ""), (2, "   "), (3, "one")])
+    stats = {r.doc_id: r for r in ts.token_stats(df, "doc_id", "text").collect()}
+    assert stats[1].n_tokens == 0 and stats[2].n_tokens == 0
+    assert stats[3].n_tokens == 1
+    # shingles of sub-k docs: one whole-text shingle, never negative slices
+    sigs = dd.minhash_signatures(df, "doc_id", "text", num_hashes=2)
+    assert sigs.count() == 3
+    # n-grams shorter than n contribute nothing (not reversed sequences)
+    grams = cp.cross_doc_ngram_coverage(df, n=8)
+    assert grams.count() == 0
+
+
+def test_chunking_and_packing_tiny_docs(spark):
+    df = _docs(spark, [(1, "a b"), (2, "")])
+    chunks = cp.chunk_tokens(df, "doc_id", "text", size=32, stride=24)
+    got = {r.doc_id: r.n_chunk_tokens for r in chunks.collect()}
+    assert got == {1: 2}  # doc 2 has no tokens -> no chunk rows
+
+
+def test_mixing_ops_single_group(spark):
+    one = spark.createDataFrame(
+        [(1, "a b c", "only")], "doc_id long, text string, source string"
+    )
+    w = mx.domain_mix_weights(one).collect()[0]
+    assert w.token_share == 1.0
+    assert w.upsample_factor == 1.0 and w.weight_vs_max == 1.0
+    # dsir with zero target docs: tgt_c = 0 everywhere, still defined
+    df = spark.createDataFrame(
+        [(1, "x y", False), (2, "y z", False)],
+        "doc_id long, text string, is_target boolean",
+    )
+    rows = mx.dsir_importance_weights(df).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.dsir_logweight is not None
+
+
+def test_similarity_ops_single_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    # LSH over one vector: no pairs, no crash
+    assert sim.hyperplane_lsh_pairs_md5(
+        spark, df, n_bits=4, n_tables=2
+    ).count() == 0
+    code = sim.pq_encode(spark, df, n_subspaces=2, n_centroids=4).collect()
+    assert len(code) == 1
+    # ivfpq: query == entire corpus of one
+    got = sim.ivfpq_topk(
+        spark, df, df, k=3, n_lists=2, nprobe=2, n_subspaces=2, n_centroids=4
+    ).collect()
+    assert len(got) == 1 and got[0].neighbor_id == 1 and got[0].rank == 1
+
+
+def test_global_sort_rank_single_row_and_ties(spark):
+    one = spark.createDataFrame(
+        [(7, "aa")], "doc_id long, sort_key string"
+    )
+    r = cp.global_sort_rank(one, key_col="sort_key").collect()[0]
+    assert r.shuffle_rank == 1
+    # identical keys: rank decided by id, still a permutation
+    dup = spark.createDataFrame(
+        [(1, "k"), (2, "k"), (3, "k")], "doc_id long, sort_key string"
+    )
+    got = {
+        r.doc_id: r.shuffle_rank
+        for r in cp.global_sort_rank(dup, key_col="sort_key").collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_dedup_against_empty_store(spark):
+    store = spark.createDataFrame([], "doc_id long, fingerprint string")
+    incoming = _docs(spark, [(5, "x"), (6, "x")])
+    kept = dd.dedup_against_store(incoming, store).collect()
+    assert [r.doc_id for r in kept] == [5]
