@@ -228,3 +228,38 @@ def test_regr_corr_single_shuffle(spark):
     plan = _plan(spark, "regr_corr_lineitem")
     assert plan.count("Exchange") == 1
     assert "Expand" not in plan
+
+
+def test_wave15_plan_properties(spark):
+    """pq encode: narrow mapInPandas, no shuffle. dedup ingest: native
+    LeftAnti. ivfpq: candidate join is broadcast (probe table), no
+    cartesian product, no sort-merge join."""
+    pq = _plan(spark, "pq_encode_vectors")
+    assert pq.count("Exchange") == 0
+    ingest = _plan(spark, "dedup_ingest_batch")
+    assert "LeftAnti" in ingest
+    ivfpq = _plan(spark, "ivfpq_topk")
+    assert "CartesianProduct" not in ivfpq
+    assert "BroadcastHashJoin" in ivfpq
+    assert "SortMergeJoin" not in ivfpq
+
+
+def test_training_order_windows_are_bucketed(spark):
+    """The data-sized window partitions by bucket; a global unpartitioned
+    window over row data would serialize the corpus through one task.
+    The only exchanges are the bucket hash partitioning, the tiny
+    bucket-count aggregation, and its single-partition offset window."""
+    plan = _plan(spark, "training_order_shuffle")
+    # SinglePartition exchange feeds only the 256-row offsets window
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "BroadcastHashJoin" in plan  # offsets join back by broadcast
+
+
+def test_except_all_and_bitwise_native(spark):
+    """exceptAll lowers to a native set-op plan (no Python), bitwise aggs
+    ride one hash aggregate exchange."""
+    ex = _plan(spark, "except_all_purchases")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in ex
+    bw = _plan(spark, "bitwise_agg_events")
+    assert bw.count("Exchange") == 1
