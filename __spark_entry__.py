@@ -1093,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE14_QUERIES,
         **_WAVE15_QUERIES,
         **_WAVE16_QUERIES,
+        **_WAVE17_QUERIES,
     }
     # Never-driver-checked queries first so the driver's fixed-size window
     # rotates through the whole declared surface across rounds.
@@ -1181,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE14_SQL,
         **_WAVE15_SQL,
         **_WAVE16_SQL,
+        **_WAVE17_SQL,
     }
 
 
@@ -4831,4 +4833,127 @@ _WAVE16_SQL = {
     "bitwise_agg_events": BITWISE_SQL,
     "explode_outer_props": EXPLODE_OUTER_SQL,
     "except_all_purchases": EXCEPT_ALL_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 17: multimodal scene-cut detection over frame fingerprints,
+# skew diagnostics for shuffle planning.
+# --------------------------------------------------------------------------
+
+def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the frame stream: a cut is a frame whose
+    fingerprint differs from its predecessor's (frame 0 always starts a
+    scene). Runs on the chunked binary frames from chunk_media — one
+    media-keyed window pass; emits per-media scene counts. The pattern a
+    video pipeline uses to pick keyframes for decode/embedding."""
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    media = mm.attach_binary(docs, "doc_id", "text")
+    frames = mm.chunk_media(media, frame_bytes=64)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    cuts = frames.withColumn(
+        "__is_cut",
+        F.coalesce(
+            F.lag("frame_md5").over(w) != F.col("frame_md5"), F.lit(True)
+        ),
+    )
+    return cuts.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.when(F.col("__is_cut"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_scenes"),
+        F.max("frame_idx").cast("long").alias("last_frame_idx"),
+    )
+
+
+SCENE_CUTS_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents),
+frames AS (
+  SELECT media_id, text,
+         unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS frame_idx
+  FROM media WHERE n > 0),
+prints AS (
+  SELECT media_id, frame_idx,
+         md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+  FROM frames),
+flagged AS (
+  SELECT media_id, frame_idx,
+         COALESCE(LAG(frame_md5) OVER (PARTITION BY media_id ORDER BY frame_idx)
+                  <> frame_md5, TRUE) AS is_cut
+  FROM prints)
+SELECT media_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_scenes,
+       CAST(MAX(frame_idx) AS BIGINT) AS last_frame_idx
+FROM flagged GROUP BY media_id
+"""
+
+
+def skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning skew diagnostics for the events stream keyed by
+    user: per-key-count distribution summary — max/min/avg key load, the
+    hottest key's share of all rows, and how many keys exceed 2x the mean
+    — the numbers that decide between a plain, salted, or broadcast join.
+    Two aggregations: corpus -> per-key counts -> key-count summary."""
+    ev = _events(spark, sf_dir)
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    stats = per_key.select(
+        "user_id",
+        "n",
+        F.sum("n").over(w).alias("total"),
+        F.count(F.lit(1)).over(w).alias("n_keys"),
+        F.max("n").over(w).alias("max_n"),
+    )
+    return stats.groupBy().agg(
+        F.max("n_keys").cast("long").alias("n_keys"),
+        F.max("max_n").cast("long").alias("max_key_rows"),
+        F.min("n").cast("long").alias("min_key_rows"),
+        (F.max("total").cast("double") / F.max("n_keys").cast("double")).alias(
+            "avg_key_rows"
+        ),
+        (F.max("max_n").cast("double") / F.max("total").cast("double")).alias(
+            "hottest_share"
+        ),
+        F.sum(
+            F.when(
+                F.col("n").cast("double") * F.col("n_keys").cast("double")
+                > 2.0 * F.col("total").cast("double"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hot_keys"),
+    )
+
+
+SKEW_STATS_SQL = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+tot AS (
+  SELECT SUM(n) AS total, COUNT(*) AS n_keys, MAX(n) AS max_n, MIN(n) AS min_n
+  FROM per_key)
+SELECT CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(max_n AS BIGINT) AS max_key_rows,
+       CAST(min_n AS BIGINT) AS min_key_rows,
+       CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_key_rows,
+       CAST(max_n AS DOUBLE) / CAST(total AS DOUBLE) AS hottest_share,
+       (SELECT CAST(SUM(CASE WHEN CAST(n AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
+                                  > 2.0 * CAST(t.total AS DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM per_key, tot t) AS n_hot_keys
+FROM tot
+"""
+
+
+_WAVE17_QUERIES = {
+    "media_scene_cuts": media_scene_cuts,
+    "skew_key_stats": skew_key_stats,
+}
+
+_WAVE17_SQL = {
+    "media_scene_cuts": SCENE_CUTS_SQL,
+    "skew_key_stats": SKEW_STATS_SQL,
 }

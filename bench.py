@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     "bitwise_agg_events",
     "explode_outer_props",
     "except_all_purchases",
+    # wave 17
+    "media_scene_cuts",
+    "skew_key_stats",
 ]
 
 
