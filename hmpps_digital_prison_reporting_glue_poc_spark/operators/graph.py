@@ -20,6 +20,7 @@ two longs) next to the edge shuffle.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 
@@ -46,6 +47,10 @@ def connected_components(
     """
     spark = edges.sparkSession
     workdir = work_dir or tempfile.mkdtemp(prefix="cc_labels_")
+    if work_dir is None:
+        # the returned frame lazily reads the final round's parquet, so
+        # the dir must outlive this call; reap it at interpreter exit
+        atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
