@@ -3434,7 +3434,8 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type,
-       COUNT(k) AS n_with_k, SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+       COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
 FROM (
   SELECT event_type,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -4683,7 +4684,7 @@ cand AS (
   JOIN assign a ON a.list_id = p.list_id
   JOIN codes co ON co.neighbor_id = a.neighbor_id),
 adc AS (
-  SELECT c.query_id, c.neighbor_id, SUM(l2.dist) AS adc_dist
+  SELECT c.query_id, c.neighbor_id, CAST(SUM(l2.dist) AS BIGINT) AS adc_dist
   FROM cand c
   CROSS JOIN subs
   JOIN lut l2 ON l2.query_id = c.query_id AND l2.s = subs.s

@@ -3,10 +3,13 @@ a local mirror of the driver's CORRECTNESS gate (row count + column names +
 order-insensitive values) at sf0.001 so mismatches surface before rounds.
 """
 
+import datetime as _dt
 import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -32,31 +35,37 @@ def ddb():
     con.close()
 
 
-def _normalise(rows, columns):
-    """Column-name-sorted, row-sorted, float-exact representation."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
+def _canon_value(v):
+    """Dtype-sensitive canonical string, shared by both engines' pandas
+    frames. Integral float64 renders as '99111.0' while int64 renders as
+    '99111' — deliberately DIFFERENT, because the driver's pandas-based
+    hasher distinguishes them (r3: DuckDB SUM(BIGINT) -> HUGEINT ->
+    float64 failed hash_match against Spark int64 despite equal values).
+    """
+    if v is None or v is pd.NaT:
+        return "null"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        fv = float(v)
+        return "nan" if math.isnan(fv) else repr(fv)
+    if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
+        return pd.Timestamp(v).isoformat()
+    return str(v)
 
-    def key(row):
-        out = []
-        for i in order:
-            v = row[i]
-            out.append((v is None, str(type(v)), str(v)))
-        return out
 
-    normed = []
-    for row in sorted(rows, key=key):
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("nan")
-                else:
-                    vals.append(repr(v))
-            else:
-                vals.append(str(v))
-        normed.append(tuple(vals))
-    return [columns[i] for i in order], normed
+def _normalise(pdf):
+    """Driver-equivalent canonical form of a pandas frame: lower-cased
+    column names sorted by name, rows sorted by canonical value."""
+    cols = [str(c).lower() for c in pdf.columns]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    normed = sorted(
+        tuple(_canon_value(row[i]) for i in order)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    return [cols[i] for i in order], normed
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -75,15 +84,11 @@ def test_query_matches_oracle(name, spark, ddb):
         f"{name}: non-atomic output columns {complex_cols} would crash the "
         "driver canonicalizer; emit them as joined strings instead"
     )
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = [c.lower() for c in sdf.columns]
-
-    rel = ddb.sql(ORACLES[name])
-    duck_rows = rel.fetchall()
-    duck_cols = [c.lower() for c in rel.columns]
-
-    s_cols, s_vals = _normalise(spark_rows, spark_cols)
-    d_cols, d_vals = _normalise(duck_rows, duck_cols)
+    # Both sides go through pandas, exactly like the driver: DuckDB via
+    # rel.df() (HUGEINT/DECIMAL -> float64, the r3 hazard fetchall() hid)
+    # and Spark via toPandas().
+    s_cols, s_vals = _normalise(sdf.toPandas())
+    d_cols, d_vals = _normalise(ddb.sql(ORACLES[name]).df())
 
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
     assert len(s_vals) == len(d_vals), (
