@@ -27,6 +27,7 @@ from hmpps_digital_prison_reporting_glue_poc_spark.operators import dedup as dd
 from hmpps_digital_prison_reporting_glue_poc_spark.operators import similarity as sim
 from hmpps_digital_prison_reporting_glue_poc_spark.operators import textstats as ts
 from hmpps_digital_prison_reporting_glue_poc_spark.operators import multimodal as mm
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize as _mat
 from hmpps_digital_prison_reporting_glue_poc_spark.operators.cdc import (
     first_event_per_key,
     latest_event_per_key,
@@ -3238,7 +3239,15 @@ def contamination_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 10 != 0) and the eval partition (doc_id % 10 == 0)."""
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 10 != 0)
-    evalset = docs.filter(F.col("doc_id") % 10 == 0)
+    # Eval branch: filter FIRST, then spread the surviving 10% — spreading
+    # the scan would shuffle the whole corpus for a subplan that is
+    # materialized (tiny) inside contamination_pairs anyway.
+    evalset = _spread(
+        spark,
+        _t(spark, sf_dir, "documents", spread=False).filter(
+            F.col("doc_id") % 10 == 0
+        ),
+    )
     return cp.contamination_pairs(train, evalset, n=5)
 
 
@@ -4229,8 +4238,8 @@ tot AS (SELECT SUM(all_c) AS all_total, SUM(tgt_c) AS tgt_total,
 SELECT doc_id,
        COUNT(*) AS n_tokens,
        CAST(SUM(CAST(ROUND(LN(
-           CAST((tgt_c + 1) * (all_total + vocab) AS DOUBLE)
-           / CAST((all_c + 1) * (tgt_total + vocab) AS DOUBLE)
+           (CAST(tgt_c + 1 AS DOUBLE) * CAST(all_total + vocab AS DOUBLE))
+           / (CAST(all_c + 1 AS DOUBLE) * CAST(tgt_total + vocab AS DOUBLE))
          ), 6) AS DECIMAL(28,6))) AS DOUBLE) AS dsir_logweight
 FROM toks JOIN freqs USING (token) CROSS JOIN tot
 GROUP BY doc_id
@@ -4867,22 +4876,28 @@ def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chunk_media slices UTF-8 BYTES; DuckDB's substring slices characters and
+# has no BLOB substring/md5. The output only needs cut DECISIONS (frame
+# equality), not the md5 values themselves, so the oracle byte-slices via
+# hex(encode(text)) — 2 hex chars per byte — and lag-compares the raw
+# slice. Byte-exact for multibyte text, same geometry as octet_length.
 SCENE_CUTS_SQL = """
 WITH media AS (
-  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
   FROM documents),
 frames AS (
-  SELECT media_id, text,
+  SELECT media_id, hx,
          unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS frame_idx
   FROM media WHERE n > 0),
 prints AS (
   SELECT media_id, frame_idx,
-         md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+         substring(hx, CAST(frame_idx * 128 + 1 AS BIGINT), 128) AS frame_fp
   FROM frames),
 flagged AS (
   SELECT media_id, frame_idx,
-         COALESCE(LAG(frame_md5) OVER (PARTITION BY media_id ORDER BY frame_idx)
-                  <> frame_md5, TRUE) AS is_cut
+         COALESCE(LAG(frame_fp) OVER (PARTITION BY media_id ORDER BY frame_idx)
+                  <> frame_fp, TRUE) AS is_cut
   FROM prints)
 SELECT media_id,
        COUNT(*) AS n_frames,
@@ -4897,36 +4912,45 @@ def skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     user: per-key-count distribution summary — max/min/avg key load, the
     hottest key's share of all rows, and how many keys exceed 2x the mean
     — the numbers that decide between a plain, salted, or broadcast join.
-    Two aggregations: corpus -> per-key counts -> key-count summary."""
+    The per-key count table is materialized once (one shuffle over the
+    corpus), corpus totals come from a scalar aggregate crossed back in
+    by broadcast — never an unpartitioned window, which would funnel
+    every distinct key through a single task (the exact trap
+    global_sort_rank documents)."""
     ev = _events(spark, sf_dir)
-    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy()
-    stats = per_key.select(
-        "user_id",
-        "n",
-        F.sum("n").over(w).alias("total"),
-        F.count(F.lit(1)).over(w).alias("n_keys"),
-        F.max("n").over(w).alias("max_n"),
+    per_key = _mat(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")),
+        "skew_per_key_",
     )
-    return stats.groupBy().agg(
-        F.max("n_keys").cast("long").alias("n_keys"),
-        F.max("max_n").cast("long").alias("max_key_rows"),
-        F.min("n").cast("long").alias("min_key_rows"),
-        (F.max("total").cast("double") / F.max("n_keys").cast("double")).alias(
-            "avg_key_rows"
-        ),
-        (F.max("max_n").cast("double") / F.max("total").cast("double")).alias(
-            "hottest_share"
-        ),
-        F.sum(
-            F.when(
-                F.col("n").cast("double") * F.col("n_keys").cast("double")
-                > 2.0 * F.col("total").cast("double"),
-                1,
-            ).otherwise(0)
+    totals = per_key.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.min("n").alias("min_n"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .groupBy()
+        .agg(
+            F.max("n_keys").cast("long").alias("n_keys"),
+            F.max("max_n").cast("long").alias("max_key_rows"),
+            F.max("min_n").cast("long").alias("min_key_rows"),
+            (
+                F.max("total").cast("double") / F.max("n_keys").cast("double")
+            ).alias("avg_key_rows"),
+            (
+                F.max("max_n").cast("double") / F.max("total").cast("double")
+            ).alias("hottest_share"),
+            F.sum(
+                F.when(
+                    F.col("n").cast("double") * F.col("n_keys").cast("double")
+                    > 2.0 * F.col("total").cast("double"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hot_keys"),
         )
-        .cast("long")
-        .alias("n_hot_keys"),
     )
 
 

@@ -77,18 +77,23 @@ def dsir_importance_weights(
         F.sum("tgt_c").alias("tgt_total"),
         F.count(F.lit(1)).alias("vocab"),
     )
-    # ln of a ratio of exact integer products: (tgt_c+1)*(all_total+V)
-    # and (all_c+1)*(tgt_total+V) each fit int64 comfortably (counts and
-    # totals are bounded by corpus token count ~ 1e12 at 100 TB; the
-    # product of a per-token count and a corpus total can exceed int64
-    # there, so the division is done double/double — conversion of each
-    # int64 to double is exact below 2^53 and identical in both engines).
+    # ln of a ratio of integer products: (tgt_c+1)*(all_total+V) over
+    # (all_c+1)*(tgt_total+V). Each FACTOR is cast to double before the
+    # multiply: factors are bounded by corpus token count (~1e12 at
+    # 100 TB, exact in double below 2^53) but their PRODUCT can exceed
+    # int64, where Spark (ANSI off) would silently wrap while DuckDB
+    # widens — double*double instead rounds once, identically (IEEE) in
+    # both engines at any scale.
     term = F.round(
         F.log(
-            ((F.col("tgt_c") + 1) * (F.col("all_total") + F.col("vocab")))
-            .cast("double")
-            / ((F.col("all_c") + 1) * (F.col("tgt_total") + F.col("vocab")))
-            .cast("double")
+            (
+                (F.col("tgt_c") + 1).cast("double")
+                * (F.col("all_total") + F.col("vocab")).cast("double")
+            )
+            / (
+                (F.col("all_c") + 1).cast("double")
+                * (F.col("tgt_total") + F.col("vocab")).cast("double")
+            )
         ),
         6,
     ).cast("decimal(28,6)")

@@ -53,6 +53,13 @@ def stream_ingest_dedup(
     storage (not executor memory), and it grows by exactly the accepted
     fingerprints, so the operator's state burden at 100 TB is a parquet
     table of (id, fingerprint), not stream-lifetime executor state.
+
+    Retry-safe: foreachBatch is at-least-once, so both sinks are written
+    as ``__batch_id`` partitions with dynamic partition overwrite — a
+    replayed batch REPLACES its own partitions instead of appending a
+    second copy — and the store read excludes the replaying batch's own
+    partition so the survivor set is recomputed against the exact
+    pre-batch store no matter where the previous attempt died.
     """
     from pyspark.sql import functions as F
 
@@ -69,18 +76,34 @@ def stream_ingest_dedup(
         jpath = jvm.org.apache.hadoop.fs.Path(store_path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(jpath):
-            store = spark.read.parquet(store_path)
+            # A replay may have committed its fingerprints before the
+            # failure; drop the batch's own partition so the recompute
+            # sees the exact pre-batch store.
+            store = (
+                spark.read.parquet(store_path)
+                .filter(F.col("__batch_id") != batch_id)
+                .drop("__batch_id")
+            )
         else:
             store = spark.createDataFrame([], f"{id_col} long, fingerprint string")
         kept = dedup_against_store(
             batch_df, store, id_col=id_col, text_col=text_col
-        )
-        # join survivors back to their full rows; append-only sinks
-        survivors = batch_df.join(kept.select(id_col), on=id_col)
-        survivors.write.mode("append").parquet(corpus_path)
-        kept.select(F.col(id_col), "fingerprint").write.mode("append").parquet(
-            store_path
-        )
+        ).persist()  # two sinks consume it; compute the anti-join once
+        try:
+            survivors = batch_df.join(kept.select(id_col), on=id_col)
+            for frame, path in (
+                (survivors, corpus_path),
+                (kept.select(F.col(id_col), "fingerprint"), store_path),
+            ):
+                (
+                    frame.withColumn("__batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(path)
+                )
+        finally:
+            kept.unpersist()
 
     writer = (
         raw.writeStream.foreachBatch(apply_batch)

@@ -105,3 +105,40 @@ def test_dedup_against_empty_store(spark):
     incoming = _docs(spark, [(5, "x"), (6, "x")])
     kept = dd.dedup_against_store(incoming, store).collect()
     assert [r.doc_id for r in kept] == [5]
+
+
+def test_media_scene_cuts_multibyte_oracle_parity(spark, tmp_path):
+    """chunk_media slices UTF-8 BYTES; the DuckDB oracle must chunk the
+    same bytes (via hex(encode(text)) slices), not characters — on
+    multibyte text char-sliced frames would disagree on both geometry
+    and cut decisions. All shipped testdata is ASCII, so this pins the
+    non-ASCII case explicitly."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["héllo wörld " * 20, "日本語のテキスト" * 30, "ascii " * 15],
+            "source": ["a", "a", "b"],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    sdf = (
+        entry_mod.queries()["media_scene_cuts"](spark, d)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    odf = (
+        con.sql(entry_mod.oracle_sql()["media_scene_cuts"])
+        .df()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert sdf.astype(str).equals(odf[sdf.columns].astype(str))

@@ -3,6 +3,7 @@ watermark horizon are dropped exactly once, distinct keys all survive."""
 
 import json
 import os
+import shutil
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -128,3 +129,36 @@ def test_stream_ingest_dedup_across_batches(spark, tmp_path):
     # the store carries exactly the accepted fingerprints
     fps = {r.doc_id for r in spark.read.parquet(store).collect()}
     assert fps == {1, 2, 11}
+
+
+def test_stream_ingest_dedup_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch that committed its sinks but
+    died before the checkpoint commit is REPLAYED with the same batch_id.
+    Deleting the checkpoint's commits dir forces exactly that replay; the
+    partition-overwrite sinks must not duplicate the survivors."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.dedup_stream import (
+        stream_ingest_dedup,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    store = os.path.join(str(tmp_path), "store")
+    corpus = os.path.join(str(tmp_path), "corpus")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def run():
+        q = stream_ingest_dedup(
+            spark, src, DOC_SCHEMA, store, corpus, ckpt, trigger_once=True
+        )
+        q.awaitTermination(180)
+
+    _write_docs(src, "b1.json", [(1, "alpha"), (2, "beta"), (3, "beta")])
+    run()
+    # simulate died-after-sink-writes-before-checkpoint-commit
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    run()
+    rows = spark.read.parquet(corpus).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]
+    assert sorted(r.text for r in rows) == ["alpha", "beta"]
+    fps = sorted(r.doc_id for r in spark.read.parquet(store).collect())
+    assert fps == [1, 2]
