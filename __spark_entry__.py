@@ -1005,7 +1005,42 @@ _R02_CHECKED = {
     "winnow_doc_fingerprints",
 }
 
+# Queries with a driver CORRECTNESS row in round 3 (the rotation window
+# that round covered waves 9-17; all green after the two r3 HUGEINT
+# oracle-typing artifacts were cast away in r4). These go LAST in r4's
+# ordering: the r1/r2-era rows predate the perf rework (signature
+# materialization, _spread, Expand-free rewrites touched shared plumbing)
+# and need fresher driver rows more than these do.
+_R03_CHECKED = {
+    "embedding_lsh_pairs", "contamination_pairs_docs", "pack_sequences_docs",
+    "split_assign_docs", "repetition_stats_docs", "funnel_view_click_purchase",
+    "cohort_retention_weekly", "json_props_extract", "mode_event_type_per_user",
+    "value_moments_by_type", "neardup_dedup_corpus", "moving_avg_time_window",
+    "window_rank_metrics", "media_frame_chunks", "media_embed_stub",
+    "pii_redact_stats", "tfidf_top_terms", "gopher_quality_rules",
+    "token_zipf", "chunk_docs_overlap", "token_positions", "char_class_stats",
+    "salted_join_events", "minhash_jaccard_pairs", "approx_quantile_check",
+    "event_transition_counts", "dedup_events_time_window",
+    "rolling_active_users", "event_sequence_per_user", "robust_stats_by_type",
+    "full_outer_reconciliation", "dsir_importance_weights",
+    "domain_mix_weights", "weighted_sample_docs", "cross_doc_ngram_coverage",
+    "tokenizer_fertility", "regr_corr_lineitem", "pq_encode_vectors",
+    "dedup_ingest_batch", "training_order_shuffle", "quality_linear_score",
+    "ivfpq_topk", "array_functions", "bitwise_agg_events",
+    "explode_outer_props", "except_all_purchases", "media_scene_cuts",
+    "skew_key_stats", "q1_pricing_summary", "q3_shipping_priority",
+}
+
 _DRIVER_CHECKED = _R01_GREEN | _R02_CHECKED
+
+# r1/r2-era queries whose producing plumbing changed in the r3 perf rework
+# and therefore deserve the earliest re-check slots: everything over
+# documents/embeddings (materialization + _spread paths) and the CDC fold.
+_PLUMBING_TOUCHED_PREFIXES = (
+    "minhash", "lsh", "simhash", "jaccard", "dedup", "neardup", "winnow",
+    "doc_", "text_", "ann_", "embedding", "multimodal", "bm25", "fuzzy",
+    "cdc_", "ngram", "cap_docs", "token",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1095,12 +1130,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE15_QUERIES,
         **_WAVE16_QUERIES,
         **_WAVE17_QUERIES,
+        **_WAVE18_QUERIES,
     }
-    # Never-driver-checked queries first so the driver's fixed-size window
-    # rotates through the whole declared surface across rounds.
-    ordered = {k: v for k, v in all_q.items() if k not in _DRIVER_CHECKED}
-    ordered.update({k: v for k, v in all_q.items() if k in _DRIVER_CHECKED})
-    return ordered
+    # Rotation for the driver's fixed-size correctness window. Four tiers:
+    # (1) never driver-checked (new this round), (2) r1/r2-era queries
+    # whose shared plumbing the r3 perf rework touched, (3) other stale
+    # r1/r2-era queries, (4) the r3-checked set — freshest rows, so last.
+    def tier(name: str) -> int:
+        if name in _R03_CHECKED:
+            return 3
+        if name not in _DRIVER_CHECKED:
+            return 0
+        if name.startswith(_PLUMBING_TOUCHED_PREFIXES):
+            return 1
+        return 2
+
+    return dict(
+        sorted(all_q.items(), key=lambda kv: tier(kv[0]))
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1184,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE15_SQL,
         **_WAVE16_SQL,
         **_WAVE17_SQL,
+        **_WAVE18_SQL,
     }
 
 
@@ -4981,4 +5029,81 @@ _WAVE17_QUERIES = {
 _WAVE17_SQL = {
     "media_scene_cuts": SCENE_CUTS_SQL,
     "skew_key_stats": SKEW_STATS_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 18: semantic dedup (SemDeDup-shape) over the embedding
+# space — md5-seeded clusters, within-cluster cosine pruning.
+# --------------------------------------------------------------------------
+
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication of the embedding corpus: md5-centroid
+    clustering + within-cluster cosine pruning, lowest id kept. The
+    operator's production default is 0.92 (the SemDeDup regime); the
+    synthetic corpus has no planted near-identicals (max pair cosine
+    ~0.51), so this entry prunes at 0.40 — the most-similar in-cluster
+    tail — to keep the drop/keep decision path exercised end-to-end.
+    Emits (vec_id, cluster_id, kept) for every vector."""
+    return sim.semantic_dedup(
+        spark,
+        _t(spark, sf_dir, "embeddings"),
+        n_clusters=8,
+        threshold=0.40,
+    )
+
+
+SEMANTIC_DEDUP_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+dims AS (SELECT unnest(generate_series(0, 63)) AS j),
+lists AS (SELECT unnest(generate_series(0, 7)) AS l),
+cc AS (
+  SELECT l, j,
+         CAST(('0x' || substr(md5('ivf:' || CAST(l AS VARCHAR) || ':' ||
+                                  CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2000 - 1000 AS w
+  FROM lists, dims),
+qe AS (SELECT vec_id, j, qv[j + 1] AS qx FROM q, dims),
+cdist AS (
+  SELECT vec_id, l, SUM((qx - w) * (qx - w)) AS d
+  FROM qe JOIN cc USING (j) GROUP BY vec_id, l),
+assign AS (
+  SELECT vec_id, l AS cluster_id FROM (
+    SELECT vec_id, l,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, l ASC) AS rn
+    FROM cdist) WHERE rn = 1),
+norms AS (SELECT vec_id, SUM(qx * qx) AS norm_sq FROM qe GROUP BY vec_id),
+pairs AS (
+  SELECT aa.vec_id AS id_a, ab.vec_id AS id_b, SUM(ea.qx * eb.qx) AS dot
+  FROM assign aa
+  JOIN assign ab ON aa.cluster_id = ab.cluster_id AND aa.vec_id < ab.vec_id
+  JOIN qe ea ON ea.vec_id = aa.vec_id
+  JOIN qe eb ON eb.vec_id = ab.vec_id AND eb.j = ea.j
+  GROUP BY aa.vec_id, ab.vec_id),
+dropped AS (
+  SELECT DISTINCT p.id_b AS vec_id
+  FROM pairs p
+  JOIN norms na ON na.vec_id = p.id_a
+  JOIN norms nb ON nb.vec_id = p.id_b
+  WHERE na.norm_sq > 0 AND nb.norm_sq > 0
+    AND CAST(p.dot AS DOUBLE)
+        / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE)))
+        >= 0.40)
+SELECT a.vec_id,
+       CAST(a.cluster_id AS BIGINT) AS cluster_id,
+       (d.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
+_WAVE18_QUERIES = {
+    "semantic_dedup_docs": semantic_dedup_docs,
+}
+
+_WAVE18_SQL = {
+    "semantic_dedup_docs": SEMANTIC_DEDUP_SQL,
 }

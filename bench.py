@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     # wave 17
     "media_scene_cuts",
     "skew_key_stats",
+    # wave 18
+    "semantic_dedup_docs",
 ]
 
 
@@ -229,6 +231,32 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
 
+    # No silent caps: name every declared-but-unbenched query and why.
+    quadratic = {"jaccard_pairs", "embedding_neardup_pairs"}
+    twin_of = {  # scale path already timed under the named benched twin
+        "ann_cosine_topk": "ann_topk_numpy",
+        "ann_ivf_topk": "ivfpq_topk",
+        "simhash_near_dups": "simhash_sketches",
+        "neardup_components": "neardup_dedup_corpus",
+        "dedup_exact_keep": "dedup_exact_groups",
+        "normalized_dedup_groups": "dedup_exact_groups",
+        "cdc_hash_chain_fold": "cdc_merge_real",
+        "doc_fingerprint": "winnow_doc_fingerprints",
+        "text_language_id": "text_language_id_multi",
+        "token_frequency": "ngram_counts_top",
+    }
+    excluded = {}
+    for name in sorted(set(queries) - set(BENCH_QUERIES)):
+        if name in quadratic:
+            excluded[name] = (
+                "quadratic exact-pair baseline (correctness-scale oracle,"
+                " not a scale path)"
+            )
+        elif name in twin_of:
+            excluded[name] = f"same plan family as benched '{twin_of[name]}'"
+        else:
+            excluded[name] = "correctness-only / sub-bench-scale scalar query"
+    print("EXCLUDED: " + json.dumps(excluded), flush=True)
     # Full per-query map for humans (NOT the contract line).
     print("FULL_TIMINGS: " + json.dumps(timings), flush=True)
     # Contract line: final line of stdout, short enough to survive the

@@ -784,3 +784,125 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster drop every vector that has a near-identical (cosine >=
+    ``threshold``) neighbour with a lower id — the survivor of each
+    semantic-duplicate group is its lowest id, a deterministic stand-in
+    for SemDeDup's keep-farthest-from-centroid rule.
+
+    Engine-exact end to end: centroids are md5-derived integers
+    (``md5_coarse_centroids``), vectors quantize to int64 via
+    ``floor(x * scale)``, cluster assignment is an exact integer-L2
+    argmin (ties to the lowest cluster id), and pair cosine is
+    ``int_dot / (sqrt(int_norm_a) * sqrt(int_norm_b))`` — int64 sums are
+    order-free, int->double conversion is exact below 2^53, and sqrt /
+    multiply / divide each round once, identically, in any IEEE engine.
+
+    Scale shape: one Arrow-batched corpus pass (no shuffle) produces the
+    (id, cluster, quantized-vector, norm) assignment table, which is
+    MATERIALIZED once; the duplicate verdicts come from ONE shuffle of
+    that table by cluster_id into a per-cluster int64 gram-matrix kernel
+    (``applyInPandas``) — a pairwise self-JOIN instead would move every
+    candidate pair's two 64-long arrays through the shuffle (measured
+    12.3s vs 1s at sf0.1). Within-cluster work is quadratic in cluster
+    size, the SemDeDup cost model: at scale ``n_clusters`` grows with the
+    corpus so clusters stay bounded (the paper uses ~10k-100k clusters
+    for web corpora). Zero-norm vectors never match anything (guarded,
+    same in both engines).
+
+    Returns one row per input vector: (id, cluster_id, kept).
+    """
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    cc = md5_coarse_centroids(n_clusters, dim, quant_scale)
+    bcc = spark.sparkContext.broadcast(cc)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cluster_id", T.LongType()),
+            T.StructField("qv", T.ArrayType(T.LongType())),
+            T.StructField("norm_sq", T.LongType()),
+        ]
+    )
+
+    def assign_kernel(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        coarse = bcc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qm = np.floor(mat * quant_scale).astype(np.int64)
+            diffs = qm[:, None, :] - coarse[None, :, :]
+            d2 = np.einsum("rlj,rlj->rl", diffs, diffs)
+            # np.argmin takes the FIRST minimum -> lowest cluster id,
+            # matching the SQL (d ASC, l ASC) tie-break
+            cl = np.argmin(d2, axis=1).astype(np.int64)
+            norms = np.einsum("rj,rj->r", qm, qm)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "cluster_id": cl,
+                    "qv": list(qm),
+                    "norm_sq": norms,
+                }
+            )
+
+    assign = materialize(
+        corpus.select(id_col, vec_col).mapInPandas(
+            assign_kernel, schema=assign_schema
+        ),
+        "semdedup_assign_",
+    )
+
+    drop_schema = T.StructType([T.StructField(id_col, T.LongType())])
+
+    def cluster_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        qm = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+        norms = pdf["norm_sq"].to_numpy(dtype=np.int64)
+        gram = qm @ qm.T  # exact: |dot| <= dim * scale^2 << 2^63
+        denom = np.sqrt(norms.astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # double(dot) / (sqrt(na) * sqrt(nb)): the same three IEEE
+            # roundings, in the same order, as the SQL oracle
+            cos = gram.astype(np.float64) / (
+                denom[:, None] * denom[None, :]
+            )
+        valid = norms > 0
+        hit = (cos >= threshold) & valid[:, None] & valid[None, :]
+        # b dropped iff some LOWER id in the cluster is a near-dup: rows
+        # are id-sorted, so "lower id" = strict upper triangle by column
+        hit &= np.triu(np.ones_like(hit, dtype=bool), k=1)
+        return pd.DataFrame({id_col: ids[hit.any(axis=0)]})
+
+    dropped = (
+        assign.select(id_col, "cluster_id", "qv", "norm_sq")
+        .groupBy("cluster_id")
+        .applyInPandas(cluster_kernel, schema=drop_schema)
+    )
+    return (
+        assign.join(
+            dropped.withColumn("__dropped", F.lit(1)), on=id_col, how="left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col("__dropped").isNull().alias("kept"),
+        )
+    )
