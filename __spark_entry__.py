@@ -5107,3 +5107,34 @@ _WAVE18_QUERIES = {
 _WAVE18_SQL = {
     "semantic_dedup_docs": SEMANTIC_DEDUP_SQL,
 }
+
+
+def ngram_lm_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM quality scores (CCNet-style
+    perplexity filter): add-one-smoothed bigram log-probs, per-doc mean."""
+    return ts.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+NGRAM_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents),
+bg AS (
+  SELECT doc_id, tl[i] AS w1, tl[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(tl) - 1)) AS u(i)
+  WHERE len(tl) >= 2),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12n FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c12n) AS BIGINT) AS c1n FROM c12 GROUP BY w1),
+vq AS (SELECT COUNT(*) AS v FROM c1)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CAST(ROUND(LN(
+           CAST(c12n + 1 AS DOUBLE) / CAST(c1n + v AS DOUBLE)
+         ), 6) AS DECIMAL(28,6))) AS DOUBLE)
+       / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vq
+GROUP BY doc_id
+"""
+
+_WAVE18_QUERIES["ngram_lm_scores_docs"] = ngram_lm_scores_docs
+_WAVE18_SQL["ngram_lm_scores_docs"] = NGRAM_LM_SQL

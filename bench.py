@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "skew_key_stats",
     # wave 18
     "semantic_dedup_docs",
+    "ngram_lm_scores_docs",
 ]
 
 

@@ -379,3 +379,85 @@ def tokenizer_fertility(
             "bytes_per_token"
         ),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality scoring: train an
+    add-one-smoothed bigram LM on the corpus itself, then score every
+    document by its mean bigram log-probability — fluent, corpus-typical
+    text scores high, boilerplate/garbage scores low. The classic cheap
+    perplexity filter for LLM training data (CCNet trains KenLM on
+    Wikipedia; the corpus-self-trained bigram variant needs no external
+    model and is what this engine can verify end-to-end).
+
+    ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1 .) + V)`` with V = number of
+    distinct context words. Engine-exact: counts are integers, each ln
+    term is computed double/double (one rounding), rounded to 6 dp and
+    summed as DECIMAL (order-free), and the final mean divides two exact
+    casts — identical in Spark and DuckDB.
+
+    Scale shape: the bigram-count table is ONE groupBy over the bigram
+    explode and is MATERIALIZED (vocabulary^2-bounded, far smaller than
+    the corpus); context counts and V are aggregates OVER THE STORED
+    COUNTS, not new corpus passes. Scoring is a token-keyed equi-join of
+    the bigram stream against the stored counts (broadcast when small,
+    skew-safe hash join at web scale) and one doc-keyed shuffle for the
+    per-doc mean. Documents with fewer than two tokens have no bigrams
+    and are absent from the output (no defined perplexity).
+    Returns (id, n_bigrams, avg_logprob).
+    """
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize,
+    )
+
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    bg = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__toks", i).alias("w1"),
+                        F.element_at("__toks", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+
+    c12 = materialize(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12")),
+        "bigram_counts_",
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("__c12").cast("long").alias("__c1"))
+    vq = c1.agg(F.count(F.lit(1)).alias("__v"))
+
+    term = F.round(
+        F.log(
+            (F.col("__c12") + 1).cast("double")
+            / (F.col("__c1") + F.col("__v")).cast("double")
+        ),
+        6,
+    ).cast("decimal(28,6)")
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vq))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(term).alias("__sum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            (
+                F.col("__sum").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_logprob"),
+        )
+    )

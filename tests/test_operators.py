@@ -667,3 +667,36 @@ def test_token_zipf_ranks_and_shares(spark):
     assert rows["a"].cum_share == round(4 / 9, 6)
     assert rows["b"].cum_share == round(7 / 9, 6)
     assert rows["z"].cum_share == 1.0
+
+
+def test_bigram_lm_scores_tiny_corpus(spark):
+    """Hand-checkable bigram LM: 'a b a b' corpus — repeated bigrams score
+    higher than one-off bigrams; docs under 2 tokens are absent."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.textstats import (
+        bigram_lm_scores,
+    )
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),   # bigrams: (a,b)x2, (b,a)x1
+            (2, "a b"),       # the common bigram only
+            (3, "x y"),       # rare bigram
+            (4, "solo"),      # no bigrams -> absent
+            (5, ""),          # no tokens  -> absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_bigrams == 3 and got[2].n_bigrams == 1
+    # corpus counts: c(a,b)=3, c(b,a)=1, c(x,y)=1; c(a.)=3, c(b.)=1,
+    # c(x.)=1; V=3 distinct contexts {a,b,x}
+    p_ab = round(math.log((3 + 1) / (3 + 3)), 6)
+    p_ba = round(math.log((1 + 1) / (1 + 3)), 6)
+    p_xy = round(math.log((1 + 1) / (1 + 3)), 6)
+    assert abs(got[2].avg_logprob - p_ab) < 1e-9
+    assert abs(got[3].avg_logprob - p_xy) < 1e-9
+    assert abs(got[1].avg_logprob - (2 * p_ab + p_ba) / 3) < 1e-9
+    # the doc made of the corpus-dominant bigram outscores the rare one
+    assert got[2].avg_logprob > got[3].avg_logprob
