@@ -5123,16 +5123,17 @@ bg AS (
   SELECT doc_id, tl[i] AS w1, tl[i + 1] AS w2
   FROM toks, UNNEST(generate_series(1, len(tl) - 1)) AS u(i)
   WHERE len(tl) >= 2),
-c12 AS (SELECT w1, w2, COUNT(*) AS c12n FROM bg GROUP BY w1, w2),
-c1 AS (SELECT w1, CAST(SUM(c12n) AS BIGINT) AS c1n FROM c12 GROUP BY w1),
+bgc AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM bg GROUP BY doc_id, w1, w2),
+c12 AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12n FROM bgc GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS c1n FROM bgc GROUP BY w1),
 vq AS (SELECT COUNT(*) AS v FROM c1)
 SELECT doc_id,
-       COUNT(*) AS n_bigrams,
-       CAST(SUM(CAST(ROUND(LN(
+       CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(k AS DECIMAL(28,6)) * CAST(ROUND(LN(
            CAST(c12n + 1 AS DOUBLE) / CAST(c1n + v AS DOUBLE)
          ), 6) AS DECIMAL(28,6))) AS DOUBLE)
-       / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
-FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vq
+       / CAST(SUM(k) AS DOUBLE) AS avg_logprob
+FROM bgc JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vq
 GROUP BY doc_id
 """
 

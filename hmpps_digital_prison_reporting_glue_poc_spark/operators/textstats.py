@@ -398,14 +398,16 @@ def bigram_lm_scores(
     summed as DECIMAL (order-free), and the final mean divides two exact
     casts — identical in Spark and DuckDB.
 
-    Scale shape: the bigram-count table is ONE groupBy over the bigram
-    explode and is MATERIALIZED (vocabulary^2-bounded, far smaller than
-    the corpus); context counts and V are aggregates OVER THE STORED
-    COUNTS, not new corpus passes. Scoring is a token-keyed equi-join of
-    the bigram stream against the stored counts (broadcast when small,
-    skew-safe hash join at web scale) and one doc-keyed shuffle for the
-    per-doc mean. Documents with fewer than two tokens have no bigrams
-    and are absent from the output (no defined perplexity).
+    Scale shape: the corpus is exploded into bigrams EXACTLY ONCE — the
+    per-doc bigram count table (doc, w1, w2, k) is materialized, and
+    everything else derives from that stored table: global bigram counts
+    (one groupBy), context counts and V (aggregates over the counts),
+    and the scoring join (token-keyed equi-join of stored doc-bigrams
+    against stored global counts; broadcast when small, skew-safe hash
+    join at web scale) followed by one doc-keyed shuffle for the mean,
+    with each ln term weighted by its in-doc multiplicity k. Documents
+    with fewer than two tokens have no bigrams and are absent from the
+    output (no defined perplexity).
     Returns (id, n_bigrams, avg_logprob).
     """
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
@@ -429,11 +431,12 @@ def bigram_lm_scores(
         ).alias("__bg"),
     ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
 
-    c12 = materialize(
-        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12")),
-        "bigram_counts_",
+    bgc = materialize(
+        bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("__k")),
+        "doc_bigram_counts_",
     )
-    c1 = c12.groupBy("w1").agg(F.sum("__c12").cast("long").alias("__c1"))
+    c12 = bgc.groupBy("w1", "w2").agg(F.sum("__k").cast("long").alias("__c12"))
+    c1 = bgc.groupBy("w1").agg(F.sum("__k").cast("long").alias("__c1"))
     vq = c1.agg(F.count(F.lit(1)).alias("__v"))
 
     term = F.round(
@@ -444,13 +447,13 @@ def bigram_lm_scores(
         6,
     ).cast("decimal(28,6)")
     return (
-        bg.join(c12, ["w1", "w2"])
+        bgc.join(c12, ["w1", "w2"])
         .join(c1, ["w1"])
         .crossJoin(F.broadcast(vq))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(term).alias("__sum"),
+            F.sum("__k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("__k").cast("decimal(28,6)") * term).alias("__sum"),
         )
         .select(
             F.col(id_col),
