@@ -263,3 +263,25 @@ def test_except_all_and_bitwise_native(spark):
         assert marker not in ex
     bw = _plan(spark, "bitwise_agg_events")
     assert bw.count("Exchange") == 1
+
+
+def test_semantic_dedup_broadcasts_verdicts_no_pair_join(spark):
+    """Wave 18: the dropped-id set must come from the per-cluster Arrow
+    kernel (FlatMapGroupsInPandas) and broadcast into the final left
+    join — never a pairwise self-join that shuffles vector arrays."""
+    plan = _plan(spark, "semantic_dedup_docs")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_lm_single_explode_broadcast_totals(spark):
+    """Wave 18: the corpus is exploded into bigrams once (the materialized
+    per-doc count table feeds counts AND scoring); V rides a broadcast
+    nested-loop of a 1-row frame, and no generator appears more than
+    once in the executed plan."""
+    plan = _plan(spark, "ngram_lm_scores_docs")
+    assert plan.count("Generate") <= 1, "bigram explode must run once"
+    assert "CartesianProduct" not in plan
