@@ -5139,3 +5139,59 @@ GROUP BY doc_id
 
 _WAVE18_QUERIES["ngram_lm_scores_docs"] = ngram_lm_scores_docs
 _WAVE18_SQL["ngram_lm_scores_docs"] = NGRAM_LM_SQL
+
+
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (nats) — the
+    compression-style garbage/boilerplate signal."""
+    return ts.char_entropy(_t(spark, sf_dir, "documents"))
+
+
+CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, substring(text, i, 1) AS c
+  FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+  WHERE length(text) > 0),
+counts AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_chars,
+       COUNT(*) AS n_distinct_chars,
+       CAST(ROUND(LN(CAST(SUM(k) AS DOUBLE)), 6) AS DOUBLE)
+       - CAST(SUM(CAST(k AS DECIMAL(28,6))
+                  * CAST(ROUND(LN(CAST(k AS DOUBLE)), 6) AS DECIMAL(28,6)))
+              AS DOUBLE)
+         / CAST(SUM(k) AS DOUBLE) AS char_entropy
+FROM counts
+GROUP BY doc_id
+"""
+
+_WAVE18_QUERIES["char_entropy_docs"] = char_entropy_docs
+_WAVE18_SQL["char_entropy_docs"] = CHAR_ENTROPY_SQL
+
+
+def heavy_hitter_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens (share >= 1%) via distributed Misra-Gries sketch +
+    exact candidate recount — exact output, bounded shuffle."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.topk import (
+        heavy_hitter_tokens,
+    )
+
+    return heavy_hitter_tokens(
+        _t(spark, sf_dir, "documents"), min_share=0.01
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+tot AS (SELECT COUNT(*) AS total FROM toks),
+counts AS (SELECT token, COUNT(*) AS n_occurrences FROM toks GROUP BY token)
+SELECT token, n_occurrences,
+       CAST(n_occurrences AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM counts CROSS JOIN tot
+WHERE CAST(n_occurrences AS DOUBLE) >= 0.01 * CAST(total AS DOUBLE)
+"""
+
+_WAVE18_QUERIES["heavy_hitter_tokens"] = heavy_hitter_tokens_docs
+_WAVE18_SQL["heavy_hitter_tokens"] = HEAVY_HITTERS_SQL

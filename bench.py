@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     # wave 18
     "semantic_dedup_docs",
     "ngram_lm_scores_docs",
+    "char_entropy_docs",
 ]
 
 

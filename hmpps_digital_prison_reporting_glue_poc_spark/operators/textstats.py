@@ -464,3 +464,63 @@ def bigram_lm_scores(
             ).alias("avg_logprob"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (nats) — the
+    compression-ratio-style garbage detector: natural text sits in a
+    narrow entropy band, while base64 blobs / key-mash / repeated-char
+    padding land far above or below it. ``H = ln(n) - (sum_c k_c ln k_c)/n``
+    over per-character counts ``k_c``.
+
+    Engine-exact: characters come from the same explode-positions +
+    substring construction in Spark and DuckDB (char-based in both, so
+    multibyte-safe); each ``k ln k`` term is rounded to 6 dp and summed
+    as DECIMAL (order-free), and the final expression performs the same
+    single-rounding double ops in the same order in both engines.
+
+    Scale shape: one narrow per-char explode (|chars| rows, the
+    unavoidable cost of a character histogram) into a (doc, char)
+    groupBy, then a doc-keyed rollup — two shuffles, both keyed well.
+    Documents with empty text have no characters and are absent.
+    Returns (id, n_chars, n_distinct_chars, char_entropy).
+    """
+    ch = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.length(text_col) > 0,
+                F.sequence(F.lit(1), F.length(text_col)),
+            ).otherwise(F.array())
+        ).alias("__i"),
+        F.col(text_col),
+    ).select(
+        F.col(id_col),
+        F.col(text_col).substr(F.col("__i"), F.lit(1)).alias("__c"),
+    )
+    counts = ch.groupBy(id_col, "__c").agg(F.count(F.lit(1)).alias("__k"))
+    term = F.col("__k").cast("decimal(28,6)") * F.round(
+        F.log(F.col("__k").cast("double")), 6
+    ).cast("decimal(28,6)")
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("__k").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.sum(term).alias("__s"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_chars"),
+            F.col("n_distinct_chars"),
+            (
+                F.round(F.log(F.col("n_chars").cast("double")), 6).cast(
+                    "double"
+                )
+                - F.col("__s").cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias("char_entropy"),
+        )
+    )

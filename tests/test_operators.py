@@ -700,3 +700,70 @@ def test_bigram_lm_scores_tiny_corpus(spark):
     assert abs(got[1].avg_logprob - (2 * p_ab + p_ba) / 3) < 1e-9
     # the doc made of the corpus-dominant bigram outscores the rare one
     assert got[2].avg_logprob > got[3].avg_logprob
+
+
+def test_char_entropy_hand_computed(spark):
+    """Entropy values pinned by hand: uniform 4-char doc -> ln 4; single
+    repeated char -> 0; multibyte chars counted as characters."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.textstats import (
+        char_entropy,
+    )
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "aaaa"), (3, "日本日本"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert set(got) == {1, 2, 3}  # empty doc absent
+    assert got[1].n_chars == 4 and got[1].n_distinct_chars == 4
+    assert abs(got[1].char_entropy - round(math.log(4), 6)) < 2e-6
+    assert got[2].char_entropy == 0.0
+    # 2x日 + 2x本: H = ln 4 - (2 ln 2 + 2 ln 2)/4 = ln 2
+    assert got[3].n_chars == 4 and got[3].n_distinct_chars == 2
+    assert abs(got[3].char_entropy - math.log(2)) < 2e-6
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark):
+    """Misra-Gries + exact recount must equal the brute-force answer on a
+    corpus where heavy tokens are scattered across partitions and the
+    distinct-token count dwarfs the sketch capacity."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.topk import (
+        heavy_hitter_tokens,
+    )
+
+    rows = []
+    for i in range(2000):
+        # 2000 docs of unique noise tokens, heavy tokens interleaved
+        noise = f"u{i}a u{i}b u{i}c"
+        heavy = "hot" if i % 4 == 0 else ("warm" if i % 10 == 0 else "")
+        rows.append((i, (noise + " " + heavy).strip()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def brute(frame):
+        from pyspark.sql import functions as F
+
+        toks = frame.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            ).alias("token")
+        )
+        total = toks.count()
+        return {
+            (r.token, r.n)
+            for r in toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+            if r.n >= 0.01 * total
+        }
+
+    expected = brute(df)
+    assert expected, "construction must produce at least one heavy hitter"
+    for parts in (2, 16):
+        got = {
+            (r.token, r.n_occurrences)
+            for r in heavy_hitter_tokens(
+                df.repartition(parts), min_share=0.01, capacity=50
+            ).collect()
+        }
+        assert got == expected
