@@ -1131,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE16_QUERIES,
         **_WAVE17_QUERIES,
         **_WAVE18_QUERIES,
+        **_WAVE19_QUERIES,
     }
     # Rotation for the driver's fixed-size correctness window. Four tiers:
     # (1) never driver-checked (new this round), (2) r1/r2-era queries
@@ -1232,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE16_SQL,
         **_WAVE17_SQL,
         **_WAVE18_SQL,
+        **_WAVE19_SQL,
     }
 
 
@@ -5195,3 +5197,358 @@ WHERE CAST(n_occurrences AS DOUBLE) >= 0.01 * CAST(total AS DOUBLE)
 
 _WAVE18_QUERIES["heavy_hitter_tokens"] = heavy_hitter_tokens_docs
 _WAVE18_SQL["heavy_hitter_tokens"] = HEAVY_HITTERS_SQL
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 19: retrieval-side index structures (inverted index, Bloom
+# decontamination), exact repeated-substring dedup, exact stratified
+# sampling, length-bucketed batch packing, token PageRank, audio-frame
+# energy. Every operator is the shuffle-native 100 TB shape; every oracle
+# reproduces the md5-derived determinism contract bit for bit.
+# --------------------------------------------------------------------------
+
+def dup_span_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-substring contamination (8-token sliding windows,
+    stride 1): how much of each document is a span that occurs >= 2 times
+    corpus-wide — the token-window approximation of suffix-array substring
+    dedup (Lee et al. 2022)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.dedup import dup_span_stats
+
+    return dup_span_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=8
+    )
+
+
+DUP_SPAN_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents),
+spans AS (
+  SELECT doc_id,
+         md5(CASE WHEN len(tl) >= 8
+                  THEN array_to_string(list_slice(tl, i, i + 7), ' ')
+                  ELSE array_to_string(tl, ' ') END) AS span_md5
+  FROM toks,
+       UNNEST(generate_series(1, GREATEST(len(tl) - 7, 1))) AS u(i)),
+pds AS (
+  SELECT doc_id, span_md5, COUNT(*) AS n_in_doc
+  FROM spans GROUP BY doc_id, span_md5),
+tot AS (
+  SELECT span_md5, CAST(SUM(n_in_doc) AS BIGINT) AS n_total
+  FROM pds GROUP BY span_md5)
+SELECT doc_id,
+       CAST(SUM(n_in_doc) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN n_total >= 2 THEN n_in_doc ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST(SUM(CASE WHEN n_total >= 2 THEN n_in_doc ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n_in_doc) AS DOUBLE) AS dup_share
+FROM pds JOIN tot USING (span_md5)
+GROUP BY doc_id
+"""
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination: fold the eval slice's
+    (doc_id % 17 == 0) trigram set into a 4096-bit / 3-hash Bloom filter
+    (<= 4096-row set-bit table — kilobytes, broadcastable at any corpus
+    size), then probe every train document row-locally. No train x eval
+    join anywhere."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.retrieval import (
+        bloom_bit_positions,
+        bloom_probe_docs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_side = docs.filter(F.col("doc_id") % 17 == 0)
+    train_side = docs.filter(F.col("doc_id") % 17 != 0)
+    bits = bloom_bit_positions(eval_side, "text", ngram_n=3, m_bits=4096,
+                               k_hashes=3)
+    return bloom_probe_docs(
+        train_side, bits, "doc_id", "text", ngram_n=3, m_bits=4096,
+        k_hashes=3,
+    )
+
+
+BLOOM_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(tl, i, i + 2), ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(tl) - 2)) AS u(i)
+  WHERE len(tl) >= 3),
+fbits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || gram), 1, 8))
+              AS BIGINT) % 4096 AS bit_pos
+  FROM (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0),
+       UNNEST(generate_series(0, 2)) AS u(h)),
+tg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 17 <> 0),
+probes AS (
+  SELECT doc_id, gram, h,
+         CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || gram), 1, 8))
+              AS BIGINT) % 4096 AS bit_pos
+  FROM tg, UNNEST(generate_series(0, 2)) AS u(h)),
+hits AS (
+  SELECT doc_id, gram
+  FROM probes JOIN fbits USING (bit_pos)
+  GROUP BY doc_id, gram HAVING COUNT(*) = 3),
+flag AS (SELECT doc_id, COUNT(*) AS n_flagged FROM hits GROUP BY doc_id),
+pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id)
+SELECT pd.doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_flagged, 0) AS BIGINT) AS n_flagged,
+       CAST(COALESCE(n_flagged, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         AS flagged_share
+FROM pd LEFT JOIN flag USING (doc_id)
+"""
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token -> postings inverted-index build: per-token document
+    frequency, collection frequency, and the first 8 posting doc_ids as a
+    joined preview string; top 40 tokens by (df desc, token asc)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.retrieval import inverted_index
+
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        postings_cap=8, top_k=40,
+    )
+
+
+INVERTED_INDEX_SQL = """
+WITH tf AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+    FROM documents)
+  GROUP BY token, doc_id)
+SELECT token,
+       COUNT(*) AS df_docs,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       array_to_string(
+         list_transform(list_slice(list_sort(list(doc_id)), 1, 8),
+                        x -> CAST(x AS VARCHAR)), ',') AS postings_head
+FROM tf GROUP BY token
+ORDER BY df_docs DESC, token ASC LIMIT 40
+"""
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling over source strata: each stratum
+    keeps exactly ceil(rate * n) rows under a content-stable md5 order,
+    with the rate itself md5-derived in [0.25, 0.75)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    kept = stratified_exact_sample(
+        _t(spark, sf_dir, "documents", spread=False), "source", "doc_id"
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        F.col("samp_rank").cast("long").alias("samp_rank"),
+        F.col("stratum_n").cast("long").alias("stratum_n"),
+        "target_n",
+    )
+
+
+STRATIFIED_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS samp_rank,
+         COUNT(*) OVER (PARTITION BY source) AS stratum_n
+  FROM documents),
+tgt AS (
+  SELECT *,
+         CAST(CEIL(
+           (CAST(0.25 AS DOUBLE)
+            + CAST(0.50 AS DOUBLE)
+              * (CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)
+                 / CAST(4294967296 AS DOUBLE)))
+           * CAST(stratum_n AS DOUBLE)) AS BIGINT) AS target_n
+  FROM ranked)
+SELECT doc_id, source,
+       CAST(samp_rank AS BIGINT) AS samp_rank,
+       CAST(stratum_n AS BIGINT) AS stratum_n,
+       target_n
+FROM tgt WHERE samp_rank <= target_n
+"""
+
+
+def length_bucket_packing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch packing: bucket by floor(log2(n_tokens)),
+    pad to the bucket ceiling, pack 512-token batches; per-batch padding
+    waste stats. Per-bucket ranks use the 256-way sub-bucket scheme — no
+    single-task window."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import (
+        length_bucket_packing,
+    )
+
+    return length_bucket_packing(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_tokens=512
+    )
+
+
+LENGTH_BUCKET_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents),
+k AS (
+  SELECT doc_id, n_tokens,
+         CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS key
+  FROM toks WHERE n_tokens > 0),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY key, doc_id)
+         AS rnk
+  FROM k),
+p AS (
+  SELECT bucket,
+         (rnk - 1) // GREATEST(1, 512 // (1 << (bucket + 1))) AS batch_id,
+         n_tokens,
+         1 << (bucket + 1) AS padded_len
+  FROM r)
+SELECT bucket,
+       CAST(batch_id AS BIGINT) AS batch_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+       CAST(SUM(padded_len) AS BIGINT) AS padded_tokens,
+       CAST(SUM(padded_len) - SUM(n_tokens) AS DOUBLE)
+         / CAST(SUM(padded_len) AS DOUBLE) AS waste_frac
+FROM p GROUP BY bucket, batch_id
+"""
+
+
+def token_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the directed token-bigram
+    graph — TextRank-style token centrality; top 30 by (rank desc,
+    token asc). Per-edge contributions rounded to 9 dp and summed as
+    DECIMAL(38,9) so both engines agree bit for bit."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.graph import token_pagerank
+
+    return token_pagerank(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        damping=0.85, n_iter=3, top_k=30,
+    )
+
+
+PAGERANK_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents),
+bg AS (
+  SELECT tl[i] AS src, tl[i + 1] AS dst
+  FROM toks, UNNEST(generate_series(1, len(tl) - 1)) AS u(i)
+  WHERE len(tl) >= 2),
+edges AS (SELECT src, dst, COUNT(*) AS w FROM bg GROUP BY src, dst),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+e AS (SELECT edges.src, dst, w, out_w FROM edges JOIN outw USING (src)),
+nodes AS (SELECT src AS token FROM edges UNION SELECT dst FROM edges),
+vq AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM nodes),
+r0 AS (
+  SELECT token, ROUND(CAST(1.0 AS DOUBLE) / v, 9) AS rank FROM nodes, vq),
+c1 AS (
+  SELECT dst AS token,
+         SUM(CAST(ROUND(r.rank * CAST(w AS DOUBLE) / CAST(out_w AS DOUBLE),
+                        9) AS DECIMAL(38,9))) AS in_sum
+  FROM e JOIN r0 r ON r.token = e.src GROUP BY dst),
+r1 AS (
+  SELECT n.token,
+         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / v
+               + CAST(0.85 AS DOUBLE)
+                 * COALESCE(CAST(in_sum AS DOUBLE), 0.0), 9) AS rank
+  FROM nodes n LEFT JOIN c1 USING (token), vq),
+c2 AS (
+  SELECT dst AS token,
+         SUM(CAST(ROUND(r.rank * CAST(w AS DOUBLE) / CAST(out_w AS DOUBLE),
+                        9) AS DECIMAL(38,9))) AS in_sum
+  FROM e JOIN r1 r ON r.token = e.src GROUP BY dst),
+r2 AS (
+  SELECT n.token,
+         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / v
+               + CAST(0.85 AS DOUBLE)
+                 * COALESCE(CAST(in_sum AS DOUBLE), 0.0), 9) AS rank
+  FROM nodes n LEFT JOIN c2 USING (token), vq),
+c3 AS (
+  SELECT dst AS token,
+         SUM(CAST(ROUND(r.rank * CAST(w AS DOUBLE) / CAST(out_w AS DOUBLE),
+                        9) AS DECIMAL(38,9))) AS in_sum
+  FROM e JOIN r2 r ON r.token = e.src GROUP BY dst),
+r3 AS (
+  SELECT n.token,
+         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / v
+               + CAST(0.85 AS DOUBLE)
+                 * COALESCE(CAST(in_sum AS DOUBLE), 0.0), 9) AS rank
+  FROM nodes n LEFT JOIN c3 USING (token), vq)
+SELECT token, rank FROM r3 ORDER BY rank DESC, token ASC LIMIT 30
+"""
+
+
+def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-frame energy over the binary payload (uint8 PCM stand-in,
+    64-byte frames): vectorized numpy kernel via Arrow-batched
+    mapInPandas; closed-form integer arithmetic, so the oracle recomputes
+    it exactly from hex(encode(text)). spread=False: the kernel is a
+    cheap byte reduction, not CPU-bound — a pre-shuffle would be pure
+    cost (same measurement as multimodal_meta)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.multimodal import (
+        attach_binary,
+        audio_frame_energy,
+    )
+
+    media = attach_binary(
+        _t(spark, sf_dir, "documents", spread=False), "doc_id", "text"
+    )
+    return audio_frame_energy(media, frame_bytes=64)
+
+
+AUDIO_ENERGY_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents),
+bytes AS (
+  SELECT media_id, i,
+         CAST(('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS BIGINT)
+           AS b
+  FROM media, UNNEST(generate_series(0, n - 1)) AS u(i)
+  WHERE n > 0),
+frames AS (
+  SELECT media_id, i // 64 AS frame_idx,
+         CAST(SUM((b - 128) * (b - 128)) AS BIGINT) AS e
+  FROM bytes GROUP BY media_id, i // 64)
+SELECT media_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM(e) AS BIGINT) AS total_energy,
+       CAST(MAX(e) AS BIGINT) AS peak_frame_energy,
+       CAST(SUM(e) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_frame_energy
+FROM frames GROUP BY media_id
+"""
+
+
+_WAVE19_QUERIES = {
+    "dup_span_stats_docs": dup_span_stats_docs,
+    "bloom_decontaminate": bloom_decontaminate,
+    "inverted_index_postings": inverted_index_postings,
+    "stratified_sample_docs": stratified_sample_docs,
+    "length_bucket_packing": length_bucket_packing_docs,
+    "token_pagerank": token_pagerank_docs,
+    "media_audio_energy": media_audio_energy,
+}
+
+_WAVE19_SQL = {
+    "dup_span_stats_docs": DUP_SPAN_SQL,
+    "bloom_decontaminate": BLOOM_SQL,
+    "inverted_index_postings": INVERTED_INDEX_SQL,
+    "stratified_sample_docs": STRATIFIED_SQL,
+    "length_bucket_packing": LENGTH_BUCKET_SQL,
+    "token_pagerank": PAGERANK_SQL,
+    "media_audio_energy": AUDIO_ENERGY_SQL,
+}

@@ -158,6 +158,14 @@ BENCH_QUERIES = [
     "semantic_dedup_docs",
     "ngram_lm_scores_docs",
     "char_entropy_docs",
+    # wave 19: retrieval indexes, substring dedup, packing, graph, audio
+    "dup_span_stats_docs",
+    "bloom_decontaminate",
+    "inverted_index_postings",
+    "stratified_sample_docs",
+    "length_bucket_packing",
+    "token_pagerank",
+    "media_audio_energy",
 ]
 
 

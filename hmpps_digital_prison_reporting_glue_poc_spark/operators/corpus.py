@@ -384,3 +384,85 @@ def global_sort_rank(
         )
         .drop("__bucket", "__intra", "__offset")
     )
+
+
+def length_bucket_packing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+) -> DataFrame:
+    """Length-bucketed batch packing: bucket documents by
+    ``floor(log2(n_tokens))``, pad every document in bucket b to
+    ``2^(b+1)`` tokens, and pack ``max_tokens // padded_len`` documents
+    per batch — the standard dynamic-batching layout that bounds padding
+    waste to <50% while keeping every batch a fixed token budget.
+    Returns per (bucket, batch) packing stats: document count, real
+    tokens, padded tokens, and the padding-waste fraction.
+
+    Batch assignment needs an exact per-bucket rank, and there are only
+    ~log2(max_doc_len) buckets — a plain ``row_number() over (partition
+    by bucket)`` funnels the whole corpus through a handful of tasks at
+    scale. Same cure as ``global_sort_rank``: sub-bucket each length
+    bucket by the first two hex chars of md5(id) (256 sub-buckets), rank
+    inside (bucket, sub) in parallel, and add broadcast cumulative
+    offsets — max task size is corpus/(buckets*256), and the pack order
+    (md5 of id) doubles as the deterministic within-bucket shuffle a
+    training run wants anyway.
+    """
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    # floor(log2(n)) via binary-digit count, NOT floating log2: IEEE
+    # log(n)/log(2) can land a hair under an exact power of two and the
+    # two engines need not err identically — digit count is integer-exact
+    # in both (Spark bin(), DuckDB bin()).
+    keyed = toked.withColumn(
+        "bucket", (F.length(F.bin(F.col("n_tokens"))) - 1).cast("int")
+    ).withColumn("__key", F.md5(F.col("doc_id").cast("string"))).withColumn(
+        "__sub", F.conv(F.substring(F.col("__key"), 1, 2), 16, 10).cast("int")
+    )
+    counts = keyed.groupBy("bucket", "__sub").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy("bucket")
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket",
+        "__sub",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("bucket", "__sub").orderBy(
+        F.col("__key").asc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        keyed.join(F.broadcast(offsets), ["bucket", "__sub"])
+        .withColumn("__rank", F.row_number().over(w_in) + F.col("__off"))
+    )
+    # SQL-function form: the PySpark shiftleft wrapper takes only a
+    # literal bit count, but the bucket-dependent shift is a plain
+    # expression in Spark SQL.
+    padded_len = F.expr("CAST(shiftleft(1, bucket + 1) AS BIGINT)")
+    docs_per_batch = F.greatest(
+        F.lit(1).cast("long"), (F.lit(max_tokens) / padded_len).cast("long")
+    )
+    packed = ranked.withColumn(
+        "batch_id", ((F.col("__rank") - 1) / docs_per_batch).cast("long")
+    ).withColumn("padded_len", padded_len)
+    return (
+        packed.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("real_tokens"),
+            F.sum("padded_len").cast("long").alias("padded_tokens"),
+        )
+        .withColumn(
+            "waste_frac",
+            (F.col("padded_tokens") - F.col("real_tokens")).cast("double")
+            / F.col("padded_tokens").cast("double"),
+        )
+    )

@@ -498,3 +498,73 @@ def dedup_against_store(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Exact repeated-substring contamination per document (the
+    token-window approximation of suffix-array substring dedup, Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better"):
+    every ``window_tokens``-token sliding window (stride 1) is
+    fingerprinted with md5; a window is a *duplicate span* iff its
+    fingerprint occurs >= 2 times corpus-wide (across documents or
+    repeated within one). Per document: total windows, duplicated
+    windows, duplicated share — the "how much of this doc is boilerplate
+    someone else also has" trim signal.
+
+    Shape: one explode (stride-1 windows ~= one row per token), a
+    (span, doc) partial count, a span rollup, and a broadcast-free join
+    back keyed on span — all equi-join/partial-agg friendly. At 100 TB
+    the span rollup is the big shuffle and it is exactly the shuffle the
+    problem requires; no pairwise doc x doc comparison ever happens
+    (the suffix-array approach needs a global sort instead — this is the
+    cheaper shuffle-native approximation).
+
+    Windows reuse the shingle expression from ``_doc_shingles`` WITHOUT
+    the per-doc distinct: within-doc repetition must count toward span
+    multiplicity. Documents shorter than ``window_tokens`` contribute one
+    whole-text window (consistent with the shingle convention).
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    spans = F.when(
+        F.size(toks) >= window_tokens,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (window_tokens - 1)),
+            lambda i: F.array_join(F.slice(toks, i, window_tokens), " "),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    per_doc_span = (
+        toked.select(
+            F.col(id_col), F.explode(spans).alias("__span")
+        )
+        .select(F.col(id_col), F.md5(F.col("__span")).alias("span_md5"))
+        .groupBy(id_col, "span_md5")
+        .agg(F.count(F.lit(1)).alias("n_in_doc"))
+    )
+    span_totals = per_doc_span.groupBy("span_md5").agg(
+        F.sum("n_in_doc").cast("long").alias("n_total")
+    )
+    return (
+        per_doc_span.join(span_totals, "span_md5")
+        .groupBy(F.col(id_col).alias("doc_id"))
+        .agg(
+            F.sum("n_in_doc").cast("long").alias("n_windows"),
+            F.sum(
+                F.when(F.col("n_total") >= 2, F.col("n_in_doc")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_share",
+            F.col("n_dup_windows").cast("double")
+            / F.col("n_windows").cast("double"),
+        )
+    )

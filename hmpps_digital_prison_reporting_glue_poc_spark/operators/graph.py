@@ -27,6 +27,8 @@ import tempfile
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
 
 def connected_components(
     edges: DataFrame,
@@ -113,3 +115,115 @@ def neardup_groups(
             F.coalesce("comp", F.col(id_col)).alias("component"),
         )
     )
+
+
+def token_pagerank(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    damping: float = 0.85,
+    n_iter: int = 3,
+    top_k: int | None = 30,
+):
+    """PageRank over the token-adjacency graph (directed bigram edges,
+    weight = corpus bigram count) — the TextRank-style keyword/centrality
+    signal, and the repo's iterative-graph-algorithm shape beyond
+    connected components.
+
+    ``n_iter`` fixed synchronous iterations of
+    ``r'(v) = (1-d)/V + d * sum_in r(u) * w(u,v)/out(u)`` with NO
+    dangling-mass redistribution (leaked mass is the documented variant;
+    both engines apply the identical formula). Each iteration is one
+    edge-rank equi-join + one dst-keyed aggregation; the edge table is
+    built once (one corpus shuffle) and the rank table is |V| rows, so at
+    100 TB every round shuffles edges-joined-ranks only — the same plan
+    GraphX/Pregel lowers to, with the vocabulary-sized rank frame the
+    only state.
+
+    Cross-engine determinism: per-edge contributions are rounded to 9
+    decimals and summed as DECIMAL(38,9) (order-free), and each new rank
+    is re-rounded to 9 decimals — float-sum ordering can never diverge
+    the engines. ``top_k`` output is totally ordered by (rank desc,
+    token asc).
+    """
+    from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array(
+                F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<array<string>>"))
+    edges = (
+        toked.select(F.explode(grams).alias("__e"))
+        .select(
+            F.col("__e")[0].alias("src"), F.col("__e")[1].alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    edges = materialize(
+        edges.join(out_w, "src"), prefix="pagerank_edges_"
+    )
+    nodes = (
+        edges.select(F.col("src").alias("token"))
+        .union(edges.select(F.col("dst").alias("token")))
+        .distinct()
+    )
+    nodes = materialize(nodes, prefix="pagerank_nodes_")
+    n_nodes = nodes.count()
+    # every float constant is built from the same IEEE double ops the
+    # oracle writes out (1.0 - d, x / V, ROUND half-up) — never Python
+    # round(), whose half-even tie rule differs from SQL ROUND.
+    v = F.lit(float(n_nodes))
+    base = (F.lit(1.0) - F.lit(damping)) / v
+    ranks = nodes.select(
+        "token", F.round(F.lit(1.0) / v, 9).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("token").alias("src"), F.col("rank").alias("r_src")
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("token"),
+                F.round(
+                    F.col("r_src")
+                    * F.col("w").cast("double")
+                    / F.col("out_w").cast("double"),
+                    9,
+                )
+                .cast("decimal(38,9)")
+                .alias("c"),
+            )
+            .groupBy("token")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "token", "left")
+            .select(
+                "token",
+                F.round(
+                    base
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.col("in_sum").cast("double"), F.lit(0.0)
+                    ),
+                    9,
+                ).alias("rank"),
+            )
+        )
+    if top_k is not None:
+        ranks = ranks.orderBy(F.col("rank").desc(), F.col("token").asc()).limit(
+            top_k
+        )
+    return ranks

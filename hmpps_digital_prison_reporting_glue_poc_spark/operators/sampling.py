@@ -48,3 +48,51 @@ def stratified_sample(
     """Per-stratum Bernoulli sampling (native ``sampleBy``): approximate
     fraction per key value, single pass, no shuffle."""
     return df.sampleBy(key, fractions, seed)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    rate_min: float = 0.25,
+    rate_span: float = 0.50,
+) -> DataFrame:
+    """Exact-count stratified sampling: each stratum keeps exactly
+    ``ceil(rate * n_stratum)`` rows, where the stratum's rate is itself
+    md5-derived (uniform in [rate_min, rate_min + rate_span)) — the
+    deterministic twin of "give every domain its own subsample budget".
+    Unlike Bernoulli sampling (``weighted_sample`` / ``sampleBy``), the
+    per-stratum output size is guaranteed, which is what exact train-mix
+    construction needs.
+
+    Rows are ranked inside their stratum by md5(id) (content-stable
+    pseudo-random order, ties by id) and the first ``target_n`` survive.
+    One shuffle on the stratum key; the per-stratum count and target ride
+    the same window, no second aggregation pass. At 100 TB stratum skew is
+    the ranking skew ``cap_per_group`` already documents — strata are
+    domains/languages (bounded cardinality, large groups); for exact
+    sampling the within-stratum total order is the requirement, so the
+    window is the honest cost.
+    Returns the kept rows plus (stratum_n, target_n, samp_rank).
+    """
+    rank_key = F.md5(F.concat(F.lit("strat:"), F.col(id_col).cast("string")))
+    w_rank = Window.partitionBy(key).orderBy(rank_key, F.col(id_col).asc())
+    w_all = Window.partitionBy(key)
+    rate = (
+        F.lit(rate_min)
+        + F.lit(rate_span)
+        * (
+            F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(float(2**32))
+        )
+    )
+    ranked = (
+        df.withColumn("samp_rank", F.row_number().over(w_rank))
+        .withColumn("stratum_n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "target_n",
+            F.ceil(rate * F.col("stratum_n").cast("double")).cast("long"),
+        )
+    )
+    return ranked.filter(F.col("samp_rank") <= F.col("target_n"))

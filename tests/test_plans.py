@@ -285,3 +285,50 @@ def test_ngram_lm_single_explode_broadcast_totals(spark):
     plan = _plan(spark, "ngram_lm_scores_docs")
     assert plan.count("Generate") <= 1, "bigram explode must run once"
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_filter_side(spark):
+    """The Bloom set-bit table (<= m rows) must broadcast; no shuffle
+    join between train grams and the filter."""
+    plan = _plan(spark, "bloom_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_span_stats_is_equi_join_only(spark):
+    plan = _plan(spark, "dup_span_stats_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # fully JVM-side
+
+
+def test_length_bucket_rank_is_sub_bucketed(spark):
+    """The per-bucket rank window must partition by (bucket, __sub) —
+    never by bucket alone, which would funnel the corpus through
+    ~log2(maxlen) tasks."""
+    plan = _plan(spark, "length_bucket_packing")
+    assert re.search(r"Window .*row_number.*__sub", plan, re.DOTALL), (
+        "rank window must include the 256-way sub-bucket key"
+    )
+
+
+def test_token_pagerank_no_pair_explosion(spark):
+    plan = _plan(spark, "token_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_inverted_index_two_keyed_aggregations(spark):
+    plan = _plan(spark, "inverted_index_postings")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_energy_is_arrow_batched(spark):
+    """The DSP kernel must run as Arrow-batched mapInPandas, never a
+    per-row Python UDF."""
+    plan = _plan(spark, "media_audio_energy")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
