@@ -147,6 +147,12 @@ def bloom_probe_docs(
         )
         .distinct()
     )
+    # Single pass over the (doc, gram) table: explode the k probe indexes,
+    # LEFT-join the broadcast set-bit table (a miss keeps the row with a
+    # null marker), count hits per gram, then roll up the doc — n_grams
+    # and n_flagged come out of the same aggregation, so the distinct
+    # gram shuffle runs exactly once. Collisions between a gram's own k
+    # positions are handled by counting h values, not distinct positions.
     probes = doc_grams.select(
         "doc_id",
         "gram",
@@ -156,28 +162,25 @@ def bloom_probe_docs(
         _u32(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("gram")))
         % m_bits,
     )
-    # count how many of the k probe positions are set; collisions between
-    # a gram's own k positions are handled by counting h values, not
-    # distinct positions.
-    hits = (
-        probes.join(F.broadcast(filter_bits), "bit_pos")
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-        .filter(F.col("n_hit") == k_hashes)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    marked = probes.join(
+        F.broadcast(filter_bits.withColumn("__set", F.lit(1))),
+        "bit_pos",
+        "left",
     )
-    per_doc = doc_grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams")
+    per_gram = marked.groupBy("doc_id", "gram").agg(
+        F.count("__set").alias("n_hit")
     )
     return (
-        per_doc.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias(
-                "n_flagged"
-            ),
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_hit") == k_hashes, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_flagged"),
         )
         .withColumn(
             "flagged_share",
