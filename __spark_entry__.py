@@ -1132,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE17_QUERIES,
         **_WAVE18_QUERIES,
         **_WAVE19_QUERIES,
+        **_WAVE20_QUERIES,
     }
     # Rotation for the driver's fixed-size correctness window. Four tiers:
     # (1) never driver-checked (new this round), (2) r1/r2-era queries
@@ -1234,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE17_SQL,
         **_WAVE18_SQL,
         **_WAVE19_SQL,
+        **_WAVE20_SQL,
     }
 
 
@@ -5551,4 +5553,306 @@ _WAVE19_SQL = {
     "length_bucket_packing": LENGTH_BUCKET_SQL,
     "token_pagerank": PAGERANK_SQL,
     "media_audio_energy": AUDIO_ENERGY_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 20: k-means Lloyd refinement, int8 quantization audit,
+# per-domain quantile quality gating, weighted top-k sampling (A-ES),
+# chunk->embed->mean-pool RAG pipeline, LSH recall/precision evaluation.
+# --------------------------------------------------------------------------
+
+def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd refinement step over the embedding corpus: assign
+    to md5-seed centroids, recompute integer cluster means (fixed-point
+    milli-units, exact rational rounding), re-assign. Integer end to end
+    — the oracle replays the full iterate bit for bit."""
+    return sim.kmeans_refine(
+        spark, _t(spark, sf_dir, "embeddings"), n_clusters=8
+    )
+
+
+KMEANS_REFINE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+dims AS (SELECT unnest(generate_series(0, 63)) AS j),
+lists AS (SELECT unnest(generate_series(0, 7)) AS l),
+cc AS (
+  SELECT l, j,
+         CAST(('0x' || substr(md5('ivf:' || CAST(l AS VARCHAR) || ':' ||
+                                  CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2000 - 1000 AS w
+  FROM lists, dims),
+qe AS (SELECT vec_id, j, qv[j + 1] AS qx FROM q, dims),
+d0 AS (
+  SELECT vec_id, l, SUM((qx - w) * (qx - w)) AS d
+  FROM qe JOIN cc USING (j) GROUP BY vec_id, l),
+a0 AS (
+  SELECT vec_id, l AS cluster0 FROM (
+    SELECT vec_id, l,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, l ASC) AS rn
+    FROM d0) WHERE rn = 1),
+upd AS (
+  SELECT a0.cluster0 AS l, qe.j,
+         CAST(SUM(qe.qx) AS BIGINT) * 1000 AS s,
+         COUNT(*) AS c
+  FROM a0 JOIN qe USING (vec_id)
+  GROUP BY a0.cluster0, qe.j),
+refined AS (
+  -- exact rational half-away-from-zero rounding of s/c on the x1000
+  -- grid; empty clusters keep their seed (w * 1000)
+  SELECT cc.l, cc.j,
+         COALESCE(
+           CASE WHEN upd.s >= 0 THEN (2 * upd.s + upd.c) // (2 * upd.c)
+                ELSE -((2 * (-upd.s) + upd.c) // (2 * upd.c)) END,
+           cc.w * 1000) AS m
+  FROM cc LEFT JOIN upd ON upd.l = cc.l AND upd.j = cc.j),
+d1 AS (
+  SELECT qe.vec_id, r.l,
+         SUM((qe.qx * 1000 - r.m) * (qe.qx * 1000 - r.m)) AS d
+  FROM qe JOIN refined r USING (j) GROUP BY qe.vec_id, r.l),
+a1 AS (
+  SELECT vec_id, l AS cluster1 FROM (
+    SELECT vec_id, l,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, l ASC) AS rn
+    FROM d1) WHERE rn = 1)
+SELECT a0.vec_id,
+       CAST(a0.cluster0 AS BIGINT) AS cluster0,
+       CAST(a1.cluster1 AS BIGINT) AS cluster1,
+       a0.cluster0 <> a1.cluster1 AS moved
+FROM a0 JOIN a1 USING (vec_id)
+"""
+
+
+def int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit per embedding: scale, saturation
+    count, reconstruction SSE (order-free decimal sums)."""
+    return sim.int8_quant_stats(_t(spark, sf_dir, "embeddings"))
+
+
+INT8_QUANT_SQL = """
+WITH el AS (
+  SELECT vec_id,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+  FROM embeddings, UNNEST(embeddings.embedding) AS u(x)),
+scaled AS (
+  SELECT vec_id, qx, MAX(ABS(qx)) OVER (PARTITION BY vec_id) AS amax
+  FROM el),
+coded AS (
+  SELECT vec_id, qx, amax,
+         CASE WHEN qx >= 0
+              THEN (2 * 127 * qx + amax) // (2 * amax)
+              ELSE -((2 * 127 * (-qx) + amax) // (2 * amax)) END AS qd
+  FROM scaled WHERE amax > 0)
+SELECT vec_id,
+       CAST(MAX(amax) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS amax,
+       CAST(SUM(CASE WHEN ABS(qd) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_saturated,
+       CAST(CAST(SUM((127 * qx - qd * amax) * (127 * qx - qd * amax))
+                 AS BIGINT) AS DOUBLE)
+         / (CAST(127000000 AS DOUBLE) * CAST(127000000 AS DOUBLE)) AS sse
+FROM coded GROUP BY vec_id
+"""
+
+
+def quality_gate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quantile quality gating: score every document with the
+    linear quality logit (integer milli-units), drop each source's bottom
+    20% — per-domain thresholds, not one global cutoff."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import quality_quantile_gate
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    toks = F.split(F.regexp_replace(F.col("text"), r"\s+", " "), " ")
+    n_tokens = F.size(F.filter(toks, lambda t: t != ""))
+    n_chars = F.length("text")
+    n_digits = n_chars - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    n_spaces = n_chars - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (n_tokens * 3 - n_chars + n_digits * -20 + n_spaces * 5 - 40)
+        .cast("long")
+        .alias("logit_milli"),
+    )
+    return quality_quantile_gate(
+        scored, "logit_milli", "source", "doc_id", drop_frac=0.25
+    )
+
+
+QUALITY_GATE_SQL = """
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                              x -> x <> '')) * 3
+              - length(text)
+              + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * -20
+              + (length(text) - length(regexp_replace(text, ' ', '', 'g'))) * 5
+              - 40 AS BIGINT) AS logit_milli
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source, logit_milli,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY logit_milli ASC, doc_id ASC)
+           AS BIGINT) AS q_rank,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_group
+  FROM scored)
+SELECT doc_id, source, logit_milli, q_rank, n_group,
+       CAST(FLOOR(0.25 * CAST(n_group AS DOUBLE)) AS BIGINT) AS cutoff
+FROM ranked
+WHERE q_rank > CAST(FLOOR(0.25 * CAST(n_group AS DOUBLE)) AS BIGINT)
+"""
+
+
+def weighted_topk_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: exactly
+    50 documents, probability proportional to n_chars, content-stable
+    keys (rounded-ln contract), distributed partial top-k."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.sampling import (
+        weighted_topk_sample,
+    )
+
+    kept = weighted_topk_sample(
+        _t(spark, sf_dir, "documents", spread=False).select(
+            "doc_id", "source", "n_chars"
+        ),
+        "n_chars",
+        "doc_id",
+        k=50,
+    )
+    return kept.select("doc_id", "source", "n_chars", "samp_key")
+
+
+WEIGHTED_TOPK_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(LN((CAST(('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1)
+                  / CAST(4294967296 AS DOUBLE)), 6)
+           / CAST(n_chars AS DOUBLE) AS samp_key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, source, n_chars, samp_key
+FROM keyed ORDER BY samp_key DESC, doc_id ASC LIMIT 50
+"""
+
+
+def chunk_embed_pool_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingest pipeline: overlapping chunking -> per-chunk embedding
+    (md5 stub standing in for the model call) -> mean-pool back to a
+    document vector. Decimal-rounded order-free pooling sums."""
+    return cp.chunk_embed_pool(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        size=64, stride=48, dim=4,
+    )
+
+
+CHUNK_EMBED_POOL_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents),
+starts AS (
+  SELECT doc_id, tl,
+         unnest(generate_series(0, len(tl) - 1, 48)) AS st
+  FROM toks WHERE len(tl) > 0),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(tl, st + 1, st + 64), ' ')) AS chunk_md5
+  FROM starts),
+embedded AS (
+  SELECT doc_id,
+         CAST(ROUND((CAST(('0x' || substr(md5('0:' || chunk_md5), 1, 8)) AS BIGINT))
+                    / CAST(4294967296 AS DOUBLE), 9) AS DECIMAL(38,9)) AS e0,
+         CAST(ROUND((CAST(('0x' || substr(md5('1:' || chunk_md5), 1, 8)) AS BIGINT))
+                    / CAST(4294967296 AS DOUBLE), 9) AS DECIMAL(38,9)) AS e1,
+         CAST(ROUND((CAST(('0x' || substr(md5('2:' || chunk_md5), 1, 8)) AS BIGINT))
+                    / CAST(4294967296 AS DOUBLE), 9) AS DECIMAL(38,9)) AS e2,
+         CAST(ROUND((CAST(('0x' || substr(md5('3:' || chunk_md5), 1, 8)) AS BIGINT))
+                    / CAST(4294967296 AS DOUBLE), 9) AS DECIMAL(38,9)) AS e3
+  FROM chunks)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(e0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p0,
+       CAST(SUM(e1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p1,
+       CAST(SUM(e2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p2,
+       CAST(SUM(e3) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS p3
+FROM embedded GROUP BY doc_id
+"""
+
+
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation harness: precision/recall of the
+    hyperplane-LSH near-dup pairs against the exact cosine>=0.4 pair set
+    — the measurement loop that tunes n_bits/n_tables before a corpus
+    run. Both pair sets are materialized once; the exact side is the
+    quadratic correctness-scale baseline (this is an offline eval, not a
+    scale path). Single-row output."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = materialize(
+        sim.cosine_pairs_above(emb, threshold=0.4), "recall_exact_"
+    )
+    lsh = materialize(
+        sim.hyperplane_lsh_pairs_md5(
+            spark, emb, threshold=0.4, n_bits=8, n_tables=4
+        ),
+        "recall_lsh_",
+    )
+    hit = lsh.join(exact, ["id_a", "id_b"])
+    row = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return row.select(
+        "n_exact",
+        "n_lsh",
+        "n_hit",
+        F.when(
+            F.col("n_lsh") > 0,
+            F.col("n_hit").cast("double") / F.col("n_lsh").cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+        ).alias("recall"),
+    )
+
+
+LSH_RECALL_SQL = f"""
+WITH exact_pairs AS ({EMB_PAIRS_SQL}),
+lsh_pairs AS ({EMBEDDING_LSH_SQL}),
+hit AS (
+  SELECT 1 FROM lsh_pairs JOIN exact_pairs USING (id_a, id_b)),
+c AS (
+  SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+         (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh,
+         (SELECT COUNT(*) FROM hit) AS n_hit)
+SELECT n_exact, n_lsh, n_hit,
+       CASE WHEN n_lsh > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_lsh AS DOUBLE) END AS precision,
+       CASE WHEN n_exact > 0
+            THEN CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall
+FROM c
+"""
+
+
+_WAVE20_QUERIES = {
+    "kmeans_refine_clusters": kmeans_refine_clusters,
+    "int8_quant_audit": int8_quant_audit,
+    "quality_gate_per_source": quality_gate_per_source,
+    "weighted_topk_sample_docs": weighted_topk_sample_docs,
+    "chunk_embed_pool_docs": chunk_embed_pool_docs,
+    "lsh_recall_eval": lsh_recall_eval,
+}
+
+_WAVE20_SQL = {
+    "kmeans_refine_clusters": KMEANS_REFINE_SQL,
+    "int8_quant_audit": INT8_QUANT_SQL,
+    "quality_gate_per_source": QUALITY_GATE_SQL,
+    "weighted_topk_sample_docs": WEIGHTED_TOPK_SQL,
+    "chunk_embed_pool_docs": CHUNK_EMBED_POOL_SQL,
+    "lsh_recall_eval": LSH_RECALL_SQL,
 }

@@ -166,6 +166,13 @@ BENCH_QUERIES = [
     "length_bucket_packing",
     "token_pagerank",
     "media_audio_energy",
+    # wave 20: Lloyd refinement, quantization, gating, weighted sampling,
+    # RAG chunk-embed-pool (lsh_recall_eval excluded: quadratic baseline)
+    "kmeans_refine_clusters",
+    "int8_quant_audit",
+    "quality_gate_per_source",
+    "weighted_topk_sample_docs",
+    "chunk_embed_pool_docs",
 ]
 
 
@@ -242,7 +249,11 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # No silent caps: name every declared-but-unbenched query and why.
-    quadratic = {"jaccard_pairs", "embedding_neardup_pairs"}
+    quadratic = {
+        "jaccard_pairs",
+        "embedding_neardup_pairs",
+        "lsh_recall_eval",  # joins against the quadratic exact baseline
+    }
     twin_of = {  # scale path already timed under the named benched twin
         "ann_cosine_topk": "ann_topk_numpy",
         "ann_ivf_topk": "ivfpq_topk",

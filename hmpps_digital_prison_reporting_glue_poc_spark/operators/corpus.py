@@ -466,3 +466,67 @@ def length_bucket_packing(
             / F.col("padded_tokens").cast("double"),
         )
     )
+
+
+def chunk_embed_pool(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+    dim: int = 4,
+) -> DataFrame:
+    """The RAG ingest pipeline in one plan: chunk long documents with
+    overlap (``chunk_tokens``), embed each chunk, mean-pool chunk vectors
+    back to a document vector. The embed step is the repo's deterministic
+    md5 stub (component j = u32(md5(j ':' chunk_md5)) / 2^32 — a real
+    model call would replace exactly that expression with an Arrow-batched
+    kernel, as ``embed_media_stub`` demonstrates); everything else is the
+    production shape: explode-free chunk derivation, one shuffle to pool
+    by document.
+
+    Pooling sums are per-chunk doubles rounded to 9 dp and accumulated as
+    DECIMAL(38,9) (order-free), then divided once by the chunk count.
+    Returns (id, n_chunks, p0..p{dim-1}).
+    """
+    chunks = chunk_tokens(df, id_col, text_col, size=size, stride=stride)
+    embedded = chunks.select(
+        F.col(id_col),
+        *[
+            F.round(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{j}:"), F.col("chunk_md5")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(4294967296.0),
+                9,
+            )
+            .cast("decimal(38,9)")
+            .alias(f"__e{j}")
+            for j in range(dim)
+        ],
+    )
+    agg = embedded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        *[F.sum(f"__e{j}").alias(f"__s{j}") for j in range(dim)],
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_chunks"),
+        *[
+            (
+                F.col(f"__s{j}").cast("double")
+                / F.col("n_chunks").cast("double")
+            ).alias(f"p{j}")
+            for j in range(dim)
+        ],
+    )

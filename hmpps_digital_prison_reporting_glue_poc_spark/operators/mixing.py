@@ -190,3 +190,40 @@ def weighted_sample(
             F.col("__rate").alias("rate_u32"),
         )
     )
+
+
+def quality_quantile_gate(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    drop_frac: float = 0.2,
+) -> DataFrame:
+    """Per-domain quantile quality gating: drop each group's bottom
+    ``drop_frac`` by score — the per-domain-threshold filtering step a
+    quality pipeline runs after scoring (a global threshold would gut
+    under-resourced domains whose score distribution sits lower).
+
+    Exact and engine-portable: rows rank by (score asc, id asc) inside
+    their group, the group's cutoff is ``floor(drop_frac * n)`` (integer
+    arithmetic on the count; drop_frac is a dyadic rational by contract
+    so the double product is exact), and a row survives iff
+    ``rank > cutoff``. One shuffle on the group key; rank and count ride
+    the same window partition. Returns survivors with (q_rank, n_group,
+    cutoff).
+    """
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(group_col)
+    ranked = (
+        df.withColumn("q_rank", F.row_number().over(w_rank).cast("long"))
+        .withColumn("n_group", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn(
+            "cutoff",
+            F.floor(F.lit(drop_frac) * F.col("n_group").cast("double")).cast(
+                "long"
+            ),
+        )
+    )
+    return ranked.filter(F.col("q_rank") > F.col("cutoff"))

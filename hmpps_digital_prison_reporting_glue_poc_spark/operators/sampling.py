@@ -96,3 +96,44 @@ def stratified_exact_sample(
         )
     )
     return ranked.filter(F.col("samp_rank") <= F.col("target_n"))
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Weighted sampling without replacement, exactly ``k`` rows, via the
+    Efraimidis-Spirakis A-ES scheme: each row draws a deterministic
+    uniform ``u = (u32(md5('wrs:' || id)) + 1) / 2^32`` in (0, 1] and
+    takes priority ``ln(u) / w`` (the log form of the classic
+    ``u^(1/w)`` key); the k largest priorities win. Heavier rows get
+    systematically larger (closer-to-zero) keys — the textbook
+    distributed weighted reservoir, here content-stable so any engine
+    reproduces the same sample.
+
+    ``ln(u)`` is rounded to 6 dp (the repo's engine-portable ln
+    contract) before the single IEEE division by the weight, so both
+    engines order identical doubles; ties break by id. The top-k runs as
+    TakeOrderedAndProject (per-partition partial top-k, k rows to the
+    driver per partition) — no global sort. Zero/negative weights are
+    excluded (undefined in A-ES).
+    """
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wrs:"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (u32 + 1).cast("double") / F.lit(4294967296.0)
+    key = F.round(F.log(u), 6) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("samp_key", key)
+        .orderBy(F.col("samp_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

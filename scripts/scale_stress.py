@@ -36,6 +36,14 @@ QUERIES = [
     "salted_join_events",
     "training_order_shuffle",
     "semantic_dedup_docs",
+    # waves 19-20
+    "dup_span_stats_docs",
+    "bloom_decontaminate",
+    "token_pagerank",
+    "length_bucket_packing",
+    "inverted_index_postings",
+    "kmeans_refine_clusters",
+    "chunk_embed_pool_docs",
 ]
 
 

@@ -332,3 +332,34 @@ def test_audio_energy_is_arrow_batched(spark):
     plan = _plan(spark, "media_audio_energy")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_refine_kernels_are_arrow_batched(spark):
+    """Both assignment passes run as mapInPandas against broadcast
+    centroids — no shuffle-side pair join, no per-row Python."""
+    plan = _plan(spark, "kmeans_refine_clusters")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_int8_quant_is_shuffle_free(spark):
+    plan = _plan(spark, "int8_quant_audit")
+    assert "Exchange" not in plan, "per-vector audit must not shuffle"
+    assert "BatchEvalPython" not in plan
+
+
+def test_weighted_topk_uses_partial_topk(spark):
+    """A-ES top-k must lower to TakeOrderedAndProject (per-partition
+    partial top-k), never a global sort."""
+    plan = _plan(spark, "weighted_topk_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chunk_embed_pool_single_keyed_shuffle(spark):
+    """Chunk derivation is narrow; the only KEYED exchange is the
+    doc-keyed pooling aggregation (the round-robin spread for the
+    CPU-bound md5-embed stage is allowed)."""
+    plan = _plan(spark, "chunk_embed_pool_docs")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
