@@ -1133,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE18_QUERIES,
         **_WAVE19_QUERIES,
         **_WAVE20_QUERIES,
+        **_WAVE21_QUERIES,
     }
     # Rotation for the driver's fixed-size correctness window. Four tiers:
     # (1) never driver-checked (new this round), (2) r1/r2-era queries
@@ -1236,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE18_SQL,
         **_WAVE19_SQL,
         **_WAVE20_SQL,
+        **_WAVE21_SQL,
     }
 
 
@@ -5855,4 +5857,211 @@ _WAVE20_SQL = {
     "weighted_topk_sample_docs": WEIGHTED_TOPK_SQL,
     "chunk_embed_pool_docs": CHUNK_EMBED_POOL_SQL,
     "lsh_recall_eval": LSH_RECALL_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 21: BPE merge-candidate counting, embedding whitening
+# stats, Matryoshka truncation audit, quality decile calibration,
+# INTERSECT ALL surface, per-user value percentiles.
+# --------------------------------------------------------------------------
+
+def bpe_merge_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE vocabulary-induction iteration: corpus-weighted adjacent
+    character-pair counts; top 30 merge candidates. The corpus is touched
+    once (word-frequency rollup); pair counting runs on the
+    vocabulary-sized word table."""
+    return ts.bpe_merge_candidates(_t(spark, sf_dir, "documents"), top_k=30)
+
+
+BPE_MERGE_SQL = """
+WITH words AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM documents)
+  GROUP BY word),
+pairs AS (
+  SELECT substr(word, i, 2) AS pair, freq
+  FROM words, UNNEST(generate_series(1, length(word) - 1)) AS u(i)
+  WHERE length(word) >= 2)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_weighted
+FROM pairs GROUP BY pair
+ORDER BY n_weighted DESC, pair ASC LIMIT 30
+"""
+
+
+def embedding_dim_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance/extrema over the embedding corpus —
+    the whitening/PCA-prep statistics pass. Exact integer/decimal sums;
+    dim-sized shuffle."""
+    return sim.embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+EMB_DIM_STATS_SQL = """
+WITH dims AS (SELECT unnest(generate_series(0, 63)) AS j),
+el AS (
+  SELECT j,
+         CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qx
+  FROM embeddings, dims),
+agg AS (
+  SELECT j, COUNT(*) AS n,
+         CAST(SUM(qx) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(qx * qx) AS DECIMAL(38,0)) AS ss,
+         MIN(qx) AS qmin, MAX(qx) AS qmax
+  FROM el GROUP BY j)
+SELECT CAST(j AS BIGINT) AS dim,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         AS mean,
+       CAST(CAST(n AS DECIMAL(38,0)) * ss - s * s AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         / (CAST(1000000 AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS variance,
+       CAST(qmin AS DOUBLE) / CAST(1000000 AS DOUBLE) AS dim_min,
+       CAST(qmax AS DOUBLE) / CAST(1000000 AS DOUBLE) AS dim_max
+FROM agg
+"""
+
+
+def matryoshka_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: share of each vector's norm mass in
+    its first 16/32 dims (= cosine to the prefix-truncated vector).
+    Integer norms, shuffle-free."""
+    return sim.matryoshka_prefix_norms(
+        _t(spark, sf_dir, "embeddings"), prefixes=(16, 32)
+    )
+
+
+MATRYOSHKA_SQL = """
+WITH dims AS (SELECT unnest(generate_series(0, 63)) AS j),
+qe AS (
+  SELECT vec_id, j,
+         CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qx
+  FROM embeddings, dims),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(qx * qx) AS BIGINT) AS norm_full,
+         CAST(SUM(CASE WHEN j < 16 THEN qx * qx ELSE 0 END) AS BIGINT) AS n16,
+         CAST(SUM(CASE WHEN j < 32 THEN qx * qx ELSE 0 END) AS BIGINT) AS n32
+  FROM qe GROUP BY vec_id)
+SELECT vec_id, norm_full,
+       sqrt(CAST(n16 AS DOUBLE) / CAST(norm_full AS DOUBLE)) AS share_16,
+       sqrt(CAST(n32 AS DOUBLE) / CAST(norm_full AS DOUBLE)) AS share_32
+FROM norms WHERE norm_full > 0
+"""
+
+
+def quality_decile_audit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score calibration curve: per-source score deciles x exact
+    mean n_chars — the threshold-tuning audit for the linear quality
+    filter."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import quality_decile_audit
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    toks = F.split(F.regexp_replace(F.col("text"), r"\s+", " "), " ")
+    n_tokens = F.size(F.filter(toks, lambda t: t != ""))
+    n_chars = F.length("text")
+    n_digits = n_chars - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    n_spaces = n_chars - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars"),
+        (n_tokens * 3 - n_chars + n_digits * -20 + n_spaces * 5 - 40)
+        .cast("long")
+        .alias("logit_milli"),
+    )
+    return quality_decile_audit(
+        scored, "logit_milli", "n_chars", "source", "doc_id", n_buckets=10
+    )
+
+
+QUALITY_DECILE_SQL = """
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                              x -> x <> '')) * 3
+              - length(text)
+              + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * -20
+              + (length(text) - length(regexp_replace(text, ' ', '', 'g'))) * 5
+              - 40 AS BIGINT) AS logit_milli
+  FROM documents),
+b AS (
+  SELECT source, n_chars, logit_milli,
+         NTILE(10) OVER (
+           PARTITION BY source ORDER BY logit_milli ASC, doc_id ASC) AS decile
+  FROM scored)
+SELECT source, CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_signal,
+       CAST(MIN(logit_milli) AS BIGINT) AS min_score,
+       CAST(MAX(logit_milli) AS BIGINT) AS max_score
+FROM b GROUP BY source, decile
+"""
+
+
+def intersect_all_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (DataFrame.intersectAll): (user, type)
+    multiplicity overlap between the even- and odd-event-id halves of
+    the log."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    even = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "event_type"
+    )
+    odd = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_type"
+    )
+    return even.intersectAll(odd)
+
+
+INTERSECT_ALL_SQL = """
+SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+INTERSECT ALL
+SELECT user_id, event_type FROM events WHERE event_id % 2 = 1
+"""
+
+
+def user_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user relative value position: percent_rank and cume_dist of
+    each event's value within its user's history (user-keyed window —
+    high-cardinality partitions) — the user-relative anomaly signal."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+USER_PERCENTILE_SQL = """
+SELECT event_id, user_id, value,
+       percent_rank() OVER (
+         PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS pct_rank,
+       cume_dist() OVER (
+         PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS cume
+FROM events
+"""
+
+
+_WAVE21_QUERIES = {
+    "bpe_merge_candidates": bpe_merge_candidates_docs,
+    "embedding_dim_stats": embedding_dim_stats_q,
+    "matryoshka_prefix_audit": matryoshka_prefix_audit,
+    "quality_decile_audit": quality_decile_audit_docs,
+    "intersect_all_events": intersect_all_events,
+    "user_value_percentile": user_value_percentile,
+}
+
+_WAVE21_SQL = {
+    "bpe_merge_candidates": BPE_MERGE_SQL,
+    "embedding_dim_stats": EMB_DIM_STATS_SQL,
+    "matryoshka_prefix_audit": MATRYOSHKA_SQL,
+    "quality_decile_audit": QUALITY_DECILE_SQL,
+    "intersect_all_events": INTERSECT_ALL_SQL,
+    "user_value_percentile": USER_PERCENTILE_SQL,
 }

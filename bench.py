@@ -173,6 +173,14 @@ BENCH_QUERIES = [
     "quality_gate_per_source",
     "weighted_topk_sample_docs",
     "chunk_embed_pool_docs",
+    # wave 21: BPE counting, whitening stats, MRL audit, calibration,
+    # INTERSECT ALL, user-relative percentiles
+    "bpe_merge_candidates",
+    "embedding_dim_stats",
+    "matryoshka_prefix_audit",
+    "quality_decile_audit",
+    "intersect_all_events",
+    "user_value_percentile",
 ]
 
 

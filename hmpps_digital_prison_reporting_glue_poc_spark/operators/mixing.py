@@ -227,3 +227,41 @@ def quality_quantile_gate(
         )
     )
     return ranked.filter(F.col("q_rank") > F.col("cutoff"))
+
+
+def quality_decile_audit(
+    df: DataFrame,
+    score_col: str,
+    signal_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Calibration audit for a quality score: bucket each domain's
+    documents into score deciles and report an independent integer
+    signal's exact mean per (domain, decile) — the curve a pipeline
+    inspects before choosing a filter threshold (a well-calibrated score
+    shows the signal trending monotonically across deciles).
+
+    ntile runs inside the domain partition (bounded strata of large
+    groups — the documented per-domain window pattern); means are exact
+    integer-sum / count divisions. Returns (group, decile, n_docs,
+    mean_signal, min_score, max_score).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    bucketed = df.withColumn("decile", F.ntile(n_buckets).over(w))
+    return (
+        bucketed.groupBy(group_col, "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col(signal_col)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_signal"),
+            F.min(score_col).cast("long").alias("min_score"),
+            F.max(score_col).cast("long").alias("max_score"),
+        )
+        .withColumn("decile", F.col("decile").cast("long"))
+    )

@@ -1107,3 +1107,88 @@ def int8_quant_stats(
             / (F.lit(127000000.0) * F.lit(127000000.0))
         ).alias("sse"),
     )
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension corpus statistics (mean / variance / extrema) over
+    the embedding space — the whitening / PCA-prep pass an embedding
+    pipeline runs before normalization or dimensionality reduction.
+
+    Exact: vectors quantize to int64 micro-units, per-dimension sums and
+    squared sums are exact int64/decimal aggregates (sum^2 goes through
+    DECIMAL(38) — at 1e6-scale quanta it exceeds int64), and the only
+    float ops are the final scaled divisions, identical in any IEEE
+    engine. One posexplode + one dim-keyed aggregation (dim rows out);
+    partial aggregation makes the shuffle dim-sized regardless of corpus
+    size.
+    """
+    el = df.select(F.posexplode(vec_col).alias("j", "__x")).select(
+        "j", F.floor(F.col("__x").cast("double") * F.lit(1000000.0)).cast("long").alias("qx")
+    )
+    agg = el.groupBy("j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("qx") * F.col("qx")).cast("decimal(38,0)").alias("ss"),
+        F.min("qx").alias("qmin"),
+        F.max("qx").alias("qmax"),
+    )
+    n_d = F.col("n").cast("double")
+    micro = F.lit(1000000.0)
+    return agg.select(
+        F.col("j").cast("long").alias("dim"),
+        (F.col("s").cast("double") / n_d / micro).alias("mean"),
+        (
+            (F.col("n").cast("decimal(38,0)") * F.col("ss") - F.col("s") * F.col("s"))
+            .cast("double")
+            / (n_d * n_d)
+            / (micro * micro)
+        ).alias("variance"),
+        (F.col("qmin").cast("double") / micro).alias("dim_min"),
+        (F.col("qmax").cast("double") / micro).alias("dim_max"),
+    )
+
+
+def matryoshka_prefix_norms(
+    df: DataFrame,
+    prefixes: tuple = (16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-representation audit: what fraction of each vector's
+    norm mass lives in its first k dimensions, for the typical MRL
+    truncation points. ``share_k = sqrt(norm_k / norm_full)`` is exactly
+    ``cosine(full, prefix-truncated)``, so this is the per-vector quality
+    loss of serving truncated embeddings.
+
+    Integer norms on the micro-quantized grid; one division + one sqrt
+    per share (single-rounding IEEE, engine-exact). Shuffle-free narrow
+    scan. Zero-norm vectors are excluded.
+    """
+    qv = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    sq = F.transform(qv, lambda q: q * q)
+
+    def norm_of(arr, k=None):
+        sliced = F.slice(arr, 1, k) if k else arr
+        return F.aggregate(
+            sliced, F.lit(0).cast("long"), lambda a, x: a + x
+        )
+
+    base = df.select(
+        F.col(id_col),
+        norm_of(sq).alias("norm_full"),
+        *[norm_of(sq, k).alias(f"norm_{k}") for k in prefixes],
+    ).filter(F.col("norm_full") > 0)
+    return base.select(
+        F.col(id_col),
+        "norm_full",
+        *[
+            F.sqrt(
+                F.col(f"norm_{k}").cast("double")
+                / F.col("norm_full").cast("double")
+            ).alias(f"share_{k}")
+            for k in prefixes
+        ],
+    )

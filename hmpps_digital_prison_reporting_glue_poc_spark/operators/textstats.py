@@ -524,3 +524,49 @@ def char_entropy(
             ).alias("char_entropy"),
         )
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 30,
+) -> DataFrame:
+    """The first iteration of BPE vocabulary induction (Sennrich et al.
+    2016): count adjacent character-pair frequencies across the corpus,
+    weighted by word frequency — the top pair is the merge a BPE trainer
+    would perform next. Emits the ``top_k`` candidate merges by
+    (weighted count desc, pair asc).
+
+    Shape: one word-frequency groupBy over the token explode (the big
+    shuffle — vocabulary-keyed, partial-agg friendly), then pairs derive
+    from the *vocabulary table* (|V| rows, not corpus rows): each word
+    explodes into its len-1 adjacent pairs and one pair-keyed rollup
+    finishes. At 100 TB the corpus is touched once; everything after is
+    vocabulary-sized. Further BPE iterations would re-segment against
+    the merge table — this operator is the per-iteration counting plan.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # adjacent char pair i = substr(word, i, 2); words shorter than 2
+    # chars contribute nothing (sequence guard — Spark sequence DESCENDS
+    # on an empty range, which would fabricate pairs)
+    pair_idx = F.when(
+        F.length("word") >= 2, F.sequence(F.lit(1), F.length("word") - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                pair_idx, lambda i: F.col("word").substr(i, F.lit(2))
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_weighted"))
+        .orderBy(F.col("n_weighted").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

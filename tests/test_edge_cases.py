@@ -142,3 +142,79 @@ def test_media_scene_cuts_multibyte_oracle_parity(spark, tmp_path):
     )
     con.close()
     assert sdf.astype(str).equals(odf[sdf.columns].astype(str))
+
+
+def test_wave19_ops_on_degenerate_text(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import graph as gr
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import retrieval as rt
+
+    df = _docs(spark, [(1, ""), (2, "one"), (3, "a b")])
+    # dup spans: sub-window docs contribute one whole-text span each
+    spans = {r.doc_id: r.n_windows for r in dd.dup_span_stats(
+        df, window_tokens=8
+    ).collect()}
+    assert spans == {1: 1, 2: 1, 3: 1}
+    # inverted index: empty text contributes nothing
+    idx = rt.inverted_index(df, top_k=None).collect()
+    assert {r.token for r in idx} == {"one", "a", "b"}
+    # bloom over a corpus with no n-grams -> empty filter; probing with
+    # it flags nothing
+    bits = rt.bloom_bit_positions(_docs(spark, [(9, "x y")]), ngram_n=3)
+    assert bits.count() == 0
+    probed = rt.bloom_probe_docs(df, bits, ngram_n=3).collect()
+    assert all(r.n_flagged == 0 for r in probed)
+    # pagerank on a corpus with no bigrams -> empty rank table
+    assert gr.token_pagerank(
+        _docs(spark, [(1, "solo"), (2, "")]), top_k=None
+    ).count() == 0
+
+
+def test_wave19_packing_and_sampling_degenerate(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import sampling as sp
+
+    # packing drops zero-token docs; single 1-token doc -> bucket 0
+    out = cp.length_bucket_packing(_docs(spark, [(1, "w"), (2, "")]))
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].bucket == 0 and rows[0].n_docs == 1
+    # stratified sampling on a 1-row stratum keeps that row (ceil >= 1)
+    one = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    kept = sp.stratified_exact_sample(one, "source", "doc_id").collect()
+    assert len(kept) == 1 and kept[0].target_n == 1
+    # weighted top-k with k > n returns all positive-weight rows
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -1)], "doc_id long, w long"
+    )
+    got = sp.weighted_topk_sample(df, "w", "doc_id", k=10).collect()
+    assert [r.doc_id for r in got] == [1]
+
+
+def test_wave20_ops_degenerate_vectors(spark):
+    # int8 audit: zero vector excluded; uniform vector saturates fully
+    df = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [0.5] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = sim.int8_quant_stats(df).collect()
+    assert len(rows) == 1
+    assert rows[0].vec_id == 2 and rows[0].n_saturated == 4
+    assert rows[0].sse == 0.0  # all elements exactly at the scale point
+    # matryoshka: zero vector excluded
+    m = sim.matryoshka_prefix_norms(
+        spark.createDataFrame(
+            [(1, [0.0] * 64)], "vec_id long, embedding array<double>"
+        )
+    )
+    assert m.count() == 0
+
+
+def test_wave21_ops_degenerate_inputs(spark):
+    # BPE: single-char words contribute no pairs
+    assert ts.bpe_merge_candidates(
+        _docs(spark, [(1, "a b c")]), top_k=10
+    ).count() == 0
+    # decile audit on a 1-row group: one decile, exact stats
+    one = spark.createDataFrame(
+        [(1, "s", 7, 42)], "doc_id long, source string, score long, sig long"
+    )
+    r = mx.quality_decile_audit(one, "score", "sig", "source", "doc_id").collect()
+    assert len(r) == 1 and r[0].n_docs == 1 and r[0].mean_signal == 42.0

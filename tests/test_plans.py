@@ -363,3 +363,31 @@ def test_chunk_embed_pool_single_keyed_shuffle(spark):
     plan = _plan(spark, "chunk_embed_pool_docs")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_bpe_pairs_derive_from_vocabulary_table(spark):
+    """Pair counting must run after the word-frequency rollup (two keyed
+    exchanges: vocab, then pair) — never a second corpus pass."""
+    plan = _plan(spark, "bpe_merge_candidates")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_embedding_dim_stats_single_keyed_shuffle(spark):
+    plan = _plan(spark, "embedding_dim_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_matryoshka_audit_is_shuffle_free(spark):
+    plan = _plan(spark, "matryoshka_prefix_audit")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_user_percentile_window_is_user_keyed(spark):
+    """percent_rank/cume_dist partition by user_id (high cardinality),
+    never an unpartitioned global window."""
+    plan = _plan(spark, "user_value_percentile")
+    assert re.search(r"Window .*user_id", plan, re.DOTALL)
+    assert plan.count("Exchange hashpartitioning") == 1
