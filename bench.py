@@ -193,9 +193,19 @@ MAX_LINE_CHARS = 1800
 def format_bench_line(timings: dict[str, float], sf: float) -> str:
     """One JSON line, guaranteed <= MAX_LINE_CHARS: keeps the slowest
     queries and drops the fastest until the line fits. Total always covers
-    ALL queries regardless of how many survive into the line."""
+    ALL queries regardless of how many survive into the line.
+
+    ``load_avg`` is the host 1-min load average at the end of the run:
+    this box is shared, and ambient contention measured between 1 and 8
+    during round 4 inflates absolute wall-clock 1.2-2x run to run —
+    round-over-round comparisons should read the per-query ratios
+    together with the load context, not as clean-room numbers."""
     total = round(sum(timings.values()), 3)
     kept = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:  # pragma: no cover
+        load1 = None
 
     def render(q: dict[str, float]) -> str:
         return json.dumps(
@@ -206,6 +216,7 @@ def format_bench_line(timings: dict[str, float], sf: float) -> str:
                 "queries": {k: round(v, 2) for k, v in q.items()},
                 "n_queries": len(timings),
                 "sf": sf,
+                "load_avg": load1,
             }
         )
 
