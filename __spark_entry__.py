@@ -1134,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE19_QUERIES,
         **_WAVE20_QUERIES,
         **_WAVE21_QUERIES,
+        **_WAVE22_QUERIES,
     }
     # Rotation for the driver's fixed-size correctness window. Four tiers:
     # (1) never driver-checked (new this round), (2) r1/r2-era queries
@@ -1238,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE19_SQL,
         **_WAVE20_SQL,
         **_WAVE21_SQL,
+        **_WAVE22_SQL,
     }
 
 
@@ -6064,4 +6066,133 @@ _WAVE21_SQL = {
     "quality_decile_audit": QUALITY_DECILE_SQL,
     "intersect_all_events": INTERSECT_ALL_SQL,
     "user_value_percentile": USER_PERCENTILE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 22: user-relative anomaly z-scores, k-anonymity
+# governance audit, contamination report rollup.
+# --------------------------------------------------------------------------
+
+def user_value_zscores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event z-score vs the user's own value distribution — exact via
+    the integer identity z = (n*qv - s)/sqrt(n*ss - s^2) (cent-quantized
+    values, int64 sums, three IEEE roundings total)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import user_value_zscores
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return user_value_zscores(ev)
+
+
+USER_ZSCORE_SQL = """
+WITH q AS (
+  SELECT event_id, user_id,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+stats AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(qv) AS BIGINT) AS s,
+         CAST(SUM(qv * qv) AS BIGINT) AS ss
+  FROM q GROUP BY user_id)
+SELECT q.event_id, q.user_id,
+       CAST(qv AS DOUBLE) / 100 AS value_q,
+       CAST(n AS BIGINT) AS n_user_events,
+       CASE WHEN n >= 2 AND n * ss - s * s > 0
+            THEN CAST(n * qv - s AS DOUBLE)
+                 / sqrt(CAST(n * ss - s * s AS DOUBLE)) END AS zscore
+FROM q JOIN stats USING (user_id)
+"""
+
+
+def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity governance audit (k=5) over the quasi-identifier pair
+    (event_type, value bucketed to 50s): combinations appearing < k times
+    are re-identification risks."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import k_anonymity_audit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.col("value").cast("double") / 50) * 50)
+        .cast("long")
+        .alias("value_band"),
+    )
+    return k_anonymity_audit(ev, ["event_type", "value_band"], k=5)
+
+
+K_ANON_SQL = """
+SELECT event_type,
+       CAST(FLOOR(CAST(value AS DOUBLE) / 50) * 50 AS BIGINT) AS value_band,
+       COUNT(*) AS n_rows,
+       COUNT(*) < 5 AS risky
+FROM events
+GROUP BY event_type, CAST(FLOOR(CAST(value AS DOUBLE) / 50) * 50 AS BIGINT)
+"""
+
+
+def train_eval_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination REPORT shape: per eval document, how many train
+    documents share 5-grams with it, the worst overlap size, and the
+    worst offender's id (argmax via struct max — order-free)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    evalset = _spread(
+        spark,
+        _t(spark, sf_dir, "documents", spread=False).filter(
+            F.col("doc_id") % 10 == 0
+        ),
+    )
+    pairs = cp.contamination_pairs(train, evalset, n=5)
+    return (
+        pairs.groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum("n_shared").cast("long").alias("total_shared"),
+            F.max(
+                F.struct(F.col("n_shared"), (-F.col("train_id")).alias("neg"))
+            )["n_shared"].alias("max_shared"),
+            (
+                -F.max(
+                    F.struct(
+                        F.col("n_shared"), (-F.col("train_id")).alias("neg")
+                    )
+                )["neg"]
+            ).cast("long").alias("worst_train_id"),
+        )
+    )
+
+
+OVERLAP_REPORT_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tl, i, i + 4), ' ') AS ngram
+  FROM toks, UNNEST(generate_series(1, len(tl) - 4)) AS u(i)
+  WHERE len(tl) >= 5),
+pairs AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+  FROM grams t JOIN grams e USING (ngram)
+  WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+  GROUP BY t.doc_id, e.doc_id)
+SELECT eval_id,
+       COUNT(*) AS n_train_docs,
+       CAST(SUM(n_shared) AS BIGINT) AS total_shared,
+       CAST(MAX(n_shared) AS BIGINT) AS max_shared,
+       CAST((ARRAY_AGG(train_id ORDER BY n_shared DESC, train_id ASC))[1]
+            AS BIGINT) AS worst_train_id
+FROM pairs GROUP BY eval_id
+"""
+
+
+_WAVE22_QUERIES = {
+    "user_value_zscores": user_value_zscores_q,
+    "k_anonymity_events": k_anonymity_events,
+    "train_eval_overlap_report": train_eval_overlap_report,
+}
+
+_WAVE22_SQL = {
+    "user_value_zscores": USER_ZSCORE_SQL,
+    "k_anonymity_events": K_ANON_SQL,
+    "train_eval_overlap_report": OVERLAP_REPORT_SQL,
 }

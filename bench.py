@@ -181,6 +181,10 @@ BENCH_QUERIES = [
     "quality_decile_audit",
     "intersect_all_events",
     "user_value_percentile",
+    # wave 22: anomaly z-scores, governance audit, contamination report
+    "user_value_zscores",
+    "k_anonymity_events",
+    "train_eval_overlap_report",
 ]
 
 

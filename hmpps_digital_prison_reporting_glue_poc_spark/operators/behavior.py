@@ -189,3 +189,52 @@ def cohort_retention(
         .groupBy("cohort_period", "period_offset")
         .agg(F.countDistinct(user_col).alias("n_active_users"))
     )
+
+
+def user_value_zscores(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    scale: int = 100,
+) -> DataFrame:
+    """Per-event anomaly z-score against the event's OWN user's value
+    distribution — the user-relative outlier signal behind per-account
+    fraud/abuse flags.
+
+    Exact and engine-portable via the integer identity
+    ``z = (n*qv - s) / sqrt(n*ss - s^2)``: values quantize to integer
+    cents (``round(value * scale)``), per-user count / sum / squared sum
+    are exact int64 aggregates, the numerator is an exact integer, and
+    the denominator is one sqrt of an exact integer — three IEEE
+    roundings total, identical everywhere (the naive
+    ``(x - mean) / stddev`` would divide by a float-summed variance).
+    One user-keyed aggregation + one co-keyed join-back. Users with a
+    single event or zero variance emit NULL z (undefined).
+    """
+    q = events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv"),
+    )
+    stats = q.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__qv").alias("__s"),
+        F.sum(F.col("__qv") * F.col("__qv")).alias("__ss"),
+    )
+    joined = q.join(stats, user_col)
+    var_num = F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")
+    z = F.when(
+        (F.col("__n") >= 2) & (var_num > 0),
+        (F.col("__n") * F.col("__qv") - F.col("__s")).cast("double")
+        / F.sqrt(var_num.cast("double")),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(user_col),
+        (F.col("__qv").cast("double") / scale).alias("value_q"),
+        F.col("__n").cast("long").alias("n_user_events"),
+        z.alias("zscore"),
+    )

@@ -77,3 +77,25 @@ def profile_table(
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every
+    distinct combination appearing fewer than ``k`` times is a
+    re-identification risk — the governance check a dataset passes
+    before release.
+
+    One groupBy on the quasi-identifier tuple (partial-agg friendly);
+    returns every combination with its count and a ``risky`` verdict —
+    callers suppress or generalize the risky rows. Deterministic,
+    shuffle = the one the problem requires.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("risky", F.col("n_rows") < k)
+    )

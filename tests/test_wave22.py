@@ -1,0 +1,60 @@
+"""Wave-22 operators: user-relative z-scores, k-anonymity audit,
+contamination report rollup."""
+
+from __future__ import annotations
+
+import math
+
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+    user_value_zscores,
+)
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+    k_anonymity_audit,
+)
+
+
+def test_user_zscores_match_closed_form(spark):
+    rows = [
+        (1, 10, 1.00),
+        (2, 10, 2.00),
+        (3, 10, 3.00),
+        (4, 20, 5.00),  # single event -> NULL z
+        (5, 30, 7.00),
+        (6, 30, 7.00),  # zero variance -> NULL z
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    got = {r.event_id: r for r in user_value_zscores(df).collect()}
+    # user 10: cents 100,200,300; n=3 s=600 ss=140000
+    # z_1 = (3*100-600)/sqrt(3*140000-360000) = -300/sqrt(60000)
+    for eid, qv in ((1, 100), (2, 200), (3, 300)):
+        expect = (3 * qv - 600) / math.sqrt(3 * 140000 - 600 * 600)
+        assert abs(got[eid].zscore - expect) < 1e-15
+    assert got[4].zscore is None
+    assert got[5].zscore is None and got[6].zscore is None
+    assert got[2].zscore == 0.0  # exactly the mean
+    assert got[1].value_q == 1.0 and got[1].n_user_events == 3
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    rows = [("a", 0)] * 6 + [("a", 50)] * 2 + [("b", 0)] * 5
+    df = spark.createDataFrame(rows, "event_type string, value_band long")
+    got = {
+        (r.event_type, r.value_band): (r.n_rows, r.risky)
+        for r in k_anonymity_audit(df, ["event_type", "value_band"], k=5).collect()
+    }
+    assert got[("a", 0)] == (6, False)
+    assert got[("a", 50)] == (2, True)
+    assert got[("b", 0)] == (5, False)  # exactly k is safe
+
+
+def test_overlap_report_argmax_is_deterministic(spark):
+    import __spark_entry__ as m
+
+    out = m.queries()["train_eval_overlap_report"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out  # the synthetic corpus has 5-gram overlaps
+    for r in out:
+        assert r.max_shared <= r.total_shared
+        assert r.n_train_docs >= 1
+        assert r.eval_id % 10 == 0 and r.worst_train_id % 10 != 0
