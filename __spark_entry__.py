@@ -1135,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE20_QUERIES,
         **_WAVE21_QUERIES,
         **_WAVE22_QUERIES,
+        **_WAVE23_QUERIES,
     }
     # Rotation for the driver's fixed-size correctness window. Four tiers:
     # (1) never driver-checked (new this round), (2) r1/r2-era queries
@@ -1240,6 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE20_SQL,
         **_WAVE21_SQL,
         **_WAVE22_SQL,
+        **_WAVE23_SQL,
     }
 
 
@@ -6195,4 +6197,170 @@ _WAVE22_SQL = {
     "user_value_zscores": USER_ZSCORE_SQL,
     "k_anonymity_events": K_ANON_SQL,
     "train_eval_overlap_report": OVERLAP_REPORT_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 23: distributed sketch & graph algorithms with bit-exact
+# oracles — from-scratch HyperLogLog, Count-Min sketch, degree-oriented
+# triangle census.
+# --------------------------------------------------------------------------
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog (256 registers) over event user_ids, with
+    the exact distinct alongside for the accuracy audit. The harmonic
+    denominator stays integer (S / 2^25), so the estimate is bit-exact
+    cross-engine — unlike Spark's built-in approx_count_distinct, every
+    register is oracle-verifiable."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.topk import hll_distinct
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return hll_distinct(ev, "user_id", m_registers=256)
+
+
+HLL_SQL = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS hv
+  FROM events),
+keyed AS (SELECT hv % 256 AS j, hv // 256 AS w FROM h),
+regs AS (
+  SELECT j, MAX(CASE WHEN w > 0 THEN 25 - length(bin(w)) ELSE 25 END) AS M
+  FROM keyed GROUP BY j),
+agg AS (
+  SELECT CAST(SUM(1 << (25 - M)) AS BIGINT) AS s_present,
+         COUNT(*) AS n_present
+  FROM regs),
+ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events),
+calc AS (
+  SELECT n_exact,
+         (CAST(0.7213 AS DOUBLE)
+          / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+         * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE) * CAST(33554432 AS DOUBLE)
+         / CAST(s_present + (256 - n_present) * 33554432 AS DOUBLE) AS raw_est,
+         CAST(256 - n_present AS DOUBLE) AS n_zero
+  FROM ex, agg)
+SELECT n_exact,
+       CASE WHEN raw_est <= CAST(2.5 AS DOUBLE) * CAST(256 AS DOUBLE)
+                 AND n_zero > 0
+            THEN CAST(256 AS DOUBLE) * ROUND(LN(CAST(256 AS DOUBLE) / n_zero), 6)
+            ELSE raw_est END AS hll_estimate,
+       ABS(CASE WHEN raw_est <= CAST(2.5 AS DOUBLE) * CAST(256 AS DOUBLE)
+                     AND n_zero > 0
+                THEN CAST(256 AS DOUBLE) * ROUND(LN(CAST(256 AS DOUBLE) / n_zero), 6)
+                ELSE raw_est END - CAST(n_exact AS DOUBLE))
+         / CAST(n_exact AS DOUBLE) AS rel_error
+FROM calc
+"""
+
+
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (3 x 1024) over corpus token counts, probed with
+    the 20 most frequent tokens: estimate >= truth always; the
+    overestimate column is the audit."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.topk import (
+        cms_token_estimates,
+    )
+
+    return cms_token_estimates(
+        _t(spark, sf_dir, "documents"), "text", width=1024, depth=3,
+        probe_k=20,
+    )
+
+
+CMS_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+counts AS (SELECT token, COUNT(*) AS n_true FROM toks GROUP BY token),
+hashed AS (
+  SELECT token, n_true, h AS d,
+         CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || token), 1, 8))
+              AS BIGINT) % 1024 AS col
+  FROM counts, UNNEST(generate_series(0, 2)) AS u(h)),
+cells AS (
+  SELECT d, col, CAST(SUM(n_true) AS BIGINT) AS cell
+  FROM hashed GROUP BY d, col),
+probes AS (
+  SELECT token, n_true FROM counts
+  ORDER BY n_true DESC, token ASC LIMIT 20)
+SELECT p.token,
+       CAST(p.n_true AS BIGINT) AS n_true,
+       CAST(MIN(cell) AS BIGINT) AS cms_estimate,
+       CAST(MIN(cell) - p.n_true AS BIGINT) AS overestimate
+FROM probes p
+JOIN hashed h ON h.token = p.token
+JOIN cells c ON c.d = h.d AND c.col = h.col
+GROUP BY p.token, p.n_true
+"""
+
+
+def token_graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the undirected token co-occurrence graph via
+    degree-ordered orientation (the MapReduce triangle-counting plan):
+    node/edge/wedge/triangle counts + global transitivity."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.graph import (
+        token_graph_triangles,
+    )
+
+    return token_graph_triangles(_t(spark, sf_dir, "documents"))
+
+
+TRIANGLES_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents),
+bg AS (
+  SELECT tl[i] AS s, tl[i + 1] AS t
+  FROM toks, UNNEST(generate_series(1, len(tl) - 1)) AS u(i)
+  WHERE len(tl) >= 2),
+und AS (
+  SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+  FROM bg WHERE s <> t),
+deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+  GROUP BY v),
+e AS (
+  SELECT CASE WHEN (da.deg < db.deg)
+                   OR (da.deg = db.deg AND und.a < und.b)
+              THEN und.a ELSE und.b END AS u,
+         CASE WHEN (da.deg < db.deg)
+                   OR (da.deg = db.deg AND und.a < und.b)
+              THEN und.b ELSE und.a END AS v
+  FROM und
+  JOIN deg da ON da.v = und.a
+  JOIN deg db ON db.v = und.b),
+wed AS (
+  SELECT e1.u, e1.v AS x, e2.v AS y
+  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v),
+tri AS (
+  SELECT COUNT(*) AS n_triangles FROM wed w
+  WHERE EXISTS (SELECT 1 FROM e
+                WHERE (e.u = w.x AND e.v = w.y)
+                   OR (e.u = w.y AND e.v = w.x))),
+agg AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+  FROM deg),
+ne AS (SELECT COUNT(*) AS n_edges FROM und)
+SELECT n_nodes, n_edges, n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN CAST(3.0 AS DOUBLE) * CAST(n_triangles AS DOUBLE)
+                 / CAST(n_wedges AS DOUBLE) END AS transitivity
+FROM agg, ne, tri
+"""
+
+
+_WAVE23_QUERIES = {
+    "hll_distinct_users": hll_distinct_users,
+    "cms_token_counts": cms_token_counts,
+    "token_graph_triangle_census": token_graph_triangle_census,
+}
+
+_WAVE23_SQL = {
+    "hll_distinct_users": HLL_SQL,
+    "cms_token_counts": CMS_SQL,
+    "token_graph_triangle_census": TRIANGLES_SQL,
 }

@@ -185,6 +185,10 @@ BENCH_QUERIES = [
     "user_value_zscores",
     "k_anonymity_events",
     "train_eval_overlap_report",
+    # wave 23: mergeable sketches + graph census
+    "hll_distinct_users",
+    "cms_token_counts",
+    "token_graph_triangle_census",
 ]
 
 

@@ -227,3 +227,119 @@ def token_pagerank(
             top_k
         )
     return ranks
+
+
+def token_graph_triangles(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Triangle census of the undirected token co-occurrence graph
+    (distinct bigram pairs): node/edge/wedge/triangle counts and the
+    global transitivity 3T/W — the graph-health summary of a
+    co-occurrence structure.
+
+    Uses the classic degree-ordered orientation (Cohen 2009 MapReduce
+    triangle counting): each undirected edge is oriented from its
+    (degree, id)-smaller endpoint to the larger, so every node's
+    out-degree is O(sqrt(|E|)) and the wedge self-join — the quadratic
+    step — is bounded by that, never by a hub's full degree. Triangle =
+    oriented wedge (u->v, u->w) closed by oriented edge (v->w). Wedge
+    count W = sum over nodes of C(deg, 2) — exact integers throughout;
+    the one float op is the final 3T/W division. Single-row output.
+    """
+    from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+
+    toked = df.select(tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array(
+                F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<array<string>>"))
+    und = (
+        toked.select(F.explode(grams).alias("__e"))
+        .select(
+            F.least(F.col("__e")[0], F.col("__e")[1]).alias("a"),
+            F.greatest(F.col("__e")[0], F.col("__e")[1]).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))  # self-loops carry no triangles
+        .distinct()
+    )
+    und = materialize(und, "tri_edges_")
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    deg = materialize(deg, "tri_deg_")
+    # orient by (deg, id): from smaller to larger
+    e = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("o")
+        )
+        .select(F.col("o.u").alias("u"), F.col("o.v").alias("v"))
+    )
+    e = materialize(e, "tri_oriented_")
+    # oriented wedges from a shared source, one per unordered {v, w}
+    w1 = e.select(F.col("u"), F.col("v").alias("x"))
+    w2 = e.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    # a triangle closes the wedge with an oriented edge between x and y
+    # (orientation of (x, y) is whichever (deg, id) order dictates)
+    closed = wedges.join(
+        e.select(
+            F.col("u").alias("x"), F.col("v").alias("y"), F.lit(1).alias("__c1")
+        ),
+        ["x", "y"],
+        "left",
+    ).join(
+        e.select(
+            F.col("u").alias("y"), F.col("v").alias("x"), F.lit(1).alias("__c2")
+        ),
+        ["x", "y"],
+        "left",
+    )
+    tri = closed.agg(
+        F.sum(
+            F.when(
+                F.col("__c1").isNotNull() | F.col("__c2").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_triangles")
+    )
+    counts = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    ).crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+    return (
+        counts.crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+            ).alias("transitivity"),
+        )
+    )

@@ -23,6 +23,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+    materialize,
+)
+
 
 def topk_per_group(
     df: DataFrame,
@@ -149,4 +153,153 @@ def heavy_hitter_tokens(
                 / F.col("__total").cast("double")
             ).alias("share"),
         )
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    m_registers: int = 256,
+) -> DataFrame:
+    """From-scratch HyperLogLog distinct-count sketch (Flajolet et al.
+    2007), built so every bit is engine-reproducible: h = u32(md5('hll:'
+    || key)), register index j = h % m, and rank rho = leading-zero count
+    of the remaining 24 bits + 1. The harmonic-mean denominator is kept
+    EXACT — sum(2^-M_j) = S / 2^25 with S an integer sum of powers of
+    two — so the estimate is closed-form over integers with two float
+    ops at the end (one multiply chain, one divide), identical in any
+    IEEE engine. The standard small-range (linear counting) correction
+    applies below 2.5m, with the repo's rounded-ln contract.
+
+    This is the mergeable-sketch shape a 100 TB pipeline uses for
+    distinct counts across partitions/days: the register table is m rows
+    (max-merge to combine sketches); the exact distinct (one extra agg
+    here) is emitted alongside for the accuracy audit. Returns one row:
+    (n_exact, hll_estimate, rel_error).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = df.select(
+        (h % m_registers).alias("j"), F.floor(h / m_registers).cast("long").alias("w")
+    )
+    # rho = leading zeros within 24 bits + 1; w == 0 -> 25
+    rho = F.when(F.col("w") > 0, F.lit(25) - F.length(F.bin(F.col("w")))).otherwise(
+        F.lit(25)
+    )
+    regs = keyed.select("j", rho.alias("rho")).groupBy("j").agg(
+        F.max("rho").alias("M")
+    )
+    # S = sum over PRESENT registers of 2^(25 - M_j); absent registers
+    # (M_j = 0) contribute 2^25 each — add them arithmetically.
+    agg = regs.agg(
+        F.sum(F.expr("CAST(shiftleft(1, 25 - M) AS BIGINT)")).alias("S_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    m = F.lit(m_registers).cast("double")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)
+    s_total = (
+        F.col("S_present")
+        + (F.lit(m_registers) - F.col("n_present"))
+        * F.lit(1 << 25).cast("long")
+    ).cast("double")
+    raw_est = alpha * m * m * F.lit(float(1 << 25)) / s_total
+    n_zero = (F.lit(m_registers) - F.col("n_present")).cast("double")
+    est = F.when(
+        (raw_est <= F.lit(2.5) * m) & (n_zero > 0),
+        m * F.round(F.log(m / n_zero), 6),
+    ).otherwise(raw_est)
+    exact = df.select(
+        F.countDistinct(F.col(key_col)).alias("n_exact")
+    )
+    row = exact.crossJoin(agg.select(est.alias("hll_estimate")))
+    return row.select(
+        "n_exact",
+        "hll_estimate",
+        (
+            F.abs(F.col("hll_estimate") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_error"),
+    )
+
+
+def cms_token_estimates(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = 1024,
+    depth: int = 3,
+    probe_k: int = 20,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over corpus token
+    counts, with the accuracy audit built in: fold every token's count
+    into a depth x width counter table (md5-derived columns, exact
+    integer sums), then probe the ``probe_k`` most frequent tokens —
+    estimate = min over rows, always >= truth, overestimate =
+    estimate - truth.
+
+    The sketch table is depth*width rows regardless of vocabulary size
+    (mergeable by cell-wise +), which is what earns it a place at 100 TB:
+    heavy-hitter queries hit a kilobyte-scale table instead of the
+    vocabulary. Everything is integer arithmetic — the oracle reproduces
+    every cell. Probe set is (count desc, token asc)-ordered, so LIMIT
+    is deterministic."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    counts = materialize(counts, "cms_counts_")
+    hashed = counts.select(
+        "token",
+        "n_true",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).withColumn(
+        "col",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"), F.lit(":"), F.col("token")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    cells = hashed.groupBy("d", "col").agg(
+        F.sum("n_true").cast("long").alias("cell")
+    )
+    probes = (
+        counts.orderBy(F.col("n_true").desc(), F.col("token").asc())
+        .limit(probe_k)
+        .join(
+            hashed.select("token", "d", "col"),
+            "token",
+        )
+        .join(cells, ["d", "col"])
+        .groupBy("token")
+        .agg(
+            F.max("n_true").alias("n_true"),
+            F.min("cell").alias("cms_estimate"),
+        )
+    )
+    return probes.select(
+        "token",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("n_true")).cast("long").alias(
+            "overestimate"
+        ),
     )

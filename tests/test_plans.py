@@ -391,3 +391,31 @@ def test_user_percentile_window_is_user_keyed(spark):
     plan = _plan(spark, "user_value_percentile")
     assert re.search(r"Window .*user_id", plan, re.DOTALL)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hll_register_table_is_bounded_aggregation(spark):
+    """The HLL plan must reduce to register-table aggregations — no
+    Python, no joins beyond the final 1-row cross of exact vs estimate."""
+    plan = _plan(spark, "hll_distinct_users")
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_probe_joins_are_bounded(spark):
+    plan = _plan(spark, "cms_token_counts")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_join_uses_oriented_edges(spark):
+    """The wedge self-join must be a hash EQUI-join on the oriented
+    source — never a cartesian/nested-loop expansion of the edge data.
+    (The only nested-loop joins allowed are the final 1-row scalar
+    combines of the census counts.)"""
+    plan = _plan(spark, "token_graph_triangle_census")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin \[u#\d+\], \[u#\d+\], Inner", plan), (
+        "wedge join must be a hash equi-join on the oriented source"
+    )
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row scalar crosses
+    assert "BatchEvalPython" not in plan
