@@ -313,11 +313,16 @@ def token_graph_triangles(
         ["x", "y"],
         "left",
     )
+    # sum over an EMPTY wedge frame is NULL, not 0 — coalesce, or a
+    # triangle-free graph reports n_triangles NULL (hypothesis-caught)
     tri = closed.agg(
-        F.sum(
-            F.when(
-                F.col("__c1").isNotNull() | F.col("__c2").isNotNull(), 1
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__c1").isNotNull() | F.col("__c2").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("n_triangles")
