@@ -1136,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE21_QUERIES,
         **_WAVE22_QUERIES,
         **_WAVE23_QUERIES,
+        **_WAVE24_QUERIES,
     }
     # Rotation for the driver's fixed-size correctness window. Four tiers:
     # (1) never driver-checked (new this round), (2) r1/r2-era queries
@@ -1242,6 +1243,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE21_SQL,
         **_WAVE22_SQL,
         **_WAVE23_SQL,
+        **_WAVE24_SQL,
     }
 
 
@@ -6363,4 +6365,50 @@ _WAVE23_SQL = {
     "hll_distinct_users": HLL_SQL,
     "cms_token_counts": CMS_SQL,
     "token_graph_triangle_census": TRIANGLES_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 24: training-shard export manifest.
+# --------------------------------------------------------------------------
+
+def training_shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training-data export manifest: 512-doc shards under the
+    deterministic shuffle order, with per-shard token totals and an
+    order-sensitive md5 checksum — the loader-facing contract of the
+    export step."""
+    return cp.training_shard_manifest(
+        _t(spark, sf_dir, "documents"), shard_docs=512
+    )
+
+
+SHARD_MANIFEST_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('ord:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
+         md5(text) AS fp
+  FROM documents),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY sort_key ASC, doc_id ASC) AS BIGINT)
+           AS r
+  FROM keyed),
+sh AS (SELECT *, (r - 1) // 512 AS shard_id FROM ranked)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(MIN(r) AS BIGINT) AS rank_from,
+       CAST(MAX(r) AS BIGINT) AS rank_to,
+       md5(string_agg(fp, '' ORDER BY r)) AS shard_md5
+FROM sh GROUP BY shard_id
+"""
+
+
+_WAVE24_QUERIES = {
+    "training_shard_manifest": training_shard_manifest_q,
+}
+
+_WAVE24_SQL = {
+    "training_shard_manifest": SHARD_MANIFEST_SQL,
 }

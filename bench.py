@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "hll_distinct_users",
     "cms_token_counts",
     "token_graph_triangle_census",
+    # wave 24: sharded export manifest
+    "training_shard_manifest",
 ]
 
 

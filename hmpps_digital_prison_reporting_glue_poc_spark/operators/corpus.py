@@ -530,3 +530,64 @@ def chunk_embed_pool(
             for j in range(dim)
         ],
     )
+
+
+def training_shard_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_docs: int = 512,
+) -> DataFrame:
+    """The training-data export's final mile: place every document into a
+    fixed-size shard under the deterministic epoch-stable shuffle order
+    (``global_sort_rank`` over md5 keys — no single-partition window) and
+    emit the shard MANIFEST a downstream loader consumes: per shard, doc
+    count, token total, rank range, and an order-sensitive content
+    checksum (md5 of the in-order doc fingerprints) that makes shard
+    drift detectable byte-for-byte.
+
+    At 100 TB this is the plan that writes `part-<shard>` training files:
+    the shard assignment is pure arithmetic on the exact rank, the
+    manifest aggregation shuffles once on shard_id, and the checksum is
+    the standard re-export validation. (The write itself is the
+    partitioned-parquet sink the pipeline already has; this operator is
+    the assignment + manifest contract.)
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(F.concat(F.lit("ord:"), F.col(id_col).cast("string"))).alias(
+            "sort_key"
+        ),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__n_tokens"),
+        F.md5(F.col(text_col)).alias("__fp"),
+    )
+    ranked = global_sort_rank(
+        keyed, key_col="sort_key", id_col=id_col
+    ).withColumn(
+        "shard_id", ((F.col("shuffle_rank") - 1) / shard_docs).cast("long")
+    )
+    return (
+        ranked.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tokens").cast("long").alias("n_tokens"),
+            F.min("shuffle_rank").alias("rank_from"),
+            F.max("shuffle_rank").alias("rank_to"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("shuffle_rank").alias("r"),
+                                    F.col("__fp").alias("fp"),
+                                )
+                            )
+                        ),
+                        lambda s: s["fp"],
+                    ),
+                    "",
+                )
+            ).alias("shard_md5"),
+        )
+    )

@@ -58,3 +58,29 @@ def test_overlap_report_argmax_is_deterministic(spark):
         assert r.max_shared <= r.total_shared
         assert r.n_train_docs >= 1
         assert r.eval_id % 10 == 0 and r.worst_train_id % 10 != 0
+
+
+def test_shard_manifest_invariants(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import (
+        training_shard_manifest,
+    )
+
+    rows = [(i, f"tok{i} tok{i+1} x") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        training_shard_manifest(df, shard_docs=256).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert [r.n_docs for r in out] == [256, 256, 256, 232]
+    assert out[0].rank_from == 1 and out[-1].rank_to == 1000
+    # contiguous, non-overlapping rank ranges
+    for a, b in zip(out, out[1:]):
+        assert b.rank_from == a.rank_to + 1
+    # checksum is partition-layout independent (content-stable export)
+    again = {
+        r.shard_id: r.shard_md5
+        for r in training_shard_manifest(
+            df.repartition(13), shard_docs=256
+        ).collect()
+    }
+    assert {r.shard_id: r.shard_md5 for r in out} == again
