@@ -190,3 +190,56 @@ def merge_write(
     if exists:
         fs.delete(jpath, True)
     fs.rename(tmp, jpath)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (built-in vectorized reader — same pushdown/pruning
+    contract as parquet; the other columnar lake format a reporting
+    estate commonly holds)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Multimodal ingest: Spark's ``binaryFile`` source — one row per
+    file with (path, modificationTime, length, content BINARY). This is
+    the production loading path for image/audio/video directories; the
+    content column feeds directly into the Arrow-batched kernels in
+    ``operators/multimodal.py`` (rename to ``media_id``/``content`` via
+    :func:`binary_dir_as_media`). Partition-parallel: each file is a
+    split, no driver-side listing beyond the index."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def binary_dir_as_media(files: DataFrame) -> DataFrame:
+    """Adapt a ``binaryFile`` frame to the MEDIA_SCHEMA contract the
+    multimodal operators consume: a stable integer media_id (xxhash64 of
+    the file path — content-independent so re-ingests keep ids), the
+    payload, and the filename extension as the media_type hint."""
+    from pyspark.sql import functions as F
+
+    return files.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.col("content"),
+        F.lower(
+            F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)
+        ).alias("media_type"),
+    )

@@ -44,6 +44,11 @@ QUERIES = [
     "inverted_index_postings",
     "kmeans_refine_clusters",
     "chunk_embed_pool_docs",
+    # waves 21-24
+    "bpe_merge_candidates",
+    "token_graph_triangle_census",
+    "user_value_zscores",
+    "training_shard_manifest",
 ]
 
 

@@ -188,3 +188,52 @@ def test_pipeline_routes_multiple_tables(spark, tmp_path):
     assert cat.read(spark, "offenders").count() == 2
     assert cat.read(spark, "offender_bookings").count() == 1
     assert cat.read(spark, "untouched_t").count() == 0
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink/source: values survive the roundtrip and predicates reach
+    the ORC scan (the same pushdown contract as parquet)."""
+    from pyspark.sql import functions as F
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.sources.io import read_orc, write_orc
+
+    path = str(tmp_path / "orc_tbl")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    write_orc(df, path, partition_by=["grp"])
+    back = read_orc(spark, path).filter(F.col("grp") == 3)
+    assert back.count() == df.filter(F.col("id") % 7 == 3).count()
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "grp" in plan.split(
+        "PartitionFilters:"
+    )[1][:120]
+
+
+def test_binary_dir_ingest_feeds_multimodal_kernels(spark, tmp_path):
+    """binaryFile source -> media adapter -> Arrow-batched meta kernel:
+    the real multimodal loading path, end to end on local files."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.multimodal import (
+        extract_media_meta,
+    )
+    from hmpps_digital_prison_reporting_glue_poc_spark.sources.io import (
+        binary_dir_as_media,
+        read_binary_dir,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    payloads = {"a.png": b"\x89PNG fake", "b.wav": b"RIFF fake audio"}
+    for name, data in payloads.items():
+        (d / name).write_bytes(data)
+    (d / "skip.txt").write_bytes(b"not media")
+
+    media = binary_dir_as_media(
+        read_binary_dir(spark, str(d), glob="*.{png,wav}")
+    )
+    rows = media.collect()
+    assert {r.media_type for r in rows} == {"png", "wav"}
+    assert all(bytes(r.content) in payloads.values() for r in rows)
+    meta = extract_media_meta(media).collect()
+    got = {r.n_bytes for r in meta}
+    assert got == {len(v) for v in payloads.values()}
