@@ -419,3 +419,14 @@ def test_triangle_join_uses_oriented_edges(spark):
     )
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row scalar crosses
     assert "BatchEvalPython" not in plan
+
+
+def test_zscore_join_broadcasts_stats_not_events(spark):
+    """The join-back must broadcast the per-user STATS table; left to
+    size estimates, Spark broadcast the events projection (the 100 TB
+    side) at test scale — 10x-stress measured 656x task skew that way."""
+    plan = _plan(spark, "user_value_zscores")
+    assert "BroadcastHashJoin" in plan
+    # the broadcast subtree must contain the aggregation, not the scan-only side
+    bc = plan.split("BroadcastExchange")[1]
+    assert "HashAggregate" in bc.split("FileScan")[0] or "HashAggregate" in bc[:2000]
