@@ -62,3 +62,62 @@ def merge_partial_aggs(
         .groupBy(*keys)
         .agg(*merged_aggs)
     )
+
+
+def partial_moments(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Mergeable EXACT second-moment state per key: (n, s, ss) over the
+    ``scale``-quantized integer grid — the incremental twin of
+    ``behavior.user_value_zscores``'s per-user statistics. Integer sums
+    merge associatively with zero error (the float two-pass/Welford
+    alternatives accumulate merge-order-dependent drift), so a 100 TB
+    pipeline maintains per-key mean/variance/z-scores by folding each
+    batch's partials into the state table — never rescanning history."""
+    qv = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_m"),
+        F.sum(qv).alias("s_m"),
+        F.sum(qv * qv).alias("ss_m"),
+    )
+
+
+def merge_partial_moments(
+    existing: DataFrame, increment: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold an increment's moment partials into the existing state —
+    closed under merging (output layout == input layout), exact."""
+    return (
+        existing.unionByName(increment, allowMissingColumns=False)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_m").alias("n_m"),
+            F.sum("s_m").alias("s_m"),
+            F.sum("ss_m").alias("ss_m"),
+        )
+    )
+
+
+def finalize_moments(
+    partials: DataFrame, keys: list[str], scale: int = 100
+) -> DataFrame:
+    """Derive mean / variance / stddev from the exact integer state at
+    read time (never stored — derived values don't merge). Uses the same
+    single-rounding identities as ``user_value_zscores``:
+    var = (n*ss - s^2) / n^2 on the quantized grid."""
+    n_d = F.col("n_m").cast("double")
+    var_num = (
+        F.col("n_m") * F.col("ss_m") - F.col("s_m") * F.col("s_m")
+    ).cast("double")
+    mean = F.col("s_m").cast("double") / n_d / F.lit(float(scale))
+    variance = var_num / (n_d * n_d) / F.lit(float(scale * scale))
+    return partials.select(
+        *keys,
+        F.col("n_m").alias("n_rows"),
+        mean.alias("mean"),
+        variance.alias("variance"),
+        F.sqrt(variance).alias("stddev"),
+    )

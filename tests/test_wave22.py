@@ -84,3 +84,49 @@ def test_shard_manifest_invariants(spark):
         ).collect()
     }
     assert {r.shard_id: r.shard_md5 for r in out} == again
+
+
+def test_partial_moments_merge_is_exact(spark):
+    """Merging per-batch moment partials (any grouping of batches) is
+    bit-identical to one-pass aggregation — the incremental contract."""
+    import random
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.incremental import (
+        finalize_moments,
+        merge_partial_moments,
+        partial_moments,
+    )
+
+    random.seed(7)
+    rows = [
+        (i, i % 5, round(random.uniform(0, 300), 2)) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    full = partial_moments(df, ["user_id"], "value")
+
+    b1 = df.filter("event_id % 3 = 0")
+    b2 = df.filter("event_id % 3 = 1")
+    b3 = df.filter("event_id % 3 = 2")
+    merged = merge_partial_moments(
+        merge_partial_moments(
+            partial_moments(b1, ["user_id"], "value"),
+            partial_moments(b2, ["user_id"], "value"),
+            ["user_id"],
+        ),
+        partial_moments(b3, ["user_id"], "value"),
+        ["user_id"],
+    )
+    a = {r.user_id: (r.n_m, r.s_m, r.ss_m) for r in full.collect()}
+    b = {r.user_id: (r.n_m, r.s_m, r.ss_m) for r in merged.collect()}
+    assert a == b  # exact, not approximate
+
+    fin = {r.user_id: r for r in finalize_moments(merged, ["user_id"]).collect()}
+    import statistics
+
+    for uid in fin:
+        vals = [round(v * 100) / 100 for (_, u, v) in rows if u == uid]
+        # population variance on the cent grid
+        m = sum(vals) / len(vals)
+        var = sum((v - m) ** 2 for v in vals) / len(vals)
+        assert abs(fin[uid].mean - m) < 1e-9
+        assert abs(fin[uid].variance - var) < 1e-6
