@@ -1137,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE22_QUERIES,
         **_WAVE23_QUERIES,
         **_WAVE24_QUERIES,
+        **_WAVE25_QUERIES,
     }
     # Rotation for the driver's fixed-size correctness window. Four tiers:
     # (1) never driver-checked (new this round), (2) r1/r2-era queries
@@ -1244,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE22_SQL,
         **_WAVE23_SQL,
         **_WAVE24_SQL,
+        **_WAVE25_SQL,
     }
 
 
@@ -6412,3 +6414,194 @@ _WAVE24_QUERIES = {
 _WAVE24_SQL = {
     "training_shard_manifest": SHARD_MANIFEST_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 25: split-integrity audits and robust statistics —
+# cross-source duplicate leaks, boilerplate prefix clusters, rank-
+# winsorized domain means.
+# --------------------------------------------------------------------------
+
+def cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate content appearing under >= 2 sources — the leak
+    that couples per-source train/eval splits."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.dedup import cross_source_dup_audit
+
+    return cross_source_dup_audit(_t(spark, sf_dir, "documents"))
+
+
+CROSS_SOURCE_SQL = """
+SELECT md5(text) AS fingerprint,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(DISTINCT source) >= 2
+"""
+
+
+def boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents sharing an identical 8-token opening — web boilerplate
+    that body-level dedup misses; all_identical separates pure dupes
+    from true shared headers."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.dedup import (
+        boilerplate_prefix_clusters,
+    )
+
+    return boilerplate_prefix_clusters(
+        _t(spark, sf_dir, "documents"), prefix_tokens=8, min_docs=2
+    )
+
+
+BOILERPLATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, md5(text) AS full_fp,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents),
+keyed AS (
+  SELECT doc_id, full_fp,
+         md5(CASE WHEN len(tl) >= 8
+                  THEN array_to_string(list_slice(tl, 1, 8), ' ')
+                  ELSE array_to_string(tl, ' ') END) AS prefix_md5
+  FROM toks)
+SELECT prefix_md5,
+       COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       COUNT(DISTINCT full_fp) = 1 AS all_identical
+FROM keyed
+GROUP BY prefix_md5
+HAVING COUNT(*) >= 2
+"""
+
+
+def winsorized_quality_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-winsorized per-source means of the n_chars signal (10% each
+    tail clamped to the cut-rank values) next to the raw mean — the
+    outlier-robust dashboard number."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import (
+        winsorized_signal_means,
+    )
+
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", "source", "n_chars"
+    )
+    return winsorized_signal_means(
+        docs, "n_chars", "source", "doc_id", trim_rank_frac=0.1
+    )
+
+
+WINSORIZED_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS BIGINT)
+           AS r,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+         CAST(CEIL(CAST(0.1 AS DOUBLE)
+                   * CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE))
+              AS BIGINT) AS k
+  FROM documents),
+cuts AS (
+  SELECT *,
+         MAX(CASE WHEN r = k THEN n_chars END)
+           OVER (PARTITION BY source) AS lo,
+         MAX(CASE WHEN r = n + 1 - k THEN n_chars END)
+           OVER (PARTITION BY source) AS hi
+  FROM ranked)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(MIN(lo) AS BIGINT) AS lo_cut,
+       CAST(MIN(hi) AS BIGINT) AS hi_cut,
+       CAST(SUM(LEAST(GREATEST(n_chars, lo), hi)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS raw_mean
+FROM cuts GROUP BY source
+"""
+
+
+_WAVE25_QUERIES = {
+    "cross_source_dups": cross_source_dups,
+    "boilerplate_prefixes": boilerplate_prefixes,
+    "winsorized_quality_means": winsorized_quality_means,
+}
+
+_WAVE25_SQL = {
+    "cross_source_dups": CROSS_SOURCE_SQL,
+    "boilerplate_prefixes": BOILERPLATE_SQL,
+    "winsorized_quality_means": WINSORIZED_SQL,
+}
+
+
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@5 of the IVF-PQ
+    approximate search against the exact cosine top-5 — the measurement
+    loop that tunes nprobe/codebook geometry before serving. Both result
+    sets are materialized once; single small join, per-query rows."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = materialize(
+        sim.cosine_topk(emb, queries, k=5), "annrecall_exact_"
+    )
+    approx = materialize(
+        sim.ivfpq_topk(
+            spark, emb, queries, k=5, n_lists=8, nprobe=2,
+            n_subspaces=8, n_centroids=16,
+        ).select("query_id", "neighbor_id"),
+        "annrecall_approx_",
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_at_k",
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+        )
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH approx_full AS ({IVFPQ_SQL}),
+approx AS (SELECT query_id, neighbor_id FROM approx_full),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(e.v, q.v) AS score
+  FROM e, q WHERE e.vec_id <> q.vec_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC)
+             AS rnk
+    FROM scored) WHERE rnk <= 5),
+hits AS (
+  SELECT query_id, COUNT(*) AS n_hit
+  FROM exact JOIN approx USING (query_id, neighbor_id)
+  GROUP BY query_id),
+per_q AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id)
+SELECT p.query_id, p.n_exact,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(p.n_exact AS DOUBLE)
+         AS recall_at_k
+FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
+"""
+
+_WAVE25_QUERIES["ann_recall_at_k"] = ann_recall_at_k
+_WAVE25_SQL["ann_recall_at_k"] = ANN_RECALL_SQL

@@ -191,6 +191,11 @@ BENCH_QUERIES = [
     "token_graph_triangle_census",
     # wave 24: sharded export manifest
     "training_shard_manifest",
+    # wave 25: split-integrity audits + robust stats
+    "cross_source_dups",
+    "boilerplate_prefixes",
+    "winsorized_quality_means",
+    "ann_recall_at_k",
 ]
 
 

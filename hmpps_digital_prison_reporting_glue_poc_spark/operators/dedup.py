@@ -568,3 +568,82 @@ def dup_span_stats(
             / F.col("n_windows").cast("double"),
         )
     )
+
+
+def cross_source_dup_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Split-integrity audit: exact-duplicate content that appears under
+    MORE THAN ONE source — the leak that silently couples train/eval
+    splits drawn per-source (the same page crawled by two feeds, a
+    mirrored dataset). Per leaked fingerprint: the distinct-source count,
+    total copies, lowest doc id, and the joined source list
+    (deterministic order) for triage.
+
+    One shuffle on the content fingerprint; the per-fingerprint source
+    set is bounded by the source cardinality (tiny), so the collect_set
+    state is safe at any corpus size.
+    """
+    fp = df.select(
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col),
+        F.col(source_col),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.countDistinct(source_col).alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+            F.array_join(
+                F.array_sort(F.collect_set(source_col)), ","
+            ).alias("sources"),
+        )
+        .filter(F.col("n_sources") >= 2)
+    )
+
+
+def boilerplate_prefix_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate-header detection: cluster documents sharing an
+    identical first-``prefix_tokens``-token prefix (the web-scrape
+    pattern where thousands of pages open with the same navigation/
+    disclaimer block, which full-document dedup misses because the
+    bodies differ). Per cluster of >= ``min_docs``: size, the lowest
+    member id, and whether members' FULL texts are all identical
+    (pure duplicates) or diverge after the prefix (true boilerplate).
+
+    Documents shorter than the prefix window cluster on their whole
+    text. One fingerprint-keyed shuffle; fully columnar.
+    """
+    toked = df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__full_fp"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    prefix = F.when(
+        F.size("__toks") >= prefix_tokens,
+        F.array_join(F.slice("__toks", 1, prefix_tokens), " "),
+    ).otherwise(F.concat_ws(" ", F.col("__toks")))
+    return (
+        toked.select(
+            F.col(id_col),
+            F.col("__full_fp"),
+            F.md5(prefix).alias("prefix_md5"),
+        )
+        .groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+            (F.countDistinct("__full_fp") == 1).alias("all_identical"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -265,3 +265,65 @@ def quality_decile_audit(
         )
         .withColumn("decile", F.col("decile").cast("long"))
     )
+
+
+def winsorized_signal_means(
+    df: DataFrame,
+    signal_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    trim_rank_frac: float = 0.1,
+) -> DataFrame:
+    """Outlier-robust per-domain signal means: rank-winsorize each
+    group's integer signal (values below the ``trim_rank_frac`` rank
+    clamp UP to that rank's value, values above the symmetric upper rank
+    clamp DOWN), then take the exact mean — the robust location estimate
+    quality dashboards use when a handful of garbage documents would
+    swamp a plain mean.
+
+    Rank-based winsorization (not value-based): cut points are the
+    values AT ranks ceil(f*n) and n+1-ceil(f*n) under the total order
+    (signal, id), so everything stays integer-exact — the mean is an
+    int64 sum divided once. One window shuffle on the group key; cut
+    values ride a same-partition max/min window, no second pass.
+    Returns (group, n_docs, lo_cut, hi_cut, winsorized_mean, raw_mean).
+    """
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col(signal_col).asc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(group_col)
+    k = F.ceil(
+        F.lit(trim_rank_frac) * F.count(F.lit(1)).over(w_all).cast("double")
+    ).cast("long")
+    ranked = (
+        df.withColumn("__r", F.row_number().over(w_rank).cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn("__k", k)
+    )
+    lo_cut = F.max(
+        F.when(F.col("__r") == F.col("__k"), F.col(signal_col))
+    ).over(w_all)
+    hi_cut = F.max(
+        F.when(
+            F.col("__r") == F.col("__n") + 1 - F.col("__k"),
+            F.col(signal_col),
+        )
+    ).over(w_all)
+    clamped = ranked.withColumn("__lo", lo_cut).withColumn("__hi", hi_cut)
+    wins = F.least(F.greatest(F.col(signal_col), F.col("__lo")), F.col("__hi"))
+    return (
+        clamped.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__lo").cast("long").alias("lo_cut"),
+            F.min("__hi").cast("long").alias("hi_cut"),
+            (
+                F.sum(wins).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("winsorized_mean"),
+            (
+                F.sum(signal_col).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("raw_mean"),
+        )
+    )

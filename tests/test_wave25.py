@@ -1,0 +1,70 @@
+"""Wave-25 operators: cross-source duplicate leaks, boilerplate prefix
+clusters, winsorized means — planted-case verification (the synthetic
+corpus contains no cross-source exact dupes, so the oracle row for
+cross_source_dups is empty; these tests carry the semantics)."""
+
+from __future__ import annotations
+
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.dedup import (
+    boilerplate_prefix_clusters,
+    cross_source_dup_audit,
+)
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import (
+    winsorized_signal_means,
+)
+
+
+def test_cross_source_dup_audit_finds_planted_leak(spark):
+    rows = [
+        (1, "leaked page body", "crawl_a"),
+        (2, "leaked page body", "crawl_b"),   # same content, other source
+        (3, "leaked page body", "crawl_a"),   # third copy, same source as 1
+        (4, "unique body one", "crawl_a"),
+        (5, "same-source dup", "crawl_b"),
+        (6, "same-source dup", "crawl_b"),    # dup but single source: NOT a leak
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = cross_source_dup_audit(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_sources == 2 and r.n_docs == 3 and r.min_doc_id == 1
+    assert r.sources == "crawl_a,crawl_b"
+
+
+def test_boilerplate_prefix_clusters_planted(spark):
+    header = "terms of service apply to this site please"
+    rows = [
+        (1, header + " alpha beta"),
+        (2, header + " gamma delta"),   # same 8-token header, different body
+        (3, "completely different text here now ok fine yes"),
+        (4, "dup dup"),                 # short docs cluster on whole text
+        (5, "dup dup"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.min_doc_id: r for r in boilerplate_prefix_clusters(
+        df, prefix_tokens=8, min_docs=2
+    ).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].n_docs == 2 and out[1].all_identical is False  # true boilerplate
+    assert out[4].n_docs == 2 and out[4].all_identical is True   # pure dupes
+
+
+def test_winsorized_mean_resists_outliers(spark):
+    # 18 docs near 100 plus two garbage outliers (0 and 100000)
+    rows = [(i, "s", 100 + i) for i in range(18)] + [
+        (100, "s", 0),
+        (101, "s", 100000),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, sig long")
+    r = winsorized_signal_means(
+        df, "sig", "source", "doc_id", trim_rank_frac=0.1
+    ).collect()[0]
+    # k = ceil(0.1*20) = 2: cuts at ranks 2 and 19 -> values 100 and 117
+    assert r.lo_cut == 100 and r.hi_cut == 117
+    # raw mean is dragged to ~5063; winsorized stays in the data's range
+    assert r.raw_mean > 5000
+    assert 100 <= r.winsorized_mean <= 118
+    # exact: clamp and average by hand
+    vals = sorted(v for _, _, v in rows)
+    clamped = [min(max(v, 100), 117) for v in vals]
+    assert r.winsorized_mean == sum(clamped) / len(clamped)
