@@ -6605,3 +6605,31 @@ FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
 
 _WAVE25_QUERIES["ann_recall_at_k"] = ann_recall_at_k
 _WAVE25_SQL["ann_recall_at_k"] = ANN_RECALL_SQL
+
+
+def blocklist_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon/blocklist safety-filter rollup per source: flagged-doc
+    rate and total distinct-term hits (constant-folded lexicon,
+    array_intersect membership, one domain shuffle)."""
+    return ts.blocklist_filter_stats(_t(spark, sf_dir, "documents"))
+
+
+BLOCKLIST_SQL = """
+WITH scored AS (
+  SELECT source,
+         len(list_intersect(
+           list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+           ['spam', 'fraud', 'scam', 'phishing', 'malware', 'exploit']))
+           AS hits
+  FROM documents)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS flagged_share,
+       CAST(SUM(hits) AS BIGINT) AS total_hits
+FROM scored GROUP BY source
+"""
+
+_WAVE25_QUERIES["blocklist_stats_docs"] = blocklist_stats_docs
+_WAVE25_SQL["blocklist_stats_docs"] = BLOCKLIST_SQL

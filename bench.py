@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "boilerplate_prefixes",
     "winsorized_quality_means",
     "ann_recall_at_k",
+    "blocklist_stats_docs",
 ]
 
 

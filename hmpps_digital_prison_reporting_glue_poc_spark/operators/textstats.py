@@ -570,3 +570,46 @@ def bpe_merge_candidates(
         .orderBy(F.col("n_weighted").desc(), F.col("pair").asc())
         .limit(top_k)
     )
+
+
+BLOCKLIST_V1 = ["spam", "fraud", "scam", "phishing", "malware", "exploit"]
+
+
+def blocklist_filter_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """Lexicon-based safety filtering (the blocklist tier every corpus
+    pipeline runs before model-based classifiers): per document, the
+    count of distinct blocklist terms present and a keep/drop verdict;
+    rolled up per domain with the hit rate — the triage view that
+    decides whether a source needs review.
+
+    The lexicon is a literal array (broadcast-free: it folds into the
+    plan as a constant), membership is ``array_intersect`` over the
+    token set — pure codegen, shuffle only for the per-domain rollup.
+    In production the list is thousands of terms: same plan, the
+    constant array becomes a broadcast join against a lexicon table.
+    Returns (group, n_docs, n_flagged, flagged_share, total_hits).
+    """
+    terms = F.array(*[F.lit(t) for t in (blocklist or BLOCKLIST_V1)])
+    hits = F.size(
+        F.array_intersect(F.array_distinct(tokens(F.col(text_col))), terms)
+    )
+    scored = df.select(
+        F.col(id_col), F.col(group_col), hits.alias("__hits")
+    )
+    return scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__hits") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        (
+            F.sum(F.when(F.col("__hits") > 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("flagged_share"),
+        F.sum("__hits").cast("long").alias("total_hits"),
+    )
