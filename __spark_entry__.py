@@ -6633,3 +6633,48 @@ FROM scored GROUP BY source
 
 _WAVE25_QUERIES["blocklist_stats_docs"] = blocklist_stats_docs
 _WAVE25_SQL["blocklist_stats_docs"] = BLOCKLIST_SQL
+
+
+def weak_label_votes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision majority vote: three deterministic labeling
+    functions (length, lexical diversity, digit share) with abstentions,
+    per-doc vote sum / majority label / conflict flag."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import weak_label_vote
+
+    return weak_label_vote(_t(spark, sf_dir, "documents", spread=False))
+
+
+WEAK_LABEL_SQL = """
+WITH feats AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tl,
+         CAST(length(text) AS DOUBLE) AS chars,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS DOUBLE) AS digits
+  FROM documents),
+votes AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(tl) >= 30 THEN 1
+                   WHEN len(tl) < 10 THEN -1 ELSE 0 END AS BIGINT)
+           AS lf_length,
+         CAST(CASE WHEN CAST(len(list_distinct(tl)) AS DOUBLE)
+                        / CAST(GREATEST(len(tl), 1) AS DOUBLE) >= 0.5 THEN 1
+                   WHEN CAST(len(list_distinct(tl)) AS DOUBLE)
+                        / CAST(GREATEST(len(tl), 1) AS DOUBLE) < 0.25 THEN -1
+                   ELSE 0 END AS BIGINT) AS lf_diversity,
+         CAST(CASE WHEN digits / GREATEST(chars, 1.0) < 0.10 THEN 1
+                   WHEN digits / GREATEST(chars, 1.0) > 0.30 THEN -1
+                   ELSE 0 END AS BIGINT) AS lf_digits
+  FROM feats)
+SELECT doc_id, lf_length, lf_diversity, lf_digits,
+       lf_length + lf_diversity + lf_digits AS vote_sum,
+       CASE WHEN lf_length + lf_diversity + lf_digits > 0 THEN 'keep'
+            WHEN lf_length + lf_diversity + lf_digits < 0 THEN 'drop'
+            ELSE 'abstain' END AS majority_label,
+       GREATEST(lf_length, lf_diversity, lf_digits) = 1
+         AND LEAST(lf_length, lf_diversity, lf_digits) = -1 AS conflict
+FROM votes
+"""
+
+_WAVE25_QUERIES["weak_label_votes"] = weak_label_votes_docs
+_WAVE25_SQL["weak_label_votes"] = WEAK_LABEL_SQL

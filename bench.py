@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "winsorized_quality_means",
     "ann_recall_at_k",
     "blocklist_stats_docs",
+    "weak_label_votes",
 ]
 
 

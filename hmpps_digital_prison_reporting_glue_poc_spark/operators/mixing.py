@@ -327,3 +327,69 @@ def winsorized_signal_means(
             ).alias("raw_mean"),
         )
     )
+
+
+def weak_label_vote(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weak-supervision label aggregation (the Snorkel majority-vote
+    tier): three deterministic labeling functions vote quality/keep on
+    each document — LF1: length (>= 30 tokens), LF2: lexical diversity
+    (distinct/total >= 0.5), LF3: digit-light (< 10% digit chars); each
+    emits +1 (keep), -1 (drop) or 0 (abstain, when its signal is in the
+    uncertain middle band). Output per doc: the three votes, the vote
+    sum, the majority label and the conflict flag (some + and some -) —
+    the columns a downstream label model trains on.
+
+    Pure per-row column expressions (one corpus pass, no shuffle); a
+    production deployment swaps the literal LFs for anything expressible
+    as a column or Arrow kernel — the aggregation contract is the point.
+    """
+    toked = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__toks"),
+        F.length(text_col).cast("double").alias("__chars"),
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+        ).cast("double").alias("__digits"),
+    )
+    n = F.size("__toks")
+    lf1 = (
+        F.when(n >= 30, 1).when(n < 10, -1).otherwise(0)
+    )
+    diversity = F.size(F.array_distinct(F.col("__toks"))).cast("double") / F.greatest(
+        n, F.lit(1)
+    ).cast("double")
+    lf2 = (
+        F.when(diversity >= 0.5, 1).when(diversity < 0.25, -1).otherwise(0)
+    )
+    digit_share = F.col("__digits") / F.greatest(F.col("__chars"), F.lit(1.0))
+    lf3 = (
+        F.when(digit_share < 0.10, 1).when(digit_share > 0.30, -1).otherwise(0)
+    )
+    voted = toked.select(
+        F.col(id_col),
+        lf1.cast("long").alias("lf_length"),
+        lf2.cast("long").alias("lf_diversity"),
+        lf3.cast("long").alias("lf_digits"),
+    )
+    vote_sum = (
+        F.col("lf_length") + F.col("lf_diversity") + F.col("lf_digits")
+    )
+    has_pos = F.greatest("lf_length", "lf_diversity", "lf_digits") == 1
+    has_neg = F.least("lf_length", "lf_diversity", "lf_digits") == -1
+    return voted.select(
+        id_col,
+        "lf_length",
+        "lf_diversity",
+        "lf_digits",
+        vote_sum.alias("vote_sum"),
+        F.when(vote_sum > 0, F.lit("keep"))
+        .when(vote_sum < 0, F.lit("drop"))
+        .otherwise(F.lit("abstain"))
+        .alias("majority_label"),
+        (has_pos & has_neg).alias("conflict"),
+    )

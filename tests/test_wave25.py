@@ -68,3 +68,25 @@ def test_winsorized_mean_resists_outliers(spark):
     vals = sorted(v for _, _, v in rows)
     clamped = [min(max(v, 100), 117) for v in vals]
     assert r.winsorized_mean == sum(clamped) / len(clamped)
+
+
+def test_weak_label_vote_semantics(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import weak_label_vote
+
+    letters = "abcdefghij"
+    rows = [
+        # 35 distinct LETTER-ONLY tokens: LF1 +1, diversity 1.0 -> LF2 +1,
+        # zero digit chars -> LF3 +1
+        (1, " ".join("t" + letters[i % 10] * (i // 10 + 1) for i in range(35))),
+        # 5 tokens: LF1 -1; all same token: diversity 0.2 -> LF2 -1; digits 0 -> LF3 +1
+        (2, "x x x x x"),
+        # 15 tokens (middle band -> abstain), diverse, digit-heavy (>30%)
+        (3, " ".join("99999" if i % 2 else f"t{i}" for i in range(15))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in weak_label_vote(df).collect()}
+    assert (got[1].lf_length, got[1].lf_diversity, got[1].lf_digits) == (1, 1, 1)
+    assert got[1].majority_label == "keep" and got[1].conflict is False
+    assert (got[2].lf_length, got[2].lf_diversity, got[2].lf_digits) == (-1, -1, 1)
+    assert got[2].majority_label == "drop" and got[2].conflict is True
+    assert got[3].lf_length == 0 and got[3].lf_digits == -1
