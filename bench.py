@@ -274,15 +274,25 @@ def main() -> None:
         if i % 10 == 0:
             spark.catalog.clearCache()
             jvm_gc()
-        best = None
+        samples = []
         for _rep in range(2):
             start = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - start)
+        # Adaptive third rep: this host is shared, and a noisy-neighbor
+        # burst can inflate BOTH samples of one query while its
+        # steady-state cost is unchanged. When the two samples disagree
+        # by >30% the measurement is noise-suspect — take one more and
+        # keep the min. Bounded cost: only contended queries re-run.
+        if max(samples) > 1.3 * min(samples):
+            start = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(min(samples), 3)
 
     # No silent caps: name every declared-but-unbenched query and why.
     quadratic = {
