@@ -92,16 +92,18 @@ def stream_cms_counts(
     return writer.start()
 
 
-def read_cms_estimate(spark, cells_path: str, tokens_df):
+def read_cms_estimate(
+    spark, cells_path: str, tokens_df, width: int = 1024, depth: int = 3
+):
     """Point-estimate counts for the tokens in ``tokens_df`` (column
     ``token``) from the merged cell table: min over depth rows of the
-    summed cells; absent cells count 0."""
+    summed cells; absent cells count 0. ``width``/``depth`` must match
+    the geometry the stream was written with."""
     cells = (
         spark.read.parquet(cells_path)
         .groupBy("d", "col")
         .agg(F.sum("cell").cast("long").alias("cell"))
     )
-    depth = 3
     probes = tokens_df.select(
         "token",
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
@@ -120,7 +122,7 @@ def read_cms_estimate(spark, cells_path: str, tokens_df):
             16,
             10,
         ).cast("long")
-        % 1024,
+        % width,
     )
     return (
         probes.join(cells, ["d", "col"], "left")
