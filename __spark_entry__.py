@@ -6249,11 +6249,12 @@ SELECT n_exact,
                  AND n_zero > 0
             THEN CAST(256 AS DOUBLE) * ROUND(LN(CAST(256 AS DOUBLE) / n_zero), 6)
             ELSE raw_est END AS hll_estimate,
-       ABS(CASE WHEN raw_est <= CAST(2.5 AS DOUBLE) * CAST(256 AS DOUBLE)
-                     AND n_zero > 0
-                THEN CAST(256 AS DOUBLE) * ROUND(LN(CAST(256 AS DOUBLE) / n_zero), 6)
-                ELSE raw_est END - CAST(n_exact AS DOUBLE))
-         / CAST(n_exact AS DOUBLE) AS rel_error
+       CASE WHEN n_exact > 0 THEN
+         ABS(CASE WHEN raw_est <= CAST(2.5 AS DOUBLE) * CAST(256 AS DOUBLE)
+                       AND n_zero > 0
+                  THEN CAST(256 AS DOUBLE) * ROUND(LN(CAST(256 AS DOUBLE) / n_zero), 6)
+                  ELSE raw_est END - CAST(n_exact AS DOUBLE))
+           / CAST(n_exact AS DOUBLE) END AS rel_error
 FROM calc
 """
 

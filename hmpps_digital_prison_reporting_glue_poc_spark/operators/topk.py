@@ -219,12 +219,16 @@ def hll_distinct(
         F.countDistinct(F.col(key_col)).alias("n_exact")
     )
     row = exact.crossJoin(agg.select(est.alias("hll_estimate")))
+    # empty-input guard: n_exact = 0 makes rel_error a 0/0 whose result
+    # differs across engines (Spark NULL, DuckDB inf) — emit NULL
+    # explicitly in both.
     return row.select(
         "n_exact",
         "hll_estimate",
-        (
+        F.when(
+            F.col("n_exact") > 0,
             F.abs(F.col("hll_estimate") - F.col("n_exact").cast("double"))
-            / F.col("n_exact").cast("double")
+            / F.col("n_exact").cast("double"),
         ).alias("rel_error"),
     )
 

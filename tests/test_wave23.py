@@ -101,3 +101,10 @@ def test_triangle_census_complete_graph(spark):
     r = token_graph_triangles(df).collect()[0]
     assert r.n_edges == 6 and r.n_triangles == 4
     assert r.transitivity == 1.0
+
+
+def test_hll_empty_input_emits_null_estimate(spark):
+    empty = spark.createDataFrame([], "user_id long")
+    r = hll_distinct(empty, "user_id").collect()[0]
+    assert r.n_exact == 0
+    assert r.hll_estimate is None and r.rel_error is None
