@@ -6679,3 +6679,54 @@ FROM votes
 
 _WAVE25_QUERIES["weak_label_votes"] = weak_label_votes_docs
 _WAVE25_SQL["weak_label_votes"] = WEAK_LABEL_SQL
+
+
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary row every corpus release ships: document
+    and token totals, source/language breadth, the exact-duplicate rate,
+    and short-document share — one corpus scan plus one fingerprint
+    distinct, single-row output."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(txt_tokens(F.col("text")))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("exact_dup_rate"),
+        (
+            F.sum(F.when(toks < 10, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("short_doc_share"),
+        (
+            F.sum(F.length("text")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_chars"),
+    )
+
+
+DATASET_CARD_SQL = """
+WITH toks AS (
+  SELECT text, source, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
+  FROM documents)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(1.0 AS DOUBLE)
+         - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate,
+       CAST(SUM(CASE WHEN n_toks < 10 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS short_doc_share,
+       CAST(SUM(length(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_chars
+FROM toks
+"""
+
+_WAVE25_QUERIES["dataset_card_stats"] = dataset_card_stats
+_WAVE25_SQL["dataset_card_stats"] = DATASET_CARD_SQL

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "ann_recall_at_k",
     "blocklist_stats_docs",
     "weak_label_votes",
+    "dataset_card_stats",
 ]
 
 
