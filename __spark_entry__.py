@@ -6684,8 +6684,12 @@ _WAVE25_SQL["weak_label_votes"] = WEAK_LABEL_SQL
 def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset-card summary row every corpus release ships: document
     and token totals, source/language breadth, the exact-duplicate rate,
-    and short-document share — one corpus scan plus one fingerprint
-    distinct, single-row output."""
+    and short-document share — single-row output. Three count-distincts
+    in one aggregation DO take Catalyst's Expand (x4 row replication into
+    the partial agg) — accepted deliberately here: the replicated columns
+    are narrow (two dictionary strings + a 16-byte hash) while the
+    alternative two-phase plans re-scan the wide text column, which is
+    the actual cost at 100 TB."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.size(txt_tokens(F.col("text")))
     return docs.agg(
