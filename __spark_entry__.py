@@ -6734,3 +6734,149 @@ FROM toks
 
 _WAVE25_QUERIES["dataset_card_stats"] = dataset_card_stats
 _WAVE25_SQL["dataset_card_stats"] = DATASET_CARD_SQL
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 26: corpus-composition and monitoring analytics —
+# source-pair vocabulary overlap, daily value-drift statistics.
+# --------------------------------------------------------------------------
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source similarity by vocabulary Jaccard: which corpus
+    sources speak the same language/domain (the composition analysis
+    behind mixture planning). One corpus pass builds per-source distinct
+    vocab; the pairwise step runs on source-level aggregates (bounded by
+    source count, never corpus-sized)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            "source", F.explode(txt_tokens(F.col("text"))).alias("token")
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    shared = (
+        vocab.alias("a")
+        .join(
+            vocab.withColumnRenamed("source", "source_b").alias("b"),
+            "token",
+        )
+        .filter(F.col("a.source") < F.col("b.source_b"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("source").alias("source_a"),
+                F.col("n_vocab").alias("n_vocab_a"),
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"),
+                F.col("n_vocab").alias("n_vocab_b"),
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_vocab_a",
+            "n_vocab_b",
+            (
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("n_vocab_a") + F.col("n_vocab_b") - F.col("n_shared")
+                ).cast("double")
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH vocab AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+sizes AS (SELECT source, COUNT(*) AS n_vocab FROM vocab GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT source_a, source_b, n_shared,
+       CAST(sa.n_vocab AS BIGINT) AS n_vocab_a,
+       CAST(sb.n_vocab AS BIGINT) AS n_vocab_b,
+       CAST(n_shared AS DOUBLE)
+         / CAST(sa.n_vocab + sb.n_vocab - n_shared AS DOUBLE) AS vocab_jaccard
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
+def temporal_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value-drift monitoring over the event log: per-day exact
+    mean/variance (cent-quantized integer sums) plus the day-over-day
+    mean shift — the dashboard that catches pipeline/source drift. The
+    daily table is date-cardinality-sized, so the lag window is
+    metadata-scale."""
+    ev = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value").cast("double") * 100, 0).cast("long").alias(
+            "qv"
+        ),
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("qv").alias("__s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("__ss"),
+    )
+    n_d = F.col("n_events").cast("double")
+    mean = F.col("__s").cast("double") / n_d / F.lit(100.0)
+    variance = (
+        (F.col("n_events") * F.col("__ss") - F.col("__s") * F.col("__s"))
+        .cast("double")
+        / (n_d * n_d)
+        / F.lit(10000.0)
+    )
+    w = Window.orderBy("day")
+    enriched = daily.select(
+        "day", "n_events", mean.alias("mean_value"), variance.alias("var_value")
+    ).withColumn(
+        "mean_shift", F.col("mean_value") - F.lag("mean_value").over(w)
+    )
+    return enriched
+
+
+TEMPORAL_DRIFT_SQL = """
+WITH q AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+daily AS (
+  SELECT day, COUNT(*) AS n_events,
+         CAST(SUM(qv) AS BIGINT) AS s,
+         CAST(SUM(qv * qv) AS BIGINT) AS ss
+  FROM q GROUP BY day)
+SELECT day, n_events,
+       CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE) / CAST(100 AS DOUBLE)
+         AS mean_value,
+       CAST(n_events * ss - s * s AS DOUBLE)
+         / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+         / CAST(10000 AS DOUBLE) AS var_value,
+       CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE) / CAST(100 AS DOUBLE)
+         - LAG(CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE)
+               / CAST(100 AS DOUBLE)) OVER (ORDER BY day) AS mean_shift
+FROM daily
+"""
+
+_WAVE25_QUERIES["source_overlap_matrix"] = source_overlap_matrix
+_WAVE25_SQL["source_overlap_matrix"] = SOURCE_OVERLAP_SQL
+_WAVE25_QUERIES["temporal_drift_stats"] = temporal_drift_stats
+_WAVE25_SQL["temporal_drift_stats"] = TEMPORAL_DRIFT_SQL

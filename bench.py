@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "blocklist_stats_docs",
     "weak_label_votes",
     "dataset_card_stats",
+    # wave 26: composition + monitoring
+    "source_overlap_matrix",
+    "temporal_drift_stats",
 ]
 
 
