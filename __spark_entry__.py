@@ -6880,3 +6880,37 @@ _WAVE25_QUERIES["source_overlap_matrix"] = source_overlap_matrix
 _WAVE25_SQL["source_overlap_matrix"] = SOURCE_OVERLAP_SQL
 _WAVE25_QUERIES["temporal_drift_stats"] = temporal_drift_stats
 _WAVE25_SQL["temporal_drift_stats"] = TEMPORAL_DRIFT_SQL
+
+
+def token_gini_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token-frequency concentration (exact global
+    ranks via octave-bucketed two-level ranking — no single-task
+    window)."""
+    return cp.token_gini_concentration(_t(spark, sf_dir, "documents"))
+
+
+TOKEN_GINI_SQL = """
+WITH counts AS (
+  SELECT token, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+    FROM documents)
+  GROUP BY token),
+ranked AS (
+  SELECT freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq ASC, token ASC) AS BIGINT) AS r
+  FROM counts),
+agg AS (
+  SELECT COUNT(*) AS n_vocab,
+         CAST(SUM(freq) AS BIGINT) AS total_tokens,
+         CAST(SUM(CAST(r AS DECIMAL(38,0)) * freq) AS DECIMAL(38,0)) AS rf
+  FROM ranked)
+SELECT n_vocab, total_tokens,
+       CAST(2.0 AS DOUBLE) * CAST(rf AS DOUBLE)
+         / (CAST(n_vocab AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+       - (CAST(n_vocab AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         / CAST(n_vocab AS DOUBLE) AS token_gini
+FROM agg
+"""
+
+_WAVE25_QUERIES["token_gini_docs"] = token_gini_docs
+_WAVE25_SQL["token_gini_docs"] = TOKEN_GINI_SQL

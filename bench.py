@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     # wave 26: composition + monitoring
     "source_overlap_matrix",
     "temporal_drift_stats",
+    "token_gini_docs",
 ]
 
 

@@ -591,3 +591,63 @@ def training_shard_manifest(
             ).alias("shard_md5"),
         )
     )
+
+
+def token_gini_concentration(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gini coefficient of the corpus token-frequency distribution — the
+    vocabulary-concentration scalar next to the Zipf fit: 0 = uniform
+    usage, ->1 = a few tokens dominate (boilerplate/templating smell).
+
+    Needs every vocabulary entry's exact global rank under ascending
+    frequency. A bare ``row_number() over (order by freq)`` funnels the
+    vocab through one task, so the rank is two-level like
+    ``global_sort_rank``, with an ORDER-CONSISTENT integer bucketing:
+    bucket = binary digit count of freq (longer binary = strictly larger
+    value), rank inside (bucket) in parallel with ties on the token,
+    plus broadcast cumulative offsets — ~log2(max_freq) buckets, each
+    holding one frequency octave of the vocab.
+
+    G = (2 * sum(rank_i * f_i)) / (n * sum(f)) - (n + 1) / n, all exact
+    int64 sums (rank*f <= |V| * corpus_tokens; DECIMAL(38) guards the
+    product sum) with two final float divisions. Single-row output.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    keyed = counts.withColumn(
+        "__bucket", F.length(F.bin(F.col("freq"))).cast("int")
+    )
+    bcounts = keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bcounts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(
+        F.col("freq").asc(), F.col("token").asc()
+    )
+    ranked = keyed.join(F.broadcast(offsets), "__bucket").withColumn(
+        "__rank", (F.row_number().over(w_in) + F.col("__off")).cast("long")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("freq").cast("long").alias("total_tokens"),
+        F.sum(
+            (F.col("__rank") * F.col("freq")).cast("decimal(38,0)")
+        ).alias("__rf"),
+    )
+    n_d = F.col("n_vocab").cast("double")
+    gini = (
+        F.lit(2.0)
+        * F.col("__rf").cast("double")
+        / (n_d * F.col("total_tokens").cast("double"))
+        - (n_d + F.lit(1.0)) / n_d
+    )
+    return agg.select("n_vocab", "total_tokens", gini.alias("token_gini"))

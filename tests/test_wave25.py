@@ -90,3 +90,28 @@ def test_weak_label_vote_semantics(spark):
     assert (got[2].lf_length, got[2].lf_diversity, got[2].lf_digits) == (-1, -1, 1)
     assert got[2].majority_label == "drop" and got[2].conflict is True
     assert got[3].lf_length == 0 and got[3].lf_digits == -1
+
+
+def test_token_gini_extremes(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import (
+        token_gini_concentration,
+    )
+
+    # perfectly uniform usage: G = 0 (rank formula gives exactly 0)
+    uniform = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    r = token_gini_concentration(uniform).collect()[0]
+    assert r.n_vocab == 4 and abs(r.token_gini) < 1e-12
+    # extreme concentration: one token dominates -> G near (n-1)/n-ish
+    skewed = spark.createDataFrame(
+        [(1, "hub " * 96 + "x y z w")], "doc_id long, text string"
+    )
+    r2 = token_gini_concentration(skewed).collect()[0]
+    assert r2.token_gini > 0.7
+    # exact check vs closed form
+    freqs = sorted([96, 1, 1, 1, 1])
+    n = len(freqs)
+    rf = sum((i + 1) * f for i, f in enumerate(freqs))
+    expect = 2 * rf / (n * sum(freqs)) - (n + 1) / n
+    assert abs(r2.token_gini - expect) < 1e-12
