@@ -1042,6 +1042,35 @@ _PLUMBING_TOUCHED_PREFIXES = (
     "cdc_", "ngram", "cap_docs", "token",
 )
 
+# Queries with a driver CORRECTNESS row in round 4 (keys of
+# CORRECTNESS_r04.json): the never-checked wave-19..26 additions plus the
+# front of the plumbing-touched re-check tier. All 50 green.
+_R04_CHECKED = {
+    "ann_recall_at_k", "blocklist_stats_docs", "bloom_decontaminate",
+    "boilerplate_prefixes", "bpe_merge_candidates", "cdc_last_writer_wins",
+    "cdc_merge_events", "char_entropy_docs", "chunk_embed_pool_docs",
+    "cms_token_counts", "cross_source_dups", "dataset_card_stats",
+    "dedup_exact_groups", "dedup_exact_keep", "doc_fingerprint",
+    "dup_span_stats_docs", "embedding_dim_stats", "heavy_hitter_tokens",
+    "hll_distinct_users", "int8_quant_audit", "intersect_all_events",
+    "inverted_index_postings", "jaccard_pairs", "k_anonymity_events",
+    "kmeans_refine_clusters", "length_bucket_packing", "lsh_candidate_pairs",
+    "lsh_recall_eval", "matryoshka_prefix_audit", "media_audio_energy",
+    "minhash_signatures", "ngram_lm_scores_docs", "quality_decile_audit",
+    "quality_gate_per_source", "semantic_dedup_docs", "simhash_near_dups",
+    "simhash_sketches", "source_overlap_matrix", "stratified_sample_docs",
+    "temporal_drift_stats", "token_gini_docs", "token_graph_triangle_census",
+    "token_pagerank", "train_eval_overlap_report", "training_shard_manifest",
+    "user_value_percentile", "user_value_zscores", "weak_label_votes",
+    "weighted_topk_sample_docs", "winsorized_quality_means",
+}
+
+# Round-5 priority head: fixed in commit b3c4b25 (r3 oracle-side HUGEINT
+# dtype artifacts) and verified green locally, but the r4 rotation sorted
+# r3-checked queries last so the driver never re-recorded them. These two
+# MUST claim the first slots of the r5 window to close the 184/184 loop.
+_R05_PRIORITY = ("json_props_extract", "ivfpq_topk")
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
@@ -1139,18 +1168,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE24_QUERIES,
         **_WAVE25_QUERIES,
     }
-    # Rotation for the driver's fixed-size correctness window. Four tiers:
-    # (1) never driver-checked (new this round), (2) r1/r2-era queries
-    # whose shared plumbing the r3 perf rework touched, (3) other stale
-    # r1/r2-era queries, (4) the r3-checked set — freshest rows, so last.
+    # Rotation for the driver's fixed-size correctness window, ordered
+    # oldest-driver-row-first (VERDICT r4 items 1+4): (0) the two locally
+    # verified fixes that still lack a green driver row, (1) queries never
+    # driver-checked (new this round), then by LATEST driver check —
+    # (2) r1-era, (3) r2-era, (4) r3-era, (5) the r4 set, freshest, last.
     def tier(name: str) -> int:
-        if name in _R03_CHECKED:
-            return 3
-        if name not in _DRIVER_CHECKED:
+        if name in _R05_PRIORITY:
             return 0
-        if name.startswith(_PLUMBING_TOUCHED_PREFIXES):
-            return 1
-        return 2
+        if name in _R04_CHECKED:
+            return 5
+        if name in _R03_CHECKED:
+            return 4
+        if name in _R02_CHECKED:
+            return 3
+        if name in _R01_GREEN:
+            return 2
+        return 1
 
     return dict(
         sorted(all_q.items(), key=lambda kv: tier(kv[0]))
