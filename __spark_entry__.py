@@ -746,35 +746,49 @@ WHERE CAST(inter AS DOUBLE) / CAST(sa.size + sb.size - inter AS DOUBLE) >= 0.8
 
 
 def simhash_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash sketch per document (md5-derived bit votes)."""
-    return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+    """64-bit SimHash sketch per document (md5-derived bit votes). 64-bit
+    is the scale geometry: with max_hamming=3 the pigeonhole chunks in the
+    pair stage are 16-bit keys (65,536 buckets), not the 8-bit/256-bucket
+    keyspace of the old 32-bit default (r4 verdict finding #1)."""
+    return dd.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=64)
 
 
+# Signed 64-bit sketch assembly in DuckDB: bits 0..62 sum as positive
+# BIGINT terms; bit 63 contributes Long.MIN_VALUE, reproducing Spark's
+# two's-complement long exactly without ever overflowing BIGINT.
 _SIMHASH_BITS_SQL = " + ".join(
-    f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(32)
-)
+    f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(63)
+) + " + (CASE WHEN b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
 _SIMHASH_SUMS_SQL = ",\n       ".join(
-    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32)
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(64)
+)
+# First 16 md5 hex chars as UBIGINT (a signed cast would overflow >= 2^63);
+# hex chars 1-8 land on bits 63..32, chars 9-16 on bits 31..0 — identical
+# to the Spark hi/lo-half assembly in dedup.simhash.
+_SIMHASH_HASH_SQL = (
+    "CAST(('0x' || substr(md5(token), 1, 16)) AS UBIGINT)"
 )
 
 SIMHASH_SQL = f"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
 toks AS ({_TOKS_SQL}),
-hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM toks),
+hashed AS (SELECT doc_id, {_SIMHASH_HASH_SQL} AS h FROM toks),
 sums AS (SELECT doc_id, {_SIMHASH_SUMS_SQL} FROM hashed GROUP BY doc_id)
 SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM sums
 """
 
 
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3) via pigeonhole chunk buckets.
+    """SimHash near-dup pairs (hamming <= 3) via pigeonhole chunk buckets
+    over 64-bit sketches (16-bit chunk keys — see simhash_sketches).
     Chunked candidate generation is lossless for hamming <= max_hamming
     (pigeonhole: 3 differing bits cannot touch all 4 chunks), so the result
     equals the brute-force hamming predicate — which is what the DuckDB
     oracle computes."""
     corpus = _dup_corpus(spark, sf_dir, mutate=True)
-    sketches = dd.simhash(corpus, "doc_id", "text", bits=32)
-    pairs = dd.simhash_near_dup_pairs(sketches, "doc_id", max_hamming=3, bits=32)
+    sketches = dd.simhash(corpus, "doc_id", "text", bits=64)
+    pairs = dd.simhash_near_dup_pairs(sketches, "doc_id", max_hamming=3, bits=64)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
@@ -783,7 +797,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_PAIRS_SQL = f"""
 WITH corpus AS ({_NEAR_CORPUS_SQL}),
 toks AS ({_TOKS_SQL}),
-hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM toks),
+hashed AS (SELECT doc_id, {_SIMHASH_HASH_SQL} AS h FROM toks),
 sums AS (SELECT doc_id, {_SIMHASH_SUMS_SQL} FROM hashed GROUP BY doc_id),
 sketches AS (SELECT doc_id, {_SIMHASH_BITS_SQL} AS simhash FROM sums)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -5705,7 +5719,7 @@ FROM coded GROUP BY vec_id
 def quality_gate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quantile quality gating: score every document with the
     linear quality logit (integer milli-units), drop each source's bottom
-    20% — per-domain thresholds, not one global cutoff."""
+    25% (drop_frac=0.25) — per-domain thresholds, not one global cutoff."""
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import quality_quantile_gate
 
     docs = _t(spark, sf_dir, "documents", spread=False)
@@ -6866,10 +6880,13 @@ def temporal_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qv"
         ),
     )
+    # decimal casts BEFORE the sums: qv^2 ~1e12 wraps a long accumulator
+    # within ~1e7 events/day; decimal sums stay exact at any volume and
+    # match DuckDB's exact HUGEINT accumulation.
     daily = ev.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("qv").alias("__s"),
-        F.sum(F.col("qv") * F.col("qv")).alias("__ss"),
+        F.sum(F.col("qv").cast("decimal(38,0)")).alias("__s"),
+        F.sum((F.col("qv") * F.col("qv")).cast("decimal(38,0)")).alias("__ss"),
     )
     n_d = F.col("n_events").cast("double")
     mean = F.col("__s").cast("double") / n_d / F.lit(100.0)
@@ -6894,9 +6911,11 @@ WITH q AS (
          CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
   FROM events),
 daily AS (
+  -- stay in HUGEINT (no BIGINT downcast): mirrors the Spark side's exact
+  -- DECIMAL(38,0) accumulation
   SELECT day, COUNT(*) AS n_events,
-         CAST(SUM(qv) AS BIGINT) AS s,
-         CAST(SUM(qv * qv) AS BIGINT) AS ss
+         SUM(qv) AS s,
+         SUM(qv * qv) AS ss
   FROM q GROUP BY day)
 SELECT day, n_events,
        CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE) / CAST(100 AS DOUBLE)

@@ -212,35 +212,53 @@ BENCH_QUERIES = [
 MAX_LINE_CHARS = 1800
 
 
-def format_bench_line(timings: dict[str, float], sf: float) -> str:
+def _load1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 1)
+    except OSError:  # pragma: no cover
+        return None
+
+
+def format_bench_line(
+    timings: dict[str, float],
+    sf: float,
+    noise: dict | None = None,
+) -> str:
     """One JSON line, guaranteed <= MAX_LINE_CHARS: keeps the slowest
     queries and drops the fastest until the line fits. Total always covers
     ALL queries regardless of how many survive into the line.
 
-    ``load_avg`` is the host 1-min load average at the end of the run:
-    this box is shared, and ambient contention measured between 1 and 8
-    during round 4 inflates absolute wall-clock 1.2-2x run to run —
-    round-over-round comparisons should read the per-query ratios
-    together with the load context, not as clean-room numbers."""
+    Noise context (this box is shared; ambient contention measured
+    between 1 and 10 during rounds 2-4 inflates absolute wall-clock
+    1.2-2x run to run, and r4's phantom 1.37x "regression" on untouched
+    queries cost a round of analysis):
+
+    - ``load_avg`` / ``load_min`` / ``load_max``: host 1-min load average
+      sampled before every query (not one end-of-run reading);
+    - ``sentinel_drift``: a fixed-cost sentinel (scan_filter_project)
+      timed right after warm-up and again after the last query —
+      end/start ratio. ~1.0 means the session and host were stable for
+      the whole run; >>1 means ambient load (or session degradation)
+      grew mid-run and absolute numbers should be read as upper bounds.
+
+    Round-over-round comparisons should read per-query ratios together
+    with this context, not as clean-room numbers."""
     total = round(sum(timings.values()), 3)
     kept = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
-    try:
-        load1 = round(os.getloadavg()[0], 1)
-    except OSError:  # pragma: no cover
-        load1 = None
+    noise = noise or {}
 
     def render(q: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in q.items()},
-                "n_queries": len(timings),
-                "sf": sf,
-                "load_avg": load1,
-            }
-        )
+        payload = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in q.items()},
+            "n_queries": len(timings),
+            "sf": sf,
+            "load_avg": _load1(),
+        }
+        payload.update(noise)
+        return json.dumps(payload)
 
     line = render(kept)
     while len(line) > MAX_LINE_CHARS and kept:
@@ -273,12 +291,31 @@ def main() -> None:
     # confounded by ambient session drift. Periodic System.gc() between
     # queries keeps 100-query sessions from degrading late queries via GC
     # pressure (measured ~6x drift on minhash_signatures in round 2).
+    def time_query(name: str, reps: int = 2) -> float:
+        samples = []
+        for _rep in range(reps):
+            start = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(time.perf_counter() - start)
+        return min(samples)
+
+    # Sentinel: a fixed-cost query timed immediately after warm-up and
+    # again after the whole run; its drift quantifies ambient noise /
+    # session degradation accumulated across the ~10 min of benching.
+    sentinel_start = time_query("scan_filter_project")
+
     timings: dict[str, float] = {}
+    loads: list[float] = []
     jvm_gc = spark.sparkContext._jvm.System.gc
     for i, name in enumerate(BENCH_QUERIES):
         if i % 10 == 0:
             spark.catalog.clearCache()
             jvm_gc()
+        load = _load1()
+        if load is not None:
+            loads.append(load)
         samples = []
         for _rep in range(2):
             start = time.perf_counter()
@@ -329,11 +366,21 @@ def main() -> None:
         else:
             excluded[name] = "correctness-only / sub-bench-scale scalar query"
     print("EXCLUDED: " + json.dumps(excluded), flush=True)
-    # Full per-query map for humans (NOT the contract line).
+
+    sentinel_end = time_query("scan_filter_project")
+    noise = {
+        "sentinel_drift": round(sentinel_end / max(sentinel_start, 1e-9), 2),
+        "sentinel_sec": [round(sentinel_start, 3), round(sentinel_end, 3)],
+        "load_min": min(loads) if loads else None,
+        "load_max": max(loads) if loads else None,
+    }
+    # Full per-query map + per-query load samples for humans (NOT the
+    # contract line).
     print("FULL_TIMINGS: " + json.dumps(timings), flush=True)
+    print("LOAD_SAMPLES: " + json.dumps(loads), flush=True)
     # Contract line: final line of stdout, short enough to survive the
     # driver's tail capture, flushed with nothing after it.
-    print(format_bench_line(timings, sf), flush=True)
+    print(format_bench_line(timings, sf, noise), flush=True)
 
 
 if __name__ == "__main__":

@@ -220,10 +220,15 @@ def user_value_zscores(
         .cast("long")
         .alias("__qv"),
     )
+    # squared sums accumulate in DECIMAL(38,0), cast per term BEFORE the
+    # sum: qv^2 for cent-quantized values reaches ~1e12+, so a long sum
+    # silently wraps within ~1e7 events for one user (non-ANSI Spark).
     stats = q.groupBy(user_col).agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum("__qv").alias("__s"),
-        F.sum(F.col("__qv") * F.col("__qv")).alias("__ss"),
+        F.sum(F.col("__qv").cast("decimal(38,0)")).alias("__s"),
+        F.sum(
+            (F.col("__qv") * F.col("__qv")).cast("decimal(38,0)")
+        ).alias("__ss"),
     )
     # Broadcast the STATS side explicitly: left to AQE at test scale it
     # broadcast the (tiny-looking) events projection instead — the side

@@ -602,46 +602,96 @@ def token_gini_concentration(
     usage, ->1 = a few tokens dominate (boilerplate/templating smell).
 
     Needs every vocabulary entry's exact global rank under ascending
-    frequency. A bare ``row_number() over (order by freq)`` funnels the
-    vocab through one task, so the rank is two-level like
-    ``global_sort_rank``, with an ORDER-CONSISTENT integer bucketing:
-    bucket = binary digit count of freq (longer binary = strictly larger
-    value), rank inside (bucket) in parallel with ties on the token,
-    plus broadcast cumulative offsets — ~log2(max_freq) buckets, each
-    holding one frequency octave of the vocab.
+    frequency — but sum(rank * freq) is INVARIANT under permutation of
+    ranks among equal-frequency tokens (within a tie group the assigned
+    rank set is fixed and freq is constant), so any total order
+    (freq, tie_break) yields the same Gini. That licenses a fully
+    parallel exact rank with no vocabulary-sized window partition:
 
-    G = (2 * sum(rank_i * f_i)) / (n * sum(f)) - (n + 1) / n, all exact
-    int64 sums (rank*f <= |V| * corpus_tokens; DECIMAL(38) guards the
-    product sum) with two final float divisions. Single-row output.
+    - ``off(freq)`` = number of tokens with strictly smaller frequency,
+      from the one-row-per-distinct-frequency table via the octave
+      two-level rank (window partition = one frequency octave of the
+      DISTINCT-FREQ table — metadata-sized, never the vocab);
+    - within a frequency, tokens sub-bucket on md5(token) (16-bit key,
+      65,536 sub-buckets), rank by token inside (freq, sub) and add the
+      per-(freq, sub) cumulative offset.
+
+    The old single-level octave rank put the entire freq=1 octave —
+    ~half a Zipfian vocabulary — through one ``row_number`` task; now
+    the hapax mass spreads over 65,536 (freq, sub) partitions and every
+    join key is well distributed (r4 verdict finding #2).
+
+    G = (2 * sum(rank_i * f_i)) / (n * sum(f)) - (n + 1) / n; rank and
+    freq are cast to DECIMAL before the product so the sum is exact at
+    any scale (rank*f <= |V| * corpus_tokens overflows int64 at corpus
+    scale). Single-row output.
     """
     counts = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    keyed = counts.withColumn(
+    sub = F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("int")
+    keyed = counts.withColumn("__sub", sub)
+    subcnt = keyed.groupBy("freq", "__sub").agg(F.count(F.lit(1)).alias("__n"))
+
+    # off(freq): cumulative token count over strictly smaller frequencies,
+    # computed on the distinct-frequency table with the octave two-level
+    # rank (bucket = binary digit count of freq: order-consistent).
+    fcnt = subcnt.groupBy("freq").agg(F.sum("__n").alias("__n_tok"))
+    fkeyed = fcnt.withColumn(
         "__bucket", F.length(F.bin(F.col("freq"))).cast("int")
     )
-    bcounts = keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
-    w_off = Window.orderBy("__bucket").rowsBetween(
+    bcounts = fkeyed.groupBy("__bucket").agg(F.sum("__n_tok").alias("__bn"))
+    w_boff = Window.orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = bcounts.select(
+    boffsets = bcounts.select(
         "__bucket",
-        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.coalesce(F.sum("__bn").over(w_boff), F.lit(0)).alias("__boff"),
     )
-    w_in = Window.partitionBy("__bucket").orderBy(
-        F.col("freq").asc(), F.col("token").asc()
+    w_f = (
+        Window.partitionBy("__bucket")
+        .orderBy("freq")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = keyed.join(F.broadcast(offsets), "__bucket").withColumn(
+    foff = (
+        fkeyed.join(F.broadcast(boffsets), "__bucket")
+        .withColumn(
+            "__foff",
+            F.coalesce(F.sum("__n_tok").over(w_f), F.lit(0)) + F.col("__boff"),
+        )
+        .select("freq", "__foff")
+    )
+
+    # per-(freq, sub) offset: tokens of the same freq in smaller sub-buckets
+    # (window partition <= 65,536 rows per freq), plus off(freq).
+    w_sub = (
+        Window.partitionBy("freq")
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    suboff = (
+        subcnt.withColumn(
+            "__cum", F.coalesce(F.sum("__n").over(w_sub), F.lit(0))
+        )
+        .join(foff, "freq")
+        .select(
+            "freq", "__sub", (F.col("__cum") + F.col("__foff")).alias("__off")
+        )
+    )
+
+    w_in = Window.partitionBy("freq", "__sub").orderBy(F.col("token").asc())
+    ranked = keyed.join(suboff, ["freq", "__sub"]).withColumn(
         "__rank", (F.row_number().over(w_in) + F.col("__off")).cast("long")
     )
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_vocab"),
         F.sum("freq").cast("long").alias("total_tokens"),
         F.sum(
-            (F.col("__rank") * F.col("freq")).cast("decimal(38,0)")
-        ).alias("__rf"),
+            F.col("__rank").cast("decimal(19,0)")
+            * F.col("freq").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("__rf"),
     )
     n_d = F.col("n_vocab").cast("double")
     gini = (

@@ -388,31 +388,53 @@ def winnow_fingerprints(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash document sketch: each token votes +-1 per bit position of its
-    32-bit hash (taken from the first 8 hex chars of md5 so the oracle can
-    reproduce it); the sign of each bit-sum forms the sketch.
+    ``bits``-bit hash (taken from the leading hex chars of md5 so the oracle
+    can reproduce it bit-for-bit); the sign of each bit-sum forms the sketch.
+
+    64-bit is the scale default: with ``max_hamming=3`` the pigeonhole
+    chunks are then 16 bits wide (65,536 bucket keys) instead of 8
+    (256 keys), which keeps the candidate self-join from degenerating
+    toward all-pairs at corpus scale (the r4 verdict's Θ(n²/256) finding).
+
+    The 64-bit token hash is assembled from two 32-bit md5 halves (hex
+    chars 1-8 = bits 63..32, chars 9-16 = bits 31..0): ``F.conv`` of 16 hex
+    chars would overflow a signed long for values >= 2^63. The sketch long
+    is likewise assembled with bitwiseOR of per-bit terms — ``shiftleft(1L,
+    63)`` wraps to the sign bit without any checked arithmetic.
 
     Expressed as one explode + one groupBy with ``bits`` conditional sums —
     single shuffle, map-side combined.
     """
-    toks = _doc_tokens(df, id_col, text_col).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
-    )
+    if bits > 64:
+        raise ValueError("simhash supports at most 64 bits")
+    toks = _doc_tokens(df, id_col, text_col)
+    lo = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("long")
+    hi = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    if bits <= 32:
+        # legacy 32-bit sketch: hash = first 8 hex chars (bit-compatible
+        # with the pre-64-bit implementation and its oracles)
+        toks = toks.withColumn("__h_lo", hi)
+    else:
+        toks = toks.withColumn("__h_lo", lo).withColumn("__h_hi", hi)
+
+    def bit_of_hash(b: int):
+        if b < 32:
+            return F.shiftright(F.col("__h_lo"), b).bitwiseAND(1)
+        return F.shiftright(F.col("__h_hi"), b - 32).bitwiseAND(1)
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.sum(F.when(bit_of_hash(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
         for b in range(bits)
     ]
     summed = toks.groupBy(id_col).agg(*aggs)
-    sketch = None
+    sketch = F.lit(0).cast("long")
     for b in range(bits):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        term = bit * F.lit(1 << b).cast("long")
-        sketch = term if sketch is None else sketch + term
+        sketch = sketch.bitwiseOR(F.shiftleft(bit, b))
     return summed.select(F.col(id_col), sketch.alias("simhash"))
 
 
@@ -420,13 +442,20 @@ def simhash_near_dup_pairs(
     sketches: DataFrame,
     id_col: str,
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int = 64,
     materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, bucketed for scale:
     split the sketch into (max_hamming + 1) chunks — two sketches within
     ``max_hamming`` must agree exactly on at least one chunk (pigeonhole),
     so candidate generation is an equi-join per chunk, never a cross join.
+
+    Chunk width = ``bits // (max_hamming + 1)`` IS the scale knob: the
+    expected candidate-pair count for unrelated docs is Θ(n² / 2^width) per
+    chunk. At the 64-bit default with max_hamming=3 the keys are 16-bit
+    (65,536 buckets); the old 32-bit default gave 8-bit keys (256 buckets),
+    which degenerates toward a cross join at corpus scale. If you raise
+    ``max_hamming``, raise ``bits`` to keep the width >= ~16.
 
     The sketch table is materialized first: the chunk joins scan it
     2 x (max_hamming + 1) times, and without the lineage cut each scan

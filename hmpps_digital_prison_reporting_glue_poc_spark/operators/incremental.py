@@ -78,10 +78,14 @@ def partial_moments(
     pipeline maintains per-key mean/variance/z-scores by folding each
     batch's partials into the state table — never rescanning history."""
     qv = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    # per-term DECIMAL(38,0) casts BEFORE the sums: qv^2 is ~1e12 for
+    # cent-quantized values, so a long accumulator silently wraps within
+    # ~1e7 rows per key (non-ANSI Spark); decimal sums are exact at any
+    # history size and stay closed under merge_partial_moments.
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_m"),
-        F.sum(qv).alias("s_m"),
-        F.sum(qv * qv).alias("ss_m"),
+        F.sum(qv.cast("decimal(38,0)")).alias("s_m"),
+        F.sum((qv * qv).cast("decimal(38,0)")).alias("ss_m"),
     )
 
 

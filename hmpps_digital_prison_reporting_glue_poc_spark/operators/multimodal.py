@@ -196,6 +196,10 @@ def audio_frame_energy(df: DataFrame, frame_bytes: int = 64) -> DataFrame:
                 "peak_frame_energy": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    # NULL content (left-joined / sparse media rows): skip
+                    # like an empty buffer instead of TypeError on bytes()
+                    continue
                 buf = np.frombuffer(bytes(payload), dtype=np.uint8)
                 if buf.size == 0:
                     continue

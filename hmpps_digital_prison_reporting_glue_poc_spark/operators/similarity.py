@@ -34,6 +34,19 @@ from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import 
 )
 
 
+def _require_dim(corpus: DataFrame, vec_col: str) -> int:
+    """Vector dimension from the corpus's first row, with a clear error on
+    an empty corpus (``first()`` returns None and a bare ``first[0]``
+    dereference would raise TypeError deep inside the operator)."""
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"corpus is empty (or {vec_col!r} is null in its first row): "
+            "vector dimension cannot be inferred"
+        )
+    return len(first[0])
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -302,8 +315,7 @@ def hyperplane_lsh_pairs(
     ``cosine_pairs_above``. Planes are derived deterministically from
     ``seed``, so sketches are stable across runs/retries.
     """
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
+    dim = _require_dim(corpus, vec_col)
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables, n_bits, dim))
     bp = spark.sparkContext.broadcast(planes)
@@ -439,8 +451,7 @@ def hyperplane_lsh_pairs_md5(
     """
     from fractions import Fraction
 
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
+    dim = _require_dim(corpus, vec_col)
     frac = Fraction(str(threshold)) ** 2
     num, den = frac.numerator, frac.denominator
 
@@ -589,8 +600,7 @@ def pq_encode(
     of the corpus.
     Returns (id, pq_code).
     """
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
+    dim = _require_dim(corpus, vec_col)
     sub_dim = dim // n_subspaces
     cb = md5_pq_codebook(n_subspaces, n_centroids, sub_dim, quant_scale)
     bcb = spark.sparkContext.broadcast(cb)
@@ -676,8 +686,7 @@ def ivfpq_topk(
     not just an exact-mode configuration — has a bit-exact SQL oracle.
     Returns (query_id, neighbor_id, adc_dist, rank).
     """
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
+    dim = _require_dim(corpus, vec_col)
     sub_dim = dim // n_subspaces
     cb = md5_pq_codebook(n_subspaces, n_centroids, sub_dim, quant_scale)
     cc = md5_coarse_centroids(n_lists, dim, quant_scale)
@@ -824,8 +833,7 @@ def semantic_dedup(
 
     Returns one row per input vector: (id, cluster_id, kept).
     """
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
+    dim = _require_dim(corpus, vec_col)
     cc = md5_coarse_centroids(n_clusters, dim, quant_scale)
     bcc = spark.sparkContext.broadcast(cc)
 
@@ -946,8 +954,7 @@ def kmeans_refine(
     (n_clusters x dim values — same driver budget as ``ivf_topk``'s
     trained centroids). Returns (id, cluster0, cluster1, moved).
     """
-    first = corpus.select(vec_col).first()
-    dim = len(first[0])
+    dim = _require_dim(corpus, vec_col)
     cc = md5_coarse_centroids(n_clusters, dim, quant_scale)
     bcc = spark.sparkContext.broadcast(cc)
 
@@ -1125,10 +1132,16 @@ def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     el = df.select(F.posexplode(vec_col).alias("j", "__x")).select(
         "j", F.floor(F.col("__x").cast("double") * F.lit(1000000.0)).cast("long").alias("qx")
     )
+    # cast BEFORE the sum: qx^2 is ~1e12, so a long sum silently wraps
+    # past ~9.2e6 rows per dimension (and the plain qx sum past ~9.2e12);
+    # summing DECIMAL(38,0) terms is exact at any corpus size and matches
+    # the DuckDB oracle's exact HUGEINT accumulation.
     agg = el.groupBy("j").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("qx").cast("decimal(38,0)").alias("s"),
-        F.sum(F.col("qx") * F.col("qx")).cast("decimal(38,0)").alias("ss"),
+        F.sum(F.col("qx").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.sum(
+            (F.col("qx") * F.col("qx")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("ss"),
         F.min("qx").alias("qmin"),
         F.max("qx").alias("qmax"),
     )

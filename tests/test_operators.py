@@ -94,6 +94,39 @@ def test_simhash_near_dups(docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_simhash_64bit_matches_bruteforce(docs):
+    """Default 64-bit path: md5-hex-prefix reference sketch, pigeonhole
+    chunked pairs == brute-force hamming pairs."""
+    import hashlib
+
+    sketches = dd.simhash(docs, "doc_id", "text")  # default bits=64
+    vals = {r.doc_id: r.simhash for r in sketches.collect()}
+
+    def ref_sketch(text):
+        toks = [t for t in text.split(" ") if t]
+        sums = [0] * 64
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        u = sum((1 << b) for b in range(64) if sums[b] > 0)
+        return u - (1 << 64) if u >= (1 << 63) else u  # signed long
+
+    for r in docs.collect():
+        assert vals[r.doc_id] == ref_sketch(r.text), r.doc_id
+
+    brute = set()
+    ids = sorted(vals)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                brute.add((a, b, ham))
+    got = {(r.id_a, r.id_b, r.hamming) for r in dd.simhash_near_dup_pairs(
+        sketches, "doc_id", max_hamming=3).collect()}
+    assert got == brute
+
+
 @pytest.fixture()
 def vectors(spark):
     rows = [
