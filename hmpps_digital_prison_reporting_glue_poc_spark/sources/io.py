@@ -131,17 +131,33 @@ def merge_write(
     path: str,
     pk: list[str],
     delete_col: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """S7 rebuilt: incremental upsert sink.
 
     With delta-spark present: a true ``MERGE INTO`` — runtime scales with
-    |updates| + |touched files|, not |target|. Without it (this container):
-    read target, anti-join out updated keys, union the new images, overwrite.
-    The anti-join+union is the same *logical* merge; at cluster scale the
-    Delta branch is the one that runs.
+    |updates| + |touched files|, not |target|.
+
+    Parquet fallback, ``partition_by`` given (the scale path): the merge is
+    PARTITION-SCOPED — touched partition values are derived from the
+    updates (distinct over the partition columns, metadata-scale), only
+    those partitions of the target are read (static partition pruning via
+    a literal filter), and the merged result is written back with dynamic
+    partition overwrite, so untouched partition files are never read,
+    rewritten, or moved. Runtime scales with |updates| + |touched
+    partitions|, not |target| (BASELINE.md's bar). A touched partition
+    whose rows are ALL deleted is dropped explicitly (dynamic overwrite
+    only replaces partitions present in the result).
+
+    Parquet fallback without ``partition_by``: read target, anti-join out
+    updated keys, union the new images, full rewrite via a non-destructive
+    temp-dir swap — reference-equivalent behavior, correct but
+    write-amplified; give the sink a partition column at any real scale.
 
     ``delete_col``: boolean column on ``updates`` marking rows whose key
-    should be removed rather than upserted.
+    should be removed rather than upserted. The partition columns must be
+    stable per key (a row never migrates partitions between versions) —
+    same invariant a Delta/Hudi partitioned upsert requires.
     """
     if HAS_DELTA and DeltaTable is not None and DeltaTable.isDeltaTable(spark, path):
         cond = " AND ".join(f"t.{k} = u.{k}" for k in pk)
@@ -164,12 +180,23 @@ def merge_write(
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     exists = fs.exists(jpath)
-    if exists:
-        target = spark.read.parquet(path)
     if delete_col is not None:
         live = updates.filter(~updates[delete_col]).drop(delete_col)
     else:
         live = updates
+
+    if partition_by:
+        if exists:
+            _merge_write_partitioned(
+                spark, updates, live, path, pk, partition_by, fs
+            )
+        else:  # first write: lay down the partitioned layout directly
+            live.write.mode("overwrite").partitionBy(*partition_by).parquet(
+                path
+            )
+        return
+    if exists:
+        target = spark.read.parquet(path)
     if exists:
         untouched = target.join(updates.select(*pk).distinct(), on=pk, how="left_anti")
         # Schema evolution (reference S8: Delta mergeSchema on domain
@@ -190,6 +217,94 @@ def merge_write(
     if exists:
         fs.delete(jpath, True)
     fs.rename(tmp, jpath)
+
+
+def _merge_write_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    live: DataFrame,
+    path: str,
+    pk: list[str],
+    partition_by: list[str],
+    fs,
+) -> None:
+    """Partition-scoped parquet merge (the fallback's scale path).
+
+    1. Distinct partition tuples of the updates — metadata-scale collect
+       (one row per touched partition, same driver budget as a Delta
+       commit's file listing).
+    2. Literal IN filter on the partition columns → the target scan
+       statically prunes to touched partition directories only
+       (``.explain`` shows the pruned ``PartitionFilters``).
+    3. Anti-join out updated keys within the touched slice, union the
+       live images, write back under
+       ``partitionOverwriteMode=dynamic`` — only partitions present in
+       the result are replaced; untouched partition files are never
+       read, rewritten, or moved (pytest pins byte-identical files).
+    4. Touched partitions with zero surviving rows (all keys deleted)
+       are removed explicitly — dynamic overwrite cannot drop a
+       partition it writes no rows for.
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    touched = [tuple(r) for r in updates.select(*partition_by).distinct().collect()]
+    if not touched:
+        return
+    part_filter = reduce(
+        lambda a, b: a | b,
+        (
+            reduce(
+                lambda x, y: x & y,
+                (F.col(c) == F.lit(v) for c, v in zip(partition_by, vals)),
+            )
+            for vals in touched
+        ),
+    )
+    target_slice = spark.read.parquet(path).filter(part_filter)
+    untouched_rows = target_slice.join(
+        updates.select(*pk).distinct(), on=pk, how="left_anti"
+    )
+    result = untouched_rows.unionByName(live, allowMissingColumns=True)
+
+    # Spark refuses to overwrite a path its own plan reads from, so the
+    # merged slice materializes to a sibling temp dir first (sized by the
+    # touched partitions, not the target), then replays into the target
+    # under dynamic overwrite. Failure before the dynamic overwrite
+    # leaves the target untouched.
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__merge_tmp__")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    result.write.mode("overwrite").partitionBy(*partition_by).parquet(
+        tmp.toString()
+    )
+    staged = spark.read.parquet(tmp.toString())
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        staged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)
+
+    # drop touched partitions that ended up empty (all rows deleted)
+    remaining = {
+        tuple(r)
+        for r in staged.select(*partition_by).distinct().collect()
+    }
+    for vals in touched:
+        if vals in remaining:
+            continue
+        subdir = "/".join(
+            f"{c}={v}" for c, v in zip(partition_by, vals)
+        )
+        p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + subdir)
+        if fs.exists(p):
+            fs.delete(p, True)
+    fs.delete(tmp, True)
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
