@@ -151,3 +151,98 @@ def run_pipeline(
         spark, defs_df, curated_touched, catalog,
         process_id=process_id, write=True,
     )
+
+
+def run_pipeline_streaming(
+    spark: SparkSession, cfg: PipelineConfig, catalog: Catalog,
+    checkpoint_dir: str,
+    defs_df: DataFrame | None = None,
+    process_id: int | None = None,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """The same four stages as ``run_pipeline``, driven by Structured
+    Streaming: ``readStream`` over the raw CDC JSON directory, and EVERY
+    micro-batch runs landing-append -> per-table incremental merge ->
+    curated -> domain refresh inside ``foreachBatch`` — the micro-batch
+    design the reference's README lists as TODO (reference README.md:24-25;
+    Kinesis trigger stubs src/apply_change_log_to_delta.py:521-528).
+
+    Identical final state to the batch pipeline (pinned by
+    tests/test_pipeline_stream_e2e.py): within a batch the GoldenGate
+    ``pos`` order folds to one net image per key (``cdc_upsert_frame``),
+    across batches the incremental ``merge_write`` applies each batch's
+    net changes in source order — the same last-writer-wins algebra the
+    batch path computes in one fold. Domains refresh per batch, so the
+    domain tables are continuously correct, not only at drain time.
+
+    Runs with ``availableNow`` + ``maxFilesPerTrigger`` (drain everything
+    currently in the directory, in bounded micro-batches) and blocks until
+    drained; a continuous deployment would drop the trigger and keep the
+    same checkpoint. Returns the number of non-empty micro-batches.
+    """
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.cdc import cdc_upsert_frame
+    from hmpps_digital_prison_reporting_glue_poc_spark.sources.io import (
+        cdc_envelope_schema,
+        merge_write,
+    )
+
+    log_spec = catalog.get(cfg.event_log_table)
+    target_schemas = {
+        name: catalog.read(spark, target_name).schema
+        for name, (target_name, _) in cfg.tables.items()
+    }
+    n_batches = {"n": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        n_batches["n"] += 1
+        # stage 1: landing append (immutable event log, date-partitioned)
+        log = ingest_events(batch_df)
+        write_partitioned_parquet(
+            log, log_spec.path, ["part_date"], mode="append"
+        )
+        # stage 2: per-table incremental merge of the batch's net changes
+        tables = [
+            r[0] for r in log.select(F.lower("table")).distinct().collect()
+        ]  # metadata-scale (table names in this batch)
+        touched = []
+        for qualified in tables:
+            name = format_table_name(qualified)
+            if name not in cfg.tables:
+                continue
+            target_name, _ = cfg.tables[name]
+            spec = catalog.get(target_name)
+            events = log.filter(F.lower("table") == qualified.lower())
+            mapped = map_events_to_target(events, target_schemas[name])
+            net = cdc_upsert_frame(mapped, spec.pk)
+            updates = net.select(
+                *[f.name for f in target_schemas[name].fields], "__is_delete"
+            )
+            merge_write(
+                spark, updates, spec.path, spec.pk, delete_col="__is_delete"
+            )
+            touched.append(name)
+        # stages 3 + 4: curated copy + domain refresh for touched tables
+        run_curated(spark, cfg, catalog, tables=touched)
+        if defs_df is not None and touched:
+            curated_touched = [cfg.tables[t][1] for t in touched]
+            run_domains(
+                spark, defs_df, curated_touched, catalog,
+                process_id=process_id, write=True,
+            )
+
+    raw = (
+        spark.readStream.schema(cdc_envelope_schema(cfg.row_schema))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(cfg.raw_path)
+    )
+    query = (
+        raw.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return n_batches["n"]
