@@ -1181,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE23_QUERIES,
         **_WAVE24_QUERIES,
         **_WAVE25_QUERIES,
+        **_WAVE27_QUERIES,
     }
     # Rotation for the driver's fixed-size correctness window, ordered
     # oldest-driver-row-first (VERDICT r4 items 1+4): (0) the two locally
@@ -1294,6 +1295,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE23_SQL,
         **_WAVE24_SQL,
         **_WAVE25_SQL,
+        **_WAVE27_SQL,
     }
 
 
@@ -6967,3 +6969,170 @@ FROM agg
 
 _WAVE25_QUERIES["token_gini_docs"] = token_gini_docs
 _WAVE25_SQL["token_gini_docs"] = TOKEN_GINI_SQL
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 27: vocabulary coverage, collocation mining, budgeted
+# mixture allocation, corpus snapshot diff — the audits between "corpus
+# assembled" and "tokens committed to training".
+# --------------------------------------------------------------------------
+
+_WAVE27_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_WAVE27_SQL: dict[str, str] = {}
+
+
+def vocab_oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-500 token
+    vocabulary (operators/textstats.py vocab_oov_rate): tokenizer-coverage
+    audit; deterministic vocab cut by (freq desc, token asc)."""
+    return ts.vocab_oov_rate(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", vocab_size=500
+    )
+
+
+_WAVE27_SQL["vocab_oov_rate_docs"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS freq FROM toks GROUP BY token)
+  ORDER BY freq DESC, token ASC LIMIT 500),
+flagged AS (
+  SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v ON t.token = v.token)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM flagged GROUP BY doc_id
+"""
+_WAVE27_QUERIES["vocab_oov_rate_docs"] = vocab_oov_rate_docs
+
+
+def bigram_lift_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by association lift over adjacent token
+    bigrams (operators/textstats.py bigram_lift_top). Lift, not PMI: no
+    transcendental ln, so the value is exact-integer products through
+    one IEEE divide — bit-identical across engines."""
+    return ts.bigram_lift_top(
+        _t(spark, sf_dir, "documents"), "text", min_count=5, k=20
+    )
+
+
+_WAVE27_SQL["bigram_lift_top_docs"] = """
+WITH arrs AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(
+           range(1, CASE WHEN len(arr) >= 2 THEN len(arr) ELSE 1 END),
+           i -> struct_pack(x := arr[i], y := arr[i + 1]))) AS p
+  FROM arrs),
+counts AS (
+  SELECT p.x AS x, p.y AS y, COUNT(*) AS c_xy FROM pairs GROUP BY p.x, p.y),
+lefts AS (SELECT x, SUM(c_xy) AS left_x FROM counts GROUP BY x),
+rights AS (SELECT y, SUM(c_xy) AS right_y FROM counts GROUP BY y),
+total AS (SELECT SUM(c_xy) AS n_bi FROM counts)
+SELECT c.x AS x, c.y AS y, CAST(c.c_xy AS BIGINT) AS c_xy,
+       CAST(c.c_xy * n_bi AS DOUBLE) / CAST(left_x * right_y AS DOUBLE)
+         AS lift
+FROM counts c JOIN lefts USING (x) JOIN rights USING (y) CROSS JOIN total
+WHERE c.c_xy >= 5
+ORDER BY lift DESC, c_xy DESC, x ASC, y ASC
+LIMIT 20
+"""
+_WAVE27_QUERIES["bigram_lift_top_docs"] = bigram_lift_top_docs
+
+
+def token_budget_waterfill_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources
+    (operators/mixing.py token_budget_waterfill): exact integer waterline
+    via a window over the one-row-per-source table. Budget 20k: uncapped
+    at sf0.001 (~2.7k corpus tokens), binding at sf0.01+ (~27k) — both
+    branches get driver coverage across scale factors."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import token_budget_waterfill
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return token_budget_waterfill(
+        sized, "source", "n_tokens", budget=20_000
+    ).orderBy("source")
+
+
+_WAVE27_SQL["token_budget_waterfill_docs"] = """
+WITH sizes AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source),
+ranked AS (
+  SELECT source, total_tokens,
+         ROW_NUMBER() OVER (ORDER BY total_tokens ASC, source ASC) AS k,
+         COALESCE(SUM(total_tokens) OVER (
+           ORDER BY total_tokens ASC, source ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS csum,
+         COUNT(*) OVER () AS m
+  FROM sizes),
+cand AS (
+  SELECT k, total_tokens, (20000 - csum) // (m - k + 1) AS c
+  FROM ranked WHERE (20000 - csum) >= 0),
+cap AS (
+  SELECT c AS cap FROM cand WHERE c < total_tokens ORDER BY k LIMIT 1)
+SELECT r.source AS source, r.total_tokens AS total_tokens,
+       CAST(CASE WHEN cap.cap IS NULL THEN r.total_tokens
+                 ELSE least(r.total_tokens, cap.cap) END AS BIGINT)
+         AS allocated_tokens,
+       (cap.cap IS NOT NULL AND r.total_tokens > cap.cap) AS capped
+FROM ranked r LEFT JOIN cap ON TRUE
+ORDER BY source
+"""
+_WAVE27_QUERIES["token_budget_waterfill_docs"] = token_budget_waterfill_docs
+
+
+def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/corpus.py snapshot_diff): two
+    deterministic synthetic snapshots of the documents table — old drops
+    doc_id % 10 == 0 (those become 'added'), new drops doc_id % 13 == 0
+    ('removed') and revises text where doc_id % 7 == 0 ('changed') —
+    classified by content md5 over one full outer join, rolled up per
+    source. CDC-for-corpora between crawl refreshes."""
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return cp.snapshot_diff(
+        old, new, "doc_id", ("text",), "source"
+    ).orderBy("source", "status")
+
+
+_WAVE27_SQL["snapshot_diff_docs"] = """
+WITH old AS (
+  SELECT doc_id, source, md5(text) AS fp FROM documents
+  WHERE doc_id % 10 <> 0),
+new AS (
+  SELECT doc_id, source,
+         md5(text || CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END) AS fp
+  FROM documents WHERE doc_id % 13 <> 0),
+j AS (
+  SELECT COALESCE(n.source, o.source) AS source,
+         CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              WHEN o.fp = n.fp THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n USING (doc_id))
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM j GROUP BY source, status
+ORDER BY source, status
+"""
+_WAVE27_QUERIES["snapshot_diff_docs"] = snapshot_diff_docs

@@ -203,6 +203,11 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "temporal_drift_stats",
     "token_gini_docs",
+    # wave 27: vocab coverage, collocations, budget allocation, snapshot diff
+    "vocab_oov_rate_docs",
+    "bigram_lift_top_docs",
+    "token_budget_waterfill_docs",
+    "snapshot_diff_docs",
 ]
 
 

@@ -701,3 +701,51 @@ def token_gini_concentration(
         - (n_d + F.lit(1.0)) / n_d
     )
     return agg.select("n_vocab", "total_tokens", gini.alias("token_gini"))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    payload_cols: tuple = ("text",),
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Corpus snapshot diff — classify every document across two corpus
+    versions as added / removed / changed / unchanged by comparing an
+    md5 over the payload columns, rolled up per group: the audit a
+    training pipeline runs between crawl refreshes before deciding what
+    to re-process downstream (CDC for corpora; change detection by
+    content hash, not timestamps).
+
+    One full outer join on the id plus a content-hash equality test —
+    both sides shuffle once on the id; the rollup is group-cardinality
+    sized. Group attribution: a document's group comes from the NEW
+    snapshot when present there, else from the old (removed docs).
+    Returns (group, status, n_docs) — or (status, n_docs) when
+    ``group_col`` is None.
+    """
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        fp = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in payload_cols]))
+        cols = [F.col(id_col), fp.alias(f"__fp_{tag}")]
+        if group_col is not None:
+            cols.append(F.col(group_col).alias(f"__g_{tag}"))
+        return df.select(*cols)
+
+    joined = keyed(old, "old").join(
+        keyed(new, "new"), on=id_col, how="full_outer"
+    )
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    classified = joined.withColumn("status", status)
+    if group_col is None:
+        return classified.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+    grp = F.coalesce(F.col("__g_new"), F.col("__g_old")).alias(group_col)
+    return classified.select(grp, "status").groupBy(
+        group_col, "status"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

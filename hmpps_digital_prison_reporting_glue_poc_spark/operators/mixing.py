@@ -393,3 +393,82 @@ def weak_label_vote(
         .alias("majority_label"),
         (has_pos & has_neg).alias("conflict"),
     )
+
+
+def token_budget_waterfill(
+    df: DataFrame,
+    group_col: str = "source",
+    size_col: str = "n_tokens",
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Water-filling token-budget allocation across sources: find the
+    integer cap ``c`` maximising ``sum(min(size_g, c)) <= budget`` and
+    allocate ``min(size_g, c)`` tokens to each source — the standard
+    way a data-mixture spec caps over-represented domains under a fixed
+    total token budget (sources smaller than the cap keep everything,
+    larger ones are clipped to the same waterline).
+
+    Exact integer solve, no iteration: with sizes sorted ascending and
+    ``csum_k`` the cumulative size of the k-1 smallest, the candidate
+    cap funding rows k..m equally is ``c_k = (budget - csum_k) div
+    (m - k + 1)``; the waterline is the first k where ``c_k < size_k``
+    (every earlier source is fully funded by construction), else no cap
+    binds. The scan is a window over ONE ROW PER SOURCE — metadata-
+    scale, like every mixture table here; the corpus itself only feeds
+    the per-source size aggregate (one map-side-combined shuffle).
+    Returns (group, total_tokens, allocated_tokens, capped).
+    """
+    sizes = df.groupBy(group_col).agg(
+        F.sum(F.col(size_col)).cast("long").alias("total_tokens")
+    )
+    w_ord = Window.orderBy(
+        F.col("total_tokens").asc(), F.col(group_col).asc()
+    )
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    ranked = sizes.select(
+        group_col,
+        "total_tokens",
+        F.row_number().over(w_ord).alias("__k"),
+        F.coalesce(F.sum("total_tokens").over(w_prev), F.lit(0)).alias(
+            "__csum"
+        ),
+        F.count(F.lit(1)).over(w_all).alias("__m"),
+    )
+    remaining = F.lit(int(budget)).cast("long") - F.col("__csum")
+    cand = F.expr(
+        f"div({int(budget)}L - __csum, __m - __k + 1)"
+    )
+    annotated = ranked.withColumn(
+        "__cand",
+        F.when((remaining >= 0) & (cand < F.col("total_tokens")), cand),
+    )
+    # first valid candidate by k, as a struct arg-min aggregate: always
+    # exactly ONE row (cap NULL when the budget covers every source), so
+    # the cross join below cannot wipe the result on the uncapped path
+    cap_row = annotated.agg(
+        F.min(
+            F.when(
+                F.col("__cand").isNotNull(),
+                F.struct(F.col("__k"), F.col("__cand")),
+            )
+        ).alias("__s")
+    ).select(F.col("__s.__cand").alias("__cap"))
+    return (
+        annotated.join(F.broadcast(cap_row), how="cross")
+        .select(
+            group_col,
+            "total_tokens",
+            F.when(
+                F.col("__cap").isNotNull(),
+                F.least(F.col("total_tokens"), F.col("__cap")),
+            )
+            .otherwise(F.col("total_tokens"))
+            .cast("long")
+            .alias("allocated_tokens"),
+            (
+                F.col("__cap").isNotNull()
+                & (F.col("total_tokens") > F.col("__cap"))
+            ).alias("capped"),
+        )
+    )

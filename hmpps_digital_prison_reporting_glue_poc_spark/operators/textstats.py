@@ -613,3 +613,119 @@ def blocklist_filter_stats(
         ).alias("flagged_share"),
         F.sum("__hits").cast("long").alias("total_hits"),
     )
+
+
+def vocab_oov_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 500,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` token vocabulary — the tokenizer-coverage audit a
+    training pipeline runs before committing to a vocab (docs with high
+    OOV under the candidate vocab will fragment into long byte-level
+    token sequences).
+
+    Vocabulary = top tokens by (freq desc, token asc) — the tie-break
+    makes the cut deterministic and oracle-reproducible. The top-k is a
+    ``limit`` over the token-count aggregate (TakeOrdered: partial
+    per-partition top-k, never a full sort of the vocabulary), the
+    membership probe is a broadcast left-semi join, so the corpus-sized
+    side shuffles once for the doc rollup and never for the probe.
+    Returns (id, n_tokens, n_oov, oov_rate).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))),
+        on="token",
+        how="left",
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        (
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("oov_rate"),
+    )
+
+
+def bigram_lift_top(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top collocations by association LIFT over adjacent token bigrams:
+    ``lift = c_xy * N / (left_x * right_y)`` where ``c_xy`` counts the
+    bigram, ``left_x`` / ``right_y`` count x as a bigram-left / y as a
+    bigram-right, and N is the total bigram count — the multiword-
+    expression miner behind tokenizer-merge and phrase-vocab decisions.
+
+    Deliberately lift, not PMI: lift is PMI without the final ``ln``,
+    so every value is ONE IEEE division of two exactly-summed integer
+    products (long->double casts and the divide are the same half-even
+    ops in any engine) — bit-identical to the SQL oracle, where a
+    transcendental ln's last ulp is not. Ordering ties break on
+    (count desc, x, y). One explode + two broadcast-joined unigram
+    margins; the bigram table aggregates with map-side combine.
+    Returns (x, y, c_xy, lift) — the top ``k`` rows.
+    """
+    toks = tokens(F.col(text_col))
+    pairs = df.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                ),
+            ).otherwise(F.array()),
+        ).alias("bi")
+    ).select(F.col("bi.x").alias("x"), F.col("bi.y").alias("y"))
+    counts = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    lefts = counts.groupBy("x").agg(F.sum("c_xy").alias("left_x"))
+    rights = counts.groupBy("y").agg(F.sum("c_xy").alias("right_y"))
+    total = counts.agg(F.sum("c_xy").alias("n_bi"))
+    scored = (
+        counts.filter(F.col("c_xy") >= min_count)
+        .join(F.broadcast(lefts), "x")
+        .join(F.broadcast(rights), "y")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            # exact integer products via DECIMAL (long*long wraps at corpus
+            # scale), then ONE double cast + divide each — the same
+            # exact-int-to-double rounding DuckDB's HUGEINT path applies
+            "lift",
+            (
+                F.col("c_xy").cast("decimal(19,0)")
+                * F.col("n_bi").cast("decimal(19,0)")
+            ).cast("double")
+            / (
+                F.col("left_x").cast("decimal(19,0)")
+                * F.col("right_y").cast("decimal(19,0)")
+            ).cast("double"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("lift").desc(), F.col("c_xy").desc(),
+            F.col("x").asc(), F.col("y").asc(),
+        )
+        .limit(k)
+        .select("x", "y", "c_xy", "lift")
+    )
