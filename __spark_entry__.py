@@ -1182,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE24_QUERIES,
         **_WAVE25_QUERIES,
         **_WAVE27_QUERIES,
+        **_WAVE28_QUERIES,
     }
     # Rotation for the driver's fixed-size correctness window, ordered
     # oldest-driver-row-first (VERDICT r4 items 1+4): (0) the two locally
@@ -1296,6 +1297,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE24_SQL,
         **_WAVE25_SQL,
         **_WAVE27_SQL,
+        **_WAVE28_SQL,
     }
 
 
@@ -7136,3 +7138,243 @@ FROM j GROUP BY source, status
 ORDER BY source, status
 """
 _WAVE27_QUERIES["snapshot_diff_docs"] = snapshot_diff_docs
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 28: hybrid retrieval fusion, dedup representative
+# selection, exact distribution-drift testing.
+# --------------------------------------------------------------------------
+
+_WAVE28_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_WAVE28_SQL: dict[str, str] = {}
+
+_RRF_TERMS = ("scan", "merge", "vector")
+
+
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 ranking fused with a query-coverage ranking
+    by reciprocal-rank fusion (operators/retrieval.py rrf_fuse, k0=60).
+    Both candidate lists are cut to their top 100 BEFORE fusion via
+    orderBy+limit (TakeOrdered — partial per-partition top-k, never a
+    global sort), so the fuse joins two 100-row frames whatever the
+    corpus size; the in-list rank windows run on those 100-row frames.
+    RRF scores are fixed-order sums of 1/(60+rank) doubles — identical
+    IEEE ops in both engines (no ln in the fused score)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.retrieval import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = list(_RRF_TERMS)
+
+    bm25 = ts.bm25_scores(docs, "doc_id", "text", terms=terms)
+    bm25_top = bm25.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(100)
+    w1 = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    r1 = bm25_top.withColumn("rank", F.row_number().over(w1)).select(
+        "doc_id", "rank"
+    )
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token").isin(terms))
+    per_term = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    cov = per_term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("__tf").cast("long").alias("tf_total"),
+    )
+    cov_top = cov.orderBy(
+        F.col("n_matched").desc(), F.col("tf_total").desc(),
+        F.col("doc_id").asc(),
+    ).limit(100)
+    w2 = Window.orderBy(
+        F.col("n_matched").desc(), F.col("tf_total").desc(),
+        F.col("doc_id").asc(),
+    )
+    r2 = cov_top.withColumn("rank", F.row_number().over(w2)).select(
+        "doc_id", "rank"
+    )
+    return rrf_fuse([r1, r2], "doc_id", k0=60, limit=20)
+
+
+_RRF_TERMS_SQL = "('scan', 'merge', 'vector')"
+
+_WAVE28_SQL["hybrid_rrf_fusion"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM doclen),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       WHERE token IN {_RRF_TERMS_SQL} GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+bm25 AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * 2.2
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS bm25
+  FROM tf JOIN doclen ON tf.doc_id = doclen.doc_id
+          JOIN dfreq ON tf.token = dfreq.token
+          CROSS JOIN stats
+  GROUP BY tf.doc_id),
+r1 AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+    FROM bm25) WHERE rank <= 100),
+cov AS (
+  SELECT doc_id, COUNT(*) AS n_matched, SUM(tf) AS tf_total
+  FROM tf GROUP BY doc_id),
+r2 AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY n_matched DESC, tf_total DESC, doc_id ASC) AS rank
+    FROM cov) WHERE rank <= 100),
+fused AS (
+  SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+         CAST(r1.rank AS BIGINT) AS rank_1,
+         CAST(r2.rank AS BIGINT) AS rank_2,
+         COALESCE(CAST(1 AS DOUBLE) / (60 + r1.rank), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + r2.rank), CAST(0 AS DOUBLE))
+           AS rrf_score
+  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+SELECT doc_id, rank_1, rank_2, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+"""
+_WAVE28_QUERIES["hybrid_rrf_fusion"] = hybrid_rrf_fusion
+
+
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup representative selection end to end: jaccard near-dup pairs
+    -> distributed connected components -> keep the highest-quality
+    member per component (smallest doc_id on ties) using the linear
+    quality logit (operators/dedup.py keep_best_per_component, one
+    grouped struct arg-min — no window). The oracle replays the same
+    recursive-CTE components + struct arg-min."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import graph
+
+    corpus = _dup_corpus(spark, sf_dir, mutate=True)
+    pairs = dd.jaccard_pairs(
+        corpus, "doc_id", "text", threshold=0.8, max_df=100
+    ).select("id_a", "id_b")
+    comps = graph.neardup_groups(pairs, corpus, id_col="doc_id")
+
+    toks = F.split(F.regexp_replace(F.col("text"), r"\s+", " "), " ")
+    n_tokens = F.size(F.filter(toks, lambda t: t != ""))
+    n_chars = F.length("text")
+    n_digits = n_chars - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    n_spaces = n_chars - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    scored = corpus.select(
+        "doc_id",
+        (n_tokens * 3 - n_chars + n_digits * -20 + n_spaces * 5 - 40)
+        .cast("long")
+        .alias("logit_milli"),
+    )
+    return dd.keep_best_per_component(
+        comps.join(scored, "doc_id"),
+        id_col="doc_id",
+        comp_col="component",
+        score_col="logit_milli",
+    ).orderBy("component")
+
+
+_WAVE28_SQL["neardup_keep_best"] = f"""
+WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+toks_all AS ({_TOKS_SQL}),
+dfreq AS (SELECT token, COUNT(*) AS df FROM toks_all GROUP BY token),
+toks AS (
+  SELECT t.doc_id, t.token FROM toks_all t
+  JOIN dfreq d ON t.token = d.token AND d.df <= 100
+),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM toks l JOIN toks r ON l.token = r.token AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / CAST(sa.size + sb.size - inter AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id
+),
+comps AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+membership AS (
+  SELECT c.doc_id, COALESCE(comps.component, c.doc_id) AS component
+  FROM corpus c LEFT JOIN comps ON comps.id = c.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         len(list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' '),
+                         x -> x <> '')) * 3
+         - length(text)
+         + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * -20
+         + (length(text) - length(regexp_replace(text, ' ', '', 'g'))) * 5
+         - 40 AS logit_milli
+  FROM corpus
+)
+SELECT m.component AS component,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(struct_pack(ns := -s.logit_milli, id := m.doc_id)).id AS BIGINT)
+         AS kept_id,
+       CAST(-MIN(struct_pack(ns := -s.logit_milli, id := m.doc_id)).ns AS BIGINT)
+         AS kept_score
+FROM membership m JOIN scored s ON s.doc_id = m.doc_id
+GROUP BY m.component
+ORDER BY component
+"""
+_WAVE28_QUERIES["neardup_keep_best"] = neardup_keep_best
+
+
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between event values before and
+    after 2024-01-20 (operators/behavior.py ks_two_sample): integer
+    cross-product argmax over the distinct-cent-value table, one final
+    divide. The before/after drift gate a pipeline runs on value-bearing
+    streams."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import ks_two_sample
+
+    ev = _events(spark, sf_dir)
+    return ks_two_sample(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+_WAVE28_SQL["ks_value_drift"] = """
+WITH q AS (
+  SELECT (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT qv,
+         SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN r THEN 1 ELSE 0 END) AS c2
+  FROM q GROUP BY qv),
+cum AS (
+  SELECT qv, SUM(c1) OVER (ORDER BY qv) AS f1, SUM(c2) OVER (ORDER BY qv) AS f2
+  FROM counts),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts),
+scored AS (
+  SELECT qv, abs(f1 * n2 - f2 * n1) AS d FROM cum CROSS JOIN tot),
+best AS (SELECT MAX(struct_pack(d := d, nq := -qv)) AS s FROM scored)
+SELECT tot.n1 AS n_left, tot.n2 AS n_right,
+       CAST(best.s.d AS DOUBLE) / CAST(tot.n1 * tot.n2 AS DOUBLE) AS ks_d,
+       CAST(-best.s.nq AS DOUBLE) / CAST(100 AS DOUBLE) AS ks_at_value
+FROM best CROSS JOIN tot
+"""
+_WAVE28_QUERIES["ks_value_drift"] = ks_value_drift

@@ -208,6 +208,10 @@ BENCH_QUERIES = [
     "bigram_lift_top_docs",
     "token_budget_waterfill_docs",
     "snapshot_diff_docs",
+    # wave 28: hybrid retrieval fusion, dedup representative, KS drift
+    "hybrid_rrf_fusion",
+    "neardup_keep_best",
+    "ks_value_drift",
 ]
 
 

@@ -255,3 +255,72 @@ def user_value_zscores(
         F.col("__n").cast("long").alias("n_user_events"),
         z.alias("zscore"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    side_col,
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two row populations (``side_col`` false = left,
+    true = right) — the distribution-drift test behind train/serve skew
+    and A/B sanity monitors, computed EXACTLY and engine-portably:
+
+    values quantize to the integer ``scale`` grid; per-value per-side
+    counts aggregate once; both ECDFs accumulate over the DISTINCT-VALUE
+    table (bounded by the value domain, e.g. ~10^5 cent values — never
+    corpus-sized); and the supremum ``D = max |F1 - F2|`` is located by
+    the INTEGER cross-product argmax ``max |f1*n2 - f2*n1|`` (DECIMAL-
+    exact), so the only float op is one final divide by ``n1*n2``. Ties
+    in the supremum resolve to the smallest value via the struct arg-max.
+    Returns one row: (n_left, n_right, ks_d, ks_at_value).
+    """
+    side = F.col(side_col) if isinstance(side_col, str) else side_col
+    q = df.select(
+        side.cast("boolean").alias("__r"),
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv"),
+    )
+    counts = q.groupBy("__qv").agg(
+        F.sum(F.when(~F.col("__r"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("__r"), 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("__qv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "__qv",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    joined = cum.join(F.broadcast(tot), how="cross")
+    d = F.abs(
+        F.col("f1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("f2").cast("decimal(38,0)") * F.col("n1")
+    )
+    agg = joined.agg(
+        F.max(
+            F.struct(d.alias("__d"), (-F.col("__qv")).alias("__nq"))
+        ).alias("__best"),
+        F.max("n1").alias("n_left"),
+        F.max("n2").alias("n_right"),
+    )
+    denom = (
+        F.col("n_left").cast("decimal(19,0)")
+        * F.col("n_right").cast("decimal(19,0)")
+    ).cast("double")
+    return agg.select(
+        "n_left",
+        "n_right",
+        (F.col("__best.__d").cast("double") / denom).alias("ks_d"),
+        (
+            (-F.col("__best.__nq")).cast("double") / F.lit(float(scale))
+        ).alias("ks_at_value"),
+    )

@@ -676,3 +676,37 @@ def boilerplate_prefix_clusters(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def keep_best_per_component(
+    scored_components: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Representative selection for near-dup clusters: per component,
+    keep the highest-scoring member (smallest id on score ties) — the
+    step after connected components where a dedup pipeline decides WHICH
+    copy of each duplicate family survives (keep the best-quality one,
+    not an arbitrary one).
+
+    One grouped struct arg-min pass (min over (-score, id) picks the
+    max-score/min-id member without a window), so the shuffle is the
+    same component-keyed exchange the component join already produced.
+    Returns (component, n_docs, kept_id, kept_score).
+    """
+    best = F.min(
+        F.struct(
+            (-F.col(score_col)).alias("__ns"), F.col(id_col).alias("__id")
+        )
+    ).alias("__best")
+    return (
+        scored_components.groupBy(comp_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"), best)
+        .select(
+            comp_col,
+            "n_docs",
+            F.col("__best.__id").alias("kept_id"),
+            (-F.col("__best.__ns")).alias("kept_score"),
+        )
+    )

@@ -188,3 +188,45 @@ def bloom_probe_docs(
             / F.col("n_grams").cast("double"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k0: int = 60,
+    limit: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N candidate rankings (hybrid retrieval's
+    standard lexical+semantic combiner): ``rrf = sum_i 1/(k0 + rank_i)``
+    with a document missing from a list contributing 0 — Cormack et al.'s
+    formulation, k0=60.
+
+    Each input frame carries (id, rank). The fuse is a chain of full
+    outer joins on the id over TOP-K CANDIDATE LISTS (bounded by
+    construction upstream — rank lists are limit-cut before fusion), so
+    every join side is top-k-sized regardless of corpus size. The score
+    is a fixed-order sum of ``1/(k0+rank)`` doubles — identical IEEE ops
+    in any engine. Returns (id, rank_1..rank_N, rrf_score), the top
+    ``limit`` by (score desc, id asc).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused = None
+    for i, r in enumerate(rankings, start=1):
+        side = r.select(
+            F.col(id_col), F.col("rank").cast("long").alias(f"rank_{i}")
+        )
+        fused = side if fused is None else fused.join(
+            side, on=id_col, how="full_outer"
+        )
+    score = None
+    for i in range(1, len(rankings) + 1):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        fused.withColumn("rrf_score", score)
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(limit)
+    )
