@@ -1183,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE25_QUERIES,
         **_WAVE27_QUERIES,
         **_WAVE28_QUERIES,
+        **_WAVE29_QUERIES,
     }
     # Rotation for the driver's fixed-size correctness window, ordered
     # oldest-driver-row-first (VERDICT r4 items 1+4): (0) the two locally
@@ -1298,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE25_SQL,
         **_WAVE27_SQL,
         **_WAVE28_SQL,
+        **_WAVE29_SQL,
     }
 
 
@@ -7378,3 +7380,156 @@ SELECT tot.n1 AS n_left, tot.n2 AS n_right,
 FROM best CROSS JOIN tot
 """
 _WAVE28_QUERIES["ks_value_drift"] = ks_value_drift
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 29: containment dedup, language-mix monitoring, embedding
+# outlier audit, LSH precision tuning table.
+# --------------------------------------------------------------------------
+
+_WAVE29_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_WAVE29_SQL: dict[str, str] = {}
+
+
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (operators/dedup.py containment_pairs):
+    doc-inside-doc detection over the mutated near-dup corpus — the
+    envelope/quote case symmetric Jaccard misses. Same pruned
+    inverted-index candidate machinery as jaccard_pairs (max_df=100)."""
+    return dd.containment_pairs(
+        _dup_corpus(spark, sf_dir, mutate=True), "doc_id", "text",
+        threshold=0.9, max_df=100,
+    )
+
+
+_WAVE29_SQL["containment_pairs_docs"] = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+toks_all AS ({_TOKS_SQL}),
+dfreq AS (SELECT token, COUNT(*) AS df FROM toks_all GROUP BY token),
+toks AS (
+  SELECT t.doc_id, t.token FROM toks_all t
+  JOIN dfreq d ON t.token = d.token AND d.df <= 100
+),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM toks l JOIN toks r ON l.token = r.token AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT id_a, id_b, inter,
+       sa.size AS size_a, sb.size AS size_b,
+       CAST(inter AS DOUBLE) / CAST(sa.size AS DOUBLE) AS containment_a_in_b,
+       CAST(inter AS DOUBLE) / CAST(sb.size AS DOUBLE) AS containment_b_in_a
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.size AS DOUBLE) >= 0.9
+   OR CAST(inter AS DOUBLE) / CAST(sb.size AS DOUBLE) >= 0.9
+"""
+_WAVE29_QUERIES["containment_pairs_docs"] = containment_pairs_docs
+
+
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix entropy (operators/corpus.py
+    source_language_entropy) over the documents table's lang column —
+    crawl-regression monitoring next to the domain-mix weights."""
+    return cp.source_language_entropy(
+        _t(spark, sf_dir, "documents", spread=False), "source", "lang"
+    ).orderBy("source")
+
+
+_WAVE29_SQL["source_lang_entropy"] = """
+WITH pairs AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang),
+terms AS (
+  SELECT source, c,
+         -(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE))
+           * LN(CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE))
+           AS h
+  FROM pairs)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       ROUND(SUM(h), 6) AS lang_entropy
+FROM terms GROUP BY source ORDER BY source
+"""
+_WAVE29_QUERIES["source_lang_entropy"] = source_lang_entropy
+
+
+def embedding_outlier_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean±3σ outlier share over the embeddings table
+    (operators/similarity.py embedding_outlier_rate): exact integer-grid
+    statistics, double bound compare — no tolerance needed."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.similarity import (
+        embedding_outlier_rate,
+    )
+
+    return embedding_outlier_rate(
+        _t(spark, sf_dir, "embeddings"), "embedding", n_sigma=3.0
+    )
+
+
+_WAVE29_SQL["embedding_outlier_rate"] = """
+WITH dims AS (SELECT unnest(generate_series(0, 63)) AS j),
+el AS (
+  SELECT j,
+         CAST(FLOOR(CAST(embedding[j + 1] AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS qx
+  FROM embeddings, dims),
+stats AS (
+  SELECT j, COUNT(*) AS n, SUM(qx) AS s, SUM(qx * qx) AS ss
+  FROM el GROUP BY j),
+bounds AS (
+  SELECT j,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+         3.0 * SQRT(CAST(n * ss - s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS band_q
+  FROM stats)
+SELECT el.j AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN ABS(CAST(qx AS DOUBLE) - mean_q) > band_q
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN ABS(CAST(qx AS DOUBLE) - mean_q) > band_q
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS outlier_rate
+FROM el JOIN bounds ON el.j = bounds.j
+GROUP BY el.j
+"""
+_WAVE29_QUERIES["embedding_outlier_rate"] = embedding_outlier_rate_q
+
+
+def lsh_precision_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning table: for banded-LSH candidate pairs, group by the
+    MinHash signature-agreement count and report how many candidates are
+    TRUE near-dups (shingle Jaccard >= 0.8) — the precision-per-estimator
+    curve that decides band/row geometry. Composes
+    minhash_jaccard_estimates; all counts integer, precision is one
+    divide."""
+    est = dd.minhash_jaccard_estimates(
+        _dup_corpus(spark, sf_dir, mutate=True), "doc_id", "text",
+        num_hashes=8, rows_per_band=2, shingle_k=3,
+    )
+    return (
+        est.groupBy(F.col("n_sig_matches").cast("long").alias("n_sig_matches"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("true_jaccard") >= 0.8, 1).otherwise(0))
+            .cast("long")
+            .alias("n_true"),
+            (
+                F.sum(F.when(F.col("true_jaccard") >= 0.8, 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("precision"),
+        )
+        .orderBy("n_sig_matches")
+    )
+
+
+_WAVE29_SQL["lsh_precision_table"] = f"""
+WITH base AS ({MINHASH_JACCARD_SQL})
+SELECT CAST(n_sig_matches AS BIGINT) AS n_sig_matches,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN true_jaccard >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true,
+       CAST(SUM(CASE WHEN true_jaccard >= 0.8 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS precision
+FROM base GROUP BY n_sig_matches ORDER BY n_sig_matches
+"""
+_WAVE29_QUERIES["lsh_precision_table"] = lsh_precision_table

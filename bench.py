@@ -212,6 +212,12 @@ BENCH_QUERIES = [
     "hybrid_rrf_fusion",
     "neardup_keep_best",
     "ks_value_drift",
+    # wave 29: containment dedup, language-mix entropy, embedding outliers,
+    # LSH precision table
+    "containment_pairs_docs",
+    "source_lang_entropy",
+    "embedding_outlier_rate",
+    "lsh_precision_table",
 ]
 
 

@@ -749,3 +749,37 @@ def snapshot_diff(
     return classified.select(grp, "status").groupBy(
         group_col, "status"
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def source_language_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source language-mix entropy: ``H = -sum p_l * ln p_l`` over the
+    source's document-language distribution — the monolingual-vs-mixed
+    composition signal next to the domain-mix weights (a "multilingual"
+    source collapsing to one language, or a clean source suddenly
+    code-switching, is a crawl regression).
+
+    Two metadata-sized aggregations ((source, lang) then source). The
+    entropy is rounded to 6 dp: ln() differs in the last ulp across libm
+    implementations and the per-language term sum is engine-order-
+    dependent — the same portability rounding bm25_scores applies.
+    Returns (group, n_docs, n_langs, lang_entropy).
+    """
+    pairs = df.groupBy(group_col, lang_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy(group_col)
+    p = F.col("__c").cast("double") / F.sum("__c").over(w).cast("double")
+    terms = pairs.select(
+        group_col,
+        F.col("__c"),
+        (-p * F.log(p)).alias("__h"),
+    )
+    return terms.groupBy(group_col).agg(
+        F.sum("__c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.round(F.sum("__h"), 6).alias("lang_entropy"),
+    )

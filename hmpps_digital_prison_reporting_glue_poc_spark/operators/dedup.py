@@ -710,3 +710,68 @@ def keep_best_per_component(
             (-F.col("__best.__ns")).alias("kept_score"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric token-set CONTAINMENT ``C(A in B) = |A ∩ B| / |A|`` for
+    inverted-index candidate pairs — the doc-inside-doc detector symmetric
+    Jaccard misses: a short document quoted wholesale inside a long one
+    has tiny Jaccard (union is large) but containment ~1. Standard quote/
+    wrapper/boilerplate-envelope detection in corpus dedup.
+
+    Same candidate machinery as ``jaccard_pairs`` (pruned inverted-index
+    self-join, one intersection groupBy, sizes joined back); emits ONE row
+    per unordered pair with the containment computed in BOTH directions
+    and kept when either direction crosses the threshold. ``max_df``
+    hot-token pruning bounds each join bucket exactly as in
+    ``jaccard_pairs`` (sizes use the pruned vocabulary — internally
+    consistent).
+    Returns (id_a, id_b, inter, size_a, size_b, containment_a_in_b,
+    containment_b_in_a).
+    """
+    toks = _doc_tokens(df, id_col, text_col)
+    if max_df is not None:
+        hot = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(hot), on="token", how="left_anti")
+    toks = _materialize(toks, "containment_toks_")
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("size"))
+
+    left = toks.alias("l")
+    right = toks.alias("r")
+    inter = (
+        left.join(right, on="token")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("size").alias("size_b"))
+    c_ab = F.col("inter").cast("double") / F.col("size_a").cast("double")
+    c_ba = F.col("inter").cast("double") / F.col("size_b").cast("double")
+    scored = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment_a_in_b", c_ab)
+        .withColumn("containment_b_in_a", c_ba)
+    )
+    return scored.filter(
+        (F.col("containment_a_in_b") >= threshold)
+        | (F.col("containment_b_in_a") >= threshold)
+    ).select(
+        "id_a", "id_b", "inter", "size_a", "size_b",
+        "containment_a_in_b", "containment_b_in_a",
+    )

@@ -1205,3 +1205,64 @@ def matryoshka_prefix_norms(
             for k in prefixes
         ],
     )
+
+
+def embedding_outlier_rate(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Per-dimension outlier audit over the embedding space: the share of
+    values outside ``mean ± n_sigma * stddev`` of their OWN dimension —
+    the pre-whitening screen that catches dead dims (rate 0 with zero
+    variance) and heavy-tailed dims that will dominate a cosine after
+    normalization.
+
+    Statistics ride the exact integer grid of ``embedding_dim_stats``
+    (micro-quantized values; DECIMAL sums), so mean/variance are the
+    same two exact-int-to-double divisions in any engine, and the bound
+    compare is pure double arithmetic on identical inputs — oracle-exact
+    without any tolerance. Two dim-keyed aggregations with a broadcast
+    stats join-back; the corpus explodes once per pass.
+    Returns (dim, n, n_outliers, outlier_rate).
+    """
+    el = df.select(F.posexplode(vec_col).alias("j", "__x")).select(
+        "j",
+        F.floor(F.col("__x").cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .alias("qx"),
+    )
+    stats = el.groupBy("j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qx").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("qx") * F.col("qx")).cast("decimal(38,0)")).alias("ss"),
+    )
+    n_d = F.col("n").cast("double")
+    mean_q = F.col("s").cast("double") / n_d
+    var_q = (
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("ss")
+            - F.col("s") * F.col("s")
+        ).cast("double")
+        / (n_d * n_d)
+    )
+    bounds = stats.select(
+        "j",
+        mean_q.alias("__mean_q"),
+        (F.lit(float(n_sigma)) * F.sqrt(var_q)).alias("__band_q"),
+    )
+    flagged = el.join(F.broadcast(bounds), "j")
+    is_out = (
+        F.abs(F.col("qx").cast("double") - F.col("__mean_q"))
+        > F.col("__band_q")
+    )
+    return flagged.groupBy("j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        (
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("outlier_rate"),
+    ).select(
+        F.col("j").cast("long").alias("dim"), "n", "n_outliers", "outlier_rate"
+    )
