@@ -288,13 +288,33 @@ def ks_two_sample(
         F.sum(F.when(~F.col("__r"), 1).otherwise(0)).cast("long").alias("c1"),
         F.sum(F.when(F.col("__r"), 1).otherwise(0)).cast("long").alias("c2"),
     )
-    w = Window.orderBy("__qv").rowsBetween(
+    # Two-level ECDF accumulation: a bare ``sum over (order by qv)`` is ONE
+    # task for the whole distinct-value table (the 10x stress read a 42.8x
+    # task skew on it). Bucket on floor(qv/1024) — order-consistent, floor
+    # division so negatives sort correctly — which bounds every in-bucket
+    # window at 1024 GRID POINTS by construction (not by data); bucket
+    # offsets come from the bucket-count-sized table, broadcast back.
+    keyed = counts.withColumn(
+        "__bk", F.floor(F.col("__qv") / F.lit(1024)).cast("long")
+    )
+    bsums = keyed.groupBy("__bk").agg(
+        F.sum("c1").alias("__b1"), F.sum("c2").alias("__b2")
+    )
+    w_boff = Window.orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boffs = bsums.select(
+        "__bk",
+        F.coalesce(F.sum("__b1").over(w_boff), F.lit(0)).alias("__o1"),
+        F.coalesce(F.sum("__b2").over(w_boff), F.lit(0)).alias("__o2"),
+    )
+    w_in = Window.partitionBy("__bk").orderBy("__qv").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = counts.select(
+    cum = keyed.join(F.broadcast(boffs), "__bk").select(
         "__qv",
-        F.sum("c1").over(w).alias("f1"),
-        F.sum("c2").over(w).alias("f2"),
+        (F.sum("c1").over(w_in) + F.col("__o1")).alias("f1"),
+        (F.sum("c2").over(w_in) + F.col("__o2")).alias("f2"),
     )
     tot = counts.agg(
         F.sum("c1").cast("long").alias("n1"),
