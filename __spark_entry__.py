@@ -1085,6 +1085,17 @@ _R04_CHECKED = {
 # MUST claim the first slots of the r5 window to close the 184/184 loop.
 _R05_PRIORITY = ("json_props_extract", "ivfpq_topk")
 
+# Queries whose PLAN or ORACLE changed during round 5 (64-bit SimHash
+# geometry, two-level gini/zipf ranks, decimal-exact squared sums): their
+# latest driver rows predate the change, so they re-check right after the
+# priority pair — "no query's latest driver row predates the last commit
+# that touched its plan path" (r4 verdict item 4).
+_R05_CHANGED = {
+    "simhash_sketches", "simhash_near_dups", "token_gini_docs",
+    "token_zipf", "temporal_drift_stats", "user_value_zscores",
+    "embedding_dim_stats",
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
@@ -1193,15 +1204,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tier(name: str) -> int:
         if name in _R05_PRIORITY:
             return 0
+        if name in _R05_CHANGED:
+            return 1
         if name in _R04_CHECKED:
-            return 5
+            return 6
         if name in _R03_CHECKED:
-            return 4
+            return 5
         if name in _R02_CHECKED:
-            return 3
+            return 4
         if name in _R01_GREEN:
-            return 2
-        return 1
+            return 3
+        return 2
 
     return dict(
         sorted(all_q.items(), key=lambda kv: tier(kv[0]))
@@ -3937,11 +3950,19 @@ ZIPF_SQL = """
 WITH toks AS (
   SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
   FROM documents),
-counts AS (SELECT token, COUNT(*) AS n_occurrences FROM toks GROUP BY token)
+counts AS (
+  SELECT token, COUNT(*) AS n_occurrences,
+         CAST(('0x' || substr(md5(token), 1, 4)) AS INTEGER) AS sub
+  FROM toks GROUP BY token)
+-- tie order (count desc, md5-sub asc, token asc): the md5 sub-bucket is
+-- the tie-break that lets the Spark side rank without a vocab-sized
+-- window partition (see operators/corpus.py token_zipf)
 SELECT token, n_occurrences,
-       ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS freq_rank,
-       ROUND(CAST(SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, token ASC
-                                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, sub ASC, token ASC)
+         AS freq_rank,
+       ROUND(CAST(SUM(n_occurrences) OVER (
+                    ORDER BY n_occurrences DESC, sub ASC, token ASC
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
              / CAST(SUM(n_occurrences) OVER () AS DOUBLE), 6) AS cum_share
 FROM counts
 """

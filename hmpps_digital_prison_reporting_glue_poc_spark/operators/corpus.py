@@ -257,15 +257,24 @@ def token_zipf(
     df: DataFrame, text_col: str = "text", round_to: int = 6
 ) -> DataFrame:
     """Corpus token-frequency (Zipf) table: every token with its occurrence
-    count, frequency rank (count desc, token asc — a total order) and the
-    cumulative share of all token occurrences covered through that rank.
-    The head of this table is the stopword candidate list; the tail is the
-    rare-token noise a vocabulary builder truncates.
+    count, frequency rank and the cumulative share of all token occurrences
+    covered through that rank. The head of this table is the stopword
+    candidate list; the tail is the rare-token noise a vocabulary builder
+    truncates.
 
-    The corpus-sized work is the one token count aggregation; ranking and
-    the running share happen on the vocabulary-sized result, which is
-    orders of magnitude smaller than the corpus (the window's single
-    ordered partition holds vocab rows, not corpus rows).
+    Rank order is (count desc, md5-sub asc, token asc) — a total order
+    whose md5 tie-break exists so the rank can be computed WITHOUT a
+    vocabulary-sized window partition (the vocab is corpus-scale at
+    100 TB; a bare ``row_number() over (order by count desc)`` is one
+    task). Same decomposition as ``token_gini_concentration``:
+
+    - ``off_rank(c)`` / ``off_sum(c)`` — tokens / occurrences with count
+      STRICTLY HIGHER than c, from the one-row-per-distinct-count table
+      via octave two-level windows (metadata-sized partitions);
+    - within a count, tokens sub-bucket on md5 (65,536 keys) and rank by
+      token inside (count, sub); the running occurrence sum inside an
+      equal-count group is just ``rank_within * c``.
+
     Returns (token, n_occurrences, freq_rank, cum_share).
     """
     counts = (
@@ -273,19 +282,83 @@ def token_zipf(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    order = Window.orderBy(
-        F.col("n_occurrences").desc(), F.col("token").asc()
+    sub = F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("int")
+    keyed = counts.withColumn("__sub", sub)
+    subcnt = keyed.groupBy("n_occurrences", "__sub").agg(
+        F.count(F.lit(1)).alias("__m")
     )
-    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    total = Window.partitionBy()
-    return counts.select(
+
+    # one row per distinct count: token count and occurrence mass
+    fcnt = subcnt.groupBy("n_occurrences").agg(
+        F.sum("__m").alias("__n_tok")
+    ).withColumn(
+        "__occ", (F.col("n_occurrences") * F.col("__n_tok")).cast("long")
+    ).withColumn(
+        "__bucket", F.length(F.bin(F.col("n_occurrences"))).cast("int")
+    )
+    bcounts = fcnt.groupBy("__bucket").agg(
+        F.sum("__n_tok").alias("__bn"), F.sum("__occ").alias("__bocc")
+    )
+    # offsets among HIGHER counts: buckets (and in-bucket counts) in
+    # DESCENDING order; the bucket table is ~log2(max_count) rows
+    w_boff = Window.orderBy(F.col("__bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()  # 64-row bucket table: total occurrence mass
+    boffsets = bcounts.select(
+        "__bucket",
+        F.coalesce(F.sum("__bn").over(w_boff), F.lit(0)).alias("__brank"),
+        F.coalesce(F.sum("__bocc").over(w_boff), F.lit(0)).alias("__bsum"),
+        F.sum("__bocc").over(w_all).alias("__total"),
+    )
+    w_f = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("n_occurrences").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    foff = (
+        fcnt.join(F.broadcast(boffsets), "__bucket")
+        .select(
+            "n_occurrences",
+            "__total",
+            (
+                F.coalesce(F.sum("__n_tok").over(w_f), F.lit(0))
+                + F.col("__brank")
+            ).alias("__off_rank"),
+            (
+                F.coalesce(F.sum("__occ").over(w_f), F.lit(0))
+                + F.col("__bsum")
+            ).alias("__off_sum"),
+        )
+    )
+
+    # per-(count, sub) offsets among smaller subs of the same count
+    w_sub = (
+        Window.partitionBy("n_occurrences")
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    suboff = (
+        subcnt.withColumn(
+            "__cum", F.coalesce(F.sum("__m").over(w_sub), F.lit(0))
+        )
+        .join(foff, "n_occurrences")
+        .select("n_occurrences", "__sub", "__cum", "__off_rank",
+                "__off_sum", "__total")
+    )
+
+    w_in = Window.partitionBy("n_occurrences", "__sub").orderBy(
+        F.col("token").asc()
+    )
+    ranked = keyed.join(suboff, ["n_occurrences", "__sub"])
+    rank_within = F.row_number().over(w_in) + F.col("__cum")
+    cum = F.col("__off_sum") + rank_within * F.col("n_occurrences")
+    return ranked.select(
         "token",
         "n_occurrences",
-        F.row_number().over(order).alias("freq_rank"),
+        (F.col("__off_rank") + rank_within).cast("long").alias("freq_rank"),
         F.round(
-            F.sum("n_occurrences").over(running).cast("double")
-            / F.sum("n_occurrences").over(total).cast("double"),
-            round_to,
+            cum.cast("double") / F.col("__total").cast("double"), round_to
         ).alias("cum_share"),
     )
 
