@@ -1195,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE27_QUERIES,
         **_WAVE28_QUERIES,
         **_WAVE29_QUERIES,
+        **_WAVE30_QUERIES,
     }
     # Rotation for the driver's fixed-size correctness window, ordered
     # oldest-driver-row-first (VERDICT r4 items 1+4): (0) the two locally
@@ -1313,6 +1314,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE27_SQL,
         **_WAVE28_SQL,
         **_WAVE29_SQL,
+        **_WAVE30_SQL,
     }
 
 
@@ -7554,3 +7556,96 @@ SELECT CAST(n_sig_matches AS BIGINT) AS n_sig_matches,
 FROM base GROUP BY n_sig_matches ORDER BY n_sig_matches
 """
 _WAVE29_QUERIES["lsh_precision_table"] = lsh_precision_table
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 30: collaborative co-occurrence mining + conversion-window
+# funnels.
+# --------------------------------------------------------------------------
+
+_WAVE30_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_WAVE30_SQL: dict[str, str] = {}
+
+
+def copurchase_lift_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase lift (operators/behavior.py copurchase_lift)
+    over purchase events' props.k item id: the "bought X also bought Y"
+    association table. User-keyed inverted-index self-join (per-user
+    fan-out bounded by basket size), broadcast margins, DECIMAL-exact
+    lift."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import copurchase_lift
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    items = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    return copurchase_lift(items, "user_id", "item", min_pairs=2)
+
+
+_WAVE30_SQL["copurchase_lift_items"] = """
+WITH holdings AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE event_type = 'purchase'
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+n_users AS (SELECT COUNT(DISTINCT u) AS nu FROM holdings),
+pairs AS (
+  SELECT l.item AS item_a, r.item AS item_b, COUNT(*) AS n_both
+  FROM holdings l JOIN holdings r ON l.u = r.u AND l.item < r.item
+  GROUP BY l.item, r.item
+  HAVING COUNT(*) >= 2),
+margins AS (SELECT item, COUNT(*) AS c FROM holdings GROUP BY item)
+SELECT p.item_a, p.item_b, CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(p.n_both * nu AS DOUBLE)
+         / CAST(ma.c * mb.c AS DOUBLE) AS lift
+FROM pairs p
+JOIN margins ma ON ma.item = p.item_a
+JOIN margins mb ON mb.item = p.item_b
+CROSS JOIN n_users
+"""
+_WAVE30_QUERIES["copurchase_lift_items"] = copurchase_lift_items
+
+
+def funnel_time_bound_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel view -> click -> purchase where each stage
+    must land within 48h of the previous stage's completion
+    (operators/behavior.py funnel_time_bound) — attribution-window
+    semantics, single user-keyed window shuffle."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import funnel_time_bound
+
+    return funnel_time_bound(
+        _events(spark, sf_dir),
+        stages=["view", "click", "purchase"],
+        max_gap_seconds=172800,
+    )
+
+
+_WAVE30_SQL["funnel_time_bound"] = """
+WITH w1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t0
+  FROM events),
+w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0
+                      AND epoch_us(ts) - epoch_us(t0) <= 172800000000 THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+  FROM w1),
+w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1
+                      AND epoch_us(ts) - epoch_us(t1) <= 172800000000 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w2),
+per_user AS (
+  SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2
+  FROM w3 GROUP BY user_id),
+counts AS (SELECT COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2 FROM per_user)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, n0 AS n_users FROM counts
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', n1 FROM counts
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'purchase', n2 FROM counts
+"""
+_WAVE30_QUERIES["funnel_time_bound"] = funnel_time_bound_q

@@ -218,6 +218,9 @@ BENCH_QUERIES = [
     "source_lang_entropy",
     "embedding_outlier_rate",
     "lsh_precision_table",
+    # wave 30: co-purchase lift, conversion-window funnel
+    "copurchase_lift_items",
+    "funnel_time_bound",
 ]
 
 

@@ -344,3 +344,112 @@ def ks_two_sample(
             (-F.col("__best.__nq")).cast("double") / F.lit(float(scale))
         ).alias("ks_at_value"),
     )
+
+
+def copurchase_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    min_pairs: int = 2,
+) -> DataFrame:
+    """Item-item co-occurrence lift ("users who bought X also bought Y"):
+    for distinct (user, item) pairs, count users holding BOTH items of a
+    pair and score ``lift = c_xy * n_users / (c_x * c_y)`` — the
+    first-stop collaborative-filtering signal and the association-rule
+    miner's core table.
+
+    Candidate pairs come from a self-equi-join on the user key of the
+    DISTINCT (user, item) table — an inverted index keyed by user, never
+    a cross join; per-user fan-out is C(basket_size, 2), bounded by
+    basket size, not corpus size. Margins broadcast back; the lift is
+    exact DECIMAL integer products through one IEEE divide (the
+    bigram_lift_top convention).
+    Returns (item_a, item_b, n_both, lift), item_a < item_b.
+    """
+    holdings = events.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("item")
+    ).distinct()
+    n_users = holdings.select("u").distinct().count()
+    pairs = (
+        holdings.alias("l")
+        .join(holdings.alias("r"), on="u")
+        .filter(F.col("l.item") < F.col("r.item"))
+        .groupBy(
+            F.col("l.item").alias("item_a"), F.col("r.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_pairs)
+    )
+    margins = holdings.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    ma = margins.select(F.col("item").alias("item_a"), F.col("c").alias("c_a"))
+    mb = margins.select(F.col("item").alias("item_b"), F.col("c").alias("c_b"))
+    lift = (
+        F.col("n_both").cast("decimal(19,0)") * F.lit(int(n_users)).cast("decimal(19,0)")
+    ).cast("double") / (
+        F.col("c_a").cast("decimal(19,0)") * F.col("c_b").cast("decimal(19,0)")
+    ).cast("double")
+    return (
+        pairs.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .select("item_a", "item_b", "n_both", lift.alias("lift"))
+    )
+
+
+def funnel_time_bound(
+    events: DataFrame,
+    stages: list[str],
+    max_gap_seconds: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-bounded ordered funnel: a user completes stage N at the
+    earliest ``stages[N]`` event that is strictly after their stage-N-1
+    completion AND within ``max_gap_seconds`` of it — the conversion-
+    window semantics real funnel dashboards use (a purchase a month
+    after the click is not attribution).
+
+    Same shape as ``funnel_conversion``: k conditional min-windows over
+    ONE user-keyed partition (Catalyst collapses same-spec windows into
+    one Window node — a single shuffle of the event log).
+    Returns (stage_idx, stage, n_users).
+    """
+    w = Window.partitionBy(user_col)
+    df = events
+    prev = None
+    stage_cols = []
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev is not None:
+            # microsecond-exact gap: unix_timestamp would TRUNCATE to
+            # seconds and admit events up to 1s past the window (and
+            # disagree with a fractional-seconds SQL engine at the bound)
+            gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+                F.col(prev)
+            )
+            cond = cond & (F.col(ts_col) > F.col(prev)) & (
+                gap_us <= int(max_gap_seconds) * 1_000_000
+            )
+        col_name = f"__t{i}"
+        df = df.withColumn(
+            col_name, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        stage_cols.append(col_name)
+        prev = col_name
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in stage_cols]
+    )
+    counts = per_user.agg(
+        *[F.count(stage_cols[i]).alias(f"__n{i}") for i in range(len(stages))]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col(f"__n{i}").alias("n_users"),
+            )
+            for i, stage in enumerate(stages)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("r")).select("r.*")

@@ -1,0 +1,154 @@
+"""Streaming two-sample KS drift monitor (SURVEY.md §2.9 family).
+
+Maintains the exact per-value per-side count state of
+``behavior.ks_two_sample`` incrementally: each micro-batch's (quantized
+value, side) counts MERGE into a storage-backed state table (counts are
+associative — the merged state is bit-identical to a one-pass batch
+aggregation over everything seen), and the KS statistic recomputes from
+the state after every batch. The state table is value-domain-sized
+(distinct grid points), so the per-batch recompute cost is independent
+of how much history has streamed through.
+
+Replay safety: state partitions are keyed by ``__batch_id`` under
+dynamic partition overwrite — a replayed batch overwrites its own
+delta instead of double-adding (the cms_stream.py contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("__qv", T.LongType()),
+        T.StructField("c1", T.LongType()),
+        T.StructField("c2", T.LongType()),
+        T.StructField("__batch_id", T.LongType()),
+    ]
+)
+
+
+def _batch_counts(df: DataFrame, side_col: str, value_col: str, scale: int) -> DataFrame:
+    return (
+        df.select(
+            F.col(side_col).cast("boolean").alias("__r"),
+            F.round(F.col(value_col).cast("double") * scale, 0)
+            .cast("long")
+            .alias("__qv"),
+        )
+        .groupBy("__qv")
+        .agg(
+            F.sum(F.when(~F.col("__r"), 1).otherwise(0)).cast("long").alias("c1"),
+            F.sum(F.when(F.col("__r"), 1).otherwise(0)).cast("long").alias("c2"),
+        )
+    )
+
+
+def ks_from_state(
+    spark: SparkSession, state_path: str, scale: int = 100
+) -> DataFrame:
+    """KS statistic from the merged state table — same integer
+    cross-product argmax as the batch operator, over per-value counts
+    summed across batch deltas."""
+    from pyspark.sql import Window
+
+    counts = (
+        spark.read.parquet(state_path)
+        .groupBy("__qv")
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    )
+    keyed = counts.withColumn(
+        "__bk", F.floor(F.col("__qv") / F.lit(1024)).cast("long")
+    )
+    bsums = keyed.groupBy("__bk").agg(
+        F.sum("c1").alias("__b1"), F.sum("c2").alias("__b2")
+    )
+    w_boff = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    boffs = bsums.select(
+        "__bk",
+        F.coalesce(F.sum("__b1").over(w_boff), F.lit(0)).alias("__o1"),
+        F.coalesce(F.sum("__b2").over(w_boff), F.lit(0)).alias("__o2"),
+    )
+    w_in = Window.partitionBy("__bk").orderBy("__qv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = keyed.join(F.broadcast(boffs), "__bk").select(
+        "__qv",
+        (F.sum("c1").over(w_in) + F.col("__o1")).alias("f1"),
+        (F.sum("c2").over(w_in) + F.col("__o2")).alias("f2"),
+    )
+    tot = counts.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    joined = cum.join(F.broadcast(tot), how="cross")
+    d = F.abs(
+        F.col("f1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("f2").cast("decimal(38,0)") * F.col("n1")
+    )
+    agg = joined.agg(
+        F.max(F.struct(d.alias("__d"), (-F.col("__qv")).alias("__nq"))).alias(
+            "__best"
+        ),
+        F.max("n1").alias("n_left"),
+        F.max("n2").alias("n_right"),
+    )
+    denom = (
+        F.col("n_left").cast("decimal(19,0)")
+        * F.col("n_right").cast("decimal(19,0)")
+    ).cast("double")
+    return agg.select(
+        "n_left",
+        "n_right",
+        (F.col("__best.__d").cast("double") / denom).alias("ks_d"),
+        ((-F.col("__best.__nq")).cast("double") / F.lit(float(scale))).alias(
+            "ks_at_value"
+        ),
+    )
+
+
+def stream_ks_drift(
+    spark: SparkSession,
+    source_path: str,
+    source_schema: T.StructType,
+    state_path: str,
+    checkpoint_dir: str,
+    side_col: str = "is_right",
+    value_col: str = "value",
+    scale: int = 100,
+    on_batch=None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Stream value-bearing JSON rows into the KS count state; after each
+    batch the merged state yields the up-to-date drift statistic (fetch it
+    with ``ks_from_state``, or observe per-batch via ``on_batch``)."""
+    raw = spark.readStream.schema(source_schema).json(source_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = _batch_counts(batch_df, side_col, value_col, scale).withColumn(
+            "__batch_id", F.lit(batch_id).cast("long")
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            delta.write.mode("overwrite").partitionBy("__batch_id").parquet(
+                state_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if on_batch is not None:
+            on_batch(batch_id)
+
+    writer = (
+        raw.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,151 @@
+"""Wave-30 operators: co-purchase lift, time-bounded funnels, streaming
+KS drift (batch/stream parity)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+    copurchase_lift,
+    funnel_time_bound,
+    ks_two_sample,
+)
+
+
+def test_copurchase_lift_exact(spark):
+    # users: u1{A,B}, u2{A,B}, u3{A,C}, u4{B}  -> n_users=4
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+        (4, "B"),
+        (1, "A"),  # duplicate holding must not double-count
+    ]
+    df = spark.createDataFrame(rows, "user_id long, item string")
+    got = {
+        (r.item_a, r.item_b): (r.n_both, r.lift)
+        for r in copurchase_lift(df, "user_id", "item", min_pairs=1).collect()
+    }
+    # margins: A=3, B=3, C=1; pairs: (A,B)=2, (A,C)=1
+    assert got[("A", "B")] == (2, pytest.approx(2 * 4 / (3 * 3)))
+    assert got[("A", "C")] == (1, pytest.approx(1 * 4 / (3 * 1)))
+    assert ("B", "C") not in got
+
+
+def test_copurchase_min_pairs_filter(spark):
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C")]
+    df = spark.createDataFrame(rows, "user_id long, item string")
+    got = {(r.item_a, r.item_b)
+           for r in copurchase_lift(df, "user_id", "item", min_pairs=2).collect()}
+    assert got == {("A", "B")}
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s))
+         for u, t, s in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_time_bound_vs_unbounded(spark):
+    rows = [
+        # u1: full funnel inside the window
+        (1, "view", 0), (1, "click", 100), (1, "purchase", 200),
+        # u2: click arrives AFTER the 1h gap -> only stage 0 counts
+        (2, "view", 0), (2, "click", 5000), (2, "purchase", 5100),
+        # u3: click in window, purchase outside it
+        (3, "view", 0), (3, "click", 100), (3, "purchase", 4000),
+    ]
+    out = {r.stage: r.n_users for r in funnel_time_bound(
+        _ev(spark, rows), ["view", "click", "purchase"],
+        max_gap_seconds=3600,
+    ).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_time_bound_boundary_inclusive(spark):
+    rows = [(1, "view", 0), (1, "click", 3600)]
+    out = {r.stage: r.n_users for r in funnel_time_bound(
+        _ev(spark, rows), ["view", "click"], max_gap_seconds=3600
+    ).collect()}
+    assert out == {"view": 1, "click": 1}  # exactly at the bound counts
+
+
+def test_stream_ks_matches_batch(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.ks_stream import (
+        ks_from_state,
+        stream_ks_drift,
+    )
+
+    schema = T.StructType([
+        T.StructField("value", T.DoubleType()),
+        T.StructField("is_right", T.BooleanType()),
+    ])
+    left = [1.0, 1.5, 2.0, 2.0, 3.25, 4.0]
+    right = [2.0, 3.0, 3.25, 5.0, 6.5]
+    rows = [(v, False) for v in left] + [(v, True) for v in right]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # two files -> the state merges across micro-batches
+    for i, chunk in enumerate((rows[:5], rows[5:])):
+        with open(src / f"b{i}.json", "w") as f:
+            for v, r in chunk:
+                f.write(json.dumps({"value": v, "is_right": r}) + "\n")
+
+    state = str(tmp_path / "state")
+    q = stream_ks_drift(
+        spark, str(src), schema, state, str(tmp_path / "ckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination()
+
+    batch = ks_two_sample(
+        spark.createDataFrame(rows, "value double, is_right boolean"),
+        "is_right", "value",
+    ).collect()[0]
+    streamed = ks_from_state(spark, state).collect()[0]
+    assert streamed.n_left == batch.n_left
+    assert streamed.n_right == batch.n_right
+    assert streamed.ks_d == batch.ks_d
+    assert streamed.ks_at_value == batch.ks_at_value
+
+
+def test_stream_ks_replay_is_idempotent(spark, tmp_path):
+    """Re-running the drain with a FRESH checkpoint over the same files
+    (a full replay) must leave the state identical — batch-id-keyed
+    dynamic overwrite, not append."""
+    from pyspark.sql import types as T
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.ks_stream import (
+        ks_from_state,
+        stream_ks_drift,
+    )
+
+    schema = T.StructType([
+        T.StructField("value", T.DoubleType()),
+        T.StructField("is_right", T.BooleanType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for v, r in [(1.0, False), (2.0, True), (3.0, True)]:
+            f.write(json.dumps({"value": v, "is_right": r}) + "\n")
+
+    state = str(tmp_path / "state")
+    for ck in ("ck1", "ck2"):  # second run = full replay
+        q = stream_ks_drift(
+            spark, str(src), schema, state, str(tmp_path / ck),
+            trigger_once=True,
+        )
+        q.awaitTermination()
+    out = ks_from_state(spark, state).collect()[0]
+    assert out.n_left == 1 and out.n_right == 2
