@@ -558,7 +558,7 @@ SELECT event_id,
        strftime(ts, '%H:%M') AS part_time,
        CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS event_year,
        CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS event_month,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
 FROM events
 """
 
@@ -2129,7 +2129,7 @@ MAP_FUNC_SQL = """
 SELECT event_id,
        CAST(1 AS BIGINT) AS n_props,
        TRUE AS has_k,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
 FROM events
 """
 
@@ -3578,7 +3578,7 @@ SELECT event_type,
        MIN(k) AS min_k, MAX(k) AS max_k
 FROM (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events)
 GROUP BY event_type
 """
@@ -7586,10 +7586,10 @@ def copurchase_lift_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WAVE30_SQL["copurchase_lift_items"] = """
 WITH holdings AS (
   SELECT DISTINCT user_id AS u,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
   FROM events
   WHERE event_type = 'purchase'
-    AND json_extract_string(props, '$.k') IS NOT NULL),
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
 n_users AS (SELECT COUNT(DISTINCT u) AS nu FROM holdings),
 pairs AS (
   SELECT l.item AS item_a, r.item AS item_b, COUNT(*) AS n_both

@@ -409,6 +409,14 @@ def funnel_time_bound(
     window semantics real funnel dashboards use (a purchase a month
     after the click is not attribution).
 
+    SINGLE-ANCHOR (first-touch) semantics, deliberately: each stage
+    anchors ONLY to the user's earliest completion of the previous
+    stage — there is no re-anchoring. A user whose first view→click gap
+    exceeds the window is counted out even if a later view would have
+    started a qualifying chain. This matches the DuckDB oracle exactly;
+    dashboards wanting any-qualifying-chain funnel counts need a
+    different (sequence-scan) operator, not a parameter of this one.
+
     Same shape as ``funnel_conversion``: k conditional min-windows over
     ONE user-keyed partition (Catalyst collapses same-spec windows into
     one Window node — a single shuffle of the event log).

@@ -252,12 +252,20 @@ def _merge_write_partitioned(
     touched = [tuple(r) for r in updates.select(*partition_by).distinct().collect()]
     if not touched:
         return
+    # A NULL partition value must still select the
+    # __HIVE_DEFAULT_PARTITION__ slice — plain == would drop its
+    # pre-existing rows while dynamic overwrite rewrites the partition.
+    # isNull (not eqNullSafe(lit(None))): a VOID-typed literal is
+    # rejected by partition pruning.
+    def _part_eq(c, v):
+        return F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+
     part_filter = reduce(
         lambda a, b: a | b,
         (
             reduce(
                 lambda x, y: x & y,
-                (F.col(c) == F.lit(v) for c, v in zip(partition_by, vals)),
+                (_part_eq(c, v) for c, v in zip(partition_by, vals)),
             )
             for vals in touched
         ),
@@ -280,7 +288,10 @@ def _merge_write_partitioned(
     result.write.mode("overwrite").partitionBy(*partition_by).parquet(
         tmp.toString()
     )
-    staged = spark.read.parquet(tmp.toString())
+    # Explicit schema on the read-back: partition-type inference would
+    # yield VOID for an all-null partition slice (write rejects it), and
+    # fails outright when every touched row was deleted (empty tmp dir).
+    staged = spark.read.schema(result.schema).parquet(tmp.toString())
 
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(conf_key, "static")
@@ -299,7 +310,8 @@ def _merge_write_partitioned(
         if vals in remaining:
             continue
         subdir = "/".join(
-            f"{c}={v}" for c, v in zip(partition_by, vals)
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            for c, v in zip(partition_by, vals)
         )
         p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + subdir)
         if fs.exists(p):

@@ -11,7 +11,14 @@ of how much history has streamed through.
 
 Replay safety: state partitions are keyed by ``__batch_id`` under
 dynamic partition overwrite — a replayed batch overwrites its own
-delta instead of double-adding (the cms_stream.py contract).
+delta instead of double-adding (the cms_stream.py contract). Because a
+FRESH-checkpoint rerun may re-segment the same files into fewer
+batches (no maxFilesPerTrigger pinning), each batch additionally
+drops any state partition with ``__batch_id >=`` the current id
+before writing: within one checkpoint lineage a higher id can only be
+stale (Spark replays at most the last uncommitted batch), and on a
+fresh checkpoint the batch-0 sweep clears the previous run's state
+entirely instead of leaving higher-id partitions to double-count.
 """
 
 from __future__ import annotations
@@ -130,6 +137,21 @@ def stream_ks_drift(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Drop stale partitions at or above this batch id (see module
+        # docstring): one FS listing, normally a no-op.
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            for status in fs.listStatus(jpath):
+                name = status.getPath().getName()
+                if name.startswith("__batch_id="):
+                    try:
+                        stale_id = int(name.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if stale_id >= batch_id:
+                        fs.delete(status.getPath(), True)
         delta = _batch_counts(batch_df, side_col, value_col, scale).withColumn(
             "__batch_id", F.lit(batch_id).cast("long")
         )

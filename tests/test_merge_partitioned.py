@@ -118,3 +118,52 @@ def test_merge_partitioned_scan_prunes_partitions(spark, tmp_path):
     scanned = target.select(F.input_file_name()).distinct().collect()
     dirs = {os.path.dirname(r[0]) for r in scanned}
     assert len(dirs) == 1 and list(dirs)[0].endswith("part=3")
+
+
+def test_merge_partitioned_null_partition_value(spark, tmp_path):
+    """ADVICE r5 (medium): a NULL partition value lands in
+    __HIVE_DEFAULT_PARTITION__; the merge slice must include that
+    partition's pre-existing rows (eqNullSafe, not ==) or dynamic
+    overwrite silently drops them."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, None, "keep-null"), (2, None, "update-me"), (3, "a", "keep-a")],
+        "pk long, part string, val string",
+    )
+    merge_write(spark, base, path, pk=["pk"], partition_by=["part"])
+    assert _rows(spark, path) == {
+        (1, None, "keep-null"), (2, None, "update-me"), (3, "a", "keep-a")
+    }
+
+    # update ONLY pk=2 in the null partition: pk=1 must survive
+    updates = spark.createDataFrame(
+        [(2, None, "updated")], "pk long, part string, val string"
+    )
+    merge_write(spark, updates, path, pk=["pk"], partition_by=["part"])
+    assert _rows(spark, path) == {
+        (1, None, "keep-null"), (2, None, "updated"), (3, "a", "keep-a")
+    }
+
+
+def test_merge_partitioned_null_partition_drop(spark, tmp_path):
+    """Deleting the last row of the NULL partition must remove the
+    __HIVE_DEFAULT_PARTITION__ directory (the drop loop's c=v path)."""
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, None, "only-null"), (2, "a", "keep-a")],
+        "pk long, part string, val string",
+    )
+    merge_write(spark, base, path, pk=["pk"], partition_by=["part"])
+
+    updates = spark.createDataFrame(
+        [(1, None, None, True)],
+        "pk long, part string, val string, is_delete boolean",
+    )
+    merge_write(
+        spark, updates, path, pk=["pk"], delete_col="is_delete",
+        partition_by=["part"],
+    )
+    assert _rows(spark, path) == {(2, "a", "keep-a")}
+    assert not any(
+        "__HIVE_DEFAULT_PARTITION__" in p for p in _snapshot(path)
+    )

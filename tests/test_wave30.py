@@ -149,3 +149,56 @@ def test_stream_ks_replay_is_idempotent(spark, tmp_path):
         q.awaitTermination()
     out = ks_from_state(spark, state).collect()[0]
     assert out.n_left == 1 and out.n_right == 2
+
+
+def test_stream_ks_fresh_checkpoint_repacked_batches(spark, tmp_path):
+    """ADVICE r5: a fresh-checkpoint rerun may pack the same files into
+    FEWER batches than the original run. The original run left state
+    partitions __batch_id=0 and =1; the rerun sees everything as batch 0
+    and must sweep the stale __batch_id=1 partition instead of letting
+    it double-count."""
+    from pyspark.sql import types as T
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.ks_stream import (
+        ks_from_state,
+        stream_ks_drift,
+    )
+
+    schema = T.StructType([
+        T.StructField("value", T.DoubleType()),
+        T.StructField("is_right", T.BooleanType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for v, r in [(1.0, False), (2.0, True)]:
+            f.write(json.dumps({"value": v, "is_right": r}) + "\n")
+
+    state = str(tmp_path / "state")
+    # run 1, batch 0: file b0 only
+    q = stream_ks_drift(
+        spark, str(src), schema, state, str(tmp_path / "ck1"),
+        trigger_once=True,
+    )
+    q.awaitTermination()
+    # run 1 continued, batch 1: file b1 arrives, same checkpoint
+    with open(src / "b1.json", "w") as f:
+        for v, r in [(3.0, False), (4.0, True)]:
+            f.write(json.dumps({"value": v, "is_right": r}) + "\n")
+    q = stream_ks_drift(
+        spark, str(src), schema, state, str(tmp_path / "ck1"),
+        trigger_once=True,
+    )
+    q.awaitTermination()
+    import os
+    assert os.path.isdir(os.path.join(state, "__batch_id=1"))
+
+    # run 2: FRESH checkpoint — both files repack into a single batch 0
+    q = stream_ks_drift(
+        spark, str(src), schema, state, str(tmp_path / "ck2"),
+        trigger_once=True,
+    )
+    q.awaitTermination()
+    assert not os.path.isdir(os.path.join(state, "__batch_id=1"))
+    out = ks_from_state(spark, state).collect()[0]
+    assert out.n_left == 2 and out.n_right == 2
