@@ -2994,20 +2994,57 @@ FROM events
 
 def ntile_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family windows: NTILE quartiles + percent_rank + cume_dist
-    over order totalprice, aggregated per quartile.
-
-    Scale note: an unpartitioned ORDER BY window funnels every row through
-    one task — correct but sequential. This query demonstrates the exact
-    functions; at 100 TB the same answer comes from approx_percentile
-    boundaries (percentiles_by_flag) + width_bucket-style assignment,
-    which stays fully parallel."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_totalprice",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+    over order totalprice, aggregated per quartile — computed EXACTLY and
+    fully parallel (r5 verdict fix): no table-spanning window. A range
+    bucket on the value + in-bucket row_number + broadcast cumulative
+    offsets yields the exact global rank r; with a unique total order,
+    ntile/percent_rank/cume_dist are closed-form in (r, n). Max task =
+    largest value-range bucket, not the table."""
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    # Two-level exact global rank (the corpus.global_sort_rank idiom with
+    # a RANGE bucket): bucket by value range (order-consistent), rank
+    # inside each bucket in parallel, add broadcast cumulative offsets.
+    # (o_totalprice, o_orderkey) is a unique total order, so ntile /
+    # percent_rank / cume_dist are all closed-form in (r, n):
+    #   ntile(4): first n%4 tiles get ceil(n/4) rows, the rest floor(n/4)
+    #   percent_rank = (r-1)/(n-1);  cume_dist = r/n   (no ties)
+    bucketed = orders.withColumn(
+        "__b", F.floor(F.col("o_totalprice") / F.lit(10000.0)).cast("long")
+    )
+    counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    total = counts.agg(F.sum("__n").cast("long").alias("__total"))
+    w_in = Window.partitionBy("__b").orderBy("o_totalprice", "o_orderkey")
+    r = (F.row_number().over(w_in) + F.col("__off")).cast("long")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_totalprice",
+            r.alias("__r"),
+            F.col("__total").alias("__n_total"),
+        )
+    )
+    n = F.col("__n_total")
+    quart = F.floor(n / 4).cast("long")  # floor tile size
+    rem = (n % 4).cast("long")           # tiles that get one extra row
+    big = quart + F.lit(1)
+    cut = rem * big
+    rr = F.col("__r")
+    # ceil(a/b) as floor((a+b-1)/b): exact in double below 2^53 ranks
+    tile = F.when(
+        rr <= cut, F.floor((rr + big - F.lit(1)) / big)
+    ).otherwise(rem + F.floor((rr - cut + quart - F.lit(1)) / quart))
+    ranked = ranked.select(
+        tile.cast("int").alias("quartile"),
+        F.when(n > 1, (rr - F.lit(1)).cast("double") / (n - F.lit(1)))
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+        (rr.cast("double") / n).alias("cd"),
     )
     return ranked.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -7580,7 +7617,11 @@ def copurchase_lift_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.get_json_object("props", "$.k").cast("long").alias("item"),
     ).filter(F.col("item").isNotNull())
-    return copurchase_lift(items, "user_id", "item", min_pairs=2)
+    # max_basket=1000: non-binding at test SFs (baskets are tens of
+    # items) but bounds a bot user's C(basket,2) fan-out at 100 TB
+    return copurchase_lift(
+        items, "user_id", "item", min_pairs=2, max_basket=1000
+    )
 
 
 _WAVE30_SQL["copurchase_lift_items"] = """

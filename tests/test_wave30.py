@@ -202,3 +202,39 @@ def test_stream_ks_fresh_checkpoint_repacked_batches(spark, tmp_path):
     assert not os.path.isdir(os.path.join(state, "__batch_id=1"))
     out = ks_from_state(spark, state).collect()[0]
     assert out.n_left == 2 and out.n_right == 2
+
+
+def test_copurchase_max_basket_drops_bot_user(spark):
+    """r5 verdict finding 2: a planted bot user holding many items must be
+    pruned BEFORE the self-join, with margins and n_users computed over
+    the pruned holdings (internal consistency, the max_df convention)."""
+    normal = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C")]
+    bot = [(99, f"i{k}") for k in range(50)] + [(99, "A"), (99, "B")]
+    df = spark.createDataFrame(
+        normal + bot, "user_id long, item string"
+    )
+    got = {
+        (r.item_a, r.item_b): (r.n_both, r.lift)
+        for r in copurchase_lift(
+            df, "user_id", "item", min_pairs=1, max_basket=10
+        ).collect()
+    }
+    # bot (basket 52 > 10) fully dropped: n_users=3, margins A=3,B=2,C=1
+    assert got[("A", "B")] == (2, pytest.approx(2 * 3 / (3 * 2)))
+    assert not any("i0" in p for pair in got for p in pair)
+    # cap non-binding when every basket fits
+    unchanged = {
+        (r.item_a, r.item_b): (r.n_both, r.lift)
+        for r in copurchase_lift(
+            spark.createDataFrame(normal, "user_id long, item string"),
+            "user_id", "item", min_pairs=1, max_basket=10,
+        ).collect()
+    }
+    baseline = {
+        (r.item_a, r.item_b): (r.n_both, r.lift)
+        for r in copurchase_lift(
+            spark.createDataFrame(normal, "user_id long, item string"),
+            "user_id", "item", min_pairs=1,
+        ).collect()
+    }
+    assert unchanged == baseline
