@@ -1,0 +1,129 @@
+"""Physical-plan fingerprinting for scale-regression pinning (r5 verdict
+task 1).
+
+"A plan you'd want at 100×" is a property of the PHYSICAL plan — how many
+shuffles, which join strategies, whether any operator funnels the table
+through one task. This module reduces a DataFrame's executed plan to a
+small count vector so every query's plan shape can be committed
+(``PLAN_PINS.json``) and pytest-asserted against: an Exchange count that
+grows, or a CartesianProduct / unpartitioned Window that appears, fails
+the suite BEFORE a round's bench or the driver sees it.
+
+The walk uses the py4j plan tree, not string matching: node kinds come
+from the SparkPlan class name, global-ness of a Sort from
+``SortExec.global``, window partitioning from
+``WindowExec.partitionSpec().isEmpty()``, and single-partition exchanges
+from ``ShuffleExchangeExec.outputPartitioning`` — precise where a regex
+over ``toString()`` is guesswork.
+
+Fingerprints are taken with AQE OFF so the tree is the static Catalyst
+choice (deterministic for fixed inputs); AQE can only improve on it at
+runtime (skew split, SMJ→BHJ), never worsen the pinned shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# SparkPlan simple class name -> fingerprint bucket
+_JOIN_NODES = {
+    "BroadcastHashJoinExec": "n_broadcast_hash_join",
+    "SortMergeJoinExec": "n_sort_merge_join",
+    "ShuffledHashJoinExec": "n_shuffled_hash_join",
+    "BroadcastNestedLoopJoinExec": "n_broadcast_nested_loop_join",
+    "CartesianProductExec": "n_cartesian",
+}
+
+FIELDS = [
+    "n_exchange",
+    "n_exchange_single",
+    "n_broadcast_exchange",
+    "n_broadcast_hash_join",
+    "n_sort_merge_join",
+    "n_shuffled_hash_join",
+    "n_broadcast_nested_loop_join",
+    "n_cartesian",
+    "n_global_sort",
+    "n_window",
+    "n_window_unpartitioned",
+]
+
+# Growth in any of these marks a scale regression (more shuffles, a join
+# demotion, a new global funnel). The remaining fields are informational.
+REGRESSION_FIELDS = [
+    "n_exchange",
+    "n_exchange_single",
+    "n_sort_merge_join",
+    "n_shuffled_hash_join",
+    "n_broadcast_nested_loop_join",
+    "n_cartesian",
+    "n_global_sort",
+    "n_window_unpartitioned",
+]
+
+# These must be ZERO for every query, pinned or not: a cartesian product
+# or a table-spanning window is never the plan you want at 100 TB.
+FORBIDDEN_FIELDS = ["n_cartesian", "n_window_unpartitioned"]
+
+
+def _walk(jnode):
+    yield jnode
+    children = jnode.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i))
+
+
+def plan_fingerprint(df: DataFrame) -> dict[str, int]:
+    """Count vector over the physical plan tree of ``df`` (pre-execution;
+    caller should take it with AQE disabled for a static tree)."""
+    counts = dict.fromkeys(FIELDS, 0)
+    root = df._jdf.queryExecution().executedPlan()
+    for node in _walk(root):
+        name = node.getClass().getSimpleName()
+        if name == "ShuffleExchangeExec":
+            counts["n_exchange"] += 1
+            if node.outputPartitioning().toString() == "SinglePartition":
+                counts["n_exchange_single"] += 1
+        elif name == "BroadcastExchangeExec":
+            counts["n_broadcast_exchange"] += 1
+        elif name in _JOIN_NODES:
+            counts[_JOIN_NODES[name]] += 1
+        elif name == "SortExec":
+            # 'global' is a Python keyword — getattr for the Scala accessor
+            if getattr(node, "global")():
+                counts["n_global_sort"] += 1
+        elif name in ("WindowExec", "WindowInPandasExec"):
+            counts["n_window"] += 1
+            if node.partitionSpec().isEmpty():
+                counts["n_window_unpartitioned"] += 1
+    return counts
+
+
+def fingerprint_query(
+    spark: SparkSession, fn, sf_dir: str
+) -> dict[str, int]:
+    """Fingerprint one queries() callable with AQE pinned off (restored
+    after), so the committed counts are the static Catalyst plan."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return plan_fingerprint(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def compare_to_pin(
+    fp: dict[str, int], pin: dict[str, int]
+) -> list[str]:
+    """Regression report: fields where the live plan is WORSE than the pin
+    (growth in a REGRESSION_FIELD, or any forbidden node present at all
+    when the pin has none). Empty list = no regression. Improvements
+    (fewer exchanges than pinned) pass — regenerate pins to lock them in.
+    """
+    problems = []
+    for f in REGRESSION_FIELDS:
+        if fp.get(f, 0) > pin.get(f, 0):
+            problems.append(
+                f"{f}: {pin.get(f, 0)} pinned -> {fp.get(f, 0)} now"
+            )
+    return problems

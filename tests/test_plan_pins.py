@@ -1,0 +1,57 @@
+"""Physical-plan regression pins (r5 verdict task 1): every queries()
+entry's plan shape — Exchange count, join strategies, global funnels — is
+committed in PLAN_PINS.json; this suite recomputes each fingerprint and
+fails on any regression (Exchange growth, BHJ→SMJ demotion, a new
+CartesianProduct / unpartitioned Window / global Sort).
+
+Improvements (fewer shuffles than pinned) pass — lock them in with
+``python scripts/gen_plan_pins.py``. New queries without a pin fail until
+pinned, so the pin file can't silently fall behind the registry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from hmpps_digital_prison_reporting_glue_poc_spark.plans.fingerprint import (
+    FORBIDDEN_FIELDS,
+    compare_to_pin,
+    fingerprint_query,
+)
+
+SF_DIR = os.environ.get("PLAN_PIN_SF_DIR", "/root/testdata/sf0.001")
+PIN_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_PINS.json")
+
+QUERIES = entry_mod.queries()
+with open(PIN_PATH) as _fh:
+    PINS = json.load(_fh)
+
+
+def test_every_query_is_pinned():
+    missing = sorted(set(QUERIES) - set(PINS))
+    assert not missing, (
+        f"queries without a plan pin (run scripts/gen_plan_pins.py): {missing}"
+    )
+
+
+def test_no_stale_pins():
+    stale = sorted(set(PINS) - set(QUERIES))
+    assert not stale, f"pins for removed queries: {stale}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) & set(PINS)))
+def test_plan_shape_not_regressed(spark, name):
+    fp = fingerprint_query(spark, QUERIES[name], SF_DIR)
+    pin = PINS[name]
+    problems = compare_to_pin(fp, pin)
+    assert not problems, f"{name} plan regressed: {problems}; full={fp}"
+    for f in FORBIDDEN_FIELDS:
+        # forbidden nodes must never appear unless the pin itself records
+        # one (in which case compare_to_pin already guards growth)
+        assert fp.get(f, 0) <= pin.get(f, 0), (
+            f"{name}: forbidden plan node {f}={fp[f]}"
+        )
