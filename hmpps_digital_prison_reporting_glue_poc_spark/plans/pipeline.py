@@ -159,6 +159,7 @@ def run_pipeline_streaming(
     defs_df: DataFrame | None = None,
     process_id: int | None = None,
     max_files_per_trigger: int = 1,
+    on_batch=None,
 ) -> int:
     """The same four stages as ``run_pipeline``, driven by Structured
     Streaming: ``readStream`` over the raw CDC JSON directory, and EVERY
@@ -220,7 +221,8 @@ def run_pipeline_streaming(
                 *[f.name for f in target_schemas[name].fields], "__is_delete"
             )
             merge_write(
-                spark, updates, spec.path, spec.pk, delete_col="__is_delete"
+                spark, updates, spec.path, spec.pk, delete_col="__is_delete",
+                partition_by=spec.partition_by or None,
             )
             touched.append(name)
         # stages 3 + 4: curated copy + domain refresh for touched tables
@@ -231,6 +233,8 @@ def run_pipeline_streaming(
                 spark, defs_df, curated_touched, catalog,
                 process_id=process_id, write=True,
             )
+        if on_batch is not None:  # observability hook (stream stress)
+            on_batch(batch_id)
 
     raw = (
         spark.readStream.schema(cdc_envelope_schema(cfg.row_schema))

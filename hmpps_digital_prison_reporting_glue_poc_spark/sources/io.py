@@ -293,13 +293,15 @@ def _merge_write_partitioned(
     # fails outright when every touched row was deleted (empty tmp dir).
     staged = spark.read.schema(result.schema).parquet(tmp.toString())
 
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic")
-    try:
-        staged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set(conf_key, prev)
+    # Writer-level option, NOT spark.conf.set: inside foreachBatch the
+    # session is a clone and a conf set on the wrong one silently falls
+    # back to static overwrite (wiping untouched partitions).
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
     # drop touched partitions that ended up empty (all rows deleted)
     remaining = {

@@ -45,11 +45,20 @@ def stream_cdc_to_table(
     checkpoint_dir: str,
     trigger_once: bool = True,
     on_batch: Callable[[DataFrame, int], None] | None = None,
+    partition_by: list[str] | None = None,
 ) -> StreamingQuery:
     """Stream raw CDC JSON into an incrementally-merged target table.
 
     ``trigger_once`` runs one availableNow micro-batch (test/backfill mode);
     continuous mode just drops the flag.
+
+    ``partition_by``: passed through to the merge sink. Without it the
+    parquet-fallback merge REWRITES THE WHOLE TARGET each micro-batch —
+    per-batch cost grows with the accumulated table, i.e. quadratic total
+    work over a day of minute-batches (measured in SCALE.md round-6
+    streaming stress). Any continuously-merging deployment should give
+    the target a partition column so each batch rewrites only touched
+    partitions.
     """
     raw = (
         spark.readStream.schema(cdc_envelope_schema(row_schema))
@@ -65,7 +74,10 @@ def stream_cdc_to_table(
         updates = net.select(
             *[f.name for f in target_schema.fields], "__is_delete"
         )
-        merge_write(spark, updates, target_path, pk, delete_col="__is_delete")
+        merge_write(
+            spark, updates, target_path, pk, delete_col="__is_delete",
+            partition_by=partition_by,
+        )
         if on_batch is not None:
             on_batch(batch_df, batch_id)
 

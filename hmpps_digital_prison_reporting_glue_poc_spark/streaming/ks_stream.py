@@ -155,14 +155,17 @@ def stream_ks_drift(
         delta = _batch_counts(batch_df, side_col, value_col, scale).withColumn(
             "__batch_id", F.lit(batch_id).cast("long")
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            delta.write.mode("overwrite").partitionBy("__batch_id").parquet(
-                state_path
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # Dynamic overwrite MUST be a writer-level option here: foreachBatch
+        # hands over a CLONED SparkSession, so setting the session conf on
+        # the outer session silently does nothing and mode("overwrite")
+        # wipes every prior batch's partition (caught by the round-6
+        # streaming stress; the cms_stream writer option was correct).
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(state_path)
+        )
         if on_batch is not None:
             on_batch(batch_id)
 

@@ -1,0 +1,466 @@
+"""Round-6 streaming stress (r5 verdict task 4): per-batch wall time and
+state growth across >=20 micro-batches for every stateful streaming
+surface. Watermark-state leaks and per-batch file/size growth are the
+streaming analogues of batch quadratics — invisible in 3-batch pytest
+runs, fatal on a stream that runs for a month.
+
+Families:
+  pipeline-flat     4-stage CDC pipeline, unpartitioned target (default)
+  pipeline-part     same, date-partitioned target + incremental curated
+  sessionize        applyInPandasWithState, growing user space
+  join              dual-watermark stream-stream join, advancing event time
+  ks / cms          storage-backed sketch states, per-batch delta partitions
+
+Each family prints one JSON line per batch:
+  {"family": ..., "batch": i, "sec": ..., "state_rows": ..., "files": ...,
+   "bytes": ...}
+and a trailer {"family": ..., "summary": {...}} with first-5/last-5 mean
+ratio (a ratio >> 1 across constant-size batches = growth leak).
+
+Usage: python scripts/stream_stress.py [family ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hmpps_digital_prison_reporting_glue_poc_spark.session import get_spark
+
+WORK = os.path.abspath(os.environ.get("STREAM_STRESS_DIR", ".scale/stream"))
+N_BATCHES = int(os.environ.get("STREAM_STRESS_BATCHES", "24"))
+ROWS_PER_BATCH = int(os.environ.get("STREAM_STRESS_ROWS", "4000"))
+
+
+def _reset(*names: str) -> list[str]:
+    out = []
+    for n in names:
+        p = os.path.join(WORK, n)
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p, exist_ok=True)
+        out.append(p)
+    return out
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    files = size = 0
+    for dirpath, _d, fns in os.walk(path):
+        for fn in fns:
+            if fn.startswith((".", "_")):
+                continue
+            files += 1
+            size += os.path.getsize(os.path.join(dirpath, fn))
+    return files, size
+
+
+def _emit(family: str, batch: int, sec: float, **extra) -> None:
+    print(
+        json.dumps(
+            {"family": family, "batch": batch, "sec": round(sec, 3), **extra}
+        ),
+        flush=True,
+    )
+
+
+def _summary(family: str, secs: list[float], **extra) -> None:
+    k = min(5, max(1, len(secs) // 4))
+    first = sum(secs[:k]) / k
+    last = sum(secs[-k:]) / k
+    print(
+        json.dumps(
+            {
+                "family": family,
+                "summary": {
+                    "n_batches": len(secs),
+                    "first5_mean_sec": round(first, 3),
+                    "last5_mean_sec": round(last, 3),
+                    "last_over_first": round(last / first, 2) if first else None,
+                    **extra,
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+# ---------------------------------------------------------------- pipeline
+
+PIPE_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("OFFENDER_ID", T.LongType()),
+        T.StructField("LAST_NAME", T.StringType()),
+        T.StructField("EV_DATE", T.StringType()),
+    ]
+)
+
+
+def _cdc_event(op: str, pos: int, oid: int, name: str, ev_date: str) -> dict:
+    row = {"OFFENDER_ID": oid, "LAST_NAME": name, "EV_DATE": ev_date}
+    out = {
+        "table": "OMS_OWNER.OFFENDERS",
+        "op_type": op,
+        "op_ts": "2022-09-07 21:35:18.000000",
+        "current_ts": "c",
+        "pos": f"{pos:020d}",
+    }
+    if op in ("U", "D"):
+        out["before"] = row
+    if op in ("I", "U"):
+        out["after"] = row
+    return out
+
+
+def _write_pipeline_files(srcdir: str) -> None:
+    """Batch i: mostly inserts of NEW keys dated day i, plus updates to a
+    fixed number of keys from the two previous days — the recent-churn
+    shape real CDC has. Batch size constant, so flat per-batch cost is
+    the pass criterion."""
+    pos = 0
+    new_per_batch = ROWS_PER_BATCH * 3 // 4
+    upd_per_batch = ROWS_PER_BATCH - new_per_batch
+    for b in range(N_BATCHES):
+        day = f"2024-01-{b + 1:02d}"
+        events = []
+        base = b * new_per_batch
+        for i in range(new_per_batch):
+            pos += 1
+            events.append(
+                _cdc_event("I", pos, base + i, f"n{b}_{i}", day)
+            )
+        # updates against the previous day's keys (stay in their partition)
+        if b > 0:
+            prev_day = f"2024-01-{b:02d}"
+            prev_base = (b - 1) * new_per_batch
+            for i in range(upd_per_batch):
+                pos += 1
+                events.append(
+                    _cdc_event(
+                        "U", pos, prev_base + i, f"u{b}_{i}", prev_day
+                    )
+                )
+        with open(os.path.join(srcdir, f"b{b:03d}.json"), "w") as fh:
+            for e in events:
+                fh.write(json.dumps(e) + "\n")
+
+
+def run_pipeline_family(spark, partitioned: bool) -> None:
+    from hmpps_digital_prison_reporting_glue_poc_spark.catalog import Catalog, TableSpec
+    from hmpps_digital_prison_reporting_glue_poc_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline_streaming,
+    )
+    from hmpps_digital_prison_reporting_glue_poc_spark.types import (
+        schema_from_ddl,
+        with_admin_columns,
+    )
+
+    fam = "pipeline-part" if partitioned else "pipeline-flat"
+    src, log_p, tgt, cur, ckpt = _reset(
+        f"{fam}/src", f"{fam}/log", f"{fam}/tgt", f"{fam}/cur", f"{fam}/ckpt"
+    )
+    _write_pipeline_files(src)
+    part = ["ev_date"] if partitioned else []
+    catalog = Catalog(
+        {
+            "log": TableSpec("log", log_p, pk=[]),
+            "tgt": TableSpec("tgt", tgt, pk=["offender_id"], partition_by=part),
+            "cur": TableSpec("cur", cur, pk=["offender_id"], partition_by=part),
+        }
+    )
+    cfg = PipelineConfig(
+        raw_path=src,
+        event_log_table="log",
+        row_schema=PIPE_ROW_SCHEMA,
+        tables={"offenders": ("tgt", "cur")},
+    )
+    times: list[float] = []
+    last = [time.time()]
+
+    def on_batch(batch_id: int) -> None:
+        now = time.time()
+        sec = now - last[0]
+        last[0] = now
+        files, size = _dir_stats(tgt)
+        cfiles, csize = _dir_stats(cur)
+        _emit(
+            fam, batch_id, sec,
+            tgt_files=files, tgt_mb=round(size / 1e6, 1),
+            cur_files=cfiles, cur_mb=round(csize / 1e6, 1),
+        )
+        times.append(sec)
+
+    run_pipeline_streaming(
+        spark, cfg, catalog, checkpoint_dir=ckpt, on_batch=on_batch
+    )
+    _summary(fam, times)
+
+
+# -------------------------------------------------------------- sessionize
+
+SESS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+    ]
+)
+
+
+def run_sessionize_family(spark, idle_timeout: int | None = None) -> None:
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.sessionize import (
+        stream_sessionize,
+    )
+
+    fam = "sessionize" if idle_timeout is None else f"sessionize-t{idle_timeout}"
+    src, out, ckpt = _reset(f"{fam}/src", f"{fam}/out", f"{fam}/ckpt")
+    # growing user space: each batch brings a fresh cohort of users plus
+    # continuing events from the previous cohort — total distinct users
+    # grows linearly, the worst case for NoTimeout state
+    eid = 0
+    cohort = ROWS_PER_BATCH // 4
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH):
+                eid += 1
+                uid = (b * cohort) + (i % (2 * cohort))  # half old, half new
+                ts = f"2024-01-01 {b % 24:02d}:{(i // 60) % 60:02d}:{i % 60:02d}"
+                fh.write(
+                    json.dumps(
+                        {"user_id": uid, "event_id": eid, "ts": ts}
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema(SESS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    kwargs = {} if idle_timeout is None else {"idle_timeout_minutes": idle_timeout}
+    q = (
+        stream_sessionize(stream, gap_minutes=30, **kwargs)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    secs = []
+    for p in q.recentProgress:
+        if p["numInputRows"] == 0:
+            continue
+        sec = p["durationMs"].get("triggerExecution", 0) / 1000.0
+        state = (p.get("stateOperators") or [{}])[0]
+        _emit(
+            fam, p["batchId"], sec,
+            state_rows=state.get("numRowsTotal"),
+            state_mb=round(state.get("memoryUsedBytes", 0) / 1e6, 2),
+        )
+        secs.append(sec)
+    final_state = (q.lastProgress.get("stateOperators") or [{}])[0]
+    _summary(fam, secs, final_state_rows=final_state.get("numRowsTotal"))
+
+
+# -------------------------------------------------------------------- join
+
+JOIN_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("ts", T.StringType()),
+    ]
+)
+
+
+def run_join_family(spark) -> None:
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.join_stream import (
+        stream_enrich,
+    )
+
+    fam = "join"
+    src, out, ckpt = _reset(f"{fam}/src", f"{fam}/out", f"{fam}/ckpt")
+    # event time advances one hour per batch; watermark 30 min + lookback
+    # 1 h -> state must PLATEAU at ~2 batches' worth, not grow 24x
+    eid = 0
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH):
+                eid += 1
+                kind = "view" if i % 2 == 0 else "purchase"
+                mins = (i // 2) % 60
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "user_id": i % 500,
+                            "kind": kind,
+                            "ts": f"2024-01-{1 + b // 24:02d} "
+                            f"{b % 24:02d}:{mins:02d}:00",
+                        }
+                    )
+                    + "\n"
+                )
+
+    def side(kind, id_alias, ts_alias):
+        return (
+            spark.readStream.schema(JOIN_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("kind") == kind)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    q = (
+        stream_enrich(
+            side("purchase", "purchase_id", "ts"),
+            side("view", "view_id", "r_ts"),
+            watermark_delay="30 minutes",
+            lookback="1 hour",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    secs, rows = [], []
+    for p in q.recentProgress:
+        if p["numInputRows"] == 0:
+            continue
+        sec = p["durationMs"].get("triggerExecution", 0) / 1000.0
+        state = (p.get("stateOperators") or [{}])[0]
+        _emit(
+            fam, p["batchId"], sec,
+            state_rows=state.get("numRowsTotal"),
+            state_mb=round(state.get("memoryUsedBytes", 0) / 1e6, 2),
+        )
+        secs.append(sec)
+        rows.append(state.get("numRowsTotal") or 0)
+    _summary(
+        fam, secs,
+        max_state_rows=max(rows) if rows else None,
+        final_state_rows=rows[-1] if rows else None,
+    )
+
+
+# ----------------------------------------------------------------- ks, cms
+
+def run_ks_family(spark) -> None:
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.ks_stream import (
+        ks_from_state,
+        stream_ks_drift,
+    )
+
+    fam = "ks"
+    src, state, ckpt = _reset(f"{fam}/src", f"{fam}/state", f"{fam}/ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("value", T.DoubleType()),
+            T.StructField("is_right", T.BooleanType()),
+        ]
+    )
+    secs = []
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH):
+                fh.write(
+                    json.dumps(
+                        {
+                            "value": (i * 7919 + b) % 1000 / 10.0,
+                            "is_right": i % 2 == 0,
+                        }
+                    )
+                    + "\n"
+                )
+        t0 = time.time()
+        q = stream_ks_drift(
+            spark, src, schema, state, ckpt, trigger_once=True
+        )
+        q.awaitTermination()
+        apply_sec = time.time() - t0
+        t1 = time.time()
+        ks_from_state(spark, state).collect()
+        read_sec = time.time() - t1
+        files, size = _dir_stats(state)
+        _emit(
+            fam, b, apply_sec,
+            read_sec=round(read_sec, 3),
+            state_files=files, state_kb=round(size / 1e3, 1),
+        )
+        secs.append(apply_sec + read_sec)
+    _summary(fam, secs, final_state_files=_dir_stats(state)[0])
+
+
+def run_cms_family(spark) -> None:
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.cms_stream import (
+        read_cms_estimate,
+        stream_cms_counts,
+    )
+
+    fam = "cms"
+    src, cells, ckpt = _reset(f"{fam}/src", f"{fam}/cells", f"{fam}/ckpt")
+    schema = T.StructType([T.StructField("text", T.StringType())])
+    secs = []
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH // 10):
+                words = " ".join(
+                    f"w{(i * 31 + j + b) % 5000}" for j in range(10)
+                )
+                fh.write(json.dumps({"text": words}) + "\n")
+        t0 = time.time()
+        q = stream_cms_counts(
+            spark, src, schema, cells, ckpt, trigger_once=True
+        )
+        q.awaitTermination()
+        apply_sec = time.time() - t0
+        t1 = time.time()
+        read_cms_estimate(spark, cells, ["w1", "w100", "w4999"]).collect()
+        read_sec = time.time() - t1
+        files, size = _dir_stats(cells)
+        _emit(
+            fam, b, apply_sec,
+            read_sec=round(read_sec, 3),
+            state_files=files, state_kb=round(size / 1e3, 1),
+        )
+        secs.append(apply_sec + read_sec)
+    _summary(fam, secs, final_state_files=_dir_stats(cells)[0])
+
+
+FAMILIES = {
+    "pipeline-flat": lambda s: run_pipeline_family(s, partitioned=False),
+    "pipeline-part": lambda s: run_pipeline_family(s, partitioned=True),
+    "sessionize": run_sessionize_family,
+    "join": run_join_family,
+    "ks": run_ks_family,
+    "cms": run_cms_family,
+}
+
+
+def main() -> None:
+    wanted = sys.argv[1:] or list(FAMILIES)
+    spark = get_spark(shuffle_partitions=8)
+    for name in wanted:
+        FAMILIES[name](spark)
+
+
+if __name__ == "__main__":
+    main()

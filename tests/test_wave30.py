@@ -238,3 +238,42 @@ def test_copurchase_max_basket_drops_bot_user(spark):
         ).collect()
     }
     assert unchanged == baseline
+
+
+def test_stream_ks_accumulates_across_separate_runs(spark, tmp_path):
+    """Round-6 stress catch: foreachBatch hands over a CLONED session, so
+    dynamic partition overwrite must be a WRITER option — with the old
+    session-conf approach every batch full-overwrote the state dir and
+    destroyed all prior deltas. Two genuinely separate micro-batches
+    (separate availableNow runs, same checkpoint) must both persist."""
+    from pyspark.sql import types as T
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.ks_stream import (
+        ks_from_state,
+        stream_ks_drift,
+    )
+
+    schema = T.StructType([
+        T.StructField("value", T.DoubleType()),
+        T.StructField("is_right", T.BooleanType()),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+
+    with open(src / "b0.json", "w") as f:
+        f.write(json.dumps({"value": 1.0, "is_right": False}) + "\n")
+    q = stream_ks_drift(spark, str(src), schema, state, ckpt,
+                        trigger_once=True)
+    q.awaitTermination()
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"value": 2.0, "is_right": True}) + "\n")
+    q = stream_ks_drift(spark, str(src), schema, state, ckpt,
+                        trigger_once=True)
+    q.awaitTermination()
+
+    import os
+    parts = {p for p in os.listdir(state) if p.startswith("__batch_id=")}
+    assert parts == {"__batch_id=0", "__batch_id=1"}
+    out = ks_from_state(spark, state).collect()[0]
+    assert out.n_left == 1 and out.n_right == 1
