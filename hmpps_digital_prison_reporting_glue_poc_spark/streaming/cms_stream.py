@@ -32,17 +32,25 @@ def stream_cms_counts(
     width: int = 1024,
     depth: int = 3,
     trigger_once: bool = True,
+    compact_threshold: int = 64,
 ):
     """Stream documents; per micro-batch, hash the batch's token counts
     into its own CMS delta partition. Query totals with
-    :func:`read_cms_estimate`."""
+    :func:`read_cms_estimate`. Delta partitions fold into a base via
+    ``state_compact`` once ``compact_threshold`` accumulate, and a stale
+    sweep keeps fresh-checkpoint reruns from double-counting."""
     from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import (
+        compact_state,
+        sweep_stale,
+    )
 
     raw = spark.readStream.schema(schema).json(source_path)
 
     def apply_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        sweep_stale(spark, cells_path, batch_id)
         counts = (
             batch_df.select(F.explode(tokens(F.col(text_col))).alias("token"))
             .groupBy("token")
@@ -81,6 +89,12 @@ def stream_cms_counts(
             .partitionBy("__batch_id")
             .parquet(cells_path)
         )
+        compact_state(
+            spark, cells_path, batch_id,
+            key_cols=["d", "col"],
+            aggs=[F.sum("cell").cast("long").alias("cell")],
+            threshold=compact_threshold,
+        )
 
     writer = (
         raw.writeStream.foreachBatch(apply_batch)
@@ -99,8 +113,10 @@ def read_cms_estimate(
     ``token``) from the merged cell table: min over depth rows of the
     summed cells; absent cells count 0. ``width``/``depth`` must match
     the geometry the stream was written with."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import live_state
+
     cells = (
-        spark.read.parquet(cells_path)
+        live_state(spark, cells_path)
         .groupBy("d", "col")
         .agg(F.sum("cell").cast("long").alias("cell"))
     )

@@ -19,6 +19,9 @@ before writing: within one checkpoint lineage a higher id can only be
 stale (Spark replays at most the last uncommitted batch), and on a
 fresh checkpoint the batch-0 sweep clears the previous run's state
 entirely instead of leaving higher-id partitions to double-count.
+Partition-count growth is bounded by ``state_compact.compact_state``
+(committed deltas fold into a coverage-encoded base partition), so a
+long-running stream holds O(threshold) state directories, not O(batches).
 """
 
 from __future__ import annotations
@@ -62,8 +65,10 @@ def ks_from_state(
     summed across batch deltas."""
     from pyspark.sql import Window
 
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import live_state
+
     counts = (
-        spark.read.parquet(state_path)
+        live_state(spark, state_path)
         .groupBy("__qv")
         .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
     )
@@ -128,30 +133,24 @@ def stream_ks_drift(
     scale: int = 100,
     on_batch=None,
     trigger_once: bool = True,
+    compact_threshold: int = 64,
 ) -> StreamingQuery:
     """Stream value-bearing JSON rows into the KS count state; after each
     batch the merged state yields the up-to-date drift statistic (fetch it
     with ``ks_from_state``, or observe per-batch via ``on_batch``)."""
     raw = spark.readStream.schema(source_schema).json(source_path)
 
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import (
+        compact_state,
+        sweep_stale,
+    )
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # Drop stale partitions at or above this batch id (see module
+        # Drop stale partitions a replay makes dead (see module
         # docstring): one FS listing, normally a no-op.
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(state_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            for status in fs.listStatus(jpath):
-                name = status.getPath().getName()
-                if name.startswith("__batch_id="):
-                    try:
-                        stale_id = int(name.split("=", 1)[1])
-                    except ValueError:
-                        continue
-                    if stale_id >= batch_id:
-                        fs.delete(status.getPath(), True)
+        sweep_stale(spark, state_path, batch_id)
         delta = _batch_counts(batch_df, side_col, value_col, scale).withColumn(
             "__batch_id", F.lit(batch_id).cast("long")
         )
@@ -165,6 +164,17 @@ def stream_ks_drift(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch_id")
             .parquet(state_path)
+        )
+        # bound partition-count growth: fold committed deltas into a base
+        # partition once more than compact_threshold have accumulated
+        compact_state(
+            spark, state_path, batch_id,
+            key_cols=["__qv"],
+            aggs=[
+                F.sum("c1").cast("long").alias("c1"),
+                F.sum("c2").cast("long").alias("c2"),
+            ],
+            threshold=compact_threshold,
         )
         if on_batch is not None:
             on_batch(batch_id)

@@ -392,7 +392,8 @@ def run_ks_family(spark) -> None:
                 )
         t0 = time.time()
         q = stream_ks_drift(
-            spark, src, schema, state, ckpt, trigger_once=True
+            spark, src, schema, state, ckpt, trigger_once=True,
+            compact_threshold=8,
         )
         q.awaitTermination()
         apply_sec = time.time() - t0
@@ -428,12 +429,16 @@ def run_cms_family(spark) -> None:
                 fh.write(json.dumps({"text": words}) + "\n")
         t0 = time.time()
         q = stream_cms_counts(
-            spark, src, schema, cells, ckpt, trigger_once=True
+            spark, src, schema, cells, ckpt, trigger_once=True,
+            compact_threshold=8,
         )
         q.awaitTermination()
         apply_sec = time.time() - t0
         t1 = time.time()
-        read_cms_estimate(spark, cells, ["w1", "w100", "w4999"]).collect()
+        probe = spark.createDataFrame(
+            [("w1",), ("w100",), ("w4999",)], "token string"
+        )
+        read_cms_estimate(spark, cells, probe).collect()
         read_sec = time.time() - t1
         files, size = _dir_stats(cells)
         _emit(
