@@ -225,8 +225,20 @@ def run_pipeline_streaming(
                 partition_by=spec.partition_by or None,
             )
             touched.append(name)
-        # stages 3 + 4: curated copy + domain refresh for touched tables
-        run_curated(spark, cfg, catalog, tables=touched)
+            # stage 3, INCREMENTALLY: curated is the identity image of
+            # structured (apply_to_curated's default), so merging the SAME
+            # net updates into curated yields the same state as the batch
+            # path's full copy — without rewriting the whole curated table
+            # every micro-batch (round-6 streaming stress: the full copy
+            # made per-batch cost grow with the table, the streaming
+            # analogue of the reference's full-overwrite flaw).
+            curated_name = cfg.tables[name][1]
+            cspec = catalog.get(curated_name)
+            merge_write(
+                spark, updates, cspec.path, cspec.pk or spec.pk,
+                delete_col="__is_delete",
+                partition_by=cspec.partition_by or None,
+            )
         if defs_df is not None and touched:
             curated_touched = [cfg.tables[t][1] for t in touched]
             run_domains(

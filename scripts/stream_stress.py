@@ -181,26 +181,74 @@ def run_pipeline_family(spark, partitioned: bool) -> None:
         row_schema=PIPE_ROW_SCHEMA,
         tables={"offenders": ("tgt", "cur")},
     )
+    target_schema = with_admin_columns(
+        schema_from_ddl(
+            "offender_id bigint, last_name varchar2(60), ev_date varchar2(10)"
+        )
+    )
+    # one sentinel row: an EMPTY partitioned table has no files to infer
+    # a schema from, so seed with a real (inert) row in a sentinel date
+    seed = spark.createDataFrame(
+        [(-1, "seed", "2023-12-31", None, None, None, None)],
+        target_schema,
+    )
+    for p in (tgt, cur):
+        w = seed.write.mode("overwrite")
+        if partitioned:
+            w = w.partitionBy("ev_date")
+        w.parquet(p)
     times: list[float] = []
+    rewrites: list[float] = []
     last = [time.time()]
+    prev_snap: dict[str, dict] = {"tgt": {}, "cur": {}}
+
+    def _snap(root):
+        out = {}
+        for dirpath, _d, fns in os.walk(root):
+            for fn in fns:
+                if fn.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    def _rewritten(key, root):
+        """Bytes of files new or modified since the previous batch — the
+        batch's true write amplification."""
+        now_snap = _snap(root)
+        prev = prev_snap[key]
+        delta = sum(
+            sz for p, (mt, sz) in now_snap.items() if prev.get(p) != (mt, sz)
+        )
+        prev_snap[key] = now_snap
+        return delta
 
     def on_batch(batch_id: int) -> None:
         now = time.time()
         sec = now - last[0]
         last[0] = now
         files, size = _dir_stats(tgt)
-        cfiles, csize = _dir_stats(cur)
+        tgt_rw = _rewritten("tgt", tgt)
+        cur_rw = _rewritten("cur", cur)
         _emit(
             fam, batch_id, sec,
-            tgt_files=files, tgt_mb=round(size / 1e6, 1),
-            cur_files=cfiles, cur_mb=round(csize / 1e6, 1),
+            tgt_files=files, tgt_mb=round(size / 1e6, 2),
+            tgt_rewritten_mb=round(tgt_rw / 1e6, 2),
+            cur_rewritten_mb=round(cur_rw / 1e6, 2),
         )
         times.append(sec)
+        rewrites.append((tgt_rw + cur_rw) / 1e6)
 
     run_pipeline_streaming(
         spark, cfg, catalog, checkpoint_dir=ckpt, on_batch=on_batch
     )
-    _summary(fam, times)
+    k = min(5, max(1, len(rewrites) // 4))
+    _summary(
+        fam, times,
+        first5_rewritten_mb=round(sum(rewrites[:k]) / k, 2),
+        last5_rewritten_mb=round(sum(rewrites[-k:]) / k, 2),
+    )
 
 
 # -------------------------------------------------------------- sessionize

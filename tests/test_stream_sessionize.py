@@ -80,3 +80,78 @@ def test_sessions_span_micro_batches(spark, tmp_path):
         5: (1, 2),                     # 2h gap -> new session
         6: (2, 2),
     }
+
+
+def test_idle_timeout_evicts_and_restarts(spark, tmp_path):
+    """ProcessingTimeTimeout eviction (round-6 stress fix): an idle user's
+    state is dropped; on return their session_idx restarts at 1 — state is
+    bounded by the active working set, not users-ever-seen."""
+    import time as _time
+
+    srcdir = os.path.join(str(tmp_path), "src")
+    outdir = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(srcdir)
+
+    def _run_t(timeout_min):
+        stream = (
+            spark.readStream.schema(SRC_SCHEMA)
+            .json(srcdir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            stream_sessionize(
+                stream, gap_minutes=30, idle_timeout_minutes=timeout_min
+            )
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write_batch(srcdir, "b1.json", [(1, 1, "2024-01-01 10:00:00")])
+    _run_t(0.02)  # 1.2 s idle timeout
+    _time.sleep(3)
+    # batch 2: only user 2 — the trigger fires user 1's timeout (evicted)
+    _write_batch(srcdir, "b2.json", [(2, 2, "2024-01-01 10:01:00")])
+    _run_t(0.02)
+    _time.sleep(1)
+    # batch 3: user 1 returns 10 minutes later (same session if state had
+    # survived) -> restart proves the eviction happened
+    _write_batch(srcdir, "b3.json", [(1, 3, "2024-01-01 10:10:00")])
+    _run_t(0.02)
+
+    got = {
+        r.event_id: (r.user_id, r.session_idx)
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert got[1] == (1, 1)
+    assert got[2] == (2, 1)
+    assert got[3] == (1, 1)  # restarted after eviction, NOT session 1 cont'd
+
+
+def test_no_timeout_keeps_state_across_idle(spark, tmp_path):
+    """Control for the eviction test: same timeline WITHOUT a timeout —
+    the 10-minute return continues session 1 (state survived)."""
+    import time as _time
+
+    srcdir = os.path.join(str(tmp_path), "src")
+    outdir = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(srcdir)
+
+    _write_batch(srcdir, "b1.json", [(1, 1, "2024-01-01 10:00:00")])
+    _run(spark, srcdir, outdir, ckpt)
+    _time.sleep(3)
+    _write_batch(srcdir, "b2.json", [(2, 2, "2024-01-01 10:01:00")])
+    _run(spark, srcdir, outdir, ckpt)
+    _write_batch(srcdir, "b3.json", [(1, 3, "2024-01-01 10:10:00")])
+    _run(spark, srcdir, outdir, ckpt)
+    got = {
+        r.event_id: (r.user_id, r.session_idx)
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert got[3] == (1, 1)  # same session: within gap, state retained
