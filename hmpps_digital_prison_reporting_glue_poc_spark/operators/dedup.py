@@ -457,6 +457,14 @@ def simhash_near_dup_pairs(
     which degenerates toward a cross join at corpus scale. If you raise
     ``max_hamming``, raise ``bits`` to keep the width >= ~16.
 
+    When to widen (round-6 knee measurement, SCALE.md): the random
+    background ~n²/2^(width+1) per chunk overtakes true candidates d·n
+    (d = near-dup candidate pairs per doc) at n ≈ d·2^(width+1). Dense
+    corpora (d in the hundreds) hold 16-bit chunks to tens of millions
+    of docs — measured linear to 500k at d≈512; SPARSE corpora (d≈1)
+    knee near 2^17 ≈ 130k docs and need 32-bit chunks
+    (``bits=64, max_hamming=1``), which push the d=1 knee to ~10^9 docs.
+
     The sketch table is materialized first: the chunk joins scan it
     2 x (max_hamming + 1) times, and without the lineage cut each scan
     re-runs the full sketch aggregation (a corpus-wide ``bits``-column
