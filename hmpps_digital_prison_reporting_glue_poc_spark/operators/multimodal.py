@@ -4,10 +4,14 @@ Images/audio/video ride as ``binary`` columns next to typed metadata; the
 decode / feature-extract steps run as Arrow-batched ``mapInPandas`` so the
 heavy libraries touch data executor-side in columnar batches.
 
-The actual codec libraries (PIL/ffmpeg/etc.) are NOT in this container, so
-the decode kernel is a clearly-marked deterministic stub — but the Spark
-side (schema, partitioning, UDF signature, batch iteration) is the real
-production shape and is what the tests exercise.
+Round-6: formats whose specs need no codec libraries decode FOR REAL with
+pure-stdlib parsers — WAV (RIFF chunk walk + 8/16-bit PCM), PPM/PGM
+(netpbm headers), BMP (BITMAPINFOHEADER) — via ``decode_media_real`` /
+``extract_wav_meta`` / ``wav_frame_energy`` / ``extract_image_meta``.
+JPEG/PNG/MP4-class formats still require codec libraries (PIL/ffmpeg)
+that are NOT in this container, and stay behind the NotImplementedError
+gate; for those, ``extract_media_meta`` remains the clearly-marked
+deterministic stub exercising the same Arrow-batched plumbing.
 """
 
 from __future__ import annotations
@@ -41,12 +45,122 @@ def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_media_real(content: bytes, media_type: str):
-    """Real decode entry point — requires codec libraries not present in
-    this environment."""
+# ---------------------------------------------------------------------------
+# Real container codecs (round-6): pure-stdlib parsers for the formats whose
+# specs need no codec libraries — WAV (RIFF + PCM), PPM/PGM (P6/P5), BMP
+# (BITMAPINFOHEADER). JPEG/PNG/MP4-class formats stay behind the
+# NotImplementedError gate (they need real codec libraries).
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def build_wav(
+    pcm: bytes, channels: int = 1, sample_rate: int = 16000, bits: int = 8
+) -> bytes:
+    """Minimal canonical RIFF/WAVE container around raw PCM frames —
+    the builder half of the round-trip the oracle checks."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, channels, sample_rate, byte_rate,
+        block_align, bits,
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def parse_wav(b: bytes) -> dict:
+    """RIFF chunk walk: returns channels / sample_rate / bits_per_sample /
+    n_samples / pcm bytes. Raises ValueError on a malformed container —
+    callers decide whether to quarantine or fail."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos:pos + 4], struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            (audio_fmt, channels, rate, _br, _ba, bits) = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"non-PCM wav (format {audio_fmt})")
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    channels, rate, bits = fmt
+    n_samples = len(data) // (channels * bits // 8) if bits else 0
+    return {
+        "kind": "audio/wav", "channels": channels, "sample_rate": rate,
+        "bits": bits, "n_samples": n_samples, "pcm": data,
+    }
+
+
+def parse_ppm(b: bytes) -> dict:
+    """P5 (graymap) / P6 (pixmap) header: magic, whitespace/comment-
+    separated width height maxval, then binary pixels."""
+    if b[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a P5/P6 netpbm file")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    channels = 3 if b[:2] == b"P6" else 1
+    return {
+        "kind": "image/ppm" if channels == 3 else "image/pgm",
+        "width": width, "height": height, "maxval": maxval,
+        "channels": channels, "pixels": b[pos:pos + width * height * channels],
+    }
+
+
+def parse_bmp(b: bytes) -> dict:
+    """BITMAPFILEHEADER + BITMAPINFOHEADER (the 40-byte DIB header)."""
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP file")
+    data_offset = struct.unpack("<I", b[10:14])[0]
+    hdr_size, width, height = struct.unpack("<IiI", b[14:26])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    bpp = struct.unpack("<H", b[28:30])[0]
+    return {
+        "kind": "image/bmp", "width": width, "height": int(height),
+        "bits_per_pixel": bpp, "pixels": b[data_offset:],
+    }
+
+
+def decode_media_real(content: bytes, media_type: str | None = None) -> dict:
+    """Real decode entry point, dispatched on magic bytes. WAV / PPM /
+    PGM / BMP parse with the pure-stdlib codecs above; every other
+    format still requires codec libraries not present in this
+    environment and stays gated."""
+    b = bytes(content)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return parse_wav(b)
+    if b[:2] in (b"P5", b"P6"):
+        return parse_ppm(b)
+    if b[:2] == b"BM":
+        return parse_bmp(b)
     raise NotImplementedError(
-        "media decode requires PIL/ffmpeg-class libraries; not available "
-        "in this container — use extract_media_meta (deterministic stub)"
+        f"media decode for {media_type or 'unknown'} requires "
+        "PIL/ffmpeg-class libraries; not available in this container — "
+        "WAV/PPM/PGM/BMP decode natively, others use extract_media_meta "
+        "(deterministic stub)"
     )
 
 
@@ -227,6 +341,222 @@ def audio_frame_energy(df: DataFrame, frame_bytes: int = 64) -> DataFrame:
                     "peak_frame_energy": "int64",
                     "mean_frame_energy": "float64",
                 }
+            )
+
+    return df.select("media_id", "content").mapInPandas(kernel, schema=out_schema)
+
+
+def attach_wav(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Wrap each row's utf-8 text bytes in a REAL RIFF/WAVE container
+    (8-bit mono PCM) — the demo producer for the real-decode path: what
+    reaches downstream operators is a genuine parseable container, so
+    ``extract_wav_meta`` / ``wav_frame_energy`` exercise the actual
+    header walk, not a stub."""
+    out_schema = MEDIA_SCHEMA
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "content": [
+                        build_wav(bytes(p), sample_rate=sample_rate)
+                        for p in pdf["content"]
+                    ],
+                    "media_type": "audio/wav",
+                }
+            )
+
+    base = df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.lit("audio/wav").alias("media_type"),
+    )
+    return base.mapInPandas(kernel, schema=out_schema)
+
+
+def extract_wav_meta(df: DataFrame) -> DataFrame:
+    """REAL container metadata via the stdlib RIFF parser (round-6,
+    replacing the fake-dimension stub for WAV payloads): channels,
+    sample rate, bit depth, sample count, duration. Malformed payloads
+    yield valid=false with nulls (quarantine row, not a task failure).
+    Returns (media_id, valid, channels, sample_rate, bits, n_samples,
+    duration_sec)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("valid", T.BooleanType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("bits", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_sec", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    continue
+                try:
+                    meta = parse_wav(bytes(payload))
+                    rows.append(
+                        (
+                            int(mid), True, meta["channels"],
+                            meta["sample_rate"], meta["bits"],
+                            meta["n_samples"],
+                            meta["n_samples"] / meta["sample_rate"],
+                        )
+                    )
+                except ValueError:
+                    rows.append((int(mid), False, None, None, None, None, None))
+            if not rows:
+                continue
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "valid", "channels", "sample_rate",
+                    "bits", "n_samples", "duration_sec",
+                ],
+            )
+            yield out
+
+    return df.select("media_id", "content").mapInPandas(kernel, schema=out_schema)
+
+
+def wav_frame_energy(df: DataFrame, frame_samples: int = 64) -> DataFrame:
+    """REAL audio decode + DSP: RIFF header walk -> PCM extraction (8-bit
+    unsigned or 16-bit signed LE) -> per-frame energy, the upgrade of
+    ``audio_frame_energy``'s treat-bytes-as-PCM shape to a genuine
+    container path. Energy is sum(sample_centered^2) per frame of
+    ``frame_samples`` samples (8-bit centered at 128, 16-bit at 0), so
+    for an 8-bit container the numbers are bit-identical to
+    ``audio_frame_energy`` over the raw payload — which is what makes
+    the DuckDB oracle able to verify the real decode end-to-end.
+    Returns (media_id, n_frames, total_energy, peak_frame_energy,
+    mean_frame_energy); malformed/empty payloads yield no row."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("total_energy", T.LongType()),
+            T.StructField("peak_frame_energy", T.LongType()),
+            T.StructField("mean_frame_energy", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {
+                "media_id": [], "n_frames": [],
+                "total_energy": [], "peak_frame_energy": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    continue
+                try:
+                    meta = parse_wav(bytes(payload))
+                except ValueError:
+                    continue
+                if meta["bits"] == 8:
+                    samples = np.frombuffer(meta["pcm"], dtype=np.uint8)
+                    centered = samples.astype(np.int64) - 128
+                elif meta["bits"] == 16:
+                    samples = np.frombuffer(meta["pcm"], dtype="<i2")
+                    centered = samples.astype(np.int64)
+                else:
+                    continue  # 24/32-bit: out of scope for the stdlib path
+                if centered.size == 0:
+                    continue
+                sq = centered ** 2
+                n_frames = -(-sq.size // frame_samples)
+                pad = n_frames * frame_samples - sq.size
+                if pad:
+                    sq = np.concatenate([sq, np.zeros(pad, dtype=np.int64)])
+                per_frame = sq.reshape(n_frames, frame_samples).sum(axis=1)
+                rows["media_id"].append(int(mid))
+                rows["n_frames"].append(n_frames)
+                rows["total_energy"].append(int(per_frame.sum()))
+                rows["peak_frame_energy"].append(int(per_frame.max()))
+            if not rows["media_id"]:
+                continue
+            out = pd.DataFrame(rows)
+            out["mean_frame_energy"] = out["total_energy"] / out["n_frames"]
+            yield out.astype(
+                {
+                    "media_id": "int64", "n_frames": "int64",
+                    "total_energy": "int64", "peak_frame_energy": "int64",
+                    "mean_frame_energy": "float64",
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(kernel, schema=out_schema)
+
+
+def extract_image_meta(df: DataFrame) -> DataFrame:
+    """REAL image-header metadata for the stdlib-parseable formats
+    (PPM/PGM/BMP): width, height, channels/bpp. Unknown magic yields
+    valid=false. Returns (media_id, valid, kind, width, height,
+    channels)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("valid", T.BooleanType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                try:
+                    if b[:2] in (b"P5", b"P6"):
+                        m = parse_ppm(b)
+                        rows.append(
+                            (int(mid), True, m["kind"], m["width"],
+                             m["height"], m["channels"])
+                        )
+                    elif b[:2] == b"BM":
+                        m = parse_bmp(b)
+                        rows.append(
+                            (int(mid), True, m["kind"], m["width"],
+                             m["height"], m["bits_per_pixel"] // 8)
+                        )
+                    else:
+                        rows.append((int(mid), False, None, None, None, None))
+                except ValueError:
+                    rows.append((int(mid), False, None, None, None, None))
+            if not rows:
+                continue
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "valid", "kind", "width", "height", "channels",
+                ],
             )
 
     return df.select("media_id", "content").mapInPandas(kernel, schema=out_schema)
