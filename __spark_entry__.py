@@ -1097,6 +1097,217 @@ _R05_CHANGED = {
 }
 
 
+
+# Queries whose PLAN or ORACLE changed during round 6 (parallel two-level
+# ntile ranks, max_basket cap, TRY_CAST oracle twins): their latest driver
+# rows predate the change, so they claim the first r6 window slots.
+_R06_CHANGED = {
+    "ntile_value_buckets", "copurchase_lift_items", "date_time_functions",
+    "map_functions", "json_props_extract",
+}
+
+# Latest driver CORRECTNESS round per query (generated from
+# CORRECTNESS_r01..r05 keys) — drives the oldest-first r6 rotation.
+_LATEST_DRIVER_ROUND = {
+    "ann_cosine_topk": 5,
+    "ann_ivf_topk": 2,
+    "ann_recall_at_k": 4,
+    "ann_topk_numpy": 5,
+    "anti_join_customers": 5,
+    "approx_distinct_parts": 2,
+    "approx_quantile_check": 3,
+    "argmax_order_per_customer": 2,
+    "array_functions": 3,
+    "asof_join_events": 2,
+    "bigram_lift_top_docs": 5,
+    "bitwise_agg_events": 3,
+    "blocklist_stats_docs": 4,
+    "bloom_decontaminate": 4,
+    "bm25_doc_scores": 2,
+    "boilerplate_prefixes": 4,
+    "bpe_merge_candidates": 4,
+    "cap_docs_per_source": 2,
+    "cdc_hash_chain_fold": 2,
+    "cdc_last_writer_wins": 4,
+    "cdc_merge_events": 4,
+    "cdc_merge_real": 2,
+    "char_class_stats": 3,
+    "char_entropy_docs": 4,
+    "chunk_docs_overlap": 3,
+    "chunk_embed_pool_docs": 4,
+    "cms_token_counts": 4,
+    "cohort_retention_weekly": 3,
+    "collect_sorted_events": 2,
+    "containment_pairs_docs": 5,
+    "contamination_pairs_docs": 3,
+    "copurchase_lift_items": 5,
+    "correlated_scalar_subquery": 2,
+    "cross_doc_ngram_coverage": 3,
+    "cross_source_dups": 4,
+    "cube_lineitem": 1,
+    "dataset_card_stats": 4,
+    "date_arithmetic": 2,
+    "date_spine_zero_fill": 2,
+    "date_time_functions": 5,
+    "dedup_events_time_window": 3,
+    "dedup_exact_groups": 4,
+    "dedup_exact_keep": 4,
+    "dedup_ingest_batch": 3,
+    "distinct_projection": 5,
+    "doc_fingerprint": 4,
+    "domain_mix_weights": 3,
+    "domain_sql_runner": 5,
+    "dsir_importance_weights": 3,
+    "dup_span_stats_docs": 4,
+    "embedding_dim_stats": 5,
+    "embedding_lsh_pairs": 3,
+    "embedding_neardup_pairs": 5,
+    "embedding_outlier_rate": 5,
+    "event_sequence_per_user": 3,
+    "event_transition_counts": 3,
+    "except_all_purchases": 3,
+    "except_non_buyers": 2,
+    "explode_outer_props": 3,
+    "forward_fill_events": 2,
+    "full_outer_reconciliation": 3,
+    "funnel_time_bound": 5,
+    "funnel_view_click_purchase": 3,
+    "fuzzy_match_docs": 2,
+    "gopher_quality_rules": 3,
+    "grouping_sets_orders": 1,
+    "heavy_hitter_tokens": 4,
+    "histogram_order_totals": 2,
+    "hll_distinct_users": 4,
+    "hybrid_rrf_fusion": 5,
+    "incremental_agg_events": 2,
+    "int8_quant_audit": 4,
+    "intersect_all_events": 4,
+    "intersect_buyers_viewers": 2,
+    "inverted_index_postings": 4,
+    "ivfpq_topk": 5,
+    "jaccard_pairs": 4,
+    "json_props_extract": 5,
+    "k_anonymity_events": 4,
+    "kmeans_refine_clusters": 4,
+    "ks_value_drift": 5,
+    "length_bucket_packing": 4,
+    "lsh_candidate_pairs": 4,
+    "lsh_precision_table": 5,
+    "lsh_recall_eval": 4,
+    "map_functions": 2,
+    "matryoshka_prefix_audit": 4,
+    "media_audio_energy": 4,
+    "media_embed_stub": 3,
+    "media_frame_chunks": 3,
+    "media_scene_cuts": 3,
+    "minhash_jaccard_pairs": 3,
+    "minhash_signatures": 4,
+    "mode_event_type_per_user": 3,
+    "moving_avg_time_window": 3,
+    "multimodal_meta": 5,
+    "neardup_components": 2,
+    "neardup_dedup_corpus": 3,
+    "neardup_keep_best": 5,
+    "ngram_counts_top": 2,
+    "ngram_lm_scores_docs": 4,
+    "normalized_dedup_groups": 2,
+    "ntile_value_buckets": 2,
+    "null_handling_functions": 2,
+    "ohlc_resample_events": 2,
+    "pack_sequences_docs": 3,
+    "percentiles_by_flag": 2,
+    "pii_redact_stats": 3,
+    "pivot_event_counts": 1,
+    "pq_encode_vectors": 3,
+    "profile_lineitem": 2,
+    "q10_returned_items": 5,
+    "q11_important_parts": 2,
+    "q12_priority_counts": 5,
+    "q13_customer_distribution": 5,
+    "q14_promo_effect": 5,
+    "q15_top_supplier": 2,
+    "q16_supplier_count": 5,
+    "q17_small_qty_revenue": 2,
+    "q18_large_orders": 5,
+    "q19_disjunctive_revenue": 1,
+    "q1_pricing_summary": 3,
+    "q20_promotion_suppliers": 2,
+    "q21_waiting_suppliers": 2,
+    "q22_idle_customers": 1,
+    "q2_min_cost_supplier": 2,
+    "q3_shipping_priority": 3,
+    "q4_order_priority": 5,
+    "q5_local_supplier_volume": 5,
+    "q6_forecast_revenue": 5,
+    "q7_volume_shipping": 5,
+    "q8_market_share": 2,
+    "q9_profit_by_nation_year": 5,
+    "quality_decile_audit": 4,
+    "quality_gate_per_source": 4,
+    "quality_linear_score": 3,
+    "range_join_events": 2,
+    "regexp_extract_ids": 2,
+    "regr_corr_lineitem": 3,
+    "repetition_stats_docs": 3,
+    "revenue_share_per_nation": 2,
+    "robust_stats_by_type": 3,
+    "rolling_active_users": 3,
+    "rollup_lineitem": 1,
+    "salted_join_events": 3,
+    "scan_filter_project": 5,
+    "scd2_user_history": 2,
+    "semantic_dedup_docs": 4,
+    "semi_join_customers": 5,
+    "sessionize_events": 2,
+    "simhash_near_dups": 5,
+    "simhash_sketches": 5,
+    "skew_key_stats": 3,
+    "snapshot_diff_docs": 5,
+    "sort_limit_top_events": 5,
+    "source_lang_entropy": 5,
+    "source_overlap_matrix": 4,
+    "split_assign_docs": 3,
+    "stats_summary": 2,
+    "stratified_sample_docs": 4,
+    "string_functions": 2,
+    "temporal_drift_stats": 5,
+    "text_bpe_token_count": 2,
+    "text_language_id": 5,
+    "text_language_id_multi": 2,
+    "text_quality_score": 5,
+    "text_token_stats": 5,
+    "tfidf_top_terms": 3,
+    "token_budget_waterfill_docs": 5,
+    "token_frequency": 2,
+    "token_gini_docs": 5,
+    "token_graph_triangle_census": 4,
+    "token_pagerank": 4,
+    "token_positions": 3,
+    "token_zipf": 5,
+    "tokenizer_fertility": 3,
+    "topk_orders_per_segment": 2,
+    "train_eval_overlap_report": 4,
+    "training_order_shuffle": 3,
+    "training_shard_manifest": 4,
+    "union_by_name_events": 5,
+    "unpivot_lineitem_measures": 2,
+    "user_value_percentile": 4,
+    "user_value_zscores": 5,
+    "value_moments_by_type": 3,
+    "vocab_oov_rate_docs": 5,
+    "weak_label_votes": 4,
+    "weighted_sample_docs": 3,
+    "weighted_topk_sample_docs": 4,
+    "window_first_event": 5,
+    "window_lag_delta": 1,
+    "window_min_over": 5,
+    "window_rank_metrics": 3,
+    "window_rank_orders": 2,
+    "window_running_sum": 1,
+    "winnow_doc_fingerprints": 2,
+    "winsorized_quality_means": 4,
+}
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         # TPC-H-adapted analytics
@@ -1198,25 +1409,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE30_QUERIES,
         **_WAVE31_QUERIES,
     }
-    # Rotation for the driver's fixed-size correctness window, ordered
-    # oldest-driver-row-first (VERDICT r4 items 1+4): (0) the two locally
-    # verified fixes that still lack a green driver row, (1) queries never
-    # driver-checked (new this round), then by LATEST driver check —
-    # (2) r1-era, (3) r2-era, (4) r3-era, (5) the r4 set, freshest, last.
-    def tier(name: str) -> int:
-        if name in _R05_PRIORITY:
-            return 0
-        if name in _R05_CHANGED:
-            return 1
-        if name in _R04_CHECKED:
-            return 6
-        if name in _R03_CHECKED:
-            return 5
-        if name in _R02_CHECKED:
-            return 4
-        if name in _R01_GREEN:
-            return 3
-        return 2
+    # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
+    # changed this round, (1) never-driver-checked (new this round), then
+    # strictly oldest-latest-driver-row first (r1-era before r2-era ...),
+    # so the staleness tail drains ~50 per round. Name tie-break keeps the
+    # order deterministic.
+    def tier(name: str) -> tuple[int, str]:
+        if name in _R06_CHANGED:
+            return (0, name)
+        r = _LATEST_DRIVER_ROUND.get(name)
+        if r is None:
+            return (1, name)
+        return (1 + r, name)
 
     return dict(
         sorted(all_q.items(), key=lambda kv: tier(kv[0]))

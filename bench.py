@@ -221,6 +221,9 @@ BENCH_QUERIES = [
     # wave 30: co-purchase lift, conversion-window funnel
     "copurchase_lift_items",
     "funnel_time_bound",
+    # wave 31: real WAV container decode (round 6)
+    "media_wav_meta",
+    "media_wav_energy",
 ]
 
 

@@ -387,7 +387,11 @@ def copurchase_lift(
         # the OVER-cap user set is tiny by construction (the basket-size
         # distribution head), so it broadcasts; anti-join drops their rows
         holdings = holdings.join(F.broadcast(over), "u", "left_anti")
-    n_users = holdings.select("u").distinct().count()
+        # n_users over the PRUNED population, derived from the sizes table
+        # already in hand — no second distinct pass over holdings
+        n_users = sizes.filter(F.col("__bs") <= max_basket).count()
+    else:
+        n_users = holdings.select("u").distinct().count()
     pairs = (
         holdings.alias("l")
         .join(holdings.alias("r"), on="u")
