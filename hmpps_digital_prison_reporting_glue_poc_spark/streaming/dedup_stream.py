@@ -69,18 +69,29 @@ def stream_ingest_dedup(
 
     raw = spark.readStream.schema(schema).json(source_path)
 
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import (
+        _partition_ids,
+        compact_state,
+        live_state,
+        sweep_stale,
+    )
+
     def apply_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(store_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
+        # fresh-checkpoint batch 0 wipes BOTH sinks (a re-segmented replay
+        # must not dedup against — or append to — the dead run's output)
+        sweep_stale(spark, store_path, batch_id)
+        sweep_stale(spark, corpus_path, batch_id)
+        # the sweep may leave the store dir EXISTING but empty (batch-0
+        # rerun) — partition listing, not fs.exists, decides readability
+        if _partition_ids(spark, store_path):
             # A replay may have committed its fingerprints before the
             # failure; drop the batch's own partition so the recompute
-            # sees the exact pre-batch store.
+            # sees the exact pre-batch store (live_state applies the
+            # compaction coverage rule).
             store = (
-                spark.read.parquet(store_path)
+                live_state(spark, store_path)
                 .filter(F.col("__batch_id") != batch_id)
                 .drop("__batch_id")
             )
@@ -102,6 +113,14 @@ def stream_ingest_dedup(
                     .partitionBy("__batch_id")
                     .parquet(path)
                 )
+            # bound store partition count: fold committed fingerprint
+            # deltas into a coverage-encoded base (set-union state:
+            # distinct rows, no aggregate). The corpus sink is OUTPUT,
+            # not state — its layout is left to consumers.
+            compact_state(
+                spark, store_path, batch_id,
+                key_cols=[id_col, "fingerprint"], aggs=[],
+            )
         finally:
             kept.unpersist()
 

@@ -13,7 +13,11 @@ Retry contract: the register store is partitioned by ``__batch_id`` with
 dynamic overwrite and the merge reads every partition EXCEPT the
 replaying batch's own — an at-least-once replay recomputes the same
 merged registers instead of double-merging (max-merge is idempotent
-anyway; the exclusion keeps the store's lineage clean).
+anyway; the exclusion keeps the store's lineage clean). Because every
+partition holds the FULL merged table, all but the newest two are
+redundant and are deleted after each write (round-6): the store is
+O(2·m) registers regardless of stream lifetime, and a stale-attempt /
+fresh-checkpoint sweep keeps reruns from inheriting dead state.
 """
 
 from __future__ import annotations
@@ -37,9 +41,16 @@ def stream_hll_distinct(
     back with :func:`read_hll_estimate`."""
     raw = spark.readStream.schema(schema).json(source_path)
 
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import (
+        sweep_stale,
+    )
+
     def apply_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # drop abandoned-attempt partitions (>= batch_id) and, on a
+        # fresh-checkpoint batch 0, the whole previous run's store
+        sweep_stale(spark, registers_path, batch_id)
         h = F.conv(
             F.substring(
                 F.md5(
@@ -64,7 +75,12 @@ def stream_hll_distinct(
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(registers_path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
+        # partition listing, not fs.exists: the sweep can leave the dir
+        # existing but EMPTY (batch-0 replay), which a parquet read rejects
+        from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import (
+            _partition_ids,
+        )
+        if _partition_ids(spark, registers_path):
             prior = (
                 spark.read.parquet(registers_path)
                 .filter(F.col("__batch_id") != batch_id)
@@ -84,6 +100,22 @@ def stream_hll_distinct(
             .partitionBy("__batch_id")
             .parquet(registers_path)
         )
+        # Every partition holds the FULL merged register table, so all but
+        # the newest two are redundant. Keep batch_id-1 (a replay of the
+        # NEXT batch excludes its own partition and must still find a
+        # complete prior merge), delete <= batch_id-2. Crash anywhere in
+        # the cleanup only leaves extra partitions — max-merge readers are
+        # unaffected — so state is O(2·m) registers, not O(batches·m).
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
+            if not name.startswith("__batch_id="):
+                continue
+            try:
+                old_id = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if old_id <= batch_id - 2:
+                fs.delete(status.getPath(), True)
 
     writer = (
         raw.writeStream.foreachBatch(apply_batch)

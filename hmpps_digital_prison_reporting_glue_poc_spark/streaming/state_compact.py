@@ -122,11 +122,11 @@ def compact_state(
     keep = F.col("__batch_id").isin(
         *([newest] if newest is not None else []), *eligible
     )
-    merged = (
-        src.filter(keep)
-        .groupBy(*key_cols)
-        .agg(*aggs)
-    )
+    kept = src.filter(keep)
+    if aggs:
+        merged = kept.groupBy(*key_cols).agg(*aggs)
+    else:  # set-union state (e.g. fingerprint stores): distinct rows
+        merged = kept.select(*key_cols).distinct()
 
     jvm, fs = _fs(spark, state_path)
     tmp = jvm.org.apache.hadoop.fs.Path(state_path.rstrip("/") + "/" + _TMP)

@@ -159,3 +159,80 @@ def test_cms_compaction_estimate_parity(spark, tmp_path):
     assert est_a == est_b
     assert est_a["alpha"] == 16  # 2 per batch x 8 batches
     assert min(_parts(str(tmp_path / "cells_a"))) < 0
+
+
+def test_hll_register_store_bounded_at_two_partitions(spark, tmp_path):
+    """HLL partitions are full merges — after each batch all but the
+    newest two are pruned, and the estimate equals the batch operator's
+    over the union."""
+    import json as _json
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.hll_stream import (
+        read_hll_estimate,
+        stream_hll_distinct,
+    )
+
+    schema = T.StructType([T.StructField("user_id", T.LongType())])
+    src = str(tmp_path / "src")
+    regs = str(tmp_path / "regs")
+    os.makedirs(src)
+    for b in range(6):
+        with open(os.path.join(src, f"b{b}.json"), "w") as fh:
+            for u in range(b * 50, (b + 1) * 50):
+                fh.write(_json.dumps({"user_id": u}) + "\n")
+        q = stream_hll_distinct(
+            spark, src, schema, regs, str(tmp_path / "ck"),
+            trigger_once=True,
+        )
+        q.awaitTermination()
+    assert len(_parts(regs)) <= 2
+    est = read_hll_estimate(spark, regs).collect()[0].hll_estimate
+    assert 250 <= est <= 350  # ~300 distinct, HLL tolerance
+
+
+def test_ingest_dedup_store_compacts_and_stays_exact(spark, tmp_path):
+    import json as _json
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.dedup_stream import (
+        stream_ingest_dedup,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(src)
+    # 6 batches; batch b re-sends one doc from every earlier batch (must
+    # be dropped by the store even after its delta was compacted away)
+    for b in range(6):
+        rows = [(b * 100 + i, f"doc {b} {i}") for i in range(5)]
+        rows += [(900 + b, f"doc {e} 0") for e in range(b)]  # dup content
+        with open(os.path.join(src, f"b{b}.json"), "w") as fh:
+            for did, text in rows:
+                fh.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        q = stream_ingest_dedup(
+            spark, src, schema, store, corpus, str(tmp_path / "ck"),
+            trigger_once=True,
+        )
+        q.awaitTermination()
+    # compaction with default threshold 64 shouldn't have fired at 6
+    # batches; force the geometry instead by checking correctness + that
+    # live_state sees exactly the accepted fingerprints
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import (
+        compact_state,
+        live_state,
+    )
+
+    n_store_before = live_state(spark, store).count()
+    assert n_store_before == 30  # 5 originals per batch, dups rejected
+    ran = compact_state(
+        spark, store, batch_id=6, key_cols=["doc_id", "fingerprint"],
+        aggs=[], threshold=3,
+    )
+    assert ran
+    assert len([p for p in _parts(store) if p >= 0]) == 0
+    assert min(_parts(store)) < 0
+    assert live_state(spark, store).count() == 30
