@@ -1408,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE29_QUERIES,
         **_WAVE30_QUERIES,
         **_WAVE31_QUERIES,
+        **_WAVE32_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1521,6 +1522,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE29_SQL,
         **_WAVE30_SQL,
         **_WAVE31_SQL,
+        **_WAVE32_SQL,
     }
 
 
@@ -7961,4 +7963,86 @@ _WAVE31_QUERIES = {
 _WAVE31_SQL = {
     "media_wav_meta": MEDIA_WAV_META_SQL,
     "media_wav_energy": MEDIA_WAV_ENERGY_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 32 (round 6): C4-style corpus-wide line dedup + the
+# grid-quantile member of the mergeable-sketch family.
+# --------------------------------------------------------------------------
+
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-occurrence line dedup (operators/corpus.py
+    line_dedup — the C4 preprocessing step). The synthetic corpus has no
+    newlines, so the unit of dedup here is the token (sep=' '), which
+    exercises the same machinery harder: global first-occurrence arg-min
+    per unit, ordered per-doc reassembly."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return line_dedup(docs, sep=" ")
+
+
+LINE_DEDUP_SQL = """
+WITH parts AS (
+  SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, p[i] AS line
+  FROM parts, UNNEST(generate_series(1, len(p))) AS u(i)),
+first AS (
+  SELECT line, doc_id AS fid, idx AS fidx FROM (
+    SELECT line, doc_id, idx,
+           ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+    FROM lines) WHERE rn = 1)
+SELECT l.doc_id,
+       COALESCE(string_agg(
+         CASE WHEN f.fid = l.doc_id AND f.fidx = l.idx THEN l.line END,
+         ' ' ORDER BY l.idx), '') AS text,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN f.fid = l.doc_id AND f.fidx = l.idx
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM lines l JOIN first f USING (line)
+GROUP BY l.doc_id
+"""
+
+
+def grid_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-quantile sketch (operators/topk.py grid_quantile_state +
+    grid_quantiles): exact type-1 quantiles of the cent-quantized event
+    values — the mergeable quantile beside HLL/CMS/MG, with a streaming
+    twin (streaming/quantile_stream.py, pytest batch/stream parity)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.topk import (
+        grid_quantile_state,
+        grid_quantiles,
+    )
+
+    ev = _events(spark, sf_dir)
+    state = grid_quantile_state(ev, "value", scale=100)
+    return grid_quantiles(state, [0.25, 0.5, 0.75, 0.95], scale=100)
+
+
+GRID_QUANTILES_SQL = """
+WITH counts AS (
+  SELECT CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv,
+         COUNT(*) AS n
+  FROM events GROUP BY 1),
+cum AS (SELECT qv, SUM(n) OVER (ORDER BY qv) AS c FROM counts),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
+qs AS (SELECT UNNEST([0.25, 0.5, 0.75, 0.95]) AS q)
+SELECT CAST(q AS DOUBLE) AS q,
+       CAST(MIN(qv) AS DOUBLE) / 100.0 AS value,
+       CAST(CEIL(q * n_total) AS BIGINT) AS rank_target,
+       n_total
+FROM cum, tot, qs
+WHERE c >= CEIL(q * n_total)
+GROUP BY q, n_total
+"""
+
+_WAVE32_QUERIES = {
+    "line_dedup_corpus": line_dedup_corpus,
+    "grid_quantiles_events": grid_quantiles_events,
+}
+_WAVE32_SQL = {
+    "line_dedup_corpus": LINE_DEDUP_SQL,
+    "grid_quantiles_events": GRID_QUANTILES_SQL,
 }

@@ -224,6 +224,9 @@ BENCH_QUERIES = [
     # wave 31: real WAV container decode (round 6)
     "media_wav_meta",
     "media_wav_energy",
+    # wave 32: C4 line dedup + grid-quantile sketch (round 6)
+    "line_dedup_corpus",
+    "grid_quantiles_events",
 ]
 
 

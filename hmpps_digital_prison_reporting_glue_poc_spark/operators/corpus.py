@@ -856,3 +856,71 @@ def source_language_entropy(
         F.count(F.lit(1)).cast("long").alias("n_langs"),
         F.round(F.sum("__h"), 6).alias("lang_entropy"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    keep_empty_docs: bool = True,
+) -> DataFrame:
+    """Corpus-wide LINE-level dedup (the C4 preprocessing step): every
+    distinct line is kept exactly ONCE across the whole corpus — at its
+    first occurrence in (doc, line position) order — and every later
+    repeat (boilerplate headers, navigation chrome, license banners) is
+    dropped from its document, which is then reassembled in original
+    line order.
+
+    Scale shape: explode lines once, ONE map-side-combinable groupBy on
+    the line fingerprint for the global first-occurrence table (grouped
+    struct arg-min — no window, no collect), an equi-join back on the
+    same fingerprint key (co-partitioned with the groupBy's shuffle),
+    and a per-doc ordered reassembly (sort_array over collected
+    (idx, line) structs — bounded by lines-per-doc, not corpus). No
+    cross join, nothing table-spanning.
+
+    Returns (id, text, n_lines, n_kept): the rebuilt text plus per-doc
+    audit counts. Documents whose every line was a repeat come back with
+    empty text (``keep_empty_docs=False`` drops them, the C4 behavior).
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__idx", "__line"),
+    )
+    keyed = lines.withColumn("__key", F.md5(F.col("__line")))
+    first = keyed.groupBy("__key").agg(
+        F.min(F.struct("__id", "__idx")).alias("__first")
+    )
+    kept_flag = (F.col("__id") == F.col("__first.__id")) & (
+        F.col("__idx") == F.col("__first.__idx")
+    )
+    marked = keyed.join(first, "__key").select(
+        "__id", "__idx", "__line", kept_flag.alias("__keep")
+    )
+    rebuilt = marked.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct("__idx", "__line"),
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias(text_col),
+    )
+    out = rebuilt.select(
+        F.col("__id").alias(id_col), text_col, "n_lines", "n_kept"
+    )
+    if not keep_empty_docs:
+        out = out.filter(F.col("n_kept") > 0)
+    return out

@@ -307,3 +307,79 @@ def cms_token_estimates(
             "overestimate"
         ),
     )
+
+
+def grid_quantile_state(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Mergeable quantile-sketch state: per-grid-point counts after
+    fixed-grid quantization (``round(v * scale)`` — the ks_two_sample
+    grid). Counts are associative, so states merge by cellwise addition
+    (union + re-groupBy), which is what makes this the quantile member
+    of the mergeable-sketch family (HLL max, CMS sum, MG fold). Error is
+    bounded by the grid pitch 1/scale BY CONSTRUCTION — data
+    distribution cannot degrade it, unlike rank-based sketches whose
+    guarantees are probabilistic. State size = occupied grid points.
+    Returns (__qv, n)."""
+    return (
+        df.select(
+            F.round(F.col(value_col).cast("double") * scale, 0)
+            .cast("long")
+            .alias("__qv")
+        )
+        .groupBy("__qv")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def grid_quantiles(
+    state: DataFrame, quantiles: list[float], scale: int = 100
+) -> DataFrame:
+    """Exact type-1 (lower) quantiles of the QUANTIZED multiset from a
+    ``grid_quantile_state`` table: for each q, the smallest grid value
+    whose running count reaches ``ceil(q * n)``. The cumulation uses
+    the ks-style two-level grid bucketing (1024-point in-bucket windows
+    bounded by construction, broadcast bucket offsets) — no
+    table-spanning window, though the state is value-domain-sized
+    anyway. Returns (q, value, rank_target, n_total)."""
+    from pyspark.sql import Window
+
+    counts = state.groupBy("__qv").agg(F.sum("n").cast("long").alias("n"))
+    keyed = counts.withColumn(
+        "__bk", F.floor(F.col("__qv") / F.lit(1024)).cast("long")
+    )
+    bsums = keyed.groupBy("__bk").agg(F.sum("n").alias("__bn"))
+    w_off = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    boffs = bsums.select(
+        "__bk",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__bk").orderBy("__qv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = keyed.join(F.broadcast(boffs), "__bk").select(
+        "__qv", (F.sum("n").over(w_in) + F.col("__off")).alias("__cum")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("__n_total"))
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    targets = total.select(qs, "__n_total").withColumn(
+        "rank_target",
+        F.ceil(F.col("q") * F.col("__n_total")).cast("long"),
+    )
+    # value-domain-sized cross of grid points x |quantiles| — bounded by
+    # construction, and the grid side is the small one so it broadcasts
+    hit = cum.crossJoin(F.broadcast(targets)).filter(
+        F.col("__cum") >= F.col("rank_target")
+    )
+    return (
+        hit.groupBy("q", "rank_target", "__n_total")
+        .agg(F.min("__qv").alias("__v"))
+        .select(
+            "q",
+            (F.col("__v").cast("double") / F.lit(float(scale))).alias("value"),
+            "rank_target",
+            F.col("__n_total").alias("n_total"),
+        )
+    )

@@ -141,3 +141,44 @@ def test_corpus_ops_stay_in_codegen(spark):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+def test_line_dedup_corpus_wide_first_occurrence(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nalpha\nfooter"),
+            (2, "header\nbeta\nfooter"),   # header+footer are repeats
+            (3, "header\nalpha\ngamma"),   # alpha repeat too
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert out[1].text == "header\nalpha\nfooter" and out[1].n_kept == 3
+    assert out[2].text == "beta" and out[2].n_kept == 1
+    assert out[3].text == "gamma" and out[3].n_kept == 1
+    assert out[3].n_lines == 3
+
+
+def test_line_dedup_all_dup_doc_and_drop_option(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\ny")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert out[2].text == "" and out[2].n_kept == 0
+    kept = line_dedup(docs, keep_empty_docs=False)
+    assert [r.doc_id for r in kept.collect()] == [1]
+
+
+def test_line_dedup_preserves_within_doc_order(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "z\na\nm"), (2, "m\nq\nz")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in line_dedup(docs).collect()}
+    assert out[1] == "z\na\nm"  # original order, NOT sorted
+    assert out[2] == "q"
