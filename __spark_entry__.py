@@ -1409,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE30_QUERIES,
         **_WAVE31_QUERIES,
         **_WAVE32_QUERIES,
+        **_WAVE33_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1523,6 +1524,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE30_SQL,
         **_WAVE31_SQL,
         **_WAVE32_SQL,
+        **_WAVE33_SQL,
     }
 
 
@@ -8045,4 +8047,79 @@ _WAVE32_QUERIES = {
 _WAVE32_SQL = {
     "line_dedup_corpus": LINE_DEDUP_SQL,
     "grid_quantiles_events": GRID_QUANTILES_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 33 (round 6): curriculum interleave + dialog-turn QA.
+# --------------------------------------------------------------------------
+
+def curriculum_interleave_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-preserving deterministic training order
+    (operators/mixing.py curriculum_interleave) by document length: every
+    consecutive window of 4 positions holds one doc from each length
+    quartile. One two-level exact rank; bins and positions closed-form."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import (
+        curriculum_interleave,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return curriculum_interleave(docs, "doc_id", "n_chars", n_bins=4)
+
+
+CURRICULUM_SQL = """
+WITH ranked AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS r,
+         COUNT(*) OVER () AS n
+  FROM documents),
+binned AS (
+  SELECT doc_id, score, r, n,
+         CAST((r - 1) * 4 // n AS BIGINT) AS bin
+  FROM ranked)
+SELECT doc_id, score, bin,
+       CAST((r - ((bin * n + 3) // 4 + 1)) * 4 + bin AS BIGINT) AS pos
+FROM binned
+"""
+
+
+def dialog_turn_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-shape QA (operators/behavior.py dialog_turn_stats)
+    treating each user's event stream as a dialog: turn counts,
+    same-role-adjacent violations, role cardinality, mean inter-turn gap
+    — the structural checks chat-format training data runs pre-train."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        dialog_turn_stats,
+    )
+
+    return dialog_turn_stats(_events(spark, sf_dir))
+
+
+DIALOG_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_role,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+           AS gap_us
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_turns,
+       CAST(SUM(CASE WHEN event_type = prev_role THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_role_violations,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_roles,
+       (CAST(SUM(gap_us) AS DOUBLE) / 1000000.0)
+         / CAST(COUNT(gap_us) AS DOUBLE) AS mean_gap_seconds
+FROM lagged
+GROUP BY user_id
+"""
+
+_WAVE33_QUERIES = {
+    "curriculum_interleave_docs": curriculum_interleave_docs,
+    "dialog_turn_stats_events": dialog_turn_stats_events,
+}
+_WAVE33_SQL = {
+    "curriculum_interleave_docs": CURRICULUM_SQL,
+    "dialog_turn_stats_events": DIALOG_SQL,
 }

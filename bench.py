@@ -227,6 +227,9 @@ BENCH_QUERIES = [
     # wave 32: C4 line dedup + grid-quantile sketch (round 6)
     "line_dedup_corpus",
     "grid_quantiles_events",
+    # wave 33: curriculum interleave + dialog-turn QA (round 6)
+    "curriculum_interleave_docs",
+    "dialog_turn_stats_events",
 ]
 
 

@@ -483,3 +483,59 @@ def funnel_time_bound(
         ]
     )
     return counts.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def dialog_turn_stats(
+    events: DataFrame,
+    conv_col: str = "user_id",
+    role_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Instruction-data QA over conversation-shaped logs: per
+    conversation, the turn count, role-alternation violations (adjacent
+    turns by the SAME role — malformed dialog for chat-format training
+    data), distinct roles, and the mean inter-turn gap. Turn order is
+    (ts, id) — the deterministic total order the CDC discipline uses.
+
+    One conversation-keyed window partition (lag over the same spec
+    Catalyst collapses into a single shuffle); microsecond-exact gaps
+    (unix_micros — truncation-free, the funnel_time_bound convention).
+    Returns (conv, n_turns, n_role_violations, n_roles,
+    mean_gap_seconds) — mean gap NULL for single-turn conversations.
+    """
+    w = Window.partitionBy(conv_col).orderBy(ts_col, id_col)
+    lagged = events.select(
+        F.col(conv_col).alias("__c"),
+        F.col(role_col).alias("__role"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+    ).select(
+        "__c", "__role", "__ts",
+        F.lag("__role").over(
+            Window.partitionBy("__c").orderBy("__ts", "__id")
+        ).alias("__prev_role"),
+        (
+            F.unix_micros(F.col("__ts"))
+            - F.unix_micros(
+                F.lag("__ts").over(
+                    Window.partitionBy("__c").orderBy("__ts", "__id")
+                )
+            )
+        ).alias("__gap_us"),
+    )
+    return (
+        lagged.groupBy(F.col("__c").alias(conv_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(
+                F.when(F.col("__role") == F.col("__prev_role"), 1).otherwise(0)
+            ).cast("long").alias("n_role_violations"),
+            F.countDistinct("__role").cast("long").alias("n_roles"),
+            (
+                F.sum(F.col("__gap_us").cast("decimal(38,0)")).cast("double")
+                / F.lit(1_000_000.0)
+                / F.count("__gap_us")
+            ).alias("mean_gap_seconds"),
+        )
+    )

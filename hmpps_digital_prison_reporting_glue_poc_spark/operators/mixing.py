@@ -472,3 +472,68 @@ def token_budget_waterfill(
             ).alias("capped"),
         )
     )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_bins: int = 4,
+) -> DataFrame:
+    """Mixture-preserving deterministic training order: rank the corpus
+    by ``score_col`` (ties broken by id), cut the rank range into
+    ``n_bins`` equal difficulty bins, and round-robin-interleave the bins
+    so every consecutive window of ``n_bins`` positions holds one doc of
+    each difficulty — the fixed, reproducible data order a curriculum /
+    anti-curriculum training run materialises (uniform difficulty mix at
+    every training step, no difficulty "phases").
+
+    One range-bucketed two-level exact global rank (the
+    ``corpus.global_sort_rank`` idiom — no table-spanning window), then
+    EVERYTHING else is closed-form in (rank r, total n): the bin is
+    ``floor((r-1)·k/n)``, the bin's first rank is ``floor(b·n/k)+1``, the
+    within-bin rank follows by subtraction, and the interleaved position
+    is ``(r_b - 1)·k + b``. No second rank pass, no join by bin.
+    Returns (id, score, bin, pos) — ``pos`` is the 0-based training
+    order, a permutation of 0..n-1 (pinned by pytest).
+    """
+    bucketed = df.select(
+        F.col(id_col), F.col(score_col).cast("double").alias("__score")
+    ).withColumn(
+        # range bucket on the score keeps bucketing order-consistent;
+        # resolution matters only for balance, not correctness
+        "__b", F.floor(F.col("__score") * 16).cast("long")
+    )
+    counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    total = counts.agg(F.sum("__n").cast("long").alias("__n_total"))
+    w_in = Window.partitionBy("__b").orderBy("__score", id_col)
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.col("__score").alias("score"),
+            (F.row_number().over(w_in) + F.col("__off")).cast("long").alias("__r"),
+            "__n_total",
+        )
+    )
+    k = F.lit(int(n_bins))
+    n = F.col("__n_total")
+    r = F.col("__r")
+    b = F.floor((r - 1) * k / n).cast("long")
+    # first rank of bin b: smallest r with floor((r-1)k/n) = b, i.e.
+    # ceil(b·n/k)+1 — integer ceil via floor((bn + k - 1)/k) so uneven
+    # bins still interleave to a gap-free permutation
+    bin_first = F.floor((b * n + k - F.lit(1)) / k) + 1
+    r_in_bin = r - bin_first + 1
+    pos = ((r_in_bin - 1) * k + b).cast("long")
+    return ranked.select(
+        id_col,
+        "score",
+        b.alias("bin"),
+        pos.alias("pos"),
+    )

@@ -132,3 +132,33 @@ def test_funnel_single_window_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_dialog_turn_stats(spark):
+    import datetime
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        dialog_turn_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # conv 1: user/assistant alternating, 10s gaps — clean dialog
+        (1, "user", t0, 1),
+        (1, "assistant", t0 + datetime.timedelta(seconds=10), 2),
+        (1, "user", t0 + datetime.timedelta(seconds=20), 3),
+        # conv 2: double user turn -> one violation
+        (2, "user", t0, 4),
+        (2, "user", t0 + datetime.timedelta(seconds=5), 5),
+        (2, "assistant", t0 + datetime.timedelta(seconds=10), 6),
+        # conv 3: single turn -> NULL mean gap
+        (3, "system", t0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = {r.user_id: r for r in dialog_turn_stats(df).collect()}
+    assert out[1].n_turns == 3 and out[1].n_role_violations == 0
+    assert out[1].n_roles == 2 and out[1].mean_gap_seconds == 10.0
+    assert out[2].n_role_violations == 1
+    assert out[3].n_turns == 1 and out[3].mean_gap_seconds is None

@@ -131,3 +131,40 @@ def test_tokenizer_fertility_multibyte(spark):
     assert r.n_chars == 11
     assert r.n_bytes == 13  # é and ö are 2 bytes each
     assert r.n_tokens == 2
+
+
+def test_curriculum_interleave_uniform_mix(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import (
+        curriculum_interleave,
+    )
+
+    # 8 docs, scores 0..7, 4 bins of 2 -> window [0..3] holds one per bin
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "doc_id long, q double"
+    )
+    out = sorted(
+        (r.pos, r.doc_id, r.bin)
+        for r in curriculum_interleave(df, "doc_id", "q", n_bins=4).collect()
+    )
+    assert [p for p, _d, _b in out] == list(range(8))  # pos is a permutation
+    first_window_bins = {b for p, _d, b in out if p < 4}
+    assert first_window_bins == {0, 1, 2, 3}
+    # interleave pattern: easiest doc first, then one from each harder bin
+    assert [d for _p, d, _b in out[:4]] == [0, 2, 4, 6]
+    assert [d for _p, d, _b in out[4:]] == [1, 3, 5, 7]
+
+
+def test_curriculum_interleave_uneven_bins(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import (
+        curriculum_interleave,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 5) + i * 0.01) for i in range(10)],
+        "doc_id long, q double",
+    )
+    out = curriculum_interleave(df, "doc_id", "q", n_bins=3).collect()
+    poss = sorted(r.pos for r in out)
+    assert poss == list(range(10))  # permutation even when 10 % 3 != 0
+    bins = {r.bin for r in out}
+    assert bins == {0, 1, 2}
