@@ -1410,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE31_QUERIES,
         **_WAVE32_QUERIES,
         **_WAVE33_QUERIES,
+        **_WAVE34_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1525,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE31_SQL,
         **_WAVE32_SQL,
         **_WAVE33_SQL,
+        **_WAVE34_SQL,
     }
 
 
@@ -8122,4 +8124,82 @@ _WAVE33_QUERIES = {
 _WAVE33_SQL = {
     "curriculum_interleave_docs": CURRICULUM_SQL,
     "dialog_turn_stats_events": DIALOG_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 34 (round 6): contrastive negative sampling + decayed
+# popularity counts.
+# --------------------------------------------------------------------------
+
+def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling
+    (operators/sampling.py negative_samples): md5-indexed corpus, k=2
+    draws per anchor, self-draws dropped — the contrastive-pair builder
+    with reproducible epochs."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return negative_samples(docs, "doc_id", k=2)
+
+
+NEG_SAMPLES_SQL = """
+WITH indexed AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           - 1 AS idx,
+         COUNT(*) OVER () AS n
+  FROM documents),
+draws AS (
+  SELECT i.doc_id AS anchor_id, u.s AS sample_idx,
+         CAST(('0x' || substr(
+             md5('neg:' || CAST(i.doc_id AS VARCHAR) || ':'
+                 || CAST(u.s AS VARCHAR)), 1, 8)) AS BIGINT) % i.n
+           AS neg_idx
+  FROM indexed i, UNNEST(generate_series(0, 1)) AS u(s))
+SELECT d.anchor_id, CAST(d.sample_idx AS BIGINT) AS sample_idx,
+       t.doc_id AS negative_id
+FROM draws d JOIN indexed t ON t.idx = d.neg_idx
+WHERE d.anchor_id <> t.doc_id
+"""
+
+
+def decayed_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed event-type popularity
+    (operators/behavior.py decayed_item_counts) against a fixed
+    reference time: dyadic integer weights, exact DECIMAL sum, one IEEE
+    divide — the trending-with-memory counter."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        decayed_item_counts,
+    )
+
+    ev = _events(spark, sf_dir)
+    return decayed_item_counts(
+        ev, "event_type", t_ref="2024-02-15 00:00:00", half_life_days=7
+    )
+
+
+DECAYED_SQL = """
+WITH staged AS (
+  SELECT event_type AS item,
+         (1::BIGINT << (50 - CAST(LEAST(GREATEST(FLOOR(
+             FLOOR((epoch_us(TIMESTAMP '2024-02-15 00:00:00')
+                    - epoch_us(ts)) / 86400000000) / 7), 0), 50)
+           AS INTEGER))) AS weight
+  FROM events)
+SELECT item, COUNT(*) AS n_events,
+       CAST(SUM(CAST(weight AS DECIMAL(38,0))) AS DOUBLE)
+         / 1125899906842624.0 AS decayed_count
+FROM staged GROUP BY item
+"""
+
+_WAVE34_QUERIES = {
+    "negative_samples_docs": negative_samples_docs,
+    "decayed_type_counts": decayed_type_counts,
+}
+_WAVE34_SQL = {
+    "negative_samples_docs": NEG_SAMPLES_SQL,
+    "decayed_type_counts": DECAYED_SQL,
 }

@@ -230,6 +230,9 @@ BENCH_QUERIES = [
     # wave 33: curriculum interleave + dialog-turn QA (round 6)
     "curriculum_interleave_docs",
     "dialog_turn_stats_events",
+    # wave 34: negative sampling + decayed popularity (round 6)
+    "negative_samples_docs",
+    "decayed_type_counts",
 ]
 
 

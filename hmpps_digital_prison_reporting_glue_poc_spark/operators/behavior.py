@@ -539,3 +539,59 @@ def dialog_turn_stats(
             ).alias("mean_gap_seconds"),
         )
     )
+
+
+def decayed_item_counts(
+    events: DataFrame,
+    item_col: str,
+    ts_col: str = "ts",
+    t_ref: str | None = None,
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Exponentially-decayed item popularity ("trending now" with
+    memory): each event contributes weight ``2^-(age_days // half_life)``
+    toward its item, so items fade by half every ``half_life_days`` of
+    STALENESS and the score is dominated by recent activity without a
+    hard cutoff window.
+
+    Engine-exact by construction: ages quantize to whole days, the
+    exponent is an integer, so every weight is the dyadic rational
+    ``2^(50-k) / 2^50`` — the weighted sum runs in exact DECIMAL integer
+    arithmetic (scaled by 2^50) with ONE IEEE divide at the end, the
+    same discipline as the z-score/lift operators (a naive sum of
+    pow(0.5, age/hl) doubles is accumulation-order-dependent and libm-
+    dependent, unverifiable across engines). One map-side-combinable
+    groupBy on the item — a single shuffle.
+    Returns (item, n_events, decayed_count).
+    """
+    ref = (
+        F.lit(t_ref).cast("timestamp")
+        if t_ref is not None
+        else F.current_timestamp()
+    )
+    age_days = F.floor(
+        (F.unix_micros(ref) - F.unix_micros(F.col(ts_col)))
+        / F.lit(86_400_000_000)
+    )
+    kexp = F.least(
+        F.greatest(
+            F.floor(age_days / F.lit(int(half_life_days))), F.lit(0)
+        ),
+        F.lit(50),
+    ).cast("int")
+    # shiftleft needs a column-valued shift -> SQL expr form
+    staged = events.select(
+        F.col(item_col).alias("item"), kexp.alias("__k")
+    ).withColumn(
+        "weight", F.expr("shiftleft(CAST(1 AS BIGINT), 50 - __k)")
+    )
+    return (
+        staged.groupBy("item")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.sum(F.col("weight").cast("decimal(38,0)")).cast("double")
+                / F.lit(float(1 << 50))
+            ).alias("decayed_count"),
+        )
+    )

@@ -137,3 +137,70 @@ def weighted_topk_sample(
         .orderBy(F.col("samp_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    each anchor row draws ``k`` pseudo-random partners from the WHOLE
+    corpus — md5-derived, so the same corpus + seed always yields the
+    same pairs (reproducible epochs, engine-independent oracle), with no
+    RNG state and no driver involvement.
+
+    Machinery: documents get a dense 0..n-1 index via the two-level
+    bucketed exact rank over md5(id) (corpus.global_sort_rank — no
+    table-spanning window); each anchor explodes into k draws whose
+    target index is ``u32(md5(seed:anchor:i)) % n``; one equi-join on
+    the index resolves draws to ids. Self-draws are dropped (standard
+    in-batch convention), so an anchor can yield < k rows.
+    Returns (anchor_id, sample_idx, negative_id).
+    """
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import (
+        global_sort_rank,
+    )
+
+    keyed = df.select(F.col(id_col)).withColumn(
+        "__key", F.md5(F.col(id_col).cast("string"))
+    )
+    indexed = global_sort_rank(keyed, "__key", id_col=id_col).select(
+        F.col(id_col), (F.col("shuffle_rank") - 1).alias("__idx")
+    )
+    n = indexed.count()  # metadata-scale: one count, reused as a literal
+    draws = indexed.select(
+        F.col(id_col).alias("anchor_id"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(k)])
+        ).alias("sample_idx"),
+    ).withColumn(
+        "__idx",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:"),
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":"),
+                        F.col("sample_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(int(n)),
+    )
+    return (
+        draws.join(indexed, "__idx")
+        .filter(F.col("anchor_id") != F.col(id_col))
+        .select(
+            "anchor_id",
+            F.col("sample_idx").cast("long").alias("sample_idx"),
+            F.col(id_col).alias("negative_id"),
+        )
+    )

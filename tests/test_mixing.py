@@ -168,3 +168,60 @@ def test_curriculum_interleave_uneven_bins(spark):
     assert poss == list(range(10))  # permutation even when 10 % 3 != 0
     bins = {r.bin for r in out}
     assert bins == {0, 1, 2}
+
+
+def test_negative_samples_deterministic_and_excludes_self(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    a = sorted(
+        (r.anchor_id, r.sample_idx, r.negative_id)
+        for r in negative_samples(df, "doc_id", k=3).collect()
+    )
+    b = sorted(
+        (r.anchor_id, r.sample_idx, r.negative_id)
+        for r in negative_samples(df, "doc_id", k=3).collect()
+    )
+    assert a == b                           # deterministic across runs
+    assert all(anc != neg for anc, _i, neg in a)
+    assert len(a) <= 20 * 3
+    anchors = {anc for anc, _i, _n in a}
+    assert len(anchors) >= 19               # nearly every anchor drew
+    c = sorted(
+        (r.anchor_id, r.sample_idx, r.negative_id)
+        for r in negative_samples(df, "doc_id", k=3, seed="other").collect()
+    )
+    assert a != c                           # seed changes the draw
+
+
+def test_decayed_item_counts_halving(spark):
+    import datetime
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        decayed_item_counts,
+    )
+
+    ref = "2024-02-01 00:00:00"
+    t = datetime.datetime(2024, 2, 1)
+    rows = [
+        # item A: one event today (w=1), one 7 days old (w=0.5),
+        #         one 14 days old (w=0.25)
+        (1, "A", t - datetime.timedelta(hours=1)),
+        (2, "A", t - datetime.timedelta(days=7, hours=1)),
+        (3, "A", t - datetime.timedelta(days=14, hours=1)),
+        # item B: one extremely old event -> capped exponent, ~0 weight
+        (4, "B", t - datetime.timedelta(days=3650)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, item string, ts timestamp"
+    )
+    out = {
+        r.item: (r.n_events, r.decayed_count)
+        for r in decayed_item_counts(
+            df, "item", t_ref=ref, half_life_days=7
+        ).collect()
+    }
+    assert out["A"] == (3, 1.75)
+    assert out["B"][0] == 1 and out["B"][1] == 2.0 ** -50
