@@ -8094,7 +8094,10 @@ def dialog_turn_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         dialog_turn_stats,
     )
 
-    return dialog_turn_stats(_events(spark, sf_dir))
+    # max_turns=100000: non-binding at test SFs (users have hundreds of
+    # events) but drops a bot "conversation" whose single window
+    # partition would otherwise be the straggler task (10x stress: 165x)
+    return dialog_turn_stats(_events(spark, sf_dir), max_turns=100_000)
 
 
 DIALOG_SQL = """

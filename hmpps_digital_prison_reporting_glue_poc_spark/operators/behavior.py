@@ -491,6 +491,7 @@ def dialog_turn_stats(
     role_col: str = "event_type",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    max_turns: int | None = None,
 ) -> DataFrame:
     """Instruction-data QA over conversation-shaped logs: per
     conversation, the turn count, role-alternation violations (adjacent
@@ -501,9 +502,23 @@ def dialog_turn_stats(
     One conversation-keyed window partition (lag over the same spec
     Catalyst collapses into a single shuffle); microsecond-exact gaps
     (unix_micros — truncation-free, the funnel_time_bound convention).
+
+    ``max_turns``: hot-conversation pruning (the max_basket/max_df
+    convention; round-6 10x stress measured one planted 300k-turn bot
+    "conversation" funneling its whole window partition into a single
+    165x-straggler task). Conversations longer than ``max_turns`` are
+    dropped BEFORE the window — a six-figure-turn conversation is bot
+    traffic, not dialog, and its QA stats are meaningless anyway. The
+    over-cap id set is the conversation-length head: tiny, broadcast.
     Returns (conv, n_turns, n_role_violations, n_roles,
     mean_gap_seconds) — mean gap NULL for single-turn conversations.
     """
+    if max_turns is not None:
+        lens = events.groupBy(F.col(conv_col)).agg(
+            F.count(F.lit(1)).alias("__nt")
+        )
+        over = lens.filter(F.col("__nt") > max_turns).select(conv_col)
+        events = events.join(F.broadcast(over), conv_col, "left_anti")
     w = Window.partitionBy(conv_col).orderBy(ts_col, id_col)
     lagged = events.select(
         F.col(conv_col).alias("__c"),

@@ -344,7 +344,18 @@ def grid_quantiles(
     anyway. Returns (q, value, rank_target, n_total)."""
     from pyspark.sql import Window
 
-    counts = state.groupBy("__qv").agg(F.sum("n").cast("long").alias("n"))
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize,
+    )
+
+    # The counts table feeds THREE plan branches (cumulation, bucket
+    # offsets, total); without a lineage cut each branch re-scans and
+    # re-aggregates the full input — 3x the dominant cost at scale. The
+    # merged table is value-domain-sized, so the cut is ~free.
+    counts = materialize(
+        state.groupBy("__qv").agg(F.sum("n").cast("long").alias("n")),
+        "grid_quantile_counts_",
+    )
     keyed = counts.withColumn(
         "__bk", F.floor(F.col("__qv") / F.lit(1024)).cast("long")
     )

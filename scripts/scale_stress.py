@@ -31,6 +31,15 @@ COPIES = 10
 HOT_SHARE = 0.3  # fraction of duplicated events forced onto one key
 
 QUERIES = [
+    # round-6 waves 31-34
+    "line_dedup_corpus",
+    "grid_quantiles_events",
+    "curriculum_interleave_docs",
+    "dialog_turn_stats_events",
+    "negative_samples_docs",
+    "decayed_type_counts",
+    "media_wav_meta",
+    "media_wav_energy",
     "minhash_jaccard_pairs",
     "neardup_dedup_corpus",
     "salted_join_events",
@@ -178,7 +187,8 @@ def main() -> None:
     ).save()
 
     report = {}
-    for name in QUERIES:
+    wanted = [a for a in sys.argv[1:] if not a.startswith("-")]
+    for name in (wanted or QUERIES):
         times = {}
         for label, sf_dir in (("1x", BASE), ("10x", SCALED)):
             best = None

@@ -162,3 +162,25 @@ def test_dialog_turn_stats(spark):
     assert out[1].n_roles == 2 and out[1].mean_gap_seconds == 10.0
     assert out[2].n_role_violations == 1
     assert out[3].n_turns == 1 and out[3].mean_gap_seconds is None
+
+
+def test_dialog_turn_stats_max_turns_drops_bot_conversation(spark):
+    import datetime
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        dialog_turn_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, "user", t0, 1), (1, "assistant", t0 + datetime.timedelta(seconds=5), 2)]
+    rows += [(99, "user", t0 + datetime.timedelta(seconds=i), 100 + i)
+             for i in range(50)]  # bot: 50 turns
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = {r.user_id for r in dialog_turn_stats(df, max_turns=10).collect()}
+    assert out == {1}
+    # non-binding cap keeps everything identical
+    a = sorted(map(tuple, dialog_turn_stats(df).collect()))
+    b = sorted(map(tuple, dialog_turn_stats(df, max_turns=1000).collect()))
+    assert a == b
