@@ -1411,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE32_QUERIES,
         **_WAVE33_QUERIES,
         **_WAVE34_QUERIES,
+        **_WAVE35_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1527,6 +1528,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE32_SQL,
         **_WAVE33_SQL,
         **_WAVE34_SQL,
+        **_WAVE35_SQL,
     }
 
 
@@ -8205,4 +8207,81 @@ _WAVE34_QUERIES = {
 _WAVE34_SQL = {
     "negative_samples_docs": NEG_SAMPLES_SQL,
     "decayed_type_counts": DECAYED_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 35 (round 6): JSON key profiling + per-group grid quantiles.
+# --------------------------------------------------------------------------
+
+def json_key_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read profiling of the props JSON payload
+    (operators/profiling.py json_key_profile): key frequencies + regex
+    scalar-type classification — the promote-to-column inference."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        json_key_profile,
+    )
+
+    return json_key_profile(_events(spark, sf_dir), "props")
+
+
+JSON_KEY_PROFILE_SQL = """
+WITH kv AS (
+  SELECT UNNEST(json_keys(props)) AS key, props
+  FROM events WHERE props IS NOT NULL),
+vals AS (
+  SELECT key, json_extract_string(props, '$.' || key) AS val FROM kv)
+SELECT key, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN regexp_full_match(val, '-?[0-9]+')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+       CAST(SUM(CASE WHEN regexp_full_match(val, '-?[0-9]*\\.[0-9]+')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_float,
+       CAST(SUM(CASE WHEN val IN ('true', 'false')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct_values
+FROM vals GROUP BY key
+"""
+
+
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group grid quantiles (operators/topk.py grid_group_quantiles):
+    p50/p95 of the cent-quantized value per event type — the per-source
+    tail-latency / length-distribution read every monitoring pipeline
+    needs, with the in-group window bounded by grid pitch."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.topk import (
+        grid_group_quantiles,
+    )
+
+    ev = _events(spark, sf_dir)
+    return grid_group_quantiles(ev, "event_type", "value", [0.5, 0.95])
+
+
+GROUP_QUANTILES_SQL = """
+WITH counts AS (
+  SELECT event_type AS grp,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT grp, qv,
+         SUM(n) OVER (PARTITION BY grp ORDER BY qv) AS c
+  FROM counts),
+tot AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS n_total FROM counts GROUP BY grp),
+qs AS (SELECT UNNEST([0.5, 0.95]) AS q)
+SELECT c.grp AS event_type, CAST(q AS DOUBLE) AS q,
+       CAST(MIN(c.qv) AS DOUBLE) / 100.0 AS value,
+       CAST(CEIL(q * t.n_total) AS BIGINT) AS rank_target,
+       t.n_total
+FROM cum c JOIN tot t USING (grp), qs
+WHERE c.c >= CEIL(q * t.n_total)
+GROUP BY c.grp, q, t.n_total
+"""
+
+_WAVE35_QUERIES = {
+    "json_key_profile_events": json_key_profile_events,
+    "value_quantiles_by_type": value_quantiles_by_type,
+}
+_WAVE35_SQL = {
+    "json_key_profile_events": JSON_KEY_PROFILE_SQL,
+    "value_quantiles_by_type": GROUP_QUANTILES_SQL,
 }

@@ -233,6 +233,9 @@ BENCH_QUERIES = [
     # wave 34: negative sampling + decayed popularity (round 6)
     "negative_samples_docs",
     "decayed_type_counts",
+    # wave 35: JSON key profiling + per-group grid quantiles (round 6)
+    "json_key_profile_events",
+    "value_quantiles_by_type",
 ]
 
 

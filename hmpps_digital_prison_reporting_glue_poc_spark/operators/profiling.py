@@ -99,3 +99,33 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("risky", F.col("n_rows") < k)
     )
+
+
+def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema-on-read profiling of a semi-structured JSON column: which
+    keys occur, how often, and what scalar type their values look like —
+    the ingest-time inference every lake pipeline runs before promoting a
+    payload field to a real column.
+
+    Keys explode from ``from_json`` map parsing (one pass, columnar);
+    type classification is REGEX on the extracted scalar string, not
+    TRY_CAST, because the two engines' cast leniency differs (whitespace
+    trimming, scientific notation) while anchored regex agrees exactly.
+    One map-side-combinable groupBy on the key.
+    Returns (key, n_rows, n_int, n_float, n_bool, n_distinct_values).
+    """
+    kv = df.select(
+        F.explode(
+            F.from_json(F.col(json_col), "map<string,string>")
+        ).alias("key", "val")
+    )
+    is_int = F.col("val").rlike("^-?[0-9]+$")
+    is_float = F.col("val").rlike("^-?[0-9]*\\.[0-9]+$")
+    is_bool = F.col("val").isin("true", "false")
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(is_int, 1).otherwise(0)).cast("long").alias("n_int"),
+        F.sum(F.when(is_float, 1).otherwise(0)).cast("long").alias("n_float"),
+        F.sum(F.when(is_bool, 1).otherwise(0)).cast("long").alias("n_bool"),
+        F.countDistinct("val").cast("long").alias("n_distinct_values"),
+    )

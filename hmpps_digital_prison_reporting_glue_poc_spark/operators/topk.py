@@ -394,3 +394,60 @@ def grid_quantiles(
             F.col("__n_total").alias("n_total"),
         )
     )
+
+
+def grid_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float],
+    scale: int = 100,
+) -> DataFrame:
+    """Per-GROUP exact type-1 quantiles on the fixed grid (the grouped
+    twin of ``grid_quantiles`` — per-source length p95s, per-type value
+    medians). The in-group cumulation window is partitioned by the group
+    and bounded by OCCUPIED GRID POINTS per group — a bound set by the
+    grid pitch, not the data, so no group's size can recreate a
+    single-task funnel. Returns (group, q, value, rank_target, n_total).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.round(F.col(value_col).cast("double") * scale, 0)
+            .cast("long")
+            .alias("__qv"),
+        )
+        .groupBy("grp", "__qv")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("grp").orderBy("__qv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "grp", "__qv", F.sum("n").over(w).alias("__cum")
+    )
+    totals = counts.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("n_total")
+    )
+    targets = totals.select(
+        "grp",
+        "n_total",
+        F.explode(
+            F.array(*[F.lit(float(q)) for q in quantiles])
+        ).alias("q"),
+    ).withColumn(
+        "rank_target", F.ceil(F.col("q") * F.col("n_total")).cast("long")
+    )
+    return (
+        cum.join(targets, "grp")
+        .filter(F.col("__cum") >= F.col("rank_target"))
+        .groupBy(
+            F.col("grp").alias(group_col), "q", "rank_target", "n_total"
+        )
+        .agg(
+            (F.min("__qv").cast("double") / F.lit(float(scale))).alias("value")
+        )
+        .select(group_col, "q", "value", "rank_target", "n_total")
+    )

@@ -800,3 +800,42 @@ def test_heavy_hitters_exact_and_partition_independent(spark):
             ).collect()
         }
         assert got == expected
+
+
+def test_json_key_profile(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        json_key_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": 1, "b": "x"}',),
+            ('{"a": 2.5, "c": true}',),
+            ('{"a": -3}',),
+        ],
+        "props string",
+    )
+    out = {r.key: r for r in json_key_profile(df, "props").collect()}
+    assert out["a"].n_rows == 3
+    assert out["a"].n_int == 2 and out["a"].n_float == 1
+    assert out["b"].n_rows == 1 and out["b"].n_int == 0
+    assert out["c"].n_bool == 1
+    assert out["a"].n_distinct_values == 3
+
+
+def test_grid_group_quantiles(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.topk import (
+        grid_group_quantiles,
+    )
+
+    rows = [("s1", float(i)) for i in range(1, 11)]      # 1..10
+    rows += [("s2", 100.0)] * 4                           # constant group
+    df = spark.createDataFrame(rows, "src string, v double")
+    out = {
+        (r.src, r.q): (r.value, r.rank_target, r.n_total)
+        for r in grid_group_quantiles(df, "src", "v", [0.5, 1.0]).collect()
+    }
+    assert out[("s1", 0.5)] == (5.0, 5, 10)
+    assert out[("s1", 1.0)] == (10.0, 10, 10)
+    assert out[("s2", 0.5)] == (100.0, 2, 4)
+    assert out[("s2", 1.0)] == (100.0, 4, 4)
