@@ -8077,13 +8077,20 @@ WITH ranked AS (
          ROW_NUMBER() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS r,
          COUNT(*) OVER () AS n
   FROM documents),
-binned AS (
-  SELECT doc_id, score, r, n,
-         CAST((r - 1) * 4 // n AS BIGINT) AS bin
-  FROM ranked)
-SELECT doc_id, score, bin,
-       CAST((r - ((bin * n + 3) // 4 + 1)) * 4 + bin AS BIGINT) AS pos
-FROM binned
+p AS (
+  SELECT doc_id, score, r,
+         LEAST(4, n) AS k, n // LEAST(4, n) AS quot, n % LEAST(4, n) AS rem
+  FROM ranked),
+b AS (
+  SELECT doc_id, score, r, k, quot, rem, rem * (quot + 1) AS cut,
+         CASE WHEN r <= rem * (quot + 1) THEN (r - 1) // (quot + 1)
+              ELSE rem + (r - 1 - rem * (quot + 1)) // quot END AS bin
+  FROM p)
+SELECT doc_id, score, CAST(bin AS BIGINT) AS bin,
+       CAST((r - (CASE WHEN bin < rem THEN bin * (quot + 1) + 1
+                       ELSE cut + (bin - rem) * quot + 1 END)) * k + bin
+            AS BIGINT) AS pos
+FROM b
 """
 
 

@@ -521,16 +521,28 @@ def curriculum_interleave(
             "__n_total",
         )
     )
-    k = F.lit(int(n_bins))
     n = F.col("__n_total")
+    # clamp: more bins than rows would leave empty bins and gaps in the
+    # round-robin positions (caught by the hypothesis permutation test)
+    k = F.least(F.lit(int(n_bins)), n)
     r = F.col("__r")
-    b = F.floor((r - 1) * k / n).cast("long")
-    # first rank of bin b: smallest r with floor((r-1)k/n) = b, i.e.
-    # ceil(b·n/k)+1 — integer ceil via floor((bn + k - 1)/k) so uneven
-    # bins still interleave to a gap-free permutation
-    bin_first = F.floor((b * n + k - F.lit(1)) / k) + 1
-    r_in_bin = r - bin_first + 1
-    pos = ((r_in_bin - 1) * k + b).cast("long")
+    # NTILE-style split (first n%k bins one row larger): with bin sizes
+    # NON-INCREASING, round-robin positions (r_b-1)·k + b tile into
+    # contiguous blocks with at most one partial block — the LAST — so
+    # the result is a gap-free permutation for every (n, k). The earlier
+    # floor((r-1)k/n) binning interleaves big and small bins and leaves
+    # holes (hypothesis found n=10, k=4).
+    quot = F.floor(n / k)
+    rem = n % k
+    big = quot + 1
+    cut = rem * big
+    b = F.when(r <= cut, F.floor((r - 1) / big)).otherwise(
+        rem + F.floor((r - 1 - cut) / quot)
+    ).cast("long")
+    bin_first = F.when(b < rem, b * big + 1).otherwise(
+        cut + (b - rem) * quot + 1
+    )
+    pos = ((r - bin_first) * k + b).cast("long")
     return ranked.select(
         id_col,
         "score",
