@@ -502,6 +502,7 @@ FAMILIES = {
     "pipeline-flat": lambda s: run_pipeline_family(s, partitioned=False),
     "pipeline-part": lambda s: run_pipeline_family(s, partitioned=True),
     "sessionize": run_sessionize_family,
+    "sessionize-timeout": lambda s: run_sessionize_family(s, idle_timeout=1),
     "join": run_join_family,
     "ks": run_ks_family,
     "cms": run_cms_family,
