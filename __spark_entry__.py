@@ -1412,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE33_QUERIES,
         **_WAVE34_QUERIES,
         **_WAVE35_QUERIES,
+        **_WAVE36_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1529,6 +1530,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE33_SQL,
         **_WAVE34_SQL,
         **_WAVE35_SQL,
+        **_WAVE36_SQL,
     }
 
 
@@ -8291,4 +8293,161 @@ _WAVE35_QUERIES = {
 _WAVE35_SQL = {
     "json_key_profile_events": JSON_KEY_PROFILE_SQL,
     "value_quantiles_by_type": GROUP_QUANTILES_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 36 (round 6): point-in-time feature extraction, last-touch
+# attribution, l-diversity privacy audit, discrete inter-purchase hazard
+# table. The feature-store / attribution surface of the event log: what a
+# training pipeline reads at label time, what marketing reads per channel,
+# what governance checks before release, what churn models fit on.
+# --------------------------------------------------------------------------
+
+def pit_features_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training features per purchase label row
+    (operators/behavior.py pit_features): strictly-earlier event counts,
+    prior view count, exact cents of prior value, last prior type — ONE
+    user-partitioned window, all frames collapsed by Catalyst."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import pit_features
+
+    return pit_features(_events(spark, sf_dir))
+
+
+PIT_FEATURES_SQL = """
+WITH q AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+f AS (
+  SELECT event_id, user_id, event_type,
+         COUNT(*) OVER w AS n_prior_events,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             OVER w AS n_prior_views,
+         SUM(qv) OVER w AS cents_prior_value,
+         LAG(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS last_prior_type
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id,
+       CAST(n_prior_events AS BIGINT) AS n_prior_events,
+       CAST(COALESCE(n_prior_views, 0) AS BIGINT) AS n_prior_views,
+       CAST(COALESCE(cents_prior_value, 0) AS BIGINT) AS cents_prior_value,
+       last_prior_type
+FROM f WHERE event_type = 'purchase'
+"""
+
+
+def attribution_last_touch_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-channel last-touch attribution within 72h
+    (operators/behavior.py attribution_last_touch): packed-string running
+    max finds each purchase's latest preceding touch, conversions roll up
+    per channel."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        attribution_last_touch,
+    )
+
+    return attribution_last_touch(_events(spark, sf_dir))
+
+
+ATTRIBUTION_SQL = """
+WITH t AS (
+  SELECT event_id, user_id, event_type, ts,
+         epoch_us(ts) AS us,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv,
+         CASE WHEN event_type <> 'purchase' THEN
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+           lpad(CAST(event_id AS VARCHAR), 12, '0') || '|' || event_type
+         END AS packed
+  FROM events),
+m AS (
+  SELECT *, MAX(packed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM t)
+SELECT string_split(touch, '|')[3] AS channel,
+       COUNT(*) AS n_conversions,
+       CAST(SUM(qv) AS BIGINT) AS cents_value,
+       CAST(SUM(us - CAST(string_split(touch, '|')[1] AS BIGINT))
+            AS BIGINT) AS sum_lag_us
+FROM m
+WHERE event_type = 'purchase' AND touch IS NOT NULL
+  AND us - CAST(string_split(touch, '|')[1] AS BIGINT) <= 259200000000
+GROUP BY 1
+"""
+
+
+def l_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=5) over the same quasi-identifier bands as
+    the k-anonymity query, with user_id as the sensitive attribute
+    (operators/profiling.py l_diversity_audit) — exact count-distinct
+    per QI group."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        l_diversity_audit,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.floor(F.col("value").cast("double") / 50) * 50)
+        .cast("long")
+        .alias("value_band"),
+        "user_id",
+    )
+    return l_diversity_audit(ev, ["event_type", "value_band"], "user_id", l=5)
+
+
+L_DIVERSITY_SQL = """
+SELECT event_type,
+       CAST(FLOOR(CAST(value AS DOUBLE) / 50) * 50 AS BIGINT) AS value_band,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_sensitive,
+       COUNT(DISTINCT user_id) >= 5 AS diverse
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def purchase_gap_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete inter-purchase hazard table (operators/behavior.py
+    time_to_next_hazard): exact day-grain life table (n_events,
+    n_at_risk per gap day); the at-risk cumulation runs over the
+    day-grain rollup, bounded by the date span."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        time_to_next_hazard,
+    )
+
+    return time_to_next_hazard(_events(spark, sf_dir))
+
+
+HAZARD_SQL = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id
+  FROM events WHERE event_type = 'purchase'),
+g AS (
+  SELECT (LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us)
+         // 86400000000 AS gap_days
+  FROM p),
+d AS (
+  SELECT gap_days, COUNT(*) AS n_events
+  FROM g WHERE gap_days IS NOT NULL GROUP BY 1)
+SELECT gap_days, CAST(n_events AS BIGINT) AS n_events,
+       CAST(SUM(n_events) OVER (ORDER BY gap_days DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_at_risk
+FROM d
+"""
+
+_WAVE36_QUERIES = {
+    "pit_features_purchases": pit_features_purchases,
+    "attribution_last_touch_events": attribution_last_touch_events,
+    "l_diversity_events": l_diversity_events,
+    "purchase_gap_hazard": purchase_gap_hazard,
+}
+_WAVE36_SQL = {
+    "pit_features_purchases": PIT_FEATURES_SQL,
+    "attribution_last_touch_events": ATTRIBUTION_SQL,
+    "l_diversity_events": L_DIVERSITY_SQL,
+    "purchase_gap_hazard": HAZARD_SQL,
 }

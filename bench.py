@@ -236,6 +236,11 @@ BENCH_QUERIES = [
     # wave 35: JSON key profiling + per-group grid quantiles (round 6)
     "json_key_profile_events",
     "value_quantiles_by_type",
+    # wave 36: PIT features, attribution, l-diversity, hazard (round 6)
+    "pit_features_purchases",
+    "attribution_last_touch_events",
+    "l_diversity_events",
+    "purchase_gap_hazard",
 ]
 
 

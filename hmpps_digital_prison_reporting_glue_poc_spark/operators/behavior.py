@@ -610,3 +610,197 @@ def decayed_item_counts(
             ).alias("decayed_count"),
         )
     )
+
+
+def pit_features(
+    events: DataFrame,
+    label_type: str = "purchase",
+    feature_type: str = "view",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Point-in-time-correct training features: for every ``label_type``
+    event, aggregates of the SAME user's strictly-earlier events — the
+    leakage-free feature extraction a feature store performs when it
+    materializes training rows ("what did the model know at prediction
+    time"). Using any same-or-later event would leak the future into the
+    features; the strict ROWS ... AND 1 PRECEDING frame makes the cutoff
+    exact per label row, not per day.
+
+    One user-partitioned window (all four feature frames share the same
+    (partition, order) spec, so Catalyst collapses them into a single
+    Window node over ONE shuffle on the user key). Values quantize to
+    integer cents so running sums are exact int64s, portable across
+    engines. Returns (event_id, user_id, n_prior_events, n_prior_views,
+    cents_prior_value, last_prior_type) for each label event.
+    """
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_lag = Window.partitionBy(user_col).orderBy(*order)
+    qv = (
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv")
+    )
+    df = events.select(id_col, user_col, type_col, ts_col, qv)
+    feats = (
+        df.withColumn("n_prior_events", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_prior_views",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col(type_col) == feature_type, 1).otherwise(0)
+                ).over(w),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "cents_prior_value",
+            F.coalesce(F.sum("__qv").over(w), F.lit(0)),
+        )
+        .withColumn("last_prior_type", F.lag(type_col).over(w_lag))
+    )
+    return feats.filter(F.col(type_col) == label_type).select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col("n_prior_events").cast("long").alias("n_prior_events"),
+        F.col("n_prior_views").cast("long").alias("n_prior_views"),
+        F.col("cents_prior_value").cast("long").alias("cents_prior_value"),
+        F.col("last_prior_type"),
+    )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    window_hours: int = 72,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Last-touch conversion attribution: each ``conversion_type`` event
+    is credited to the latest preceding NON-conversion event of the same
+    user within ``window_hours`` — the channel-performance rollup behind
+    marketing spend allocation.
+
+    The "latest preceding touch" is a running MAX over a packed sortable
+    string ``zero-padded epoch_us | zero-padded event_id | type`` on the
+    strict 1-PRECEDING frame — an order-free aggregate both engines
+    evaluate identically (a struct max would depend on engine-specific
+    struct ordering). One user-partitioned window, then a channel-grain
+    groupBy of conversions only: the event log shuffles once on the user
+    key and once on the (tiny) channel key. Returns per channel:
+    (channel, n_conversions, cents_value, sum_lag_us).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    packed = F.when(
+        F.col(type_col) != conversion_type,
+        F.concat_ws(
+            "|",
+            F.lpad(us.cast("string"), 20, "0"),
+            F.lpad(F.col(id_col).cast("string"), 12, "0"),
+            F.col(type_col),
+        ),
+    )
+    qv = (
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv")
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = events.select(
+        F.col(user_col),
+        F.col(type_col),
+        F.col(ts_col),
+        F.col(id_col),
+        qv,
+        packed.alias("__packed"),
+        us.alias("__us"),
+    ).withColumn("__touch", F.max("__packed").over(w))
+    parts = F.split(F.col("__touch"), "\\|")
+    touch_us = parts.getItem(0).cast("long")
+    lag_us = F.col("__us") - touch_us
+    conv = staged.filter(
+        (F.col(type_col) == conversion_type)
+        & F.col("__touch").isNotNull()
+        & (lag_us <= F.lit(int(window_hours) * 3_600_000_000))
+    )
+    return (
+        conv.select(
+            parts.getItem(2).alias("channel"),
+            F.col("__qv"),
+            lag_us.alias("__lag_us"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum("__qv").cast("long").alias("cents_value"),
+            F.sum("__lag_us").cast("long").alias("sum_lag_us"),
+        )
+    )
+
+
+def time_to_next_hazard(
+    events: DataFrame,
+    target_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Discrete hazard table for inter-purchase time — the exact
+    (day-grain) life table behind repeat-purchase / churn survival
+    curves: for each whole-day gap ``d`` between a user's consecutive
+    ``target_type`` events, ``n_events`` = gaps of exactly ``d`` days
+    and ``n_at_risk`` = gaps of at least ``d`` days, so the discrete
+    hazard is n_events/n_at_risk and the Kaplan-Meier survival curve is
+    the consumer-side running product of (1 - hazard).
+
+    Gaps come from one LEAD over the user partition (one shuffle);
+    day-binning is exact integer division of the microsecond delta. The
+    final at-risk cumulation IS a global ordered window, but its input
+    is the day-grain rollup whose cardinality is bounded by the corpus
+    date span in days (30 here, ~10^4 for decades) — bounded by
+    construction, never by data volume, the same argument as the
+    1024-point KS grid. Returns (gap_days, n_events, n_at_risk).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    p = events.filter(F.col("event_type") == target_type).select(
+        F.col(user_col), us.alias("__us"), F.col(id_col)
+    )
+    gaps = (
+        p.withColumn("__next", F.lead("__us").over(
+            Window.partitionBy(user_col).orderBy(
+                F.col("__us").asc(), F.col(id_col).asc()
+            )
+        ))
+        .filter(F.col("__next").isNotNull())
+        .select(
+            F.expr("(__next - __us) DIV 86400000000").alias("gap_days")
+        )
+    )
+    d = gaps.groupBy("gap_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    w_risk = Window.orderBy(F.col("gap_days").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.select(
+        F.col("gap_days"),
+        F.col("n_events"),
+        F.sum("n_events").over(w_risk).cast("long").alias("n_at_risk"),
+    )

@@ -129,3 +129,33 @@ def json_key_profile(df: DataFrame, json_col: str) -> DataFrame:
         F.sum(F.when(is_bool, 1).otherwise(0)).cast("long").alias("n_bool"),
         F.countDistinct("val").cast("long").alias("n_distinct_values"),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 5,
+) -> DataFrame:
+    """l-diversity audit — the companion check to ``k_anonymity_audit``:
+    a quasi-identifier group can be large (k-anonymous) yet still leak
+    the sensitive attribute if everyone in it shares one value. Each QI
+    combination reports its row count, the EXACT number of distinct
+    sensitive values, and whether it meets the ``l`` bar.
+
+    One groupBy with an exact count-distinct (Spark's two-phase
+    partial-distinct expansion: dedup map-side on (QI, sensitive), then
+    count — no driver state, no approximation, because a privacy
+    verdict from an approximate sketch is not a verdict). Shuffle = the
+    one the problem requires, on the QI tuple.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(sensitive_col)
+            .cast("long")
+            .alias("n_distinct_sensitive"),
+        )
+        .withColumn("diverse", F.col("n_distinct_sensitive") >= l)
+    )
