@@ -1413,6 +1413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE34_QUERIES,
         **_WAVE35_QUERIES,
         **_WAVE36_QUERIES,
+        **_WAVE37_QUERIES,
+        **_WAVE38_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1531,6 +1533,8 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE34_SQL,
         **_WAVE35_SQL,
         **_WAVE36_SQL,
+        **_WAVE37_SQL,
+        **_WAVE38_SQL,
     }
 
 
@@ -8450,4 +8454,320 @@ _WAVE36_SQL = {
     "attribution_last_touch_events": ATTRIBUTION_SQL,
     "l_diversity_events": L_DIVERSITY_SQL,
     "purchase_gap_hazard": HAZARD_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 37 (round 6): blocked fuzzy record linkage, smoothed target
+# encoding, chi-square feature/label screen, shuffle-key skew histogram.
+# The feature-engineering and join-planning surface: how a pipeline links
+# dirty entities, encodes categoricals, screens features, and decides
+# whether a key is safe to shuffle on.
+# --------------------------------------------------------------------------
+
+def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-linkage of part names (operators/joins.py
+    fuzzy_block_match): block on the name's last token, verify with
+    JVM levenshtein <= 4, distinct-name vertices weighted by occurrence
+    count — no cross join anywhere."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.joins import fuzzy_block_match
+
+    part = _t(spark, sf_dir, "part")
+    return fuzzy_block_match(
+        part,
+        "p_name",
+        F.regexp_extract(F.col("p_name"), r"(\S+)$", 1),
+        max_dist=4,
+    )
+
+
+FUZZY_MATCH_SQL = r"""
+WITH names AS (
+  SELECT regexp_extract(p_name, '(\S+)$', 1) AS block_key,
+         p_name AS name, COUNT(*) AS n
+  FROM part GROUP BY 1, 2)
+SELECT a.block_key,
+       a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+FROM names a JOIN names b
+  ON a.block_key = b.block_key AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 4
+"""
+
+
+def target_encoding_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of event_type against cents(value)
+    (operators/mixing.py target_encode): per-category mean shrunk toward
+    the broadcast global prior with pseudo-count m=100; int64 cents sums,
+    one fixed-tree double division per side."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import target_encode
+
+    return target_encode(_events(spark, sf_dir), "event_type")
+
+
+TARGET_ENCODE_SQL = """
+WITH q AS (
+  SELECT event_type AS cat,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+per_cat AS (
+  SELECT cat, COUNT(*) AS n, CAST(SUM(qv) AS BIGINT) AS sum_cents
+  FROM q GROUP BY 1),
+tot AS (
+  SELECT COUNT(*) AS n_all, CAST(SUM(qv) AS BIGINT) AS s_all FROM q)
+SELECT cat, CAST(n AS BIGINT) AS n, sum_cents,
+       (CAST(sum_cents AS DOUBLE)
+        + 100.0 * (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+       / (CAST(n AS DOUBLE) + 100.0) AS encoded
+FROM per_cat CROSS JOIN tot
+"""
+
+
+def chi2_value_band_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square screen of the 50-unit value band against the purchase
+    label (operators/profiling.py chi2_feature_label): 2x2 cells from one
+    band groupBy + broadcast totals; fixed double expression tree over
+    exact counts."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        chi2_feature_label,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        (F.floor(F.col("value").cast("double") / 50) * 50)
+        .cast("long")
+        .alias("value_band"),
+        "event_type",
+    )
+    return chi2_feature_label(
+        ev, "value_band", F.col("event_type") == "purchase"
+    ).withColumnRenamed("bin", "value_band")
+
+
+CHI2_SQL = """
+WITH b AS (
+  SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 50) * 50 AS BIGINT) AS value_band,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events),
+per_bin AS (
+  SELECT value_band, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM b GROUP BY 1),
+tot AS (
+  SELECT COUNT(*) AS T, CAST(SUM(pos) AS BIGINT) AS P FROM b),
+cells AS (
+  -- mirror the Spark expression tree EXACTLY: each cell is int64
+  -- arithmetic first, cast to double second (all counts < 2^53 so the
+  -- cast is exact); the statistic below is the same left-associative
+  -- double chain Spark evaluates.
+  SELECT value_band, n, n_pos,
+         CAST(n_pos AS DOUBLE) AS a,
+         CAST(n - n_pos AS DOUBLE) AS bb,
+         CAST(P - n_pos AS DOUBLE) AS c,
+         CAST(T - n - (P - n_pos) AS DOUBLE) AS d,
+         CAST(T AS DOUBLE) AS t
+  FROM per_bin CROSS JOIN tot)
+SELECT value_band, CAST(n AS BIGINT) AS n, n_pos,
+       CASE WHEN (a + bb) * (c + d) * (a + c) * (bb + d) > 0
+            THEN t * (a * d - bb * c) * (a * d - bb * c)
+                 / ((a + bb) * (c + d) * (a + c) * (bb + d))
+            ELSE 0.0 END AS chi2
+FROM cells
+"""
+
+
+def user_key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2 histogram of events-per-user (operators/profiling.py
+    key_skew_histogram): exact binary-digit-count bucketing of group
+    sizes — the pre-shuffle skew check for the user_id key."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        key_skew_histogram,
+    )
+
+    return key_skew_histogram(_events(spark, sf_dir), ["user_id"])
+
+
+KEY_SKEW_SQL = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1)
+SELECT CAST(LENGTH(bin(cnt)) - 1 AS BIGINT) AS log2_bucket,
+       COUNT(*) AS n_keys,
+       CAST(MIN(cnt) AS BIGINT) AS min_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_rows,
+       CAST(SUM(cnt) AS BIGINT) AS sum_rows
+FROM c GROUP BY 1
+"""
+
+_WAVE37_QUERIES = {
+    "fuzzy_part_matches": fuzzy_part_matches,
+    "target_encoding_event_type": target_encoding_event_type,
+    "chi2_value_band_purchase": chi2_value_band_purchase,
+    "user_key_skew_histogram": user_key_skew_histogram,
+}
+_WAVE37_SQL = {
+    "fuzzy_part_matches": FUZZY_MATCH_SQL,
+    "target_encoding_event_type": TARGET_ENCODE_SQL,
+    "chi2_value_band_purchase": CHI2_SQL,
+    "user_key_skew_histogram": KEY_SKEW_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 38 (round 6): split-leakage audit (dedup x splits), exact
+# 2-D Pareto frontier (bucketed skyline), trailing-7-day revenue, and the
+# user value-decile transition matrix (parallel exact ranks twice).
+# Cross-cutting compositions: the ops a pipeline runs across stage
+# boundaries — eval hygiene, multi-objective selection, topline smoothing,
+# rank migration.
+# --------------------------------------------------------------------------
+
+def split_leakage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate leakage across train/val/test splits
+    (operators/corpus.py split_leakage_audit) on the corpus with injected
+    exact copies: per split pair, fingerprints present on both sides and
+    the documents they implicate — pre-aggregated so the fingerprint
+    self-join fans out at most C(3,2) per fingerprint."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import split_leakage_audit
+
+    corpus = _dup_corpus(spark, sf_dir, mutate=False)
+    fp = dd.fingerprint(corpus, "doc_id", "text")
+    assigned = cp.split_assign(fp, id_col="doc_id", salt="v1")
+    return split_leakage_audit(assigned, "fingerprint", "split")
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+assigned AS (
+  SELECT md5(text) AS fp,
+         CASE
+           WHEN CAST(('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0 < 0.8 THEN 'train'
+           WHEN CAST(('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0 < 0.9 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM corpus),
+per AS (SELECT fp, split, COUNT(*) AS cnt FROM assigned GROUP BY 1, 2)
+SELECT a.split AS split_a, b.split AS split_b,
+       COUNT(*) AS n_shared_fps,
+       CAST(SUM(a.cnt) AS BIGINT) AS n_docs_a,
+       CAST(SUM(b.cnt) AS BIGINT) AS n_docs_b
+FROM per a JOIN per b ON a.fp = b.fp AND a.split < b.split
+GROUP BY 1, 2
+"""
+
+
+def pareto_front_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D skyline of documents maximizing (n_chars, distinct
+    tokens) — operators/sampling.py pareto_front_2d: range-bucketed
+    dominance, no O(n²) anti-join, no table-spanning window."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.sampling import pareto_front_2d
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("xc"),
+        F.size(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda c: c != "")
+            )
+        )
+        .cast("long")
+        .alias("yc"),
+    )
+    return pareto_front_2d(docs, "doc_id", "xc", "yc")
+
+
+PARETO_SQL = """
+WITH pts AS (
+  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                            c -> c <> ''))) AS BIGINT) AS y
+  FROM documents)
+SELECT id, x, y FROM pts t
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts o
+  WHERE o.x >= t.x AND o.y >= t.y AND (o.x > t.x OR o.y > t.y))
+"""
+
+
+def rolling_revenue_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day purchase revenue (operators/behavior.py
+    rolling_daily_revenue): RANGE window over integer epoch-day on the
+    day-grain rollup — gap-correct, bounded by the date span."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        rolling_daily_revenue,
+    )
+
+    return rolling_daily_revenue(_events(spark, sf_dir))
+
+
+ROLLING_REV_SQL = """
+WITH q AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events WHERE event_type = 'purchase'),
+d AS (
+  SELECT day, CAST(SUM(qv) AS BIGINT) AS cents_day,
+         datediff('day', DATE '1970-01-01', day) AS ord
+  FROM q GROUP BY 1)
+SELECT day, cents_day,
+       CAST(SUM(cents_day) OVER (ORDER BY ord
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_7d,
+       CAST(COUNT(*) OVER (ORDER BY ord
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_days_7d
+FROM d
+"""
+
+
+def user_value_decile_transition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decile migration of per-user purchase value between the first and
+    second halves of the span (operators/behavior.py
+    value_decile_transition): exact per-period ranks via the range-bucket
+    + broadcast-offset idiom, deciles closed-form in (rank, n)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        value_decile_transition,
+    )
+
+    return value_decile_transition(_events(spark, sf_dir))
+
+
+DECILE_TRANSITION_SQL = """
+WITH q AS (
+  SELECT user_id AS u,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events WHERE event_type = 'purchase'),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM q),
+per AS (
+  SELECT u,
+         CASE WHEN d >= (SELECT (lo + hi + 1) // 2 FROM span)
+              THEN 1 ELSE 0 END AS period,
+         CAST(SUM(qv) AS BIGINT) AS cents
+  FROM q GROUP BY 1, 2),
+ranked AS (
+  SELECT u, period,
+         (10 * (ROW_NUMBER() OVER (PARTITION BY period ORDER BY cents, u)
+                - 1))
+         // (COUNT(*) OVER (PARTITION BY period)) AS tile
+  FROM per)
+SELECT CAST(p0.tile AS BIGINT) AS decile_from,
+       CAST(p1.tile AS BIGINT) AS decile_to,
+       COUNT(*) AS n_users
+FROM ranked p0 JOIN ranked p1 ON p0.u = p1.u
+WHERE p0.period = 0 AND p1.period = 1
+GROUP BY 1, 2
+"""
+
+_WAVE38_QUERIES = {
+    "split_leakage_docs": split_leakage_docs,
+    "pareto_front_docs": pareto_front_docs,
+    "rolling_revenue_daily": rolling_revenue_daily,
+    "user_value_decile_transition": user_value_decile_transition,
+}
+_WAVE38_SQL = {
+    "split_leakage_docs": SPLIT_LEAKAGE_SQL,
+    "pareto_front_docs": PARETO_SQL,
+    "rolling_revenue_daily": ROLLING_REV_SQL,
+    "user_value_decile_transition": DECILE_TRANSITION_SQL,
 }

@@ -241,6 +241,16 @@ BENCH_QUERIES = [
     "attribution_last_touch_events",
     "l_diversity_events",
     "purchase_gap_hazard",
+    # wave 37: fuzzy linkage, target encoding, chi2 screen, key skew (round 6)
+    "fuzzy_part_matches",
+    "target_encoding_event_type",
+    "chi2_value_band_purchase",
+    "user_key_skew_histogram",
+    # wave 38: split leakage, Pareto skyline, rolling revenue, decile moves (round 6)
+    "split_leakage_docs",
+    "pareto_front_docs",
+    "rolling_revenue_daily",
+    "user_value_decile_transition",
 ]
 
 

@@ -804,3 +804,153 @@ def time_to_next_hazard(
         F.col("n_events"),
         F.sum("n_events").over(w_risk).cast("long").alias("n_at_risk"),
     )
+
+
+def rolling_daily_revenue(
+    events: DataFrame,
+    target_type: str = "purchase",
+    window_days: int = 7,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Trailing-N-day revenue: per-day cents plus the ``window_days``
+    rolling sum and the count of observed days in the window — the
+    smoothed topline a dashboard draws over raw daily noise.
+
+    The rolling frame is a RANGE window over the integer epoch-day of
+    the DAY-GRAIN rollup, so gaps in the calendar shorten the window
+    arithmetically (no row-frame off-by-gaps bug) and the ordered window
+    runs over one row per day — bounded by the corpus date span by
+    construction (30 here, ~10^4 for decades), never by event volume;
+    the same argument as the hazard table's at-risk cumulation. Returns
+    (day, cents_day, cents_7d, n_days_7d).
+    """
+    qv = (
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv")
+    )
+    daily = (
+        events.filter(F.col(type_col) == target_type)
+        .select(F.to_date(F.col(ts_col)).alias("day"), qv)
+        .groupBy("day")
+        .agg(F.sum("__qv").cast("long").alias("cents_day"))
+        .withColumn(
+            "__ord", F.datediff(F.col("day"), F.lit("1970-01-01"))
+        )
+    )
+    w = Window.orderBy("__ord").rangeBetween(-(window_days - 1), 0)
+    return daily.select(
+        "day",
+        "cents_day",
+        F.sum("cents_day").over(w).cast("long").alias("cents_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_days_7d"),
+    )
+
+
+def value_decile_transition(
+    events: DataFrame,
+    target_type: str = "purchase",
+    n_tiles: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 100,
+    bucket_cents: int = 5_000,
+) -> DataFrame:
+    """User-value decile transition matrix: rank users by spend in the
+    first and second halves of the observation period, and count users
+    per (decile_then, decile_now) cell — the rank-stability / churn-risk
+    migration table behind "are our top customers still our top
+    customers".
+
+    Exact deciles WITHOUT a table-spanning window: per period, the
+    range-bucket + in-bucket row_number + broadcast cumulative-offset
+    idiom (corpus.global_sort_rank / the ntile fix) yields the exact
+    global rank r under the unique total order (cents, user), and the
+    decile is closed-form (n_tiles·(r−1)) div n. The period boundary is
+    the integer midpoint day of the observed span (broadcast 1-row
+    aggregate), so the split is data-derived but deterministic. Only
+    users active in BOTH periods transition. Returns
+    (decile_from, decile_to, n_users).
+    """
+    qv = (
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv")
+    )
+    base = events.filter(F.col(type_col) == target_type).select(
+        F.col(user_col).alias("user"),
+        F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).alias(
+            "__d"
+        ),
+        qv,
+    )
+    span = base.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    mid = ((F.col("__lo") + F.col("__hi") + F.lit(1)) / 2).cast("long")
+    per_up = (
+        base.crossJoin(F.broadcast(span))
+        .withColumn("period", (F.col("__d") >= mid).cast("int"))
+        .groupBy("user", "period")
+        .agg(F.sum("__qv").cast("long").alias("cents"))
+    )
+    # Exact per-period rank: range-bucket on cents, rank in-bucket, add
+    # per-(period, bucket) cumulative offsets (a tiny rollup: windows on
+    # it are bounded by n_periods x n_buckets by construction).
+    bucketed = per_up.withColumn(
+        "__b", F.floor(F.col("cents") / F.lit(bucket_cents)).cast("long")
+    )
+    counts = bucketed.groupBy("period", "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy("period")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "period",
+        "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = counts.groupBy("period").agg(
+        F.sum("__n").cast("long").alias("__tot")
+    )
+    w_in = Window.partitionBy("period", "__b").orderBy("cents", "user")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), ["period", "__b"])
+        .join(F.broadcast(totals), "period")
+        .select(
+            "user",
+            "period",
+            F.expr(
+                f"({n_tiles} * (row_number() over (partition by period, __b "
+                "order by cents, user) + __off - 1)) div __tot"
+            ).alias("tile"),
+        )
+    )
+    # Pair the two periods with ONE user-keyed aggregation instead of a
+    # self-join: a self-join on `ranked` would duplicate the whole rank
+    # lineage (plan fingerprint showed 10 Exchanges) — the conditional-max
+    # pivot reads it once.
+    paired = ranked.groupBy("user").agg(
+        F.max(F.when(F.col("period") == 0, F.col("tile"))).alias(
+            "decile_from"
+        ),
+        F.max(F.when(F.col("period") == 1, F.col("tile"))).alias(
+            "decile_to"
+        ),
+    )
+    return (
+        paired.filter(
+            F.col("decile_from").isNotNull()
+            & F.col("decile_to").isNotNull()
+        )
+        .groupBy("decile_from", "decile_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -924,3 +924,46 @@ def line_dedup(
     if not keep_empty_docs:
         out = out.filter(F.col("n_kept") > 0)
     return out
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    fp_col: str = "fingerprint",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test leakage audit: for every pair of splits, how many
+    exact-duplicate fingerprints appear on BOTH sides — the contamination
+    check a pipeline runs after ``split_assign`` before shipping an eval
+    set (a doc whose duplicate sits in train inflates every metric).
+
+    Pre-aggregating to (fingerprint, split, count) FIRST bounds the
+    self-join fan-out at C(n_splits, 2) pairs per fingerprint — never
+    C(dups, 2) row pairs — so the audit's cost is one shuffle on the
+    fingerprint key regardless of how pathological the duplicate families
+    are. Returns (split_a, split_b, n_shared_fps, n_docs_a, n_docs_b)
+    where n_docs_x counts the split-x documents whose fingerprint also
+    occurs in the other split of the pair.
+    """
+    per = df.groupBy(
+        F.col(fp_col).alias("__fp"), F.col(split_col).alias("__split")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    a = per.select(
+        "__fp",
+        F.col("__split").alias("split_a"),
+        F.col("__cnt").alias("__ca"),
+    )
+    b = per.select(
+        "__fp",
+        F.col("__split").alias("split_b"),
+        F.col("__cnt").alias("__cb"),
+    )
+    return (
+        a.join(b, "__fp")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_fps"),
+            F.sum("__ca").cast("long").alias("n_docs_a"),
+            F.sum("__cb").cast("long").alias("n_docs_b"),
+        )
+    )

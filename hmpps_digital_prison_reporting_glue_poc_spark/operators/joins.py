@@ -205,3 +205,74 @@ def interval_join(
         )
         .drop("__bin")
     )
+
+
+def fuzzy_block_match(
+    df: DataFrame,
+    name_col: str,
+    block_col,
+    max_dist: int = 3,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Record linkage by blocking + edit-distance verify: candidate pairs
+    are generated ONLY within a block (an equi-join on ``block_col``, e.g.
+    a phonetic code, a sort-key prefix, or the name's last token), then
+    verified with JVM-side ``levenshtein`` <= ``max_dist`` — the standard
+    way to get fuzzy matching without the O(n²) cross join that a naive
+    `levenshtein(a, b) < k` theta-join forces.
+
+    Matches on DISTINCT names, weighted by occurrence count: the same
+    name appearing r times contributes one vertex with ``n_a``/``n_b``
+    frequency, not C(r, 2) trivial pairs — candidate volume scales with
+    vocabulary, not corpus rows. ``max_block`` drops blocks larger than
+    the cap (the ``max_df`` hot-token convention from ``jaccard_pairs``):
+    a degenerate block ("", "smith") otherwise reintroduces the
+    quadratic. Pair order is canonical (name_a < name_b). Returns
+    (block_key, name_a, name_b, dist, n_a, n_b).
+    """
+    names = (
+        df.select(
+            F.col(name_col).alias("__name"),
+            F.col(block_col).alias("__blk") if isinstance(block_col, str)
+            else block_col.alias("__blk"),
+        )
+        .groupBy("__blk", "__name")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        names = (
+            names.withColumn(
+                "__bsz",
+                F.count(F.lit(1)).over(Window.partitionBy("__blk")),
+            )
+            .filter(F.col("__bsz") <= max_block)
+            .drop("__bsz")
+        )
+    a = names.select(
+        F.col("__blk"),
+        F.col("__name").alias("name_a"),
+        F.col("__n").alias("n_a"),
+    )
+    b = names.select(
+        F.col("__blk"),
+        F.col("__name").alias("name_b"),
+        F.col("__n").alias("n_b"),
+    )
+    return (
+        a.join(b, on="__blk", how="inner")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b"))
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("__blk").alias("block_key"),
+            "name_a",
+            "name_b",
+            F.col("dist").cast("long").alias("dist"),
+            "n_a",
+            "n_b",
+        )
+    )

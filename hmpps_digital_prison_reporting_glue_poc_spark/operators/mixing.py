@@ -549,3 +549,50 @@ def curriculum_interleave(
         b.alias("bin"),
         pos.alias("pos"),
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    value_col: str = "value",
+    m: float = 100.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Smoothed target encoding — the categorical-feature encoder of
+    gradient-boosting pipelines: each category's target mean shrunk
+    toward the global prior with pseudo-count ``m``, so rare categories
+    don't memorize their few labels (encoded = (sum + m·prior)/(n + m)).
+
+    Targets quantize to integer cents (exact int64 sums, engine-portable);
+    the ONLY floating-point steps are the two final divisions, written as
+    a fixed expression tree (prior = S/N computed once, then one
+    fused multiply-add-free chain) so Spark and any ANSI engine produce
+    bit-identical doubles. The global prior is a 1-row aggregate
+    broadcast-cross-joined onto the per-category rollup — one shuffle on
+    the category key, nothing else. Returns (cat, n, sum_cents, encoded).
+    """
+    qv = (
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv")
+    )
+    per_cat = (
+        df.select(F.col(cat_col).alias("cat"), qv)
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__qv").cast("long").alias("sum_cents"),
+        )
+    )
+    totals = df.select(qv).agg(
+        F.count(F.lit(1)).cast("long").alias("__N"),
+        F.sum("__qv").cast("long").alias("__S"),
+    )
+    prior = F.col("__S").cast("double") / F.col("__N").cast("double")
+    enc = (
+        F.col("sum_cents").cast("double") + F.lit(float(m)) * prior
+    ) / (F.col("n").cast("double") + F.lit(float(m)))
+    return (
+        per_cat.crossJoin(F.broadcast(totals))
+        .select("cat", "n", "sum_cents", enc.alias("encoded"))
+    )

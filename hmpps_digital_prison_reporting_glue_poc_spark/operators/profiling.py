@@ -159,3 +159,81 @@ def l_diversity_audit(
         )
         .withColumn("diverse", F.col("n_distinct_sensitive") >= l)
     )
+
+
+def chi2_feature_label(
+    df: DataFrame,
+    feature_col: str,
+    label_col,
+) -> DataFrame:
+    """Per-bin chi-square feature/label screen — the univariate relevance
+    test a feature-selection pass runs before training: for each value of
+    ``feature_col`` and a boolean label, the 2x2 contingency chi-square
+    contribution T·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) where a = positives
+    in the bin, b = negatives in the bin, c/d = the rest of the corpus.
+
+    All four cells derive from ONE groupBy on the feature (a, bin size)
+    plus a broadcast 1-row total (P positives, T rows): c = P − a,
+    d = (T − n) − c. The statistic is per-row scalar arithmetic over
+    exact int64 counts with a fixed double expression tree — no log, no
+    order-dependent float sum — so any ANSI engine reproduces it bit-for-
+    bit. Returns (bin, n, n_pos, chi2).
+    """
+    lab = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    binned = df.select(
+        F.col(feature_col).alias("bin"),
+        F.when(lab, 1).otherwise(0).alias("__pos"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__pos").cast("long").alias("n_pos"),
+    )
+    totals = binned.agg(
+        F.count(F.lit(1)).cast("long").alias("__T"),
+        F.sum("__pos").cast("long").alias("__P"),
+    )
+    a = F.col("n_pos").cast("double")
+    b = (F.col("n") - F.col("n_pos")).cast("double")
+    c = (F.col("__P") - F.col("n_pos")).cast("double")
+    d = (
+        F.col("__T") - F.col("n") - (F.col("__P") - F.col("n_pos"))
+    ).cast("double")
+    t = F.col("__T").cast("double")
+    num = t * (a * d - b * c) * (a * d - b * c)
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = F.when(den > F.lit(0.0), num / den).otherwise(F.lit(0.0))
+    return (
+        per_bin.crossJoin(F.broadcast(totals))
+        .select("bin", "n", "n_pos", chi2.alias("chi2"))
+    )
+
+
+def key_skew_histogram(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Partition-skew diagnostic: the log2 histogram of group sizes for a
+    prospective shuffle key — the first thing to look at before keying a
+    100 TB join or aggregation on a column ("how hot is the hottest
+    key?"). Each key's row count lands in bucket floor(log2(count)),
+    computed EXACTLY as length(bin(count)) − 1 (binary digit count, no
+    floating-point log that could round differently across engines near
+    powers of two).
+
+    Two shuffles by construction: one on the candidate key (the count
+    being diagnosed), one on the ~64-value bucket grain. Returns
+    (log2_bucket, n_keys, min_rows, max_rows, sum_rows).
+    """
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    bucket = (F.length(F.bin(F.col("__cnt"))) - 1).cast("long")
+    return (
+        counts.select(bucket.alias("log2_bucket"), "__cnt")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.min("__cnt").cast("long").alias("min_rows"),
+            F.max("__cnt").cast("long").alias("max_rows"),
+            F.sum("__cnt").cast("long").alias("sum_rows"),
+        )
+    )

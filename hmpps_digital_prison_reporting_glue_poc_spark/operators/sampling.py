@@ -204,3 +204,76 @@ def negative_samples(
             F.col(id_col).alias("negative_id"),
         )
     )
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline), both dimensions maximized:
+    the rows no other row weakly dominates (x' >= x, y' >= y, one
+    strict) — multi-objective best-of selection ("longest AND most
+    lexically diverse documents") without scoring-function guesswork.
+
+    The naive skyline is an O(n²) dominance anti-join or a global sort
+    through one task. Instead, integer x is range-bucketed into
+    ``n_buckets`` slices (width from a broadcast 1-row min/max):
+    * cross-bucket dominance collapses to the per-bucket y-maximum — an
+      (at most) n_buckets-row rollup whose suffix-max window is bounded
+      by construction; a row survives buckets above it iff y > that
+      suffix max (x there is strictly larger);
+    * same-bucket, larger-x dominance is a bucket-partitioned RANGE
+      window (max y over x' >= x+1 — exact for integer x);
+    * same-x dominance is a max-y-per-x partition (survive iff y equals
+      it; equal (x, y) duplicates are mutually non-dominating and all
+      kept, matching the weak-dominance definition).
+    Every table-sized window is partitioned; the only ordered-unbounded
+    window runs on the n_buckets-row rollup. Returns (id, x, y) rows of
+    the frontier.
+    """
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    span = pts.agg(F.min("x").alias("__lo"), F.max("x").alias("__hi"))
+    width = F.greatest(
+        F.floor((F.col("__hi") - F.col("__lo")) / n_buckets) + 1, F.lit(1)
+    )
+    bucketed = pts.crossJoin(F.broadcast(span)).select(
+        "id",
+        "x",
+        "y",
+        F.floor((F.col("x") - F.col("__lo")) / width).cast("long").alias(
+            "__b"
+        ),
+    )
+    bmax = bucketed.groupBy("__b").agg(F.max("y").alias("__by"))
+    w_above = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    above = bmax.select(
+        "__b", F.max("__by").over(w_above).alias("__above_max")
+    )
+    w_gt_x = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("x").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same_x = Window.partitionBy("x")
+    flagged = (
+        bucketed.join(F.broadcast(above), "__b")
+        .withColumn("__max_y_gt_x", F.max("y").over(w_gt_x))
+        .withColumn("__max_y_same_x", F.max("y").over(w_same_x))
+    )
+    return flagged.filter(
+        (F.col("__above_max").isNull() | (F.col("y") > F.col("__above_max")))
+        & (
+            F.col("__max_y_gt_x").isNull()
+            | (F.col("y") > F.col("__max_y_gt_x"))
+        )
+        & (F.col("y") == F.col("__max_y_same_x"))
+    ).select("id", "x", "y")
