@@ -8315,7 +8315,10 @@ def pit_features_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-partitioned window, all frames collapsed by Catalyst."""
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import pit_features
 
-    return pit_features(_events(spark, sf_dir))
+    # max_user_events=100000: non-binding at test SFs (users have hundreds
+    # of events) but drops a bot user whose single window partition would
+    # otherwise be the straggler task (10x stress: 69x task skew)
+    return pit_features(_events(spark, sf_dir), max_user_events=100_000)
 
 
 PIT_FEATURES_SQL = """
@@ -8354,7 +8357,9 @@ def attribution_last_touch_events(
         attribution_last_touch,
     )
 
-    return attribution_last_touch(_events(spark, sf_dir))
+    # max_user_events=100000: same hot-user gate as pit_features (10x
+    # stress: 231x task skew on the bot's packed-string running max)
+    return attribution_last_touch(_events(spark, sf_dir), max_user_events=100_000)
 
 
 ATTRIBUTION_SQL = """

@@ -622,6 +622,7 @@ def pit_features(
     id_col: str = "event_id",
     value_col: str = "value",
     scale: int = 100,
+    max_user_events: int | None = None,
 ) -> DataFrame:
     """Point-in-time-correct training features: for every ``label_type``
     event, aggregates of the SAME user's strictly-earlier events — the
@@ -638,6 +639,19 @@ def pit_features(
     engines. Returns (event_id, user_id, n_prior_events, n_prior_views,
     cents_prior_value, last_prior_type) for each label event.
     """
+    if max_user_events is not None:
+        # hot-user pruning (the max_turns/max_basket/max_df convention;
+        # round-6 10x stress: one planted 300k-event bot funneled its
+        # whole user partition into a 69x-straggler task). A six-figure-
+        # event user is bot traffic whose PIT features would poison
+        # training anyway; the over-cap user set is tiny and broadcast.
+        over = (
+            events.groupBy(F.col(user_col))
+            .agg(F.count(F.lit(1)).alias("__ne"))
+            .filter(F.col("__ne") > max_user_events)
+            .select(user_col)
+        )
+        events = events.join(F.broadcast(over), user_col, "left_anti")
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
     w = (
         Window.partitionBy(user_col)
@@ -688,6 +702,7 @@ def attribution_last_touch(
     id_col: str = "event_id",
     value_col: str = "value",
     scale: int = 100,
+    max_user_events: int | None = None,
 ) -> DataFrame:
     """Last-touch conversion attribution: each ``conversion_type`` event
     is credited to the latest preceding NON-conversion event of the same
@@ -703,6 +718,18 @@ def attribution_last_touch(
     key and once on the (tiny) channel key. Returns per channel:
     (channel, n_conversions, cents_value, sum_lag_us).
     """
+    if max_user_events is not None:
+        # hot-user pruning (max_turns convention; round-6 10x stress: the
+        # planted bot user's packed-string running max was a single
+        # 231x-straggler task). Bot "conversions" would mis-credit
+        # channels anyway; over-cap user set is tiny and broadcast.
+        over = (
+            events.groupBy(F.col(user_col))
+            .agg(F.count(F.lit(1)).alias("__ne"))
+            .filter(F.col("__ne") > max_user_events)
+            .select(user_col)
+        )
+        events = events.join(F.broadcast(over), user_col, "left_anti")
     us = F.unix_micros(F.col(ts_col))
     packed = F.when(
         F.col(type_col) != conversion_type,

@@ -63,6 +63,7 @@ QUERIES = [
 
 def build_scaled_corpus() -> None:
     if os.path.exists(os.path.join(SCALED, "_DONE")):
+        _backfill_part()
         return
     os.makedirs(SCALED, exist_ok=True)
 
@@ -129,6 +130,23 @@ def build_scaled_corpus() -> None:
         os.path.join(SCALED, "customer.parquet"),
     )
     open(os.path.join(SCALED, "_DONE"), "w").close()
+    _backfill_part()
+
+
+def _backfill_part() -> None:
+    """10x part table (added with wave 37's fuzzy linkage): keys shift per
+    copy, names stay — block-key cardinality is constant while per-name
+    occurrence weights grow 10x, the realistic shape for entity linkage."""
+    dst = os.path.join(SCALED, "part.parquet")
+    if os.path.exists(dst):
+        return
+    part = pq.read_table(os.path.join(BASE, "part.parquet")).to_pandas()
+    out = []
+    for k in range(COPIES):
+        c = part.copy()
+        c["p_partkey"] = c["p_partkey"] + k * 10_000_000
+        out.append(c)
+    pd.concat(out, ignore_index=True).to_parquet(dst, index=False)
 
 
 def _ui(path: str):

@@ -161,3 +161,34 @@ def test_hazard_day_binning_floors_partial_days(spark):
     )
     [r] = time_to_next_hazard(ev).collect()
     assert r.gap_days == 1 and r.n_events == 1 and r.n_at_risk == 1
+
+
+def test_pit_features_max_user_events_cap(spark):
+    ev = _events(
+        spark,
+        [(i, 1, "view" if i % 2 else "purchase", i, 1.0) for i in range(10)]
+        + [(100, 2, "view", 0, 1.0), (101, 2, "purchase", 5, 2.0)],
+    )
+    # cap below user 1's event count: user 1 dropped entirely, user 2 kept
+    got = pit_features(ev, max_user_events=5).collect()
+    assert {r.user_id for r in got} == {2}
+    # non-binding cap: identical to the uncapped result
+    capped = pit_features(ev, max_user_events=1000).collect()
+    uncapped = pit_features(ev).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+
+
+def test_attribution_max_user_events_cap(spark):
+    ev = _events(
+        spark,
+        [(1, 1, "view", 0, 1.0), (2, 1, "purchase", 10, 5.0)]
+        + [(i + 10, 2, "view", i, 1.0) for i in range(8)]
+        + [(99, 2, "purchase", 100, 3.0)],
+    )
+    got = attribution_last_touch(ev, max_user_events=5).collect()
+    # user 2 (9 events) dropped; user 1's purchase credited to 'view'
+    assert len(got) == 1 and got[0].channel == "view"
+    assert got[0].n_conversions == 1 and got[0].cents_value == 500
+    capped = attribution_last_touch(ev, max_user_events=1000).collect()
+    uncapped = attribution_last_touch(ev).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
