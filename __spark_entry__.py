@@ -1415,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE36_QUERIES,
         **_WAVE37_QUERIES,
         **_WAVE38_QUERIES,
+        **_WAVE39_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1535,6 +1536,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE36_SQL,
         **_WAVE37_SQL,
         **_WAVE38_SQL,
+        **_WAVE39_SQL,
     }
 
 
@@ -8775,4 +8777,176 @@ _WAVE38_SQL = {
     "pareto_front_docs": PARETO_SQL,
     "rolling_revenue_daily": ROLLING_REV_SQL,
     "user_value_decile_transition": DECILE_TRANSITION_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 39 (round 6): the metrics layer — annotator agreement
+# (Cohen's kappa), probability calibration (reliability bins), popularity
+# hit-rate@k, robust daily anomaly scores. What a pipeline runs over its
+# own labels, scores, rankings and volumes before trusting them.
+# --------------------------------------------------------------------------
+
+def kappa_lang_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document raters
+    (operators/evaluation.py cohens_kappa): rater A = lang == 'en',
+    rater B = n_chars >= 200. One 1-row aggregation; exact cells, fixed
+    double tree."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import cohens_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    return cohens_kappa(
+        docs, F.col("lang") == "en", F.col("n_chars") >= 200
+    )
+
+
+KAPPA_SQL = """
+WITH cells AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 200
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both_true,
+         CAST(SUM(CASE WHEN lang <> 'en' AND n_chars < 200
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both_false,
+         CAST(SUM(CASE WHEN lang = 'en' AND n_chars < 200
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+         CAST(SUM(CASE WHEN lang <> 'en' AND n_chars >= 200
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
+  FROM documents),
+t AS (
+  SELECT *,
+         CAST(n_both_true + n_both_false AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         (CAST(n_both_true + n_only_a AS DOUBLE)
+            * CAST(n_both_true + n_only_b AS DOUBLE)
+          + CAST(n_both_false + n_only_b AS DOUBLE)
+            * CAST(n_both_false + n_only_a AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+  FROM cells)
+SELECT CAST(n AS BIGINT) AS n, n_both_true, n_both_false, n_only_a,
+       n_only_b, po, pe,
+       CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+FROM t
+"""
+
+
+def calibration_length_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (operators/evaluation.py calibration_bins):
+    score = n_chars / corpus max (an integer ratio — bin assignment is
+    exact integer arithmetic), outcome = lang == 'en'. 10 bins."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        calibration_bins,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").cast("long").alias("__mx"))
+    staged = docs.crossJoin(F.broadcast(mx))
+    return calibration_bins(
+        staged, "n_chars", F.col("__mx"), F.col("lang") == "en"
+    )
+
+
+CALIBRATION_SQL = """
+WITH mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS d FROM documents),
+staged AS (
+  SELECT (10 * CAST(n_chars AS BIGINT)
+          - (10 * CAST(n_chars AS BIGINT)) % d) / d AS rawbin,
+         CAST(n_chars AS BIGINT) AS num, d,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents CROSS JOIN mx)
+SELECT CAST(LEAST(rawbin, 9) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(num) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(d) AS DOUBLE)) AS mean_score,
+       CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+FROM staged GROUP BY 1
+"""
+
+
+def popularity_hitrate_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit-rate@20 of the popularity baseline (operators/evaluation.py
+    hitrate_at_k): item ranking fit on the first half of the span,
+    evaluated on second-half purchases. Deterministic TakeOrdered top-k,
+    broadcast membership probe."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import hitrate_at_k
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    items = ev.select(
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.datediff(F.to_date(F.col("ts")), F.lit("1970-01-01")).alias("__d"),
+    ).filter(F.col("item").isNotNull())
+    span = items.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    mid = ((F.col("__lo") + F.col("__hi") + F.lit(1)) / 2).cast("long")
+    staged = items.crossJoin(F.broadcast(span)).withColumn(
+        "__p", (F.col("__d") >= mid).cast("int")
+    )
+    history = staged.filter(F.col("__p") == 0).select("item")
+    evals = staged.filter(F.col("__p") == 1).select("item")
+    return hitrate_at_k(history, evals, "item", k=20)
+
+
+HITRATE_SQL = """
+WITH q AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+  WHERE event_type = 'purchase'
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM q),
+staged AS (
+  SELECT item,
+         CASE WHEN d >= (SELECT (lo + hi + 1) // 2 FROM span)
+              THEN 1 ELSE 0 END AS p
+  FROM q),
+top AS (
+  SELECT item FROM staged WHERE p = 0
+  GROUP BY item ORDER BY COUNT(*) DESC, item ASC LIMIT 20)
+SELECT COUNT(*) AS n_eval,
+       CAST(SUM(CASE WHEN item IN (SELECT item FROM top)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN item IN (SELECT item FROM top)
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS hitrate
+FROM staged WHERE p = 1
+"""
+
+
+def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-scores of daily purchase volume (operators/behavior.py
+    daily_anomaly_robust_z): exact median/MAD on the span-bounded daily
+    rollup, broadcast back."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        daily_anomaly_robust_z,
+    )
+
+    return daily_anomaly_robust_z(_events(spark, sf_dir))
+
+
+ANOMALY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+med AS (SELECT quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS m FROM daily),
+dev AS (
+  SELECT day, n_events, m,
+         ABS(CAST(n_events AS DOUBLE) - m) AS dv
+  FROM daily CROSS JOIN med),
+mad AS (SELECT quantile_cont(dv, 0.5) AS md FROM dev)
+SELECT day, CAST(n_events AS BIGINT) AS n_events,
+       CASE WHEN md > 0.0
+            THEN (CAST(n_events AS DOUBLE) - m) / (1.4826 * md)
+       END AS robust_z
+FROM dev CROSS JOIN mad
+"""
+
+_WAVE39_QUERIES = {
+    "kappa_lang_length": kappa_lang_length,
+    "calibration_length_lang": calibration_length_lang,
+    "popularity_hitrate_items": popularity_hitrate_items,
+    "daily_volume_anomalies": daily_volume_anomalies,
+}
+_WAVE39_SQL = {
+    "kappa_lang_length": KAPPA_SQL,
+    "calibration_length_lang": CALIBRATION_SQL,
+    "popularity_hitrate_items": HITRATE_SQL,
+    "daily_volume_anomalies": ANOMALY_SQL,
 }

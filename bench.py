@@ -251,6 +251,11 @@ BENCH_QUERIES = [
     "pareto_front_docs",
     "rolling_revenue_daily",
     "user_value_decile_transition",
+    # wave 39: kappa, calibration, hit-rate@k, robust anomalies (round 6)
+    "kappa_lang_length",
+    "calibration_length_lang",
+    "popularity_hitrate_items",
+    "daily_volume_anomalies",
 ]
 
 

@@ -981,3 +981,50 @@ def value_decile_transition(
         .groupBy("decile_from", "decile_to")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def daily_anomaly_robust_z(
+    events: DataFrame,
+    target_type: str = "purchase",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Robust daily-volume anomaly scores: each day's event count scored
+    as (count − median) / (1.4826·MAD) — the median/MAD z-score that a
+    single bad ingest day can't poison the way a mean/stddev score can
+    (50% breakdown point vs 0).
+
+    Median and MAD are EXACT interpolated percentiles computed on the
+    day-grain rollup — a table bounded by the corpus date span by
+    construction (the hazard-table argument), so the two single-row
+    percentile aggregations are metadata-sized no matter how many events
+    fed them. The stats broadcast back onto the rollup. Returns
+    (day, n_events, robust_z); z is NULL when MAD == 0 (a flat series
+    has no scale to score against).
+    """
+    daily = (
+        events.filter(F.col(type_col) == target_type)
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    med = daily.agg(
+        F.percentile(F.col("n_events").cast("double"), F.lit(0.5)).alias(
+            "__med"
+        )
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        "n_events",
+        "__med",
+        F.abs(F.col("n_events").cast("double") - F.col("__med")).alias(
+            "__dev"
+        ),
+    )
+    mad = dev.agg(F.percentile(F.col("__dev"), F.lit(0.5)).alias("__mad"))
+    scored = dev.crossJoin(F.broadcast(mad))
+    z = F.when(
+        F.col("__mad") > 0.0,
+        (F.col("n_events").cast("double") - F.col("__med"))
+        / (F.lit(1.4826) * F.col("__mad")),
+    )
+    return scored.select("day", "n_events", z.alias("robust_z"))
