@@ -8870,18 +8870,30 @@ def popularity_hitrate_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import hitrate_at_k
 
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    items = ev.select(
-        F.get_json_object("props", "$.k").cast("long").alias("item"),
-        F.datediff(F.to_date(F.col("ts")), F.lit("1970-01-01")).alias("__d"),
-    ).filter(F.col("item").isNotNull())
-    span = items.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    # ONE scan of the log: roll up to (item, day, cnt) and materialize
+    # (the grid_quantiles lineage-cut convention) — the span, ranking and
+    # scoring branches would otherwise each re-scan + re-parse the JSON
+    # (10x stress: 3 full scans, 2.3x ratio before this cut).
+    rollup = _mat(
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            F.datediff(F.to_date(F.col("ts")), F.lit("1970-01-01")).alias(
+                "__d"
+            ),
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy("item", "__d")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+        "hitrate_rollup",
+    )
+    span = rollup.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
     mid = ((F.col("__lo") + F.col("__hi") + F.lit(1)) / 2).cast("long")
-    staged = items.crossJoin(F.broadcast(span)).withColumn(
+    staged = rollup.crossJoin(F.broadcast(span)).withColumn(
         "__p", (F.col("__d") >= mid).cast("int")
     )
-    history = staged.filter(F.col("__p") == 0).select("item")
-    evals = staged.filter(F.col("__p") == 1).select("item")
-    return hitrate_at_k(history, evals, "item", k=20)
+    history = staged.filter(F.col("__p") == 0).select("item", "cnt")
+    evals = staged.filter(F.col("__p") == 1).select("item", "cnt")
+    return hitrate_at_k(history, evals, "item", k=20, weight_col="cnt")
 
 
 HITRATE_SQL = """

@@ -135,6 +135,7 @@ def hitrate_at_k(
     evals: DataFrame,
     item_col: str = "item",
     k: int = 20,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Popularity-baseline hit-rate@k: rank items by count in the
     ``history`` window, and score the fraction of ``evals`` rows whose
@@ -145,11 +146,20 @@ def hitrate_at_k(
     asc) tie-break) over the item-count rollup — k is a constant, so
     the sort ships only per-partition heads (the ``vocab_oov_rate``
     convention); membership is a broadcast semi-probe, no shuffle of
-    the eval side. Returns one row (n_eval, n_hits, hitrate).
+    the eval side. ``weight_col`` lets callers pass PRE-AGGREGATED
+    (item, weight) tables on both sides instead of row-level events —
+    the caller rolls the event log up once and every downstream branch
+    (span, ranking, scoring) reads the small rollup, not the log.
+    Returns one row (n_eval, n_hits, hitrate).
     """
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
     top = (
         history.groupBy(item_col)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .agg(F.sum(wt).alias("__cnt"))
         .orderBy(F.col("__cnt").desc(), F.col(item_col).asc())
         .limit(k)
         .select(item_col)
@@ -158,12 +168,12 @@ def hitrate_at_k(
         F.broadcast(top.withColumn("__hit", F.lit(1))), item_col, "left"
     )
     return hits.agg(
-        F.count(F.lit(1)).cast("long").alias("n_eval"),
-        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        F.sum(wt).cast("long").alias("n_eval"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)) * wt)
         .cast("long")
         .alias("n_hits"),
         (
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
-            / F.count(F.lit(1)).cast("double")
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)) * wt).cast("double")
+            / F.sum(wt).cast("double")
         ).alias("hitrate"),
     )
