@@ -1416,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE37_QUERIES,
         **_WAVE38_QUERIES,
         **_WAVE39_QUERIES,
+        **_WAVE40_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1537,6 +1538,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE37_SQL,
         **_WAVE38_SQL,
         **_WAVE39_SQL,
+        **_WAVE40_SQL,
     }
 
 
@@ -8961,4 +8963,162 @@ _WAVE39_SQL = {
     "calibration_length_lang": CALIBRATION_SQL,
     "popularity_hitrate_items": HITRATE_SQL,
     "daily_volume_anomalies": ANOMALY_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 40 (round 6): exact distributed ROC-AUC (tie-correct
+# Mann-Whitney midranks, no global sort), decile lift/gains table, and
+# per-band PSI drift — the model-evaluation statistics usually ceded to a
+# single-node sklearn pass, computed exactly on the cluster.
+# --------------------------------------------------------------------------
+
+def auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of cents(value) as a purchase classifier
+    (operators/evaluation.py exact_auc): per-value rollup, range-bucket
+    midranks, DECIMAL(38,0) rank-sum."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import exact_auc
+
+    ev = _events(spark, sf_dir).select(
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        "event_type",
+    )
+    return exact_auc(ev, "cents", F.col("event_type") == "purchase")
+
+
+AUC_SQL = """
+WITH s AS (
+  SELECT CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events),
+r AS (
+  SELECT pos,
+         RANK() OVER (ORDER BY score) AS rk,
+         COUNT(*) OVER (PARTITION BY score) AS m
+  FROM s),
+agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         SUM(CASE WHEN pos = 1 THEN 2 * rk + m - 1 ELSE 0 END) AS s2
+  FROM r)
+SELECT CAST(n AS BIGINT) AS n, n_pos,
+       CAST(n - n_pos AS BIGINT) AS n_neg,
+       CASE WHEN n_pos > 0 AND n > n_pos THEN
+         CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * n_pos * (n - n_pos) AS DOUBLE)
+       END AS auc
+FROM agg
+"""
+
+
+def decile_lift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table of cents(value) against the purchase
+    label (operators/evaluation.py decile_lift): exact desc ranks via
+    the bucket idiom, closed-form tiles, cumulative gains over the
+    10-row result."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import decile_lift
+
+    ev = _events(spark, sf_dir).select(
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        "event_id",
+        "event_type",
+    )
+    return decile_lift(
+        ev, "cents", F.col("event_type") == "purchase", "event_id"
+    )
+
+
+DECILE_LIFT_SQL = """
+WITH s AS (
+  SELECT CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS score,
+         event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events),
+ranked AS (
+  SELECT pos,
+         ROW_NUMBER() OVER (ORDER BY score DESC, event_id ASC) AS r,
+         COUNT(*) OVER () AS nt
+  FROM s),
+per AS (
+  SELECT (10 * (r - 1)) // nt AS tile,
+         COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+         MAX(nt) AS n_all
+  FROM ranked GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p_all FROM per)
+SELECT CAST(tile AS BIGINT) AS tile, CAST(n AS BIGINT) AS n, n_pos,
+       CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS response_rate,
+       CASE WHEN p_all > 0 THEN
+         (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(p_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+       END AS lift,
+       CASE WHEN p_all > 0 THEN
+         CAST(SUM(n_pos) OVER (ORDER BY tile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(p_all AS DOUBLE)
+       END AS cum_gain
+FROM per CROSS JOIN tot
+"""
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band PSI terms of the 50-unit value bands between the first
+    and second halves of the span (operators/evaluation.py psi_bands):
+    conditional-sum pivot, broadcast totals, 6dp ln convention."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import psi_bands
+
+    ev = _events(spark, sf_dir).select(
+        (F.floor(F.col("value").cast("double") / 50) * 50)
+        .cast("long")
+        .alias("value_band"),
+        F.datediff(F.to_date(F.col("ts")), F.lit("1970-01-01")).alias("__d"),
+    )
+    span = ev.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    mid = ((F.col("__lo") + F.col("__hi") + F.lit(1)) / 2).cast("long")
+    staged = ev.crossJoin(F.broadcast(span)).withColumn(
+        "__p", (F.col("__d") >= mid).cast("int")
+    )
+    return psi_bands(staged, "value_band", "__p").withColumnRenamed(
+        "band", "value_band"
+    )
+
+
+PSI_SQL = """
+WITH q AS (
+  SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 50) * 50 AS BIGINT) AS value_band,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM q),
+per AS (
+  SELECT value_band,
+         CAST(SUM(CASE WHEN d < (SELECT (lo + hi + 1) // 2 FROM span)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN d >= (SELECT (lo + hi + 1) // 2 FROM span)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM q GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+  FROM per)
+SELECT value_band, n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         ROUND((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+                - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+               * LN((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE))
+                    / (CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))), 6)
+       END AS psi_term
+FROM per CROSS JOIN tot
+"""
+
+_WAVE40_QUERIES = {
+    "auc_value_purchase": auc_value_purchase,
+    "decile_lift_value": decile_lift_value,
+    "psi_value_drift": psi_value_drift,
+}
+_WAVE40_SQL = {
+    "auc_value_purchase": AUC_SQL,
+    "decile_lift_value": DECILE_LIFT_SQL,
+    "psi_value_drift": PSI_SQL,
 }

@@ -256,6 +256,10 @@ BENCH_QUERIES = [
     "calibration_length_lang",
     "popularity_hitrate_items",
     "daily_volume_anomalies",
+    # wave 40: exact AUC, decile lift, PSI drift (round 6)
+    "auc_value_purchase",
+    "decile_lift_value",
+    "psi_value_drift",
 ]
 
 

@@ -177,3 +177,228 @@ def hitrate_at_k(
             / F.sum(wt).cast("double")
         ).alias("hitrate"),
     )
+
+
+def exact_auc(
+    df: DataFrame,
+    score_col: str,
+    label,
+    id_col: str | None = None,
+    bucket_width: int = 1_000,
+) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank-sum — fully distributed,
+    tie-correct (midranks), no sampling and no sort-to-one-task. The
+    standard approximate AUC (threshold sweep over binned scores) drifts
+    on ties and bin edges; this is the number sklearn would print, at
+    any scale.
+
+    Works on the per-VALUE rollup: group scores (integer-valued) to
+    (score, n, n_pos); exact cumulative-below counts come from the
+    range-bucket + broadcast-offset idiom (the ntile/global_sort_rank
+    fix), so the only ordered-unbounded window runs over the bucket
+    rollup. Midranks are closed-form per value (2·mid = 2·c_below + n +
+    1); the rank-sum accumulates in DECIMAL(38,0) (rank×count products
+    overflow int64 around 10^9.5 rows — the token_gini guard). Returns
+    one row (n, n_pos, n_neg, auc); auc NULL when a class is empty.
+    """
+    lab = (label if not isinstance(label, str) else F.col(label)).cast(
+        "boolean"
+    )
+    vals = (
+        df.select(
+            F.col(score_col).cast("long").alias("__s"),
+            F.when(lab, 1).otherwise(0).alias("__pos"),
+        )
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__pos").cast("long").alias("__np"),
+        )
+        .withColumn(
+            "__b", F.floor(F.col("__s") / F.lit(bucket_width)).cast("long")
+        )
+    )
+    from pyspark.sql import Window
+
+    counts = vals.groupBy("__b").agg(F.sum("__n").alias("__bn"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__b").orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = vals.join(F.broadcast(offsets), "__b").select(
+        "__s",
+        "__n",
+        "__np",
+        (
+            F.col("__off") + F.coalesce(F.sum("__n").over(w_in), F.lit(0))
+        ).alias("__cb"),
+    )
+    two_mid = F.lit(2) * F.col("__cb") + F.col("__n") + F.lit(1)
+    agg = ranked.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__np").cast("long").alias("n_pos"),
+        F.sum(
+            F.col("__np").cast("decimal(38,0)")
+            * two_mid.cast("decimal(38,0)")
+        ).alias("__s2"),
+    )
+    n1 = F.col("n_pos").cast("decimal(38,0)")
+    n0 = (F.col("n") - F.col("n_pos")).cast("decimal(38,0)")
+    num = F.col("__s2") - n1 * (n1 + F.lit(1))
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n") > F.col("n_pos")),
+        num.cast("double") / (F.lit(2).cast("decimal(38,0)") * n1 * n0).cast(
+            "double"
+        ),
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        auc.alias("auc"),
+    )
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label,
+    id_col: str,
+    n_tiles: int = 10,
+    bucket_width: int = 1_000,
+) -> DataFrame:
+    """Decile lift / gains table: rank rows by score descending, cut
+    into ``n_tiles`` exact equal tiles, and report each tile's response
+    rate, lift over the base rate, and cumulative gain — the campaign-
+    targeting table ("the top decile captures X% of all conversions").
+
+    Exact global ranks by (score desc, id asc) via the range-bucket +
+    broadcast-offset idiom (no table-spanning window); tiles are
+    closed-form (n_tiles·(r−1)) div n. Lift and gains are fixed-tree
+    divisions of exact counts; the cumulative window runs over the
+    n_tiles-row result. Returns (tile, n, n_pos, response_rate, lift,
+    cum_gain).
+    """
+    from pyspark.sql import Window
+
+    lab = (label if not isinstance(label, str) else F.col(label)).cast(
+        "boolean"
+    )
+    rows = df.select(
+        F.col(score_col).cast("long").alias("__s"),
+        F.col(id_col).alias("__id"),
+        F.when(lab, 1).otherwise(0).alias("__pos"),
+    ).withColumn(
+        "__b", F.floor(F.col("__s") / F.lit(bucket_width)).cast("long")
+    )
+    counts = rows.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
+    w_off = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = counts.agg(
+        F.sum("__bn").cast("long").alias("__nt")
+    )
+    w_in = Window.partitionBy("__b").orderBy(
+        F.col("__s").desc(), F.col("__id").asc()
+    )
+    ranked = (
+        rows.join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__pos",
+            "__nt",
+            (F.row_number().over(w_in) + F.col("__off")).alias("__r"),
+        )
+    )
+    tile = F.expr(f"({n_tiles} * (__r - 1)) div __nt")
+    per = (
+        ranked.select(tile.alias("tile"), "__pos", "__nt")
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__pos").cast("long").alias("n_pos"),
+            F.max("__nt").alias("__n_all"),
+        )
+    )
+    tot = per.agg(F.sum("n_pos").cast("long").alias("__p_all"))
+    w_cum = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    resp = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    base = F.col("__p_all").cast("double") / F.col("__n_all").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "tile",
+            "n",
+            "n_pos",
+            resp.alias("response_rate"),
+            F.when(F.col("__p_all") > 0, resp / base).alias("lift"),
+            F.when(
+                F.col("__p_all") > 0,
+                F.sum("n_pos").over(w_cum).cast("double")
+                / F.col("__p_all").cast("double"),
+            ).alias("cum_gain"),
+        )
+    )
+
+
+def psi_bands(
+    df: DataFrame,
+    band_col: str,
+    period_col,
+) -> DataFrame:
+    """Per-band Population Stability Index terms between two periods —
+    the score/feature drift metric model-risk teams gate deployments on
+    (PSI > 0.2 = significant shift). Term = (p_a − p_b)·ln(p_a / p_b)
+    per band; the total is the consumer-side sum of the table.
+
+    One groupBy on the band with conditional sums (no self-join), plus
+    a broadcast 1-row total. Each band's term is rounded to 6 dp (the
+    ``source_language_entropy`` ln-portability convention) and NULL when
+    the band is empty on either side — emitting per-band terms instead
+    of one pre-summed scalar keeps every output row order-independent.
+    Returns (band, n_a, n_b, psi_term).
+    """
+    per = (
+        df.select(
+            F.col(band_col).alias("band"),
+            (
+                period_col
+                if not isinstance(period_col, str)
+                else F.col(period_col)
+            )
+            .cast("int")
+            .alias("__p"),
+        )
+        .groupBy("band")
+        .agg(
+            F.sum(F.when(F.col("__p") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("__p") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_a").cast("long").alias("__ta"),
+        F.sum("n_b").cast("long").alias("__tb"),
+    )
+    pa = F.col("n_a").cast("double") / F.col("__ta").cast("double")
+    pb = F.col("n_b").cast("double") / F.col("__tb").cast("double")
+    term = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.round((pa - pb) * F.log(pa / pb), 6),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "band", "n_a", "n_b", term.alias("psi_term")
+    )
