@@ -458,6 +458,58 @@ def run_ks_family(spark) -> None:
     _summary(fam, secs, final_state_files=_dir_stats(state)[0])
 
 
+def run_anomaly_family(spark) -> None:
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.anomaly_stream import (
+        anomaly_from_state,
+        stream_daily_anomaly,
+    )
+
+    fam = "anomaly"
+    src, state, ckpt = _reset(f"{fam}/src", f"{fam}/state", f"{fam}/ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    secs = []
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH):
+                # day advances with the batch: the state's day span grows
+                # linearly — the monitor must stay flat per batch anyway
+                day = (b * 3 + i % 5) % 60 + 1
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": b * ROWS_PER_BATCH + i,
+                            "ts": f"2024-01-{day:02d}T08:00:00",
+                            "event_type": "purchase" if i % 3 else "view",
+                        }
+                    )
+                    + "\n"
+                )
+        t0 = time.time()
+        q = stream_daily_anomaly(
+            spark, src, schema, state, ckpt, trigger_once=True,
+            compact_threshold=8,
+        )
+        q.awaitTermination()
+        apply_sec = time.time() - t0
+        t1 = time.time()
+        anomaly_from_state(spark, state).collect()
+        read_sec = time.time() - t1
+        files, size = _dir_stats(state)
+        _emit(
+            fam, b, apply_sec,
+            read_sec=round(read_sec, 3),
+            state_files=files, state_kb=round(size / 1e3, 1),
+        )
+        secs.append(apply_sec + read_sec)
+    _summary(fam, secs, final_state_files=_dir_stats(state)[0])
+
+
 def run_cms_family(spark) -> None:
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.cms_stream import (
         read_cms_estimate,
@@ -506,6 +558,7 @@ FAMILIES = {
     "join": run_join_family,
     "ks": run_ks_family,
     "cms": run_cms_family,
+    "anomaly": run_anomaly_family,
 }
 
 
