@@ -1417,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE38_QUERIES,
         **_WAVE39_QUERIES,
         **_WAVE40_QUERIES,
+        **_WAVE41_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1539,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE38_SQL,
         **_WAVE39_SQL,
         **_WAVE40_SQL,
+        **_WAVE41_SQL,
     }
 
 
@@ -9121,4 +9123,123 @@ _WAVE40_SQL = {
     "auc_value_purchase": AUC_SQL,
     "decile_lift_value": DECILE_LIFT_SQL,
     "psi_value_drift": PSI_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 41 (round 6): hot-group exact percent_rank (the
+# low-cardinality-partition case the plain window can't survive),
+# exact equal-frequency discretizer edges, and group-level split
+# assignment with an integrity rollup.
+# --------------------------------------------------------------------------
+
+def value_pctrank_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event percent_rank of cents(value) WITHIN its event_type
+    (operators/mixing.py grouped_percent_rank): ~6 hot groups — a plain
+    group-partitioned window would run 6 tasks; the two-level bucket
+    idiom keeps every task at one (group, value-range) slice."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import (
+        grouped_percent_rank,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    return grouped_percent_rank(ev, "event_type", "cents", "event_id")
+
+
+PCTRANK_TYPE_SQL = """
+SELECT event_id, event_type,
+       CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS cents,
+       percent_rank() OVER (
+         PARTITION BY event_type
+         ORDER BY CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) ASC,
+                  event_id ASC) AS pct_rank
+FROM events
+"""
+
+
+def equifreq_price_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile edges of order totalprice cents
+    (operators/mixing.py equifreq_edges): order statistics at
+    ceil(j·n/10) via the per-value cumulation + broadcast target
+    theta-join."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import equifreq_edges
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("long")
+        .alias("cents")
+    )
+    return equifreq_edges(orders, "cents", n_bins=10)
+
+
+EQUIFREQ_SQL = """
+WITH v AS (
+  SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT) AS c
+  FROM orders),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+targets AS (
+  SELECT j AS edge_idx,
+         CAST((j * n + 9 - (j * n + 9) % 10) / 10 AS BIGINT) AS target_rank
+  FROM generate_series(1, 9) s(j) CROSS JOIN tot),
+cum AS (
+  SELECT c AS val, SUM(cnt) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM (SELECT c, COUNT(*) AS cnt FROM v GROUP BY c)),
+hit AS (
+  SELECT t.edge_idx, t.target_rank, cum.val, cum.cm
+  FROM targets t JOIN cum ON cum.cm >= t.target_rank)
+SELECT edge_idx,
+       CAST(MIN(val) AS BIGINT) AS edge_value,
+       target_rank,
+       CAST(arg_min(cm, val) AS BIGINT) AS cum_count
+FROM hit GROUP BY edge_idx, target_rank
+"""
+
+
+def source_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level (leakage-proof-by-construction) split: hash the
+    SOURCE, not the document, so every document of a group co-assigns
+    (corpus.split_assign with the group as the hash key); rolled up per
+    split with the group count — the grouped counterpart of
+    split_leakage_docs' per-document assignment."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    assigned = cp.split_assign(docs, id_col="source", salt="v1")
+    return assigned.groupBy("split").agg(
+        F.countDistinct("source").cast("long").alias("n_groups"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+GROUP_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT source,
+         CASE
+           WHEN CAST(('0x' || substr(md5('v1' || CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0 < 0.8 THEN 'train'
+           WHEN CAST(('0x' || substr(md5('v1' || CAST(source AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0 < 0.9 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents)
+SELECT split,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+       COUNT(*) AS n_docs
+FROM assigned GROUP BY split
+"""
+
+_WAVE41_QUERIES = {
+    "value_pctrank_by_type": value_pctrank_by_type,
+    "equifreq_price_edges": equifreq_price_edges,
+    "source_group_split": source_group_split,
+}
+_WAVE41_SQL = {
+    "value_pctrank_by_type": PCTRANK_TYPE_SQL,
+    "equifreq_price_edges": EQUIFREQ_SQL,
+    "source_group_split": GROUP_SPLIT_SQL,
 }

@@ -260,6 +260,10 @@ BENCH_QUERIES = [
     "auc_value_purchase",
     "decile_lift_value",
     "psi_value_drift",
+    # wave 41: hot-group pctrank, equifreq edges, group split (round 6)
+    "value_pctrank_by_type",
+    "equifreq_price_edges",
+    "source_group_split",
 ]
 
 

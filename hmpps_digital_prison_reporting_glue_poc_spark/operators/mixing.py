@@ -596,3 +596,150 @@ def target_encode(
         per_cat.crossJoin(F.broadcast(totals))
         .select("cat", "n", "sum_cents", enc.alias("encoded"))
     )
+
+
+def grouped_percent_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    bucket_width: int = 1_000,
+    rank_col: str = "pct_rank",
+) -> DataFrame:
+    """Exact per-group percent_rank when the GROUPS are hot: a plain
+    ``percent_rank() over (partition by group)`` funnels each group
+    through one task — fatal when the grouping column has a handful of
+    values holding billions of rows (event types, languages, sources).
+    Same cure as the global-rank fix, applied per group: range-bucket the
+    value inside each group, rank in-bucket, add broadcast per-(group,
+    bucket) cumulative offsets; with the unique (value, id) total order
+    percent_rank is closed-form (r−1)/(n−1). Max task = hottest (group,
+    value-range) slice, not the hottest group.
+
+    Returns the input's (id, group, value) plus ``rank_col``; single-row
+    groups get 0.0 (the SQL convention).
+    """
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("long").alias("__v"),
+    ).withColumn(
+        "__b", F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
+    )
+    counts = rows.groupBy("__g", "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy("__g")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__g",
+        "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = counts.groupBy("__g").agg(
+        F.sum("__n").cast("long").alias("__nt")
+    )
+    w_in = Window.partitionBy("__g", "__b").orderBy(
+        F.col("__v").asc(), F.col("__id").asc()
+    )
+    r = F.row_number().over(w_in) + F.col("__off")
+    pr = F.when(
+        F.col("__nt") > 1,
+        (r - F.lit(1)).cast("double")
+        / (F.col("__nt") - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        rows.join(F.broadcast(offsets), ["__g", "__b"])
+        .join(F.broadcast(totals), "__g")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__g").alias(group_col),
+            F.col("__v").alias(value_col),
+            pr.alias(rank_col),
+        )
+    )
+
+
+def equifreq_edges(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    bucket_width: int = 1_000,
+) -> DataFrame:
+    """Exact equal-frequency bin edges — the learned discretizer edges a
+    feature pipeline fits once and broadcasts everywhere (quantile-bin
+    encoding, histogram equalization, WOE prep). Edge j (1..n_bins−1) is
+    the smallest value whose cumulative count reaches ceil(j·n/n_bins) —
+    the exact order statistic, not an approximation.
+
+    Built on the per-VALUE rollup with the range-bucket cumulation (the
+    exact_auc machinery): the only ordered-unbounded window runs over
+    the bucket rollup, and the edge lookup is a broadcast theta-join of
+    the (n_bins−1)-row target table against the cumulated values,
+    reduced by MIN — candidate volume is (n_bins−1)·|distinct values
+    past the target|, grouped map-side. Returns (edge_idx, edge_value,
+    target_rank, cum_count).
+    """
+    vals = (
+        df.select(F.col(value_col).cast("long").alias("__v"))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .withColumn(
+            "__b", F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
+        )
+    )
+    counts = vals.groupBy("__b").agg(F.sum("__n").alias("__bn"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__b").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vals.join(F.broadcast(offsets), "__b").select(
+        "__v",
+        (F.sum("__n").over(w_in) + F.col("__off")).alias("__cum"),
+    )
+    total = vals.agg(F.sum("__n").cast("long").alias("__nt"))
+    targets = (
+        total.select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(n_bins - 1))
+            ).alias("edge_idx"),
+            "__nt",
+        )
+        # ceil(j*n/B) in exact integer arithmetic
+        .select(
+            "edge_idx",
+            (
+                (F.col("edge_idx") * F.col("__nt") + F.lit(n_bins - 1))
+                - (F.col("edge_idx") * F.col("__nt") + F.lit(n_bins - 1))
+                % F.lit(n_bins)
+            ).cast("long").alias("__tr_scaled"),
+        )
+        .select(
+            "edge_idx",
+            (F.col("__tr_scaled") / F.lit(n_bins)).cast("long").alias(
+                "target_rank"
+            ),
+        )
+    )
+    hit = cum.join(
+        F.broadcast(targets), F.col("__cum") >= F.col("target_rank"), "inner"
+    )
+    return (
+        hit.groupBy("edge_idx", "target_rank")
+        .agg(
+            F.min(F.struct(F.col("__v"), F.col("__cum"))).alias("__best")
+        )
+        .select(
+            "edge_idx",
+            F.col("__best.__v").alias("edge_value"),
+            "target_rank",
+            F.col("__best.__cum").alias("cum_count"),
+        )
+    )

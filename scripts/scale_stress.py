@@ -134,19 +134,24 @@ def build_scaled_corpus() -> None:
 
 
 def _backfill_part() -> None:
-    """10x part table (added with wave 37's fuzzy linkage): keys shift per
-    copy, names stay — block-key cardinality is constant while per-name
-    occurrence weights grow 10x, the realistic shape for entity linkage."""
-    dst = os.path.join(SCALED, "part.parquet")
-    if os.path.exists(dst):
-        return
-    part = pq.read_table(os.path.join(BASE, "part.parquet")).to_pandas()
-    out = []
-    for k in range(COPIES):
-        c = part.copy()
-        c["p_partkey"] = c["p_partkey"] + k * 10_000_000
-        out.append(c)
-    pd.concat(out, ignore_index=True).to_parquet(dst, index=False)
+    """10x part/orders tables (added with waves 37/41): keys shift per
+    copy, the value columns stay — vocabulary/value-domain cardinality is
+    constant while per-key weights grow 10x, the realistic shape for
+    linkage and order-statistics stress."""
+    for tbl, key, shift in (
+        ("part", "p_partkey", 10_000_000),
+        ("orders", "o_orderkey", 100_000_000),
+    ):
+        dst = os.path.join(SCALED, f"{tbl}.parquet")
+        if os.path.exists(dst):
+            continue
+        base = pq.read_table(os.path.join(BASE, f"{tbl}.parquet")).to_pandas()
+        out = []
+        for k in range(COPIES):
+            c = base.copy()
+            c[key] = c[key] + k * shift
+            out.append(c)
+        pd.concat(out, ignore_index=True).to_parquet(dst, index=False)
 
 
 def _ui(path: str):
