@@ -1418,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE39_QUERIES,
         **_WAVE40_QUERIES,
         **_WAVE41_QUERIES,
+        **_WAVE42_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1541,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE39_SQL,
         **_WAVE40_SQL,
         **_WAVE41_SQL,
+        **_WAVE42_SQL,
     }
 
 
@@ -9242,4 +9244,115 @@ _WAVE41_SQL = {
     "value_pctrank_by_type": PCTRANK_TYPE_SQL,
     "equifreq_price_edges": EQUIFREQ_SQL,
     "source_group_split": GROUP_SPLIT_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 42 (round 6): end-to-end entity resolution (blocked fuzzy
+# match -> connected components -> canonical entity rollup) and
+# distance-k skip-gram counts (the positional-index query adjacency
+# bigrams can't answer) — cross-operator compositions.
+# --------------------------------------------------------------------------
+
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution pipeline over part names: fuzzy_block_match
+    pairs (joins.py) feed min-label connected components (graph.py) —
+    string labels propagate through F.least unchanged — then a
+    per-entity rollup with occurrence weights. Singleton names (no
+    fuzzy pair) remain their own entity via the left join."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.graph import connected_components
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.joins import fuzzy_block_match
+
+    part = _t(spark, sf_dir, "part")
+    pairs = fuzzy_block_match(
+        part,
+        "p_name",
+        F.regexp_extract(F.col("p_name"), r"(\S+)$", 1),
+        max_dist=4,
+    )
+    edges = pairs.select(
+        F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
+    )
+    labels = connected_components(edges)
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return (
+        names.join(labels, names.name == labels.id, "left")
+        .select(
+            F.coalesce(F.col("comp"), F.col("name")).alias("entity"),
+            "name",
+            "__n",
+        )
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_names"),
+            F.sum("__n").cast("long").alias("n_records"),
+        )
+    )
+
+
+ENTITY_RESOLUTION_SQL = r"""
+WITH RECURSIVE names AS (
+  SELECT p_name AS name, COUNT(*) AS n,
+         regexp_extract(p_name, '(\S+)$', 1) AS blk
+  FROM part GROUP BY 1, 3),
+pairs AS (
+  SELECT a.name AS na, b.name AS nb
+  FROM names a JOIN names b
+    ON a.blk = b.blk AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= 4),
+edges AS (
+  SELECT na AS a, nb AS b FROM pairs
+  UNION
+  SELECT nb AS a, na AS b FROM pairs),
+walk(id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.id),
+comps AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)
+SELECT COALESCE(c.component, n.name) AS entity,
+       COUNT(*) AS n_names,
+       CAST(SUM(n.n) AS BIGINT) AS n_records
+FROM names n LEFT JOIN comps c ON c.id = n.name
+GROUP BY 1
+"""
+
+
+def skipgram_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-2 skip-gram top-50 (operators/retrieval.py
+    skipgram_counts): columnar self-shifted arrays_zip, no positional
+    self-join; deterministic TakeOrdered cut."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.retrieval import skipgram_counts
+
+    return skipgram_counts(_t(spark, sf_dir, "documents"), gap=2)
+
+
+SKIPGRAM_SQL = """
+WITH tl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i])) AS w1,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i + 2])) AS w2
+  FROM tl WHERE len(t) > 2),
+agg AS (
+  SELECT w1, w2, COUNT(*) AS n_pairs,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM pairs GROUP BY 1, 2)
+SELECT w1, w2, CAST(n_pairs AS BIGINT) AS n_pairs, n_docs
+FROM agg WHERE n_pairs >= 2
+ORDER BY n_pairs DESC, w1 ASC, w2 ASC LIMIT 50
+"""
+
+_WAVE42_QUERIES = {
+    "entity_resolution_parts": entity_resolution_parts,
+    "skipgram_counts_docs": skipgram_counts_docs,
+}
+_WAVE42_SQL = {
+    "entity_resolution_parts": ENTITY_RESOLUTION_SQL,
+    "skipgram_counts_docs": SKIPGRAM_SQL,
 }

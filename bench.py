@@ -264,6 +264,9 @@ BENCH_QUERIES = [
     "value_pctrank_by_type",
     "equifreq_price_edges",
     "source_group_split",
+    # wave 42: entity resolution, skip-grams (round 6)
+    "entity_resolution_parts",
+    "skipgram_counts_docs",
 ]
 
 

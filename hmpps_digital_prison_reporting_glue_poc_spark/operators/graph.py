@@ -66,32 +66,39 @@ def connected_components(
     sym.write.mode("overwrite").parquet(sym_path)
     sym = spark.read.parquet(sym_path)
 
-    labels = (
+    labels = materialize(
         sym.select(F.col("a").alias("id"))
         .distinct()
-        .withColumn("comp", F.col("id"))
+        .withColumn("comp", F.col("id")),
+        0,
     )
-    # Monotone convergence witness: sum(comp) strictly decreases until the
-    # fixpoint, so one cheap scalar per round detects termination.
-    prev_sum = None
-    for i in range(max_iter):
-        labels = materialize(labels, i)
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
-        if cur_sum == prev_sum:
-            shutil.rmtree(sym_path, ignore_errors=True)
-            return labels
-        prev_sum = cur_sum
+    # Convergence witness: the count of labels a round actually lowered —
+    # one cheap scalar per materialized round, and TYPE-AGNOSTIC (labels
+    # may be strings, e.g. entity names; the previous sum(comp) witness
+    # only worked for numeric ids). Labels move monotonically down the
+    # total order, so a zero-change round is the fixpoint.
+    for i in range(1, max_iter + 1):
         nbr_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        labels = labels.join(nbr_min, labels.id == nbr_min.a, "left").select(
+        upd = labels.join(nbr_min, labels.id == nbr_min.a, "left").select(
             "id",
             F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
-                "comp"
+                "__new"
             ),
+            (
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp")))
+                != F.col("comp")
+            ).cast("int").alias("__chg"),
         )
+        upd = materialize(upd.withColumnRenamed("__new", "comp"), i)
+        changed = upd.agg(F.sum("__chg")).first()[0]
+        labels = upd.drop("__chg")
+        if not changed:
+            shutil.rmtree(sym_path, ignore_errors=True)
+            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

@@ -230,3 +230,54 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(limit)
     )
+
+
+def skipgram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gap: int = 2,
+    min_count: int = 2,
+    top_k: int | None = 50,
+) -> DataFrame:
+    """Distance-``gap`` skip-gram counts — the positional-index query
+    ("w1 NEAR w2") that adjacency bigrams can't answer: pairs of tokens
+    exactly ``gap`` positions apart, with pair and document frequencies.
+    Feeds word-vector co-occurrence matrices and collocation mining
+    beyond adjacency.
+
+    Fully columnar: the pair list is ``arrays_zip`` of the token array
+    against its own ``gap``-shifted slice — no positional explode +
+    self-join (which would shuffle |tokens| rows twice); one explode
+    feeds one (w1, w2) rollup with a map-side-combined distinct-doc
+    count. ``top_k`` cuts deterministically ((n_pairs desc, w1, w2) —
+    TakeOrdered ships per-partition heads only). Returns
+    (w1, w2, n_pairs, n_docs).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda c: c != "")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - gap, F.lit(0))),
+        F.slice(toks, 1 + gap, F.greatest(n - gap, F.lit(0))),
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("__id"), F.explode(pairs).alias("__p"))
+        .select(
+            "__id",
+            F.col("__p.0").alias("w1"),
+            F.col("__p.1").alias("w2"),
+        )
+    )
+    agg = (
+        exploded.groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("__id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_pairs") >= min_count)
+    )
+    if top_k is not None:
+        agg = agg.orderBy(
+            F.col("n_pairs").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).limit(top_k)
+    return agg
