@@ -510,6 +510,77 @@ def run_anomaly_family(spark) -> None:
     _summary(fam, secs, final_state_files=_dir_stats(state)[0])
 
 
+def run_hll_family(spark) -> None:
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.hll_stream import (
+        read_hll_estimate,
+        stream_hll_distinct,
+    )
+
+    fam = "hll"
+    src, state, ckpt = _reset(f"{fam}/src", f"{fam}/state", f"{fam}/ckpt")
+    schema = T.StructType([T.StructField("user_id", T.LongType())])
+    secs = []
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH):
+                # rolling key space: each batch adds fresh distincts
+                fh.write(json.dumps({"user_id": b * 1000 + i % 2500}) + "\n")
+        t0 = time.time()
+        q = stream_hll_distinct(
+            spark, src, schema, state, ckpt, trigger_once=True
+        )
+        q.awaitTermination()
+        apply_sec = time.time() - t0
+        t1 = time.time()
+        read_hll_estimate(spark, state).collect()
+        read_sec = time.time() - t1
+        files, size = _dir_stats(state)
+        _emit(
+            fam, b, apply_sec,
+            read_sec=round(read_sec, 3),
+            state_files=files, state_kb=round(size / 1e3, 1),
+        )
+        secs.append(apply_sec + read_sec)
+    _summary(fam, secs, final_state_files=_dir_stats(state)[0])
+
+
+def run_quantile_family(spark) -> None:
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.quantile_stream import (
+        quantiles_from_state,
+        stream_quantile_counts,
+    )
+
+    fam = "quantile"
+    src, state, ckpt = _reset(f"{fam}/src", f"{fam}/state", f"{fam}/ckpt")
+    schema = T.StructType([T.StructField("value", T.DoubleType())])
+    secs = []
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH):
+                fh.write(
+                    json.dumps({"value": ((i * 31 + b * 7) % 5000) / 10.0})
+                    + "\n"
+                )
+        t0 = time.time()
+        q = stream_quantile_counts(
+            spark, src, schema, state, ckpt, trigger_once=True,
+            compact_threshold=8,
+        )
+        q.awaitTermination()
+        apply_sec = time.time() - t0
+        t1 = time.time()
+        quantiles_from_state(spark, state, [0.5, 0.95, 0.99]).collect()
+        read_sec = time.time() - t1
+        files, size = _dir_stats(state)
+        _emit(
+            fam, b, apply_sec,
+            read_sec=round(read_sec, 3),
+            state_files=files, state_kb=round(size / 1e3, 1),
+        )
+        secs.append(apply_sec + read_sec)
+    _summary(fam, secs, final_state_files=_dir_stats(state)[0])
+
+
 def run_cms_family(spark) -> None:
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.cms_stream import (
         read_cms_estimate,
@@ -559,6 +630,8 @@ FAMILIES = {
     "ks": run_ks_family,
     "cms": run_cms_family,
     "anomaly": run_anomaly_family,
+    "hll": run_hll_family,
+    "quantile": run_quantile_family,
 }
 
 
