@@ -378,6 +378,8 @@ def copurchase_lift(
     safe when the caller knows the basket-size distribution.
     Returns (item_a, item_b, n_both, lift), item_a < item_b.
     """
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
     holdings = events.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("item")
     ).distinct()
@@ -387,11 +389,17 @@ def copurchase_lift(
         # the OVER-cap user set is tiny by construction (the basket-size
         # distribution head), so it broadcasts; anti-join drops their rows
         holdings = holdings.join(F.broadcast(over), "u", "left_anti")
-        # n_users over the PRUNED population, derived from the sizes table
-        # already in hand — no second distinct pass over holdings
-        n_users = sizes.filter(F.col("__bs") <= max_basket).count()
-    else:
-        n_users = holdings.select("u").distinct().count()
+    # Lineage cut (the grid_quantiles/hitrate convention): the distinct
+    # (+ capped) holdings feed FOUR consumers (both self-join sides, the
+    # margins, the user count) — without the cut each re-runs the
+    # events-scan + distinct (+ anti-join) chain; bench r6 measured the
+    # capped path at 2.5x for exactly this reason.
+    holdings = materialize(holdings, "copurchase_holdings")
+    # n_users as a broadcast 1-row aggregate (not a driver count action):
+    # the whole lift is then ONE job over the materialized parquet
+    n_users = holdings.agg(
+        F.countDistinct("u").cast("decimal(19,0)").alias("__nu")
+    )
     pairs = (
         holdings.alias("l")
         .join(holdings.alias("r"), on="u")
@@ -406,13 +414,14 @@ def copurchase_lift(
     ma = margins.select(F.col("item").alias("item_a"), F.col("c").alias("c_a"))
     mb = margins.select(F.col("item").alias("item_b"), F.col("c").alias("c_b"))
     lift = (
-        F.col("n_both").cast("decimal(19,0)") * F.lit(int(n_users)).cast("decimal(19,0)")
+        F.col("n_both").cast("decimal(19,0)") * F.col("__nu")
     ).cast("double") / (
         F.col("c_a").cast("decimal(19,0)") * F.col("c_b").cast("decimal(19,0)")
     ).cast("double")
     return (
         pairs.join(F.broadcast(ma), "item_a")
         .join(F.broadcast(mb), "item_b")
+        .crossJoin(F.broadcast(n_users))
         .select("item_a", "item_b", "n_both", lift.alias("lift"))
     )
 
