@@ -1419,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE40_QUERIES,
         **_WAVE41_QUERIES,
         **_WAVE42_QUERIES,
+        **_WAVE43_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1543,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE40_SQL,
         **_WAVE41_SQL,
         **_WAVE42_SQL,
+        **_WAVE43_SQL,
     }
 
 
@@ -9355,4 +9357,88 @@ _WAVE42_QUERIES = {
 _WAVE42_SQL = {
     "entity_resolution_parts": ENTITY_RESOLUTION_SQL,
     "skipgram_counts_docs": SKIPGRAM_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 43 (round 6): hashing-trick collision audit and
+# split-conformal threshold — the "is my feature dimension big enough"
+# and "what score bound certifies 90% coverage" questions.
+# --------------------------------------------------------------------------
+
+def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hash collision audit of the (event_type x value_band)
+    cross into 64 buckets (operators/mixing.py feature_hash_stats):
+    md5-derived bucket, per-bucket rows + distinct crosses."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import feature_hash_stats
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.floor(F.col("value").cast("double") / 50) * 50)
+        .cast("long")
+        .alias("value_band"),
+    )
+    return feature_hash_stats(ev, ["event_type", "value_band"])
+
+
+FEATURE_HASH_SQL = """
+WITH x AS (
+  SELECT event_type || chr(31)
+           || CAST(CAST(FLOOR(CAST(value AS DOUBLE) / 50) * 50 AS BIGINT)
+                   AS VARCHAR) AS cross_key
+  FROM events),
+per AS (
+  SELECT CAST(('0x' || substr(md5('fh1' || cross_key), 1, 8)) AS BIGINT)
+           % 64 AS bucket,
+         cross_key, COUNT(*) AS n
+  FROM x GROUP BY 1, 2)
+SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_distinct_crosses
+FROM per GROUP BY bucket
+"""
+
+
+def conformal_value_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90%-coverage threshold over view-event cents
+    (operators/evaluation.py conformal_threshold): exact order statistic
+    at ceil((n+1)·0.9) via the per-value cumulation."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        conformal_threshold,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "view").select(
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("long")
+        .alias("cents")
+    )
+    return conformal_threshold(ev, "cents", alpha=0.1)
+
+
+CONFORMAL_SQL = """
+WITH s AS (
+  SELECT CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'view'),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(((COUNT(*) + 1) * 9 + 9 - ((COUNT(*) + 1) * 9 + 9) % 10) / 10
+              AS BIGINT) AS target_rank
+  FROM s),
+cum AS (
+  SELECT c AS val, SUM(cnt) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM (SELECT c, COUNT(*) AS cnt FROM s GROUP BY c))
+SELECT t.n, t.target_rank,
+       CAST(MIN(CASE WHEN cum.cm >= t.target_rank THEN cum.val END)
+            AS BIGINT) AS threshold
+FROM tot t LEFT JOIN cum ON TRUE
+GROUP BY t.n, t.target_rank
+"""
+
+_WAVE43_QUERIES = {
+    "feature_hash_collisions": feature_hash_collisions,
+    "conformal_value_threshold": conformal_value_threshold,
+}
+_WAVE43_SQL = {
+    "feature_hash_collisions": FEATURE_HASH_SQL,
+    "conformal_value_threshold": CONFORMAL_SQL,
 }

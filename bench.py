@@ -267,6 +267,9 @@ BENCH_QUERIES = [
     # wave 42: entity resolution, skip-grams (round 6)
     "entity_resolution_parts",
     "skipgram_counts_docs",
+    # wave 43: feature-hash audit, conformal threshold (round 6)
+    "feature_hash_collisions",
+    "conformal_value_threshold",
 ]
 
 

@@ -402,3 +402,79 @@ def psi_bands(
     return per.crossJoin(F.broadcast(tot)).select(
         "band", "n_a", "n_b", term.alias("psi_term")
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    alpha: float = 0.1,
+    bucket_width: int = 1_000,
+) -> DataFrame:
+    """Split-conformal prediction threshold: the ceil((n+1)(1−alpha))-th
+    smallest nonconformity score on a calibration set — the EXACT order
+    statistic whose acceptance region guarantees (1−alpha) marginal
+    coverage on exchangeable data (Vovk et al.'s split-conformal
+    recipe). An approximate quantile voids the guarantee; this is the
+    same per-value-rollup + range-bucket cumulation as ``exact_auc`` /
+    ``equifreq_edges``, so the exact rank costs no global sort.
+
+    Returns one row (n, target_rank, threshold); threshold is NULL when
+    target_rank > n (alpha too small for the calibration size — the
+    honest "cannot certify" answer rather than the max score).
+    """
+    from pyspark.sql import Window
+
+    vals = (
+        df.select(F.col(score_col).cast("long").alias("__s"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .withColumn(
+            "__b", F.floor(F.col("__s") / F.lit(bucket_width)).cast("long")
+        )
+    )
+    counts = vals.groupBy("__b").agg(F.sum("__n").alias("__bn"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__b").orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vals.join(F.broadcast(offsets), "__b").select(
+        "__s", (F.sum("__n").over(w_in) + F.col("__off")).alias("__cum")
+    )
+    # target = ceil((n+1)(1-alpha)) in exact integer arithmetic over the
+    # scaled representation: with alpha = a_num/a_den,
+    # ceil((n+1)*(a_den-a_num)/a_den)
+    from fractions import Fraction
+
+    frac = Fraction(alpha).limit_denominator(1_000_000)
+    a_num, a_den = frac.numerator, frac.denominator
+    total = vals.agg(F.sum("__n").cast("long").alias("n"))
+    target = total.select(
+        "n",
+        (
+            (
+                (F.col("n") + 1) * F.lit(a_den - a_num)
+                + F.lit(a_den - 1)
+                - ((F.col("n") + 1) * F.lit(a_den - a_num) + F.lit(a_den - 1))
+                % F.lit(a_den)
+            )
+            / F.lit(a_den)
+        )
+        .cast("long")
+        .alias("target_rank"),
+    )
+    hit = cum.crossJoin(F.broadcast(target)).filter(
+        F.col("__cum") >= F.col("target_rank")
+    )
+    found = hit.groupBy("n", "target_rank").agg(
+        F.min("__s").alias("threshold")
+    )
+    # preserve the "alpha too small" row even when no value reaches the
+    # target rank (target_rank > n -> empty hit set)
+    return (
+        target.join(found, ["n", "target_rank"], "left")
+        .select("n", "target_rank", F.col("threshold").cast("long").alias("threshold"))
+    )

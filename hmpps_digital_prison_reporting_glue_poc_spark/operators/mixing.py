@@ -743,3 +743,41 @@ def equifreq_edges(
             F.col("__best.__cum").alias("cum_count"),
         )
     )
+
+
+def feature_hash_stats(
+    df: DataFrame,
+    cross_cols: list[str],
+    n_buckets: int = 64,
+    salt: str = "fh1",
+) -> DataFrame:
+    """Hashing-trick collision audit: cross the given feature columns,
+    hash the cross into ``n_buckets`` via md5 (engine-portable integer
+    derivation — the split_assign convention, no JVM-specific hash), and
+    report per bucket the row count and the number of DISTINCT crosses
+    sharing it. A bucket with n_distinct_crosses > 1 is a collision —
+    the audit a pipeline runs before committing to a hashed feature
+    dimension ("is D big enough for this cross's cardinality?").
+
+    One groupBy on (bucket, cross) then a bucket rollup — both map-side
+    combined; nothing data-sized leaves the executors. Returns
+    (bucket, n_rows, n_distinct_crosses).
+    """
+    cross = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in cross_cols]
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), cross)), 1, 8), 16, 10
+        ).cast("long")
+        % n_buckets
+    )
+    per_cross = (
+        df.select(bucket.alias("bucket"), cross.alias("__x"))
+        .groupBy("bucket", "__x")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    return per_cross.groupBy("bucket").agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_crosses"),
+    )
