@@ -1420,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE41_QUERIES,
         **_WAVE42_QUERIES,
         **_WAVE43_QUERIES,
+        **_WAVE44_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1545,6 +1546,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE41_SQL,
         **_WAVE42_SQL,
         **_WAVE43_SQL,
+        **_WAVE44_SQL,
     }
 
 
@@ -9441,4 +9443,30 @@ _WAVE43_QUERIES = {
 _WAVE43_SQL = {
     "feature_hash_collisions": FEATURE_HASH_SQL,
     "conformal_value_threshold": CONFORMAL_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 44 (round 6): prefix-filtered set-similarity join — the
+# PPJoin candidate generator. Same exact output as jaccard_pairs (and the
+# SAME oracle), radically fewer candidates: the index holds only each
+# document's (1-t)-fraction rarest-token prefix.
+# --------------------------------------------------------------------------
+
+def jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.8 via prefix filtering
+    (operators/dedup.py jaccard_pairs_prefix): identical result set to
+    the full inverted-index join — the driver verifies it against the
+    SAME oracle — from a prefix index one-fifth the size."""
+    return dd.jaccard_pairs_prefix(
+        _dup_corpus(spark, sf_dir, mutate=True), "doc_id", "text",
+        threshold=0.8, max_df=100,
+    )
+
+
+_WAVE44_QUERIES = {
+    "jaccard_prefix_docs": jaccard_prefix_docs,
+}
+_WAVE44_SQL = {
+    "jaccard_prefix_docs": JACCARD_SQL,
 }

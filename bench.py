@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     # wave 43: feature-hash audit, conformal threshold (round 6)
     "feature_hash_collisions",
     "conformal_value_threshold",
+    # wave 44: prefix-filtered set-similarity join (round 6)
+    "jaccard_prefix_docs",
 ]
 
 

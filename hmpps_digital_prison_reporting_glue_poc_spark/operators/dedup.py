@@ -783,3 +783,98 @@ def containment_pairs(
         "id_a", "id_b", "inter", "size_a", "size_b",
         "containment_a_in_b", "containment_b_in_a",
     )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Prefix-filtered set-similarity join (PPJoin-style candidate
+    generation): same output as ``jaccard_pairs`` — exact token-set
+    Jaccard >= ``threshold`` — but the self-join runs on each document's
+    PREFIX only: the |d| − ceil(t·|d|) + 1 globally-rarest tokens.
+
+    Why it's correct: order all tokens by the global total order
+    (df asc, token asc). If J(A,B) >= t then min(A∩B) under that order
+    lies in BOTH prefixes (were every shared token past A's prefix,
+    |A∩B| <= ceil(t|A|) − 1 < t|A| <= |A∩B| — contradiction; symmetric
+    for B), so the prefix-prefix equi-join finds every qualifying pair.
+    Why it scales: the index holds a (1−t)-fraction of each document's
+    tokens — at t=0.8 that's 5x fewer postings and ~25x fewer join
+    candidates than the full inverted index, and the hot head of the
+    vocabulary (the quadratic join buckets) is exactly what the prefix
+    ordering EXCLUDES (rarest-first). Verification joins candidates
+    back to full token lists — fan-out bounded by |candidates| x doc
+    size, never all-pairs. The ``threshold`` is interpreted exactly via
+    its rational form, so prefix lengths are integer-exact.
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    tn, td = frac.numerator, frac.denominator
+
+    toks = _doc_tokens(df, id_col, text_col)
+    if max_df is not None:
+        hot = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(hot), on="token", how="left_anti")
+    toks = _materialize(toks, "jaccard_prefix_toks_")
+    sizes = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = toks.join(dfreq, "token")
+    w_doc = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("token").asc()
+    )
+    # ceil(t*s) = (tn*s + td - 1) div td, exact integers
+    s = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    ceil_ts = F.expr(f"({tn} * __s + {td} - 1) div {td}")
+    prefix = (
+        ordered.withColumn("__rn", F.row_number().over(w_doc))
+        .withColumn("__s", s)
+        .filter(F.col("__rn") <= F.col("__s") - ceil_ts + F.lit(1))
+        .select(id_col, "token")
+    )
+    cands = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), on="token")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    # verify: intersection via candidate -> full-token joins (fan-out
+    # |cands| x doc size, not all-pairs)
+    ta = toks.select(F.col(id_col).alias("id_a"), "token")
+    tb = toks.select(F.col(id_col).alias("id_b"), "token")
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (
+                F.col("size_a") + F.col("size_b") - F.col("inter")
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
