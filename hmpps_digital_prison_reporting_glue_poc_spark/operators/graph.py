@@ -77,23 +77,45 @@ def connected_components(
     # may be strings, e.g. entity names; the previous sum(comp) witness
     # only worked for numeric ids). Labels move monotonically down the
     # total order, so a zero-change round is the fixpoint.
+    #
+    # Each round is neighbor-min propagation PLUS one pointer-jump
+    # (comp <- comp(comp)): the jump is sound because comp(id) is always
+    # a vertex reachable from id with comp <= id (induction from
+    # comp = id), so comp(comp(id)) is also reachable from id — and it
+    # DOUBLES the propagation distance per round, turning the O(diameter)
+    # round count of plain propagation into O(log diameter). A 10^4-hop
+    # dup chain converges in ~15 rounds instead of blowing max_iter
+    # (plain propagation needs one round PER HOP and failed a 30-node
+    # chain at the default max_iter=25).
     for i in range(1, max_iter + 1):
         nbr_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        upd = labels.join(nbr_min, labels.id == nbr_min.a, "left").select(
+        stepped = labels.join(
+            nbr_min, labels.id == nbr_min.a, "left"
+        ).select(
             "id",
             F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
-                "__new"
+                "__mid"
             ),
-            (
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp")))
-                != F.col("comp")
-            ).cast("int").alias("__chg"),
+            F.col("comp").alias("__old"),
         )
-        upd = materialize(upd.withColumnRenamed("__new", "comp"), i)
+        ptr = stepped.select(
+            F.col("id").alias("__pid"), F.col("__mid").alias("__pcomp")
+        )
+        upd = (
+            stepped.join(ptr, stepped.__mid == ptr.__pid, "left")
+            .select(
+                "id",
+                F.coalesce("__pcomp", F.col("__mid")).alias("comp"),
+                (
+                    F.coalesce("__pcomp", F.col("__mid")) != F.col("__old")
+                ).cast("int").alias("__chg"),
+            )
+        )
+        upd = materialize(upd, i)
         changed = upd.agg(F.sum("__chg")).first()[0]
         labels = upd.drop("__chg")
         if not changed:

@@ -58,3 +58,41 @@ def test_skipgram_topk_deterministic_ties(spark):
     rows = skipgram_counts(df, gap=2, min_count=1, top_k=1).collect()
     # (a, b) and (b, a) both have n_pairs=2: tie broken by w1 asc
     assert [(r.w1, r.w2) for r in rows] == [("a", "b")]
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 300-hop chain needs 300 rounds under plain propagation (>> the
+    # default max_iter=25); pointer jumping converges in O(log n) rounds
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_random_matches_unionfind(spark):
+    import random
+
+    rng = random.Random(4242)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.comp for r in connected_components(df).collect()}
+    # brute union-find
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp_min = {}
+    verts = {v for e in edges for v in e}
+    for v in verts:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expect = {v: comp_min[find(v)] for v in verts}
+    assert got == expect
