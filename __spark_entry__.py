@@ -1421,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE42_QUERIES,
         **_WAVE43_QUERIES,
         **_WAVE44_QUERIES,
+        **_WAVE45_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1547,6 +1548,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE42_SQL,
         **_WAVE43_SQL,
         **_WAVE44_SQL,
+        **_WAVE45_SQL,
     }
 
 
@@ -9469,4 +9471,78 @@ _WAVE44_QUERIES = {
 }
 _WAVE44_SQL = {
     "jaccard_prefix_docs": JACCARD_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 45 (round 6): Poisson bootstrap — B-replica uncertainty
+# for a metric in ONE pass over the data (no B resample shuffles), the
+# cluster-scale bootstrap of Chamandy et al.
+# --------------------------------------------------------------------------
+
+def bootstrap_purchase_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-replica Poisson bootstrap of mean purchase cents
+    (operators/sampling.py poisson_bootstrap_means): md5-deterministic
+    multiplicities, exact inverse-CDF on fixed Poisson(1) literals, one
+    map-side-combined pass."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.sampling import (
+        poisson_bootstrap_means,
+    )
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "value")
+    # the x32 explode + per-row md5 is CPU-heavy narrow work: spread the
+    # few coalesced input splits across cores (the _spread rationale; 10x
+    # stress measured 3 tasks carrying 320M exploded rows without it)
+    return poisson_bootstrap_means(
+        _spread(spark, ev), "event_id", "value", n_replicas=32
+    )
+
+
+BOOTSTRAP_SQL = """
+WITH q AS (
+  SELECT event_id,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events WHERE event_type = 'purchase'),
+r AS (
+  SELECT event_id, qv, j AS replica
+  FROM q CROSS JOIN generate_series(0, 31) s(j)),
+drawn AS (
+  SELECT replica, qv,
+         CASE
+           WHEN u < 0.3678794411714423 THEN 0
+           WHEN u < 0.7357588823428846 THEN 1
+           WHEN u < 0.9196986029286058 THEN 2
+           WHEN u < 0.9810118431238462 THEN 3
+           WHEN u < 0.9963401531726563 THEN 4
+           WHEN u < 0.9994058151824183 THEN 5
+           WHEN u < 0.9999167588507119 THEN 6
+           WHEN u < 0.9999897508033253 THEN 7
+           WHEN u < 0.9999988805703049 THEN 8
+           ELSE 9
+         END AS w
+  FROM (
+    SELECT replica, qv,
+           CAST(('0x' || substr(md5('boot1' || '|'
+                || CAST(event_id AS VARCHAR) || '|'
+                || CAST(replica AS VARCHAR)), 1, 8)) AS BIGINT)
+             / 4294967296.0 AS u
+    FROM r)),
+agg AS (
+  SELECT replica, CAST(SUM(w) AS BIGINT) AS n_eff,
+         CAST(SUM(w * qv) AS BIGINT) AS sum_cents
+  FROM drawn GROUP BY replica)
+SELECT CAST(replica AS INT) AS replica, n_eff, sum_cents,
+       CASE WHEN n_eff > 0
+            THEN CAST(sum_cents AS DOUBLE) / CAST(n_eff AS DOUBLE)
+       END AS mean_cents
+FROM agg
+"""
+
+_WAVE45_QUERIES = {
+    "bootstrap_purchase_mean": bootstrap_purchase_mean,
+}
+_WAVE45_SQL = {
+    "bootstrap_purchase_mean": BOOTSTRAP_SQL,
 }

@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     "conformal_value_threshold",
     # wave 44: prefix-filtered set-similarity join (round 6)
     "jaccard_prefix_docs",
+    # wave 45: Poisson bootstrap (round 6)
+    "bootstrap_purchase_mean",
 ]
 
 

@@ -277,3 +277,82 @@ def pareto_front_2d(
         )
         & (F.col("y") == F.col("__max_y_same_x"))
     ).select("id", "x", "y")
+
+
+# Poisson(1) CDF steps, F(0)..F(8); identical literals live in the SQL
+# twin so the inverse-CDF branch is bit-identical across engines.
+_POIS1_CDF = [
+    0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988805703049,
+]
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    id_col: str,
+    value_col: str = "value",
+    n_replicas: int = 32,
+    scale: int = 100,
+    salt: str = "boot1",
+) -> DataFrame:
+    """Poisson bootstrap of a mean — the ONLY bootstrap that works at
+    cluster scale: instead of materializing B resampled datasets (B full
+    shuffles), every row draws its per-replica multiplicity w ~
+    Poisson(1) independently and all B replica statistics accumulate in
+    ONE pass over the data (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams"). The spread of the B replica means IS the
+    sampling distribution of the mean.
+
+    Draws are md5-deterministic (salt ‖ id ‖ replica -> uniform -> exact
+    inverse-CDF over fixed Poisson(1) literals): reruns, retries, and
+    any partitioning reproduce the same replicas — the split_assign
+    RNG-free discipline. The explode is a constant x``n_replicas``
+    fan-out feeding a map-side-combined groupBy on the B-row replica
+    key. Returns (replica, n_eff, sum_cents, mean_cents).
+    """
+    qv = (
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv")
+    )
+    rows = df.select(F.col(id_col).alias("__id"), qv).withColumn(
+        "replica",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        F.col("__id").cast("string"),
+                        F.col("replica").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    w = F.lit(9)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = rows.select("replica", "__qv", w.alias("__w"))
+    agg = weighted.groupBy("replica").agg(
+        F.sum("__w").cast("long").alias("n_eff"),
+        F.sum(F.col("__w") * F.col("__qv")).cast("long").alias("sum_cents"),
+    )
+    return agg.select(
+        "replica",
+        "n_eff",
+        "sum_cents",
+        F.when(
+            F.col("n_eff") > 0,
+            F.col("sum_cents").cast("double") / F.col("n_eff").cast("double"),
+        ).alias("mean_cents"),
+    )
