@@ -1422,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE43_QUERIES,
         **_WAVE44_QUERIES,
         **_WAVE45_QUERIES,
+        **_WAVE46_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1549,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE43_SQL,
         **_WAVE44_SQL,
         **_WAVE45_SQL,
+        **_WAVE46_SQL,
     }
 
 
@@ -9545,4 +9547,51 @@ _WAVE45_QUERIES = {
 }
 _WAVE45_SQL = {
     "bootstrap_purchase_mean": BOOTSTRAP_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 46 (round 6): delete-one-group jackknife — single-source
+# dominance audit for corpus-level metrics.
+# --------------------------------------------------------------------------
+
+def jackknife_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-source jackknife of mean document length
+    (operators/profiling.py jackknife_group_influence): all N estimates
+    from one rollup + broadcast total."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        jackknife_group_influence,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("value")
+    )
+    return jackknife_group_influence(docs, "source", "value", scale=1)
+
+
+JACKKNIFE_SQL = """
+WITH per AS (
+  SELECT source AS grp, COUNT(*) AS n_rows,
+         CAST(SUM(CAST(ROUND(CAST(n_chars AS DOUBLE) * 1, 0) AS BIGINT))
+              AS BIGINT) AS s
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss
+  FROM per)
+SELECT grp AS "group", CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(s AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mean_cents,
+       CASE WHEN nn - n_rows > 0
+            THEN CAST(ss - s AS DOUBLE) / CAST(nn - n_rows AS DOUBLE)
+       END AS mean_without,
+       CASE WHEN nn - n_rows > 0
+            THEN CAST(ss - s AS DOUBLE) / CAST(nn - n_rows AS DOUBLE)
+       END - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS delta_cents
+FROM per CROSS JOIN tot
+"""
+
+_WAVE46_QUERIES = {
+    "jackknife_source_lengths": jackknife_source_lengths,
+}
+_WAVE46_SQL = {
+    "jackknife_source_lengths": JACKKNIFE_SQL,
 }

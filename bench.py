@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "jaccard_prefix_docs",
     # wave 45: Poisson bootstrap (round 6)
     "bootstrap_purchase_mean",
+    # wave 46: jackknife influence (round 6)
+    "jackknife_source_lengths",
 ]
 
 

@@ -237,3 +237,62 @@ def key_skew_histogram(df: DataFrame, key_cols: list[str]) -> DataFrame:
             F.sum("__cnt").cast("long").alias("sum_rows"),
         )
     )
+
+
+def jackknife_group_influence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Delete-one-group jackknife of a mean: for every group, the metric
+    recomputed WITHOUT that group and the delta it induces — the "is any
+    single source secretly driving our average" audit a curation
+    pipeline runs before trusting a corpus-level number. A group whose
+    removal moves the mean by more than the others' spread is a
+    dominance / contamination flag.
+
+    All N delete-one estimates come from ONE group rollup plus a
+    broadcast 1-row total: mean_without_g = (S − s_g)/(N − n_g) — no
+    N passes over the data, no self-join. Integer-cents sums, fixed
+    double division tree. Returns (group, n_rows, mean_cents,
+    mean_without, delta_cents); mean_without NULL for a group that is
+    the whole dataset.
+    """
+    qv = (
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv")
+    )
+    per = (
+        df.select(F.col(group_col).alias("group"), qv)
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__qv").cast("long").alias("__s"),
+        )
+    )
+    # NOTE: the session is case-INsensitive, so totals must not be named
+    # __N/__S (they would collide with per's __s); totals come from the
+    # BASE frame (the target_encode pattern) under distinct names
+    tot = df.select(qv).agg(
+        F.count(F.lit(1)).cast("long").alias("__tot_n"),
+        F.sum("__qv").cast("long").alias("__tot_s"),
+    )
+    mean_g = F.col("__s").cast("double") / F.col("n_rows").cast("double")
+    rest_n = F.col("__tot_n") - F.col("n_rows")
+    mean_wo = F.when(
+        rest_n > 0,
+        (F.col("__tot_s") - F.col("__s")).cast("double")
+        / rest_n.cast("double"),
+    )
+    overall = (
+        F.col("__tot_s").cast("double") / F.col("__tot_n").cast("double")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "group",
+        "n_rows",
+        mean_g.alias("mean_cents"),
+        mean_wo.alias("mean_without"),
+        (mean_wo - overall).alias("delta_cents"),
+    )
