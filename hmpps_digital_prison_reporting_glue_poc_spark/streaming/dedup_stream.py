@@ -41,6 +41,7 @@ def stream_ingest_dedup(
     trigger_once: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_threshold: int = 64,
 ):
     """Continuous corpus growth with dedup-at-ingest: stream incoming
     documents, drop anything whose content fingerprint already exists in
@@ -120,6 +121,7 @@ def stream_ingest_dedup(
             compact_state(
                 spark, store_path, batch_id,
                 key_cols=[id_col, "fingerprint"], aggs=[],
+                threshold=compact_threshold,
             )
         finally:
             kept.unpersist()

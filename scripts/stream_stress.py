@@ -581,6 +581,96 @@ def run_quantile_family(spark) -> None:
     _summary(fam, secs, final_state_files=_dir_stats(state)[0])
 
 
+def run_bloom_family(spark) -> None:
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.retrieval import (
+        bloom_bit_positions,
+    )
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.bloom_stream import (
+        stream_bloom_decontaminate,
+    )
+
+    fam = "bloom"
+    src, bits, out, ckpt = _reset(
+        f"{fam}/src", f"{fam}/bits", f"{fam}/out", f"{fam}/ckpt"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    eval_docs = spark.createDataFrame(
+        [(i, f"ev{i} tok{i} mark{i} ev{i} tok{i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    bits_path = os.path.join(bits, "bits.parquet")
+    bloom_bit_positions(eval_docs).write.parquet(bits_path)
+    secs = []
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH // 10):
+                did = b * 100_000 + i
+                # every ~20th doc quotes an eval doc (a contamination hit)
+                text = (
+                    f"ev{i % 200} tok{i % 200} mark{i % 200} pad{did}"
+                    if i % 20 == 0
+                    else f"w{did} x{did} y{did} z{did} q{did}"
+                )
+                fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        t0 = time.time()
+        q = stream_bloom_decontaminate(
+            spark, src, schema, bits_path, out, ckpt, trigger_once=True
+        )
+        q.awaitTermination()
+        secs.append(time.time() - t0)
+        files, size = _dir_stats(out)
+        _emit(fam, b, secs[-1], out_files=files, out_kb=round(size / 1e3, 1))
+    _summary(fam, secs, final_out_files=_dir_stats(out)[0])
+
+
+def run_ingest_dedup_family(spark) -> None:
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.dedup_stream import (
+        stream_ingest_dedup,
+    )
+
+    fam = "ingest-dedup"
+    src, store, corpus, ckpt = _reset(
+        f"{fam}/src", f"{fam}/store", f"{fam}/corpus", f"{fam}/ckpt"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    secs = []
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH // 10):
+                did = b * 100_000 + i
+                # ~30% of each batch repeats earlier content (dup pressure
+                # against a store that grows every batch)
+                text = (
+                    f"dup body {i % 120}"
+                    if i % 3 == 0
+                    else f"fresh {b} {i} body"
+                )
+                fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        t0 = time.time()
+        q = stream_ingest_dedup(
+            spark, src, schema, store, corpus, ckpt, trigger_once=True,
+            compact_threshold=8,
+        )
+        q.awaitTermination()
+        secs.append(time.time() - t0)
+        sfiles, ssize = _dir_stats(store)
+        _emit(
+            fam, b, secs[-1],
+            store_files=sfiles, store_kb=round(ssize / 1e3, 1),
+        )
+    _summary(fam, secs, final_store_files=_dir_stats(store)[0])
+
+
 def run_cms_family(spark) -> None:
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.cms_stream import (
         read_cms_estimate,
@@ -632,6 +722,8 @@ FAMILIES = {
     "anomaly": run_anomaly_family,
     "hll": run_hll_family,
     "quantile": run_quantile_family,
+    "bloom": run_bloom_family,
+    "ingest-dedup": run_ingest_dedup_family,
 }
 
 
