@@ -83,6 +83,12 @@ def parse_wav(b: bytes) -> dict:
         cid, size = b[pos:pos + 4], struct.unpack("<I", b[pos + 4:pos + 8])[0]
         body = b[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            # a truncated fmt chunk must raise ValueError (the quarantine
+            # contract), not struct.error, which would fail the Spark task
+            if len(body) < 16:
+                raise ValueError(
+                    f"truncated fmt chunk ({len(body)} bytes, need 16)"
+                )
             (audio_fmt, channels, rate, _br, _ba, bits) = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -134,12 +140,16 @@ def parse_bmp(b: bytes) -> dict:
     if b[:2] != b"BM" or len(b) < 54:
         raise ValueError("not a BMP file")
     data_offset = struct.unpack("<I", b[10:14])[0]
-    hdr_size, width, height = struct.unpack("<IiI", b[14:26])
+    # biWidth AND biHeight are both signed in the BMP spec: a negative
+    # biHeight marks a top-down bitmap and must read as abs(height) rows,
+    # not a ~4-billion unsigned reinterpretation.
+    hdr_size, width, height = struct.unpack("<Iii", b[14:26])
     if hdr_size < 40:
         raise ValueError(f"unsupported DIB header size {hdr_size}")
     bpp = struct.unpack("<H", b[28:30])[0]
     return {
-        "kind": "image/bmp", "width": width, "height": int(height),
+        "kind": "image/bmp", "width": width, "height": abs(height),
+        "top_down": height < 0,
         "bits_per_pixel": bpp, "pixels": b[data_offset:],
     }
 

@@ -92,9 +92,11 @@ def stream_daily_anomaly(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # sweep before the empty-batch return: an empty batch 0 on a
+        # fresh checkpoint must still clear the dead run's state
+        sweep_stale(spark, state_path, batch_id)
         if batch_df.isEmpty():
             return
-        sweep_stale(spark, state_path, batch_id)
         delta = (
             batch_df.filter(F.col(type_col) == target_type)
             .groupBy(F.to_date(F.col(ts_col)).alias("day"))

@@ -48,9 +48,11 @@ def stream_cms_counts(
     raw = spark.readStream.schema(schema).json(source_path)
 
     def apply_batch(batch_df, batch_id: int) -> None:
+        # sweep before the empty-batch return: an empty batch 0 on a
+        # fresh checkpoint must still clear the dead run's state
+        sweep_stale(spark, cells_path, batch_id)
         if batch_df.isEmpty():
             return
-        sweep_stale(spark, cells_path, batch_id)
         counts = (
             batch_df.select(F.explode(tokens(F.col(text_col))).alias("token"))
             .groupBy("token")

@@ -78,12 +78,14 @@ def stream_ingest_dedup(
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         # fresh-checkpoint batch 0 wipes BOTH sinks (a re-segmented replay
-        # must not dedup against — or append to — the dead run's output)
+        # must not dedup against — or append to — the dead run's output);
+        # runs BEFORE the empty-batch early return so an empty batch 0
+        # still clears the dead run's state
         sweep_stale(spark, store_path, batch_id)
         sweep_stale(spark, corpus_path, batch_id)
+        if batch_df.isEmpty():
+            return
         # the sweep may leave the store dir EXISTING but empty (batch-0
         # rerun) — partition listing, not fs.exists, decides readability
         if _partition_ids(spark, store_path):

@@ -46,11 +46,12 @@ def stream_hll_distinct(
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:
+        # Sweep BEFORE the empty-batch early return: a fresh-checkpoint
+        # rerun whose batch 0 happens to be empty must still clear the
+        # dead run's store, or batch 1+ double-counts it.
+        sweep_stale(spark, registers_path, batch_id)
         if batch_df.isEmpty():
             return
-        # drop abandoned-attempt partitions (>= batch_id) and, on a
-        # fresh-checkpoint batch 0, the whole previous run's store
-        sweep_stale(spark, registers_path, batch_id)
         h = F.conv(
             F.substring(
                 F.md5(
@@ -101,11 +102,18 @@ def stream_hll_distinct(
             .parquet(registers_path)
         )
         # Every partition holds the FULL merged register table, so all but
-        # the newest two are redundant. Keep batch_id-1 (a replay of the
-        # NEXT batch excludes its own partition and must still find a
-        # complete prior merge), delete <= batch_id-2. Crash anywhere in
-        # the cleanup only leaves extra partitions — max-merge readers are
-        # unaffected — so state is O(2·m) registers, not O(batches·m).
+        # the newest two are redundant. Keep the two largest PRESENT ids —
+        # not "ids > batch_id-2": empty micro-batches advance batch ids
+        # without writing a partition, so after a gap (non-empty 5, empty
+        # 6-7, non-empty 8) arithmetic would delete partition 5, the only
+        # prior full merge; a crash before batch 8's checkpoint commit
+        # would then let the replay's sweep_stale delete partition 8 too
+        # and lose ALL accumulated state. Keeping the newest present pair
+        # preserves a complete prior merge no matter how the ids are
+        # spaced. Crash anywhere in the cleanup only leaves extra
+        # partitions — max-merge readers are unaffected — so state is
+        # O(2·m) registers, not O(batches·m).
+        present: list[tuple[int, object]] = []
         for status in fs.listStatus(jpath):
             name = status.getPath().getName()
             if not name.startswith("__batch_id="):
@@ -114,8 +122,10 @@ def stream_hll_distinct(
                 old_id = int(name.split("=", 1)[1])
             except ValueError:
                 continue
-            if old_id <= batch_id - 2:
-                fs.delete(status.getPath(), True)
+            present.append((old_id, status.getPath()))
+        present.sort(key=lambda t: t[0])
+        for _old_id, path in present[:-2]:
+            fs.delete(path, True)
 
     writer = (
         raw.writeStream.foreachBatch(apply_batch)

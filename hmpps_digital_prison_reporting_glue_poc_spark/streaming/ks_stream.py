@@ -146,11 +146,13 @@ def stream_ks_drift(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Drop stale partitions a replay makes dead (see module
+        # docstring): one FS listing, normally a no-op. Runs BEFORE the
+        # empty-batch early return so a fresh-checkpoint rerun whose
+        # batch 0 is empty still clears the dead run's state.
+        sweep_stale(spark, state_path, batch_id)
         if batch_df.isEmpty():
             return
-        # Drop stale partitions a replay makes dead (see module
-        # docstring): one FS listing, normally a no-op.
-        sweep_stale(spark, state_path, batch_id)
         delta = _batch_counts(batch_df, side_col, value_col, scale).withColumn(
             "__batch_id", F.lit(batch_id).cast("long")
         )

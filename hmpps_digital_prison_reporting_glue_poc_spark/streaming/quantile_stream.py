@@ -45,9 +45,11 @@ def stream_quantile_counts(
     quantiles any time with :func:`quantiles_from_state`."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # sweep before the empty-batch return: an empty batch 0 on a
+        # fresh checkpoint must still clear the dead run's state
+        sweep_stale(spark, state_path, batch_id)
         if batch_df.isEmpty():
             return
-        sweep_stale(spark, state_path, batch_id)
         delta = grid_quantile_state(batch_df, value_col, scale).withColumn(
             "__batch_id", F.lit(batch_id).cast("long")
         )

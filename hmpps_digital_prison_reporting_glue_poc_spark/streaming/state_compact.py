@@ -106,9 +106,10 @@ def compact_state(
     threshold: int = 64,
 ) -> bool:
     """Fold committed deltas (< ``batch_id``) into a new base partition
-    when more than ``threshold`` delta partitions have accumulated.
-    Returns True when a compaction ran. Call from inside the stream's
-    ``foreachBatch`` AFTER writing the current delta."""
+    when at least ``threshold`` delta partitions have accumulated (i.e.
+    ``len(eligible) >= threshold``). Returns True when a compaction ran.
+    Call from inside the stream's ``foreachBatch`` AFTER writing the
+    current delta."""
     ids = _partition_ids(spark, state_path)
     bases = [i for i in ids if i < 0]
     newest = min(bases) if bases else None
@@ -140,8 +141,15 @@ def compact_state(
         fs.delete(dest, True)
     fs.rename(tmp, dest)
 
-    # lazy cleanup — everything below is already ignored by live_state
-    for i in ([] if newest is None else [newest]) + eligible:
+    # lazy cleanup — everything below is already ignored by live_state:
+    # the old base, the deltas just folded, crash-leftover deltas already
+    # covered by the OLD base (id <= covered — a prior compaction renamed
+    # its base but died before its own cleanup), and crash-leftover older
+    # bases (negative ids less negative than the old ``newest``). Without
+    # the last two groups, pre-coverage leftovers would linger forever.
+    leftover_deltas = [i for i in ids if 0 <= i <= covered and i not in eligible]
+    leftover_bases = [i for i in ids if i < 0 and newest is not None and i > newest]
+    for i in ([] if newest is None else [newest]) + eligible + leftover_deltas + leftover_bases:
         p = jvm.org.apache.hadoop.fs.Path(
             state_path.rstrip("/") + f"/__batch_id={i}"
         )

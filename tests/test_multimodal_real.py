@@ -77,6 +77,30 @@ def test_bmp_header():
     assert len(m["pixels"]) == 16
 
 
+def test_wav_truncated_fmt_chunk_raises_valueerror_not_struct_error():
+    """A fmt chunk shorter than 16 bytes must raise ValueError (the
+    quarantine contract the Arrow kernels catch), never struct.error."""
+    short_fmt = b"fmt " + struct.pack("<I", 8) + bytes(8)
+    data = b"data" + struct.pack("<I", 2) + b"\x80\x80"
+    body = b"WAVE" + short_fmt + data
+    b = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="truncated fmt"):
+        mm.parse_wav(b)
+
+
+def test_bmp_top_down_negative_height():
+    """biHeight is SIGNED: a top-down BMP (negative height) reads as
+    abs(height) rows, not a ~4-billion unsigned reinterpretation."""
+    row = bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00"
+    pixels = row * 2
+    filehdr = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    infohdr = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(pixels),
+                          2835, 2835, 0, 0)
+    m = mm.parse_bmp(filehdr + infohdr + pixels)
+    assert (m["width"], m["height"]) == (2, 2)
+    assert m["top_down"] is True
+
+
 def test_decode_media_real_dispatch_and_gate():
     assert mm.decode_media_real(mm.build_wav(b"\x80"))["kind"] == "audio/wav"
     assert mm.decode_media_real(b"P5 1 1 255 \x00")["kind"] == "image/pgm"

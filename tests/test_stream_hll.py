@@ -48,6 +48,54 @@ def test_stream_merge_equals_batch_sketch(spark, tmp_path):
     assert streamed == batch  # bit-identical, not approximately equal
 
 
+def test_empty_batch_gap_keeps_prior_merge_and_survives_replay(
+    spark, tmp_path
+):
+    """Empty micro-batches advance batch ids WITHOUT writing partitions.
+    Retention must keep the two largest PRESENT partition ids — id
+    arithmetic (old_id <= batch_id - 2) would delete the only prior full
+    merge after a gap, and a crash-before-commit replay would then sweep
+    the newest partition too, losing ALL accumulated state."""
+    src = tmp_path / "src"
+    src.mkdir()
+    regs = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = list(range(300))
+    _write(str(src), "b0.json", first)
+    _run(spark, str(src), regs, ckpt)  # batch 0 -> partition 0
+    # two EMPTY files: batches 1 and 2 run with zero rows and write nothing
+    _write(str(src), "e1.json", [])
+    _run(spark, str(src), regs, ckpt)
+    _write(str(src), "e2.json", [])
+    _run(spark, str(src), regs, ckpt)
+    second = list(range(300, 500))
+    _write(str(src), "b3.json", second)
+    _run(spark, str(src), regs, ckpt)  # batch 3 -> partition 3
+
+    present = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(regs)
+        if p.startswith("__batch_id=")
+    )
+    # gap-aware retention: partition 0 (the only prior full merge) stays
+    assert present == [0, 3]
+
+    # crash-before-commit of batch 3, then replay: the sweep deletes
+    # partition 3 and the recompute must find partition 0 intact
+    os.remove(os.path.join(ckpt, "commits", "3"))
+    crc = os.path.join(ckpt, "commits", ".3.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run(spark, str(src), regs, ckpt)
+    streamed = read_hll_estimate(spark, regs).collect()[0].hll_estimate
+    union = spark.createDataFrame(
+        [(i,) for i in set(first) | set(second)], "user_id long"
+    )
+    batch = hll_distinct(union, "user_id").collect()[0].hll_estimate
+    assert streamed == batch
+
+
 def test_replay_keeps_registers_consistent(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()

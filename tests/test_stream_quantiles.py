@@ -50,6 +50,47 @@ def test_grid_quantiles_repeated_values_and_pitch(spark):
     assert out[0.75] == 5.68  # quantized to the grid: 1/scale pitch
 
 
+def test_empty_batch0_still_sweeps_dead_run_state(spark, tmp_path):
+    """A fresh-checkpoint rerun whose batch 0 happens to be EMPTY must
+    still clear the dead run's state — sweep_stale runs before the
+    empty-batch early return — or batch 1+ double-counts it."""
+    state = str(tmp_path / "state")
+
+    # dead run: checkpoint ck1 over src1 leaves state partition 0 behind
+    src1 = str(tmp_path / "src1")
+    os.makedirs(src1)
+    with open(os.path.join(src1, "b0.json"), "w") as fh:
+        for v in range(1, 11):
+            fh.write(json.dumps({"value": float(v)}) + "\n")
+    stream_quantile_counts(
+        spark, src1, SCHEMA, state, str(tmp_path / "ck1"), trigger_once=True
+    ).awaitTermination()
+    assert any(p.startswith("__batch_id=") for p in os.listdir(state))
+
+    # fresh checkpoint ck2 over src2 whose batch 0 is an EMPTY file
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2)
+    open(os.path.join(src2, "empty.json"), "w").close()
+    stream_quantile_counts(
+        spark, src2, SCHEMA, state, str(tmp_path / "ck2"), trigger_once=True
+    ).awaitTermination()
+    # batch 1: real data; state must reflect ONLY the new run
+    new_vals = [float(v) for v in range(100, 110)]
+    with open(os.path.join(src2, "b1.json"), "w") as fh:
+        for v in new_vals:
+            fh.write(json.dumps({"value": v}) + "\n")
+    stream_quantile_counts(
+        spark, src2, SCHEMA, state, str(tmp_path / "ck2"), trigger_once=True
+    ).awaitTermination()
+
+    out = {
+        r.q: (r.value, r.n_total)
+        for r in quantiles_from_state(spark, state, [0.5, 1.0]).collect()
+    }
+    assert out[1.0][1] == 10  # dead run's 10 rows NOT double-counted
+    assert out[1.0][0] == 109.0
+
+
 def test_stream_matches_batch_and_compacts(spark, tmp_path):
     src = str(tmp_path / "src")
     state = str(tmp_path / "state")
