@@ -6888,36 +6888,37 @@ _WAVE25_SQL = {
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: per-query recall@5 of the IVF-PQ
     approximate search against the exact cosine top-5 — the measurement
-    loop that tunes nprobe/codebook geometry before serving. Both result
-    sets are materialized once; single small join, per-query rows."""
-    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+    loop that tunes nprobe/codebook geometry before serving.
 
+    Single-plan shape (round-7): the exact side is consumed ONCE — a
+    left join against the broadcast approximate result marks hits, and
+    one aggregation yields n_exact (count of exact rows) and n_hit
+    (count of marked rows) together. The previous two-materialization
+    form (temp-parquet write + re-read per side) paid 2 extra write
+    jobs + 2 scans of fixed overhead per run, which dominated at the
+    2,000-row embeddings scale and made the query hypersensitive to
+    ambient Python-worker contention (r6 bench regression, VERDICT r6
+    finding 1). At 100 TB the join stays broadcast: both sides are
+    k-per-query rows, not corpus-sized."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = materialize(
-        sim.cosine_topk(emb, queries, k=5), "annrecall_exact_"
+    exact = sim.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
     )
-    approx = materialize(
+    approx = (
         sim.ivfpq_topk(
             spark, emb, queries, k=5, n_lists=8, nprobe=2,
             n_subspaces=8, n_centroids=16,
-        ).select("query_id", "neighbor_id"),
-        "annrecall_approx_",
-    )
-    hits = (
-        exact.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
     )
     return (
-        per_q.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            "n_exact",
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
         )
         .withColumn(
             "recall_at_k",

@@ -378,7 +378,9 @@ def copurchase_lift(
     safe when the caller knows the basket-size distribution.
     Returns (item_a, item_b, n_both, lift), item_a < item_b.
     """
-    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize_if_large,
+    )
 
     holdings = events.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("item")
@@ -389,12 +391,14 @@ def copurchase_lift(
         # the OVER-cap user set is tiny by construction (the basket-size
         # distribution head), so it broadcasts; anti-join drops their rows
         holdings = holdings.join(F.broadcast(over), "u", "left_anti")
-    # Lineage cut (the grid_quantiles/hitrate convention): the distinct
-    # (+ capped) holdings feed FOUR consumers (both self-join sides, the
-    # margins, the user count) — without the cut each re-runs the
-    # events-scan + distinct (+ anti-join) chain; bench r6 measured the
-    # capped path at 2.5x for exactly this reason.
-    holdings = materialize(holdings, "copurchase_holdings")
+    # Lineage cut, gated on input scale (r7 controlled A/B, SCALE.md):
+    # the distinct (+ capped) holdings feed FOUR consumers (both
+    # self-join sides, the margins, the user count) — at corpus scale
+    # each would re-run the events-scan + distinct (+ anti-join) chain,
+    # so the cut is mandatory there; at test scale the temp-parquet
+    # write job costs more than the milliseconds of recompute it saves
+    # (measured inline 0.97s vs materialized 1.05s at sf0.1).
+    holdings = materialize_if_large(holdings, "copurchase_holdings")
     # n_users as a broadcast 1-row aggregate (not a driver count action):
     # the whole lift is then ONE job over the materialized parquet
     n_users = holdings.agg(

@@ -49,3 +49,28 @@ def materialize(df: DataFrame, prefix: str) -> DataFrame:
         shutil.rmtree(previous, ignore_errors=True)
     _live[prefix] = path
     return df.sparkSession.read.parquet(path)
+
+
+def estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the frame's optimized plan — file
+    sizes at the scan, propagated through filters/projections. Pure
+    metadata: no job runs. Used to gate lineage cuts on input scale."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def materialize_if_large(
+    df: DataFrame, prefix: str, min_bytes: int = 256 << 20
+) -> DataFrame:
+    """Lineage-cut ``df`` only when its estimated input size crosses
+    ``min_bytes``. A multi-consumer plan re-runs its producer once per
+    consumer — at corpus scale the cut saves N-1 full scans and is
+    mandatory; at test scale (a few MB) the temp-parquet write JOB is
+    itself the dominant cost (r7 controlled A/B on copurchase_lift_items
+    at sf0.1: inline 0.97s vs materialized 1.05s, while the write saves
+    nothing because the recomputed scan is milliseconds). Catalyst's
+    size estimate decides without running a job."""
+    if estimated_bytes(df) >= min_bytes:
+        return materialize(df, prefix)
+    return df

@@ -277,3 +277,25 @@ def test_stream_ks_accumulates_across_separate_runs(spark, tmp_path):
     assert parts == {"__batch_id=0", "__batch_id=1"}
     out = ks_from_state(spark, state).collect()[0]
     assert out.n_left == 1 and out.n_right == 1
+
+
+def test_materialize_if_large_gates_on_estimated_size(spark):
+    """The lineage cut runs only above the size threshold: below it the
+    returned frame is the SAME logical plan (no temp-parquet read); above
+    it the frame reads from storage (r7 copurchase A/B, SCALE.md)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        estimated_bytes,
+        materialize_if_large,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    est = estimated_bytes(df)
+    assert est > 0
+
+    inline = materialize_if_large(df, "gate_test_", min_bytes=est + 1_000_000)
+    assert "Scan parquet" not in inline._jdf.queryExecution().executedPlan().toString()
+    assert inline.collect() == df.collect()
+
+    cut = materialize_if_large(df, "gate_test_", min_bytes=0)
+    assert "Parquet" in cut._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, cut.collect())) == sorted(map(tuple, df.collect()))
