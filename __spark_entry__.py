@@ -1098,16 +1098,15 @@ _R05_CHANGED = {
 
 
 
-# Queries whose PLAN or ORACLE changed during round 6 (parallel two-level
-# ntile ranks, max_basket cap, TRY_CAST oracle twins): their latest driver
-# rows predate the change, so they claim the first r6 window slots.
-_R06_CHANGED = {
-    "ntile_value_buckets", "copurchase_lift_items", "date_time_functions",
-    "map_functions", "json_props_extract",
+# Queries whose PLAN or ORACLE changed during round 7 (ann_recall
+# single-plan rewrite, copurchase size-gated lineage cut): their latest
+# driver rows predate the change, so they claim the first r7 window slots.
+_R07_CHANGED = {
+    "ann_recall_at_k", "copurchase_lift_items",
 }
 
 # Latest driver CORRECTNESS round per query (generated from
-# CORRECTNESS_r01..r05 keys) — drives the oldest-first r6 rotation.
+# CORRECTNESS_r01..r06 keys) — drives the oldest-first r7 rotation.
 _LATEST_DRIVER_ROUND = {
     "ann_cosine_topk": 5,
     "ann_ivf_topk": 2,
@@ -1119,13 +1118,17 @@ _LATEST_DRIVER_ROUND = {
     "argmax_order_per_customer": 2,
     "array_functions": 3,
     "asof_join_events": 2,
+    "attribution_last_touch_events": 6,
+    "auc_value_purchase": 6,
     "bigram_lift_top_docs": 5,
     "bitwise_agg_events": 3,
     "blocklist_stats_docs": 4,
     "bloom_decontaminate": 4,
     "bm25_doc_scores": 2,
     "boilerplate_prefixes": 4,
+    "bootstrap_purchase_mean": 6,
     "bpe_merge_candidates": 4,
+    "calibration_length_lang": 6,
     "cap_docs_per_source": 2,
     "cdc_hash_chain_fold": 2,
     "cdc_last_writer_wins": 4,
@@ -1133,26 +1136,33 @@ _LATEST_DRIVER_ROUND = {
     "cdc_merge_real": 2,
     "char_class_stats": 3,
     "char_entropy_docs": 4,
+    "chi2_value_band_purchase": 6,
     "chunk_docs_overlap": 3,
     "chunk_embed_pool_docs": 4,
     "cms_token_counts": 4,
     "cohort_retention_weekly": 3,
     "collect_sorted_events": 2,
+    "conformal_value_threshold": 6,
     "containment_pairs_docs": 5,
     "contamination_pairs_docs": 3,
-    "copurchase_lift_items": 5,
+    "copurchase_lift_items": 6,
     "correlated_scalar_subquery": 2,
     "cross_doc_ngram_coverage": 3,
     "cross_source_dups": 4,
-    "cube_lineitem": 1,
+    "cube_lineitem": 6,
+    "curriculum_interleave_docs": 6,
+    "daily_volume_anomalies": 6,
     "dataset_card_stats": 4,
     "date_arithmetic": 2,
     "date_spine_zero_fill": 2,
-    "date_time_functions": 5,
+    "date_time_functions": 6,
+    "decayed_type_counts": 6,
+    "decile_lift_value": 6,
     "dedup_events_time_window": 3,
     "dedup_exact_groups": 4,
     "dedup_exact_keep": 4,
     "dedup_ingest_batch": 3,
+    "dialog_turn_stats_events": 6,
     "distinct_projection": 5,
     "doc_fingerprint": 4,
     "domain_mix_weights": 3,
@@ -1163,18 +1173,23 @@ _LATEST_DRIVER_ROUND = {
     "embedding_lsh_pairs": 3,
     "embedding_neardup_pairs": 5,
     "embedding_outlier_rate": 5,
+    "entity_resolution_parts": 6,
+    "equifreq_price_edges": 6,
     "event_sequence_per_user": 3,
     "event_transition_counts": 3,
     "except_all_purchases": 3,
     "except_non_buyers": 2,
     "explode_outer_props": 3,
+    "feature_hash_collisions": 6,
     "forward_fill_events": 2,
     "full_outer_reconciliation": 3,
     "funnel_time_bound": 5,
     "funnel_view_click_purchase": 3,
     "fuzzy_match_docs": 2,
+    "fuzzy_part_matches": 6,
     "gopher_quality_rules": 3,
-    "grouping_sets_orders": 1,
+    "grid_quantiles_events": 6,
+    "grouping_sets_orders": 6,
     "heavy_hitter_tokens": 4,
     "histogram_order_totals": 2,
     "hll_distinct_users": 4,
@@ -1186,20 +1201,28 @@ _LATEST_DRIVER_ROUND = {
     "inverted_index_postings": 4,
     "ivfpq_topk": 5,
     "jaccard_pairs": 4,
-    "json_props_extract": 5,
+    "jaccard_prefix_docs": 6,
+    "jackknife_source_lengths": 6,
+    "json_key_profile_events": 6,
+    "json_props_extract": 6,
     "k_anonymity_events": 4,
+    "kappa_lang_length": 6,
     "kmeans_refine_clusters": 4,
     "ks_value_drift": 5,
+    "l_diversity_events": 6,
     "length_bucket_packing": 4,
+    "line_dedup_corpus": 6,
     "lsh_candidate_pairs": 4,
     "lsh_precision_table": 5,
     "lsh_recall_eval": 4,
-    "map_functions": 2,
+    "map_functions": 6,
     "matryoshka_prefix_audit": 4,
     "media_audio_energy": 4,
     "media_embed_stub": 3,
     "media_frame_chunks": 3,
     "media_scene_cuts": 3,
+    "media_wav_energy": 6,
+    "media_wav_meta": 6,
     "minhash_jaccard_pairs": 3,
     "minhash_signatures": 4,
     "mode_event_type_per_user": 3,
@@ -1208,18 +1231,24 @@ _LATEST_DRIVER_ROUND = {
     "neardup_components": 2,
     "neardup_dedup_corpus": 3,
     "neardup_keep_best": 5,
+    "negative_samples_docs": 6,
     "ngram_counts_top": 2,
     "ngram_lm_scores_docs": 4,
     "normalized_dedup_groups": 2,
-    "ntile_value_buckets": 2,
+    "ntile_value_buckets": 6,
     "null_handling_functions": 2,
     "ohlc_resample_events": 2,
     "pack_sequences_docs": 3,
+    "pareto_front_docs": 6,
     "percentiles_by_flag": 2,
     "pii_redact_stats": 3,
-    "pivot_event_counts": 1,
+    "pit_features_purchases": 6,
+    "pivot_event_counts": 6,
+    "popularity_hitrate_items": 6,
     "pq_encode_vectors": 3,
     "profile_lineitem": 2,
+    "psi_value_drift": 6,
+    "purchase_gap_hazard": 6,
     "q10_returned_items": 5,
     "q11_important_parts": 2,
     "q12_priority_counts": 5,
@@ -1229,11 +1258,11 @@ _LATEST_DRIVER_ROUND = {
     "q16_supplier_count": 5,
     "q17_small_qty_revenue": 2,
     "q18_large_orders": 5,
-    "q19_disjunctive_revenue": 1,
+    "q19_disjunctive_revenue": 6,
     "q1_pricing_summary": 3,
     "q20_promotion_suppliers": 2,
     "q21_waiting_suppliers": 2,
-    "q22_idle_customers": 1,
+    "q22_idle_customers": 6,
     "q2_min_cost_supplier": 2,
     "q3_shipping_priority": 3,
     "q4_order_priority": 5,
@@ -1252,7 +1281,8 @@ _LATEST_DRIVER_ROUND = {
     "revenue_share_per_nation": 2,
     "robust_stats_by_type": 3,
     "rolling_active_users": 3,
-    "rollup_lineitem": 1,
+    "rolling_revenue_daily": 6,
+    "rollup_lineitem": 6,
     "salted_join_events": 3,
     "scan_filter_project": 5,
     "scd2_user_history": 2,
@@ -1262,14 +1292,18 @@ _LATEST_DRIVER_ROUND = {
     "simhash_near_dups": 5,
     "simhash_sketches": 5,
     "skew_key_stats": 3,
+    "skipgram_counts_docs": 6,
     "snapshot_diff_docs": 5,
     "sort_limit_top_events": 5,
+    "source_group_split": 6,
     "source_lang_entropy": 5,
     "source_overlap_matrix": 4,
     "split_assign_docs": 3,
+    "split_leakage_docs": 6,
     "stats_summary": 2,
     "stratified_sample_docs": 4,
     "string_functions": 2,
+    "target_encoding_event_type": 6,
     "temporal_drift_stats": 5,
     "text_bpe_token_count": 2,
     "text_language_id": 5,
@@ -1291,9 +1325,13 @@ _LATEST_DRIVER_ROUND = {
     "training_shard_manifest": 4,
     "union_by_name_events": 5,
     "unpivot_lineitem_measures": 2,
+    "user_key_skew_histogram": 6,
+    "user_value_decile_transition": 6,
     "user_value_percentile": 4,
     "user_value_zscores": 5,
     "value_moments_by_type": 3,
+    "value_pctrank_by_type": 6,
+    "value_quantiles_by_type": 6,
     "vocab_oov_rate_docs": 5,
     "weak_label_votes": 4,
     "weighted_sample_docs": 3,
@@ -1423,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE44_QUERIES,
         **_WAVE45_QUERIES,
         **_WAVE46_QUERIES,
+        **_WAVE47_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1430,7 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the staleness tail drains ~50 per round. Name tie-break keeps the
     # order deterministic.
     def tier(name: str) -> tuple[int, str]:
-        if name in _R06_CHANGED:
+        if name in _R07_CHANGED:
             return (0, name)
         r = _LATEST_DRIVER_ROUND.get(name)
         if r is None:
@@ -1551,6 +1590,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE44_SQL,
         **_WAVE45_SQL,
         **_WAVE46_SQL,
+        **_WAVE47_SQL,
     }
 
 
@@ -9595,4 +9635,106 @@ _WAVE46_QUERIES = {
 }
 _WAVE46_SQL = {
     "jackknife_source_lengths": JACKKNIFE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 47 (round 7): the composed end-to-end corpus pipeline —
+# the LLM operators are verified one at a time elsewhere; this proves
+# they COMPOSE (r6 verdict task 7): ingest -> gopher gates -> exact +
+# prefix-Jaccard near dedup -> deterministic mixture sampling -> shard
+# manifest, one DataFrame chain against one DuckDB CTE twin.
+# --------------------------------------------------------------------------
+
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full prepare-for-training chain (operators/pipeline_e2e.py
+    corpus_pipeline) over the documents table: quality-gate, dedup
+    exactly and near (PPJoin prefix filter, J >= 0.8, drop higher id),
+    apply md5-deterministic per-source mixture sampling, and emit the
+    64-doc shard manifest with order-sensitive checksums. The survivor
+    set is lineage-cut once; the final plan re-reads only the cut
+    tables, never the raw corpus."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.pipeline_e2e import corpus_pipeline
+
+    return corpus_pipeline(
+        spark,
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=0.8,
+        max_df=100,
+        shard_docs=64,
+    )
+
+
+CORPUS_E2E_SQL = f"""
+WITH toksed AS (
+  SELECT doc_id, text, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+gated AS (
+  SELECT doc_id, text, source FROM toksed
+  WHERE len(toks) BETWEEN 5 AND 100000
+    AND CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+        / GREATEST(len(toks), 1) BETWEEN 2.0 AND 12.0
+    AND CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        / GREATEST(len(toks), 1) >= 0.8
+    AND len(list_filter(toks, t -> lower(t) IN ({_GOPHER_STOPS_SQL}))) >= 2),
+exact AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+    FROM gated) WHERE rn = 1),
+toks_all AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS token
+  FROM exact),
+dfreq AS (SELECT token, COUNT(*) AS df FROM toks_all GROUP BY token),
+toks AS (
+  SELECT t.doc_id, t.token FROM toks_all t
+  JOIN dfreq d ON t.token = d.token AND d.df <= 100),
+sizes AS (SELECT doc_id, COUNT(*) AS size FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS inter
+  FROM toks l JOIN toks r ON l.token = r.token AND l.doc_id < r.doc_id
+  GROUP BY 1, 2),
+near_drop AS (
+  SELECT DISTINCT id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / CAST(sa.size + sb.size - inter AS DOUBLE)
+        >= 0.8),
+kept AS (
+  SELECT * FROM exact WHERE doc_id NOT IN (SELECT id_b FROM near_drop)),
+sampled AS (
+  SELECT doc_id, text FROM kept
+  WHERE CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT)
+        < CAST(floor(CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) / 2)
+               AS BIGINT) + 1073741824),
+keyed AS (
+  SELECT doc_id,
+         md5('ord:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
+         md5(text) AS fp
+  FROM sampled),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY sort_key ASC, doc_id ASC) AS BIGINT)
+           AS r
+  FROM keyed),
+sh AS (SELECT *, (r - 1) // 64 AS shard_id FROM ranked)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(MIN(r) AS BIGINT) AS rank_from,
+       CAST(MAX(r) AS BIGINT) AS rank_to,
+       md5(string_agg(fp, '' ORDER BY r)) AS shard_md5
+FROM sh GROUP BY shard_id
+"""
+
+_WAVE47_QUERIES = {
+    "corpus_pipeline_e2e": corpus_pipeline_e2e,
+}
+_WAVE47_SQL = {
+    "corpus_pipeline_e2e": CORPUS_E2E_SQL,
 }

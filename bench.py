@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "bootstrap_purchase_mean",
     # wave 46: jackknife influence (round 6)
     "jackknife_source_lengths",
+    # wave 47: composed end-to-end corpus pipeline (round 7)
+    "corpus_pipeline_e2e",
 ]
 
 
@@ -283,6 +285,22 @@ BENCH_QUERIES = [
 # final line as JSON (round-1 BENCH had "parsed": null because the full
 # 76-query line was longer than the capture window and lost its head).
 MAX_LINE_CHARS = 1800
+
+# Sentinel-normalized time pins (round-7 task 3). Plans are pinned in
+# PLAN_PINS.json, but a same-plan-slower-kernel regression (the r6
+# Arrow-kernel cluster) is invisible to plan fingerprints. BENCH_PINS.json
+# commits each query's time DIVIDED BY the in-run sentinel — ambient load
+# hits both numerator and denominator, so the ratio survives a noisy host
+# (see memory: bench-ambient-noise). Drift beyond TOLERANCE x the pinned
+# ratio is reported loudly in the bench output (and counted in the
+# contract line as "n_drift"). Tolerance 1.5x: the r6 regression was
+# 2.3-2.7x normalized, while measured same-code run-to-run ratio jitter
+# on mapInPandas queries is <=1.3x. Regenerate pins after a deliberate
+# perf change with: python bench.py --write-pins
+BENCH_PINS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_PINS.json"
+)
+DRIFT_TOLERANCE = 1.5
 
 
 def _load1() -> float | None:
@@ -447,6 +465,57 @@ def main() -> None:
         "load_min": min(loads) if loads else None,
         "load_max": max(loads) if loads else None,
     }
+
+    # --- sentinel-normalized ratio pins -------------------------------
+    sentinel_ref = max((sentinel_start + sentinel_end) / 2.0, 1e-9)
+    ratios = {
+        name: round(t / sentinel_ref, 3) for name, t in timings.items()
+    }
+    if "--write-pins" in sys.argv:
+        with open(BENCH_PINS_PATH, "w") as fh:
+            json.dump(
+                {
+                    "sentinel_query": "scan_filter_project",
+                    "sentinel_ref_sec": round(sentinel_ref, 3),
+                    "tolerance": DRIFT_TOLERANCE,
+                    "sf": sf,
+                    "ratios": dict(sorted(ratios.items())),
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
+        print(f"WROTE_BENCH_PINS: {BENCH_PINS_PATH}", flush=True)
+    drifted: dict[str, dict[str, float]] = {}
+    unpinned: list[str] = []
+    if os.path.exists(BENCH_PINS_PATH):
+        with open(BENCH_PINS_PATH) as fh:
+            pins = json.load(fh)
+        pinned = pins.get("ratios", {})
+        tol = pins.get("tolerance", DRIFT_TOLERANCE)
+        for name, ratio in ratios.items():
+            if name not in pinned:
+                unpinned.append(name)
+                continue
+            if ratio > tol * pinned[name]:
+                drifted[name] = {
+                    "pinned": pinned[name],
+                    "now": ratio,
+                    "x": round(ratio / max(pinned[name], 1e-9), 2),
+                }
+    # Loud report: every query whose sentinel-normalized time drifted
+    # beyond tolerance vs the committed pin, worst first. Empty = clean.
+    print(
+        "BENCH_DRIFT: "
+        + json.dumps(
+            dict(sorted(drifted.items(), key=lambda kv: -kv[1]["x"]))
+        ),
+        flush=True,
+    )
+    if unpinned:
+        print("BENCH_UNPINNED: " + json.dumps(sorted(unpinned)), flush=True)
+    print("BENCH_RATIOS: " + json.dumps(dict(sorted(ratios.items()))), flush=True)
+    noise["n_drift"] = len(drifted)
     # Full per-query map + per-query load samples for humans (NOT the
     # contract line).
     print("FULL_TIMINGS: " + json.dumps(timings), flush=True)

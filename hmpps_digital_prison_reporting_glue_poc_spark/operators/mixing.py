@@ -166,6 +166,7 @@ def weighted_sample(
     df: DataFrame,
     id_col: str = "doc_id",
     group_col: str = "source",
+    project: bool = True,
 ) -> DataFrame:
     """Deterministic per-group Bernoulli sampling — the "apply the mixture
     weights" step. Each group's keep-rate is itself md5-derived (uniform in
@@ -175,20 +176,21 @@ def weighted_sample(
     any engine — re-running the pipeline keeps the same documents.
 
     Shuffle-free: both hashes are narrow row-local expressions.
-    Returns the kept rows as (id, group, rate_u32).
+    Returns the kept rows as (id, group, rate_u32) — or, with
+    ``project=False``, the kept rows with ALL input columns (the composed
+    corpus pipeline continues with text in the same scan).
     """
     rate = F.floor(_u32(F.col(group_col)) / F.lit(2)).cast("long") + F.lit(
         1 << 30
     ).cast("long")
     draw = _u32(F.concat(F.lit("s:"), F.col(id_col).cast("string")))
-    return (
-        df.withColumn("__rate", rate)
-        .filter(draw < F.col("__rate"))
-        .select(
-            F.col(id_col),
-            F.col(group_col),
-            F.col("__rate").alias("rate_u32"),
-        )
+    kept = df.withColumn("__rate", rate).filter(draw < F.col("__rate"))
+    if not project:
+        return kept.drop("__rate")
+    return kept.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("__rate").alias("rate_u32"),
     )
 
 

@@ -299,7 +299,12 @@ def tfidf_top_terms(
     )
 
 
-def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Gopher-style document quality rules (Rae et al. 2021, simplified to
     the signals computable from whitespace tokens): word-count bounds,
     mean-word-length bounds, alphabetic-word fraction, and a minimum
@@ -308,10 +313,20 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     One projection over the token array: every rule is a codegen'd
     expression off the same attribute, no shuffle anywhere.
-    Returns (id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
-    ok_word_count, ok_mean_len, ok_alpha, ok_stopwords, keep).
+    ``passthrough``: extra input columns carried into the output so a
+    composed pipeline can gate + continue in ONE scan (a keep-ids
+    semi-join back to the corpus would scan it twice).
+    Returns (id, [passthrough...,] n_words, mean_word_len,
+    frac_alpha_words, n_stop_hits, ok_word_count, ok_mean_len, ok_alpha,
+    ok_stopwords, keep).
     """
-    toked = _with_tokens(df, id_col, text_col)
+    extra = [c for c in passthrough if c not in (id_col,)]
+    toked = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        *[F.col(c) for c in extra if c != text_col],
+        tokens(F.col(text_col)).alias("__toks"),
+    )
     toks = F.col("__toks")
     n = F.size(toks)
     n_safe = F.greatest(n, F.lit(1)).cast("double")
@@ -331,6 +346,7 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ok_stop = stop_hits >= 2
     return toked.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         n.cast("long").alias("n_words"),
         F.round(mean_len, 6).alias("mean_word_len"),
         F.round(alpha_frac, 6).alias("frac_alpha_words"),

@@ -37,6 +37,7 @@ _JOIN_NODES = {
 FIELDS = [
     "n_exchange",
     "n_exchange_single",
+    "n_exchange_single_on_base",
     "n_broadcast_exchange",
     "n_broadcast_hash_join",
     "n_sort_merge_join",
@@ -61,9 +62,39 @@ REGRESSION_FIELDS = [
     "n_window_unpartitioned",
 ]
 
-# These must be ZERO for every query, pinned or not: a cartesian product
-# or a table-spanning window is never the plan you want at 100 TB.
-FORBIDDEN_FIELDS = ["n_cartesian", "n_window_unpartitioned"]
+# These must be ZERO for every query, pinned or not: a cartesian product,
+# a table-spanning window, or a single-partition Exchange fed by raw
+# base-table rows (vs an already-reduced rollup) is never the plan you
+# want at 100 TB.
+FORBIDDEN_FIELDS = [
+    "n_cartesian",
+    "n_window_unpartitioned",
+    "n_exchange_single_on_base",
+]
+
+# Row-reducing operators: data past one of these is bounded by the
+# aggregation's group count / the limit, not by base-table cardinality —
+# a single-partition funnel downstream of one is a tiny-rollup sink.
+_REDUCER_NODES = {
+    "HashAggregateExec",
+    "SortAggregateExec",
+    "ObjectHashAggregateExec",
+    "AggregateInPandasExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+    "TakeOrderedAndProjectExec",
+}
+
+# Leaf scans that read table data at input cardinality. LocalTableScan
+# (driver-literal frames) is excluded: its size is fixed at plan time.
+_BASE_SCAN_NODES = {
+    "FileSourceScanExec",
+    "BatchScanExec",
+    "RowDataSourceScanExec",
+    "RDDScanExec",
+    "InMemoryTableScanExec",
+}
 
 
 def _walk(jnode):
@@ -71,6 +102,26 @@ def _walk(jnode):
     children = jnode.children()
     for i in range(children.size()):
         yield from _walk(children.apply(i))
+
+
+def _funnels_base_rows(jnode) -> bool:
+    """Provenance of a single-partition Exchange's input (r6 verdict task
+    6): True when a base-table leaf scan is reachable from ``jnode``
+    without crossing a row-reducing operator — i.e. the funnel would pull
+    input-cardinality rows through ONE task. Broadcast sides are not
+    descended into (a broadcast input is bounded by definition: it had to
+    fit in one executor to broadcast), and the walk stops at reducers
+    (aggregates/limits), past which row count is group-count-bounded."""
+    name = jnode.getClass().getSimpleName()
+    if name in _REDUCER_NODES or name == "BroadcastExchangeExec":
+        return False
+    if name in _BASE_SCAN_NODES:
+        return True
+    children = jnode.children()
+    for i in range(children.size()):
+        if _funnels_base_rows(children.apply(i)):
+            return True
+    return False
 
 
 def plan_fingerprint(df: DataFrame) -> dict[str, int]:
@@ -84,6 +135,8 @@ def plan_fingerprint(df: DataFrame) -> dict[str, int]:
             counts["n_exchange"] += 1
             if node.outputPartitioning().toString() == "SinglePartition":
                 counts["n_exchange_single"] += 1
+                if _funnels_base_rows(node.child()):
+                    counts["n_exchange_single_on_base"] += 1
         elif name == "BroadcastExchangeExec":
             counts["n_broadcast_exchange"] += 1
         elif name in _JOIN_NODES:

@@ -11,6 +11,14 @@ current session index) survives micro-batch boundaries, so an unbounded
 stream gets correct sessions — with memory bounded by the active-user
 working set when ``idle_timeout_minutes`` is set (without it, one state
 row per distinct user ever seen).
+
+Timeout clock (round-7): eviction defaults to EVENT time. Processing-time
+eviction is wall-clock: a backfill replaying history at full speed never
+lets a user sit idle, so sessions that were idle-split live are silently
+MERGED on replay — replay and live runs disagree. Event-time eviction is
+driven by the data's own timestamps through the watermark, so a replay is
+bit-identical to the paced original. Processing-time remains an option for
+genuinely wall-clock-bounded state (e.g. a cache-eviction monitor).
 """
 
 from __future__ import annotations
@@ -40,7 +48,11 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _make_kernel(gap_minutes: int, idle_timeout_minutes: float | None = None):
+def _make_kernel(
+    gap_minutes: int,
+    idle_timeout_minutes: float | None = None,
+    timeout_mode: str = "event",
+):
     gap_us = gap_minutes * 60 * 1_000_000
     timeout_ms = (
         None if idle_timeout_minutes is None
@@ -72,7 +84,15 @@ def _make_kernel(gap_minutes: int, idle_timeout_minutes: float | None = None):
             out_sessions.append(int(session_idx))
         state.update((last_us, session_idx))
         if timeout_ms is not None:
-            state.setTimeoutDuration(timeout_ms)
+            if timeout_mode == "event":
+                # evict when the WATERMARK (data time, not wall clock)
+                # passes last-event + idle window; Spark requires the
+                # target to be above the current watermark
+                target_ms = last_us // 1_000 + timeout_ms
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(target_ms, wm + 1))
+            else:
+                state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": int(user_id),
@@ -88,6 +108,8 @@ def stream_sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
     idle_timeout_minutes: float | None = None,
+    timeout_mode: str = "event",
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Sessionize a streaming events frame (user_id, event_id, ts).
 
@@ -96,25 +118,41 @@ def stream_sessionize(
     the appended (user_id, event_id, session_idx) stream.
 
     ``idle_timeout_minutes``: evict a user's state after that much
-    processing-time idleness. WITHOUT it, state holds one row per distinct
-    user EVER seen — linear growth forever (round-6 streaming stress:
-    +1 row per new user, unbounded on a real event stream), which is fine
-    for a bounded key space and an OOM on an open one. With it, state is
-    bounded by the active-user working set. Semantics of eviction: a user
-    returning after eviction restarts at ``session_idx`` 1 — choose a
-    timeout >= ``gap_minutes`` so the return would have opened a new
-    session anyway, and treat (user, state epoch) as the uniqueness scope
-    of the index, the standard trade of every evicting sessionizer.
+    idleness. WITHOUT it, state holds one row per distinct user EVER seen —
+    linear growth forever (round-6 streaming stress: +1 row per new user,
+    unbounded on a real event stream), which is fine for a bounded key
+    space and an OOM on an open one. With it, state is bounded by the
+    active-user working set. Semantics of eviction: a user returning after
+    eviction restarts at ``session_idx`` 1 — choose a timeout >=
+    ``gap_minutes`` so the return would have opened a new session anyway,
+    and treat (user, state epoch) as the uniqueness scope of the index,
+    the standard trade of every evicting sessionizer.
+
+    ``timeout_mode`` (round-7): ``"event"`` (default) measures idleness in
+    EVENT time via ``EventTimeTimeout`` — a watermark (``watermark_delay``
+    behind max event time) is applied to ``ts`` and a user is evicted when
+    the watermark passes their last event + idle window. A full-speed
+    backfill replay then produces sessions IDENTICAL to the live-paced
+    original (pytest-pinned). ``"processing"`` keeps the wall-clock
+    ``ProcessingTimeTimeout`` behavior — idleness on the serving clock,
+    replay-divergent by construction. Ignored when
+    ``idle_timeout_minutes`` is None.
     """
-    timeout = (
-        GroupStateTimeout.NoTimeout
-        if idle_timeout_minutes is None
-        else GroupStateTimeout.ProcessingTimeTimeout
-    )
+    if timeout_mode not in ("event", "processing"):
+        raise ValueError(
+            f"timeout_mode must be 'event' or 'processing', got {timeout_mode!r}"
+        )
+    if idle_timeout_minutes is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif timeout_mode == "event":
+        timeout = GroupStateTimeout.EventTimeTimeout
+        events = events.withWatermark("ts", watermark_delay)
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return events.select("user_id", "event_id", "ts").groupBy(
         "user_id"
     ).applyInPandasWithState(
-        _make_kernel(gap_minutes, idle_timeout_minutes),
+        _make_kernel(gap_minutes, idle_timeout_minutes, timeout_mode),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

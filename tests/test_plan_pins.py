@@ -43,6 +43,27 @@ def test_no_stale_pins():
     assert not stale, f"pins for removed queries: {stale}"
 
 
+def test_single_partition_exchanges_consume_rollups_registry_wide():
+    """r6 verdict task 6: every pinned single-partition Exchange must be a
+    tiny-rollup sink (its input crosses an aggregate/limit before the
+    funnel), never a base-table-row funnel. The provenance field must be
+    PRESENT (regenerated pins) and ZERO for all queries."""
+    missing = sorted(
+        n for n, p in PINS.items() if "n_exchange_single_on_base" not in p
+    )
+    assert not missing, (
+        f"pins missing provenance field (regenerate): {missing[:10]}..."
+    )
+    offenders = {
+        n: p["n_exchange_single_on_base"]
+        for n, p in PINS.items()
+        if p["n_exchange_single_on_base"] > 0
+    }
+    assert not offenders, (
+        f"single-partition Exchange fed by base-table rows: {offenders}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) & set(PINS)))
 def test_plan_shape_not_regressed(spark, name):
     fp = fingerprint_query(spark, QUERIES[name], SF_DIR)

@@ -430,3 +430,29 @@ def test_zscore_join_broadcasts_stats_not_events(spark):
     # the broadcast subtree must contain the aggregation, not the scan-only side
     bc = plan.split("BroadcastExchange")[1]
     assert "HashAggregate" in bc.split("FileScan")[0] or "HashAggregate" in bc[:2000]
+
+
+def test_single_partition_exchange_provenance_field(spark):
+    """r7: the fingerprint distinguishes a single-partition Exchange fed
+    by base-table rows (forbidden — a 100 TB funnel through one task)
+    from one fed by an aggregate's rollup (a tiny sink, fine)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.plans.fingerprint import plan_fingerprint
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        base = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+
+        # repartition(1) straight off the scan: base rows through one task
+        bad = plan_fingerprint(base.repartition(1))
+        assert bad["n_exchange_single"] == 1
+        assert bad["n_exchange_single_on_base"] == 1
+
+        # rollup then funnel: the single partition consumes group-count rows
+        rolled = base.groupBy("n_regionkey").agg(F.count("*").alias("n"))
+        good = plan_fingerprint(rolled.repartition(1))
+        assert good["n_exchange_single"] >= 1
+        assert good["n_exchange_single_on_base"] == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
