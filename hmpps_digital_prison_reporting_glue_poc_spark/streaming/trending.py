@@ -67,12 +67,17 @@ def stream_trending_tokens(
     ts_col: str = "ts",
     text_col: str = "text",
     trigger_once: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """End-to-end: stream JSON docs, maintain watermarked windowed token
     counts, and append the top-k of every finalized window to ``out_path``.
     Append mode guarantees each window is ranked exactly once, from its
-    final counts."""
-    raw = spark.readStream.schema(schema).json(source_path)
+    final counts. ``max_files_per_trigger`` caps each micro-batch's file
+    intake (stress harness: one source file per batch)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(source_path)
     if dict(raw.dtypes).get(ts_col) == "string":
         raw = raw.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     counts = windowed_token_counts(

@@ -711,6 +711,161 @@ def run_cms_family(spark) -> None:
     _summary(fam, secs, final_state_files=_dir_stats(cells)[0])
 
 
+# ---------------------------------------------------------------- trending
+
+TREND_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def run_trending_family(spark) -> None:
+    """Top-k per finalized window (r6 verdict task 4): state under MANY
+    concurrent open windows. Each batch spreads its docs over a full hour
+    of event time (6 open 10-min windows at once) while the event clock
+    advances an hour per batch — the windowed count state must PLATEAU at
+    the watermark horizon (~4 windows x vocabulary), never grow with
+    total windows ever opened; per-batch time must stay flat; the ranked
+    sink must append k rows per closed window, nothing rewritten."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.trending import (
+        stream_trending_tokens,
+    )
+
+    fam = "trending"
+    src, out, ckpt = _reset(f"{fam}/src", f"{fam}/out", f"{fam}/ckpt")
+    vocab = 800
+    did = 0
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH):
+                did += 1
+                # event time: batch b covers hour b, spread over 60 min
+                day, hour = 1 + b // 24, b % 24
+                ts = f"2024-01-{day:02d} {hour:02d}:{i % 60:02d}:{i % 53:02d}"
+                toks = " ".join(
+                    f"tok{(i * 7 + j * 131 + b) % vocab}" for j in range(8)
+                )
+                fh.write(
+                    json.dumps({"doc_id": did, "ts": ts, "text": toks}) + "\n"
+                )
+    t0 = time.time()
+    q = stream_trending_tokens(
+        spark, src, TREND_SCHEMA, out, ckpt,
+        k=5, window_duration="10 minutes", watermark_delay="30 minutes",
+        trigger_once=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    secs = []
+    for p in q.recentProgress:
+        if p["numInputRows"] == 0:
+            continue
+        sec = p["durationMs"].get("triggerExecution", 0) / 1000.0
+        state = (p.get("stateOperators") or [{}])[0]
+        _emit(
+            fam, p["batchId"], sec,
+            state_rows=state.get("numRowsTotal"),
+            state_mb=round(state.get("memoryUsedBytes", 0) / 1e6, 2),
+        )
+        secs.append(sec)
+    final_state = (q.lastProgress.get("stateOperators") or [{}])[0]
+    rows = spark.read.parquet(out)
+    n_windows = rows.select("window_start").distinct().count()
+    files, size = _dir_stats(out)
+    _summary(
+        fam, secs,
+        final_state_rows=final_state.get("numRowsTotal"),
+        total_sec=round(time.time() - t0, 1),
+        closed_windows=n_windows,
+        ranked_rows=rows.count(),
+        out_files=files, out_kb=round(size / 1e3, 1),
+    )
+
+
+# ---------------------------------------------------------------- windowed
+
+WIND_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.StringType()),
+    ]
+)
+
+
+def run_windowed_family(spark) -> None:
+    """Watermarked windowed aggregation under an OPEN key space (r6
+    verdict task 4): every batch brings ENTIRELY new user ids (the
+    unbounded-cardinality worst case), event time advances an hour per
+    batch. Watermark eviction must keep state at the horizon's windows x
+    that horizon's keys — NOT total keys ever seen; per-batch time flat."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.windowed import (
+        stream_windowed_counts,
+    )
+
+    fam = "windowed"
+    src, out, ckpt = _reset(f"{fam}/src", f"{fam}/out", f"{fam}/ckpt")
+    eid = 0
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH):
+                eid += 1
+                uid = b * ROWS_PER_BATCH + i  # all-new keys every batch
+                day, hour = 1 + b // 24, b % 24
+                ts = f"2024-01-{day:02d} {hour:02d}:{i % 60:02d}:{i % 47:02d}"
+                fh.write(
+                    json.dumps(
+                        {
+                            "event_id": eid, "user_id": uid,
+                            "value": float(i % 100), "ts": ts,
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema(WIND_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    counts = stream_windowed_counts(
+        stream, window_duration="10 minutes", watermark_delay="30 minutes",
+        keys=["user_id"],
+    )
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    secs = []
+    for p in q.recentProgress:
+        if p["numInputRows"] == 0:
+            continue
+        sec = p["durationMs"].get("triggerExecution", 0) / 1000.0
+        state = (p.get("stateOperators") or [{}])[0]
+        _emit(
+            fam, p["batchId"], sec,
+            state_rows=state.get("numRowsTotal"),
+            state_mb=round(state.get("memoryUsedBytes", 0) / 1e6, 2),
+            evicted=state.get("numRowsRemoved"),
+        )
+        secs.append(sec)
+    final_state = (q.lastProgress.get("stateOperators") or [{}])[0]
+    emitted = spark.read.parquet(out).count()
+    _summary(
+        fam, secs,
+        final_state_rows=final_state.get("numRowsTotal"),
+        emitted_rows=emitted,
+    )
+
+
 FAMILIES = {
     "pipeline-flat": lambda s: run_pipeline_family(s, partitioned=False),
     "pipeline-part": lambda s: run_pipeline_family(s, partitioned=True),
@@ -724,6 +879,8 @@ FAMILIES = {
     "quantile": run_quantile_family,
     "bloom": run_bloom_family,
     "ingest-dedup": run_ingest_dedup_family,
+    "trending": run_trending_family,
+    "windowed": run_windowed_family,
 }
 
 
