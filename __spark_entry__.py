@@ -1462,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE45_QUERIES,
         **_WAVE46_QUERIES,
         **_WAVE47_QUERIES,
+        **_WAVE48_QUERIES,
+        **_WAVE49_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1591,6 +1593,8 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE45_SQL,
         **_WAVE46_SQL,
         **_WAVE47_SQL,
+        **_WAVE48_SQL,
+        **_WAVE49_SQL,
     }
 
 
@@ -9737,4 +9741,257 @@ _WAVE47_QUERIES = {
 }
 _WAVE47_SQL = {
     "corpus_pipeline_e2e": CORPUS_E2E_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 48 (round 7): governance + drift completion — t-closeness
+# (the third release-audit leg after k-anonymity and l-diversity) and
+# per-term Jensen-Shannon divergence (the bounded symmetric drift metric
+# next to PSI / KS / chi-square).
+# --------------------------------------------------------------------------
+
+def t_closeness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness of each event_type's value-band distribution vs the
+    corpus (operators/profiling.py t_closeness_audit): ordered-band EMD
+    with an integer-exact cumulative numerator; only the final division
+    is floating point."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        t_closeness_audit,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.floor(F.col("value").cast("double") / 50) * 50)
+        .cast("long")
+        .alias("value_band"),
+    )
+    return t_closeness_audit(ev, ["event_type"], "value_band", t=0.2)
+
+
+T_CLOSENESS_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(value AS DOUBLE) / 50) * 50 AS BIGINT) AS band
+  FROM events),
+bands AS (
+  SELECT band, COUNT(*) AS n_band FROM base GROUP BY band),
+bands_c AS (
+  SELECT band,
+         CAST(SUM(n_band) OVER (ORDER BY band ASC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_all
+  FROM bands),
+groups AS (
+  SELECT event_type, COUNT(*) AS n_rows FROM base GROUP BY event_type),
+gb AS (
+  SELECT event_type, band, COUNT(*) AS n_gb FROM base GROUP BY 1, 2),
+tot AS (
+  SELECT COUNT(*) AS nn, COUNT(DISTINCT band) AS m FROM base),
+grid AS (
+  SELECT g.event_type, g.n_rows, b.band, b.cum_all,
+         COALESCE(x.n_gb, 0) AS n_gb
+  FROM groups g CROSS JOIN bands_c b
+  LEFT JOIN gb x ON x.event_type = g.event_type AND x.band = b.band),
+cumg AS (
+  SELECT *,
+         CAST(SUM(n_gb) OVER (PARTITION BY event_type ORDER BY band ASC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g
+  FROM grid),
+per AS (
+  SELECT event_type, n_rows,
+         CAST(SUM(ABS(cum_g * t.nn - cum_all * n_rows)) AS BIGINT)
+           AS emd_num,
+         CAST(MAX(t.nn) AS BIGINT) AS nn, CAST(MAX(t.m) AS BIGINT) AS m
+  FROM cumg CROSS JOIN tot t GROUP BY 1, 2)
+SELECT event_type, n_rows, m AS n_bands,
+       CAST(emd_num AS DOUBLE)
+         / (CAST(m - 1 AS DOUBLE) * CAST(n_rows AS DOUBLE)
+            * CAST(nn AS DOUBLE)) AS t_closeness,
+       CAST(emd_num AS DOUBLE)
+         / (CAST(m - 1 AS DOUBLE) * CAST(n_rows AS DOUBLE)
+            * CAST(nn AS DOUBLE)) <= 0.2 AS t_ok
+FROM per
+"""
+
+
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) Jensen-Shannon divergence terms between each
+    source's language mix and the corpus mix (operators/evaluation.py
+    js_divergence_terms): grid-completed so absent languages still
+    contribute their q/2*ln2 term; psi_bands 6-dp ln convention."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        js_divergence_terms,
+    )
+
+    return js_divergence_terms(
+        _t(spark, sf_dir, "documents", spread=False), "source", "lang"
+    )
+
+
+JS_DIVERGENCE_SQL = """
+WITH base AS (SELECT source AS grp, lang AS cat FROM documents),
+cats AS (SELECT cat, COUNT(*) AS n_cat FROM base GROUP BY cat),
+groups AS (SELECT grp, COUNT(*) AS ng FROM base GROUP BY grp),
+gc AS (SELECT grp, cat, COUNT(*) AS n_group_cat FROM base GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS nn FROM base),
+grid AS (
+  SELECT g.grp, c.cat, g.ng, c.n_cat,
+         COALESCE(x.n_group_cat, 0) AS n_group_cat
+  FROM groups g CROSS JOIN cats c
+  LEFT JOIN gc x ON x.grp = g.grp AND x.cat = c.cat)
+SELECT grp AS source, cat AS lang,
+       CAST(n_group_cat AS BIGINT) AS n_group_cat,
+       CAST(n_cat AS BIGINT) AS n_cat,
+       ROUND(
+         (CASE WHEN n_group_cat > 0
+               THEN (CAST(n_group_cat AS DOUBLE) / CAST(ng AS DOUBLE)) / 2
+                    * ln((CAST(n_group_cat AS DOUBLE) / CAST(ng AS DOUBLE))
+                         / ((CAST(n_group_cat AS DOUBLE) / CAST(ng AS DOUBLE)
+                             + CAST(n_cat AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                            / 2.0))
+               ELSE 0.0 END)
+         + (CAST(n_cat AS DOUBLE) / CAST(t.nn AS DOUBLE)) / 2
+           * ln((CAST(n_cat AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                / ((CAST(n_group_cat AS DOUBLE) / CAST(ng AS DOUBLE)
+                    + CAST(n_cat AS DOUBLE) / CAST(t.nn AS DOUBLE)) / 2.0)),
+         6) AS js_term
+FROM grid CROSS JOIN tot t
+"""
+
+_WAVE48_QUERIES = {
+    "t_closeness_events": t_closeness_events,
+    "js_divergence_sources": js_divergence_sources,
+}
+_WAVE48_SQL = {
+    "t_closeness_events": T_CLOSENESS_SQL,
+    "js_divergence_sources": JS_DIVERGENCE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 49 (round 7): rank statistics + position-sensitive
+# retrieval eval — exact tie-midrank Spearman (the monotonic-association
+# companion to regr_corr's Pearson) and per-user reciprocal rank (MRR's
+# table, next to hit-rate@k).
+# --------------------------------------------------------------------------
+
+def spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact Spearman between document char length and token
+    count (operators/evaluation.py spearman_groups): doubled integer
+    midranks, DECIMAL(38,0) sums, one fixed float expression at the
+    end."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        spearman_groups,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("chars"),
+        F.size(txt_tokens(F.col("text"))).cast("long").alias("toks"),
+    )
+    return spearman_groups(docs, "source", "chars", "toks")
+
+
+SPEARMAN_SQL = """
+WITH base AS (
+  SELECT source AS grp,
+         CAST(n_chars AS BIGINT) AS x,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS y
+  FROM documents),
+ranked AS (
+  SELECT grp,
+         2 * RANK() OVER (PARTITION BY grp ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY grp, x) - 1 AS rx2,
+         2 * RANK() OVER (PARTITION BY grp ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY grp, y) - 1 AS ry2
+  FROM base),
+agg AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(CAST(rx2 AS HUGEINT)) AS sx,
+         SUM(CAST(ry2 AS HUGEINT)) AS sy,
+         SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+         SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+         SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy
+  FROM ranked GROUP BY grp)
+SELECT grp AS source, CAST(n AS BIGINT) AS n,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS spearman_rho
+FROM agg
+"""
+
+
+def mrr_user_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user reciprocal rank of the popularity top-20 on second-half
+    purchases (operators/evaluation.py mrr_at_k): ranking fit on the
+    first half of the span (the popularity_hitrate split convention),
+    rr = 1/rank of the first hit, exact per row."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import mrr_at_k
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    rollup = _mat(
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            F.datediff(F.to_date(F.col("ts")), F.lit("1970-01-01")).alias(
+                "__d"
+            ),
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy("user_id", "item", "__d")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+        "mrr_rollup",
+    )
+    span = rollup.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    mid = ((F.col("__lo") + F.col("__hi") + F.lit(1)) / 2).cast("long")
+    staged = rollup.crossJoin(F.broadcast(span)).withColumn(
+        "__p", (F.col("__d") >= mid).cast("int")
+    )
+    history = staged.filter(F.col("__p") == 0).select("item", "cnt")
+    evals = staged.filter(F.col("__p") == 1).select("user_id", "item")
+    return mrr_at_k(
+        history, evals, "user_id", "item", k=20, weight_col="cnt"
+    )
+
+
+MRR_SQL = """
+WITH q AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+  WHERE event_type = 'purchase'
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM q),
+staged AS (
+  SELECT user_id, item,
+         CASE WHEN d >= (SELECT (lo + hi + 1) // 2 FROM span)
+              THEN 1 ELSE 0 END AS p
+  FROM q),
+top AS (
+  SELECT item,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item ASC) AS rnk
+  FROM staged WHERE p = 0
+  GROUP BY item ORDER BY COUNT(*) DESC, item ASC LIMIT 20),
+ev AS (SELECT DISTINCT user_id, item FROM staged WHERE p = 1),
+j AS (
+  SELECT e.user_id, t.rnk
+  FROM ev e LEFT JOIN top t ON t.item = e.item)
+SELECT user_id, COUNT(*) AS n_eval_items,
+       CAST(MIN(rnk) AS BIGINT) AS first_hit_rank,
+       CASE WHEN MIN(rnk) IS NOT NULL
+            THEN 1.0 / CAST(MIN(rnk) AS DOUBLE) ELSE 0.0 END AS rr
+FROM j GROUP BY user_id
+"""
+
+_WAVE49_QUERIES = {
+    "spearman_chars_tokens": spearman_chars_tokens,
+    "mrr_user_popularity": mrr_user_popularity,
+}
+_WAVE49_SQL = {
+    "spearman_chars_tokens": SPEARMAN_SQL,
+    "mrr_user_popularity": MRR_SQL,
 }

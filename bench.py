@@ -278,6 +278,12 @@ BENCH_QUERIES = [
     "jackknife_source_lengths",
     # wave 47: composed end-to-end corpus pipeline (round 7)
     "corpus_pipeline_e2e",
+    # wave 48: t-closeness + JS divergence (round 7)
+    "t_closeness_events",
+    "js_divergence_sources",
+    # wave 49: Spearman + MRR (round 7)
+    "spearman_chars_tokens",
+    "mrr_user_popularity",
 ]
 
 

@@ -13,7 +13,7 @@ Rebuilt semantics, not code, from the reference's aggregate/join surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -401,6 +401,169 @@ def psi_bands(
     )
     return per.crossJoin(F.broadcast(tot)).select(
         "band", "n_a", "n_b", term.alias("psi_term")
+    )
+
+
+def spearman_groups(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Per-group EXACT Spearman rank correlation with tie midranks — the
+    monotonic-association check (feature vs target, metric vs metric)
+    that Pearson misreads on non-linear but ordered relationships.
+
+    Exactness: the classic midrank is half-integral under ties, so both
+    rank vectors are DOUBLED into integers — for a tie block starting at
+    min-rank r with g members, 2*midrank = 2r + g - 1 — and Pearson over
+    the doubled ranks (scale-invariant) runs entirely on DECIMAL(38,0)
+    integer sums: rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) *
+    (n*Syy - Sy^2)). Only the final sqrt/divide touch floating point
+    through one fixed expression tree, so any engine reproduces the
+    number bit-for-bit. Two in-group windows (rank + tie size per axis)
+    ride the SAME group-keyed shuffle; the reduction is one groupBy.
+    Returns (group, n, spearman_rho); groups with zero variance on
+    either axis yield NULL rho.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    base = df.select(
+        F.col(group_col).alias("grp"), x.alias("__x"), y.alias("__y")
+    )
+    rx = F.rank().over(Window.partitionBy("grp").orderBy("__x"))
+    cx = F.count(F.lit(1)).over(Window.partitionBy("grp", "__x"))
+    ry = F.rank().over(Window.partitionBy("grp").orderBy("__y"))
+    cy = F.count(F.lit(1)).over(Window.partitionBy("grp", "__y"))
+    ranked = base.select(
+        "grp",
+        (F.lit(2) * rx + cx - 1).cast("long").alias("__rx2"),
+        (F.lit(2) * ry + cy - 1).cast("long").alias("__ry2"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d(F.col("__rx2"))).alias("__sx"),
+        F.sum(d(F.col("__ry2"))).alias("__sy"),
+        F.sum(d(F.col("__rx2") * F.col("__rx2"))).alias("__sxx"),
+        F.sum(d(F.col("__ry2") * F.col("__ry2"))).alias("__syy"),
+        F.sum(d(F.col("__rx2") * F.col("__ry2"))).alias("__sxy"),
+    )
+    n = d(F.col("n"))
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    vx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    rho = F.when(
+        (vx > 0) & (vy > 0), num / F.sqrt(vx * vy)
+    )
+    return agg.select(F.col("grp").alias(group_col), "n", rho.alias("spearman_rho"))
+
+
+def mrr_at_k(
+    history: DataFrame,
+    evals: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    k: int = 20,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-user reciprocal rank of the popularity baseline — MRR's
+    per-user table (position-sensitive where ``hitrate_at_k`` is
+    membership-only): rank items by history count (count desc, item asc
+    — the deterministic TakeOrdered cut), then each user's score is
+    1/rank of the FIRST of their eval items found in the top-k, 0 on a
+    miss. rr = 1/min_rank is one exact division per user, so the table
+    is engine-exact with no float-summation hazard; MRR itself is the
+    consumer's mean over the table.
+
+    Plan: k-row broadcast ranking, eval side grouped once on the user.
+    Returns (user, n_eval_items, first_hit_rank, rr).
+    """
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    w = Window.orderBy(F.col("__cnt").desc(), F.col(item_col).asc())
+    top = (
+        history.groupBy(item_col)
+        .agg(F.sum(wt).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col(item_col).asc())
+        .limit(k)
+        .withColumn("__rank", F.row_number().over(w).cast("long"))
+        .select(item_col, "__rank")
+    )
+    joined = evals.select(user_col, item_col).distinct().join(
+        F.broadcast(top), item_col, "left"
+    )
+    per_user = joined.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_items"),
+        F.min("__rank").alias("first_hit_rank"),
+    )
+    rr = F.when(
+        F.col("first_hit_rank").isNotNull(),
+        F.lit(1.0) / F.col("first_hit_rank").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return per_user.select(
+        user_col, "n_eval_items", "first_hit_rank", rr.alias("rr")
+    )
+
+
+def js_divergence_terms(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-(group, category) Jensen-Shannon divergence terms between each
+    group's categorical distribution and the corpus distribution — the
+    bounded, symmetric drift metric (0..ln 2) that, unlike KL, stays
+    finite when a category is missing on one side: the question "which
+    source's language mix is drifting from the corpus" answered per term.
+
+    JSD(P_g || Q) = sum_c [ p_c/2 * ln(p_c/m_c) + q_c/2 * ln(q_c/m_c) ],
+    m_c = (p_c + q_c) / 2. Categories ABSENT from a group still
+    contribute (p = 0 ⇒ term = q/2 * ln 2), so the (group x category)
+    grid is completed by a broadcast nested-loop of two bounded rollups.
+    The ``psi_bands`` portability convention: per-term output, each term
+    rounded to 6 dp (ln), never a pre-summed order-dependent scalar —
+    consumers sum the table.
+    Returns (group, category, n_group_cat, n_cat, js_term).
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(cat_col).alias("cat")
+    )
+    cats = base.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cat")
+    )
+    groups = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("__ng")
+    )
+    gc = base.groupBy("grp", "cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_group_cat")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    grid = (
+        groups.crossJoin(F.broadcast(cats))
+        .join(gc, ["grp", "cat"], "left")
+        .withColumn("n_group_cat", F.coalesce(F.col("n_group_cat"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("n_group_cat").cast("double") / F.col("__ng").cast("double")
+    q = F.col("n_cat").cast("double") / F.col("__N").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.round(
+        F.when(F.col("n_group_cat") > 0, p / 2 * F.log(p / m)).otherwise(
+            F.lit(0.0)
+        )
+        + q / 2 * F.log(q / m),
+        6,
+    )
+    return grid.select(
+        F.col("grp").alias(group_col),
+        F.col("cat").alias(cat_col),
+        "n_group_cat",
+        "n_cat",
+        term.alias("js_term"),
     )
 
 
