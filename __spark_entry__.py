@@ -1464,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE47_QUERIES,
         **_WAVE48_QUERIES,
         **_WAVE49_QUERIES,
+        **_WAVE50_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1595,6 +1596,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE47_SQL,
         **_WAVE48_SQL,
         **_WAVE49_SQL,
+        **_WAVE50_SQL,
     }
 
 
@@ -9994,4 +9996,89 @@ _WAVE49_QUERIES = {
 _WAVE49_SQL = {
     "spearman_chars_tokens": SPEARMAN_SQL,
     "mrr_user_popularity": MRR_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 50 (round 7): content-defined chunking — the
+# rsync/LBFS/FastCDC dedup family. Boundaries decided by local content,
+# so insertions shift only the chunks they touch: the shift-resistant
+# counterpart to line_dedup (exact lines) and dup_span_stats (fixed
+# stride windows).
+# --------------------------------------------------------------------------
+
+def cdc_chunk_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CDC shared-chunk profile (operators/dedup.py
+    cdc_shared_chunk_stats, w=3 window, divisor 16 -> ~16-token chunks)
+    over the mutated near-dup corpus: every doc's suffix-mutated twin
+    shares all but the final chunk, which fixed-offset chunking would
+    miss entirely — the measurable shift-resistance claim."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.dedup import (
+        cdc_shared_chunk_stats,
+    )
+
+    return cdc_shared_chunk_stats(
+        _dup_corpus(spark, sf_dir, mutate=True), "doc_id", "text",
+        w=3, divisor=16,
+    )
+
+
+CDC_CHUNKS_SQL = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+toksed AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM corpus),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(toks,
+           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hs
+  FROM toksed WHERE len(toks) > 0),
+-- window hash = integer fold of per-token md5-u32 hashes; for w=3 the
+-- fold ((0*31+h1)*31+h2)*31+h3 is written explicitly: 961*h1+31*h2+h3
+cutted AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n >= 3 THEN
+           list_filter(generate_series(3, n),
+             i -> (961 * hs[i - 2] + 31 * hs[i - 1] + hs[i]) % 16 = 0)
+         ELSE [] END AS cuts
+  FROM sized),
+bounded AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts
+              ELSE list_concat(cuts, [n]) END AS bounds
+  FROM cutted),
+fullb AS (
+  SELECT doc_id, toks, list_concat([0], bounds) AS fb, len(bounds) AS nb
+  FROM bounded),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, nb),
+           k -> struct_pack(
+             n_tokens := fb[k + 1] - fb[k],
+             fingerprint := md5(array_to_string(
+               list_slice(toks, fb[k] + 1, fb[k + 1]), ' '))))) AS c
+  FROM fullb),
+flat AS (
+  SELECT doc_id, CAST(c.n_tokens AS BIGINT) AS n_tokens,
+         c.fingerprint AS fingerprint
+  FROM chunks),
+counts AS (
+  SELECT fingerprint, COUNT(DISTINCT doc_id) AS nd
+  FROM flat GROUP BY fingerprint)
+SELECT f.doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(f.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       CAST(SUM(CASE WHEN c.nd >= 2 THEN f.n_tokens ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(f.n_tokens) AS DOUBLE) AS shared_token_frac
+FROM flat f JOIN counts c ON c.fingerprint = f.fingerprint
+GROUP BY f.doc_id
+"""
+
+_WAVE50_QUERIES = {
+    "cdc_chunk_stats_docs": cdc_chunk_stats_docs,
+}
+_WAVE50_SQL = {
+    "cdc_chunk_stats_docs": CDC_CHUNKS_SQL,
 }

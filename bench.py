@@ -284,6 +284,8 @@ BENCH_QUERIES = [
     # wave 49: Spearman + MRR (round 7)
     "spearman_chars_tokens",
     "mrr_user_popularity",
+    # wave 50: content-defined chunking (round 7)
+    "cdc_chunk_stats_docs",
 ]
 
 

@@ -878,3 +878,155 @@ def jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _u32_expr(col: F.Column) -> F.Column:
+    """First 8 md5 hex chars as an unsigned 32-bit integer — the
+    engine-portable uniform hash (the mixing._u32 convention)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC family) over the
+    token stream: a boundary falls AFTER token position i whenever the
+    hash of the w-token window ending at i is ≡ 0 (mod ``divisor``) —
+    so boundaries are decided by LOCAL content, and inserting or
+    deleting a paragraph shifts at most the chunks it touches, never the
+    whole tail. That shift-resistance is exactly what fixed-size
+    chunking lacks and why CDC is the unit of large-corpus byte/segment
+    dedup. Expected chunk length = ``divisor`` tokens.
+
+    Columnar end to end: boundary detection is one array expression per
+    row (filter over the window-hash sequence — no explode of windows,
+    no shuffle), chunks explode once for fingerprinting. The window hash
+    is md5-u32 per TOKEN (computed once, O(n) md5 calls) folded with an
+    integer polynomial (acc*31 + h) over the w-window — the per-window
+    md5-of-joined-slice form cost O(n*w) string builds and measured 6x
+    slower at sf0.1. Integer arithmetic is engine-portable, so any
+    engine reproduces the exact same boundaries.
+    Returns (id, chunk_idx, n_tokens, fingerprint) — one row per chunk,
+    chunk_idx 1-based in document order.
+    """
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    toks = F.col("__toks")
+    n = F.size(toks)
+    # one md5 per token, materialized as its own attribute so the window
+    # fold reads an array element, not a re-evaluated expression
+    toked = toked.withColumn(
+        "__th", F.transform(toks, lambda t: _u32_expr(t))
+    )
+    hs = F.col("__th")
+    # Guard n < w: Spark's sequence(w, n) with w > n yields a DESCENDING
+    # sequence (step inferred -1), not empty — short docs must produce
+    # zero cuts (one whole-doc chunk).
+    cuts_expr = F.when(
+        n >= w,
+        F.filter(
+            F.sequence(F.lit(w), n),
+            lambda i: F.aggregate(
+                F.slice(hs, i - (w - 1), w),
+                F.lit(0).cast("long"),
+                lambda acc, h: acc * 31 + h,
+            ) % divisor == 0,
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    # Each intermediate is its OWN attribute (withColumn), never an
+    # inlined expression: the chunk transform below reads the boundary
+    # array 3x per chunk, and an inlined `cuts` would re-run the whole
+    # window-hash filter per reference (the _doc_shingles lesson;
+    # measured 9.2s -> 2.6s at sf0.1 for exactly this).
+    toked = toked.withColumn("__cuts", cuts_expr)
+    # append the doc end as the final boundary unless a cut already
+    # landed there (array_distinct would work but its order guarantee is
+    # engine-specific; the conditional is portable)
+    toked = toked.withColumn(
+        "__bounds",
+        F.when(
+            F.try_element_at(F.col("__cuts"), F.lit(-1)) == n,
+            F.col("__cuts"),
+        ).otherwise(F.concat(F.col("__cuts"), F.array(n))),
+    )
+    toked = toked.withColumn(
+        "__full", F.concat(F.array(F.lit(0)), F.col("__bounds"))
+    )  # leading 0 sentinel
+    full = F.col("__full")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__bounds"))),
+        lambda k: F.struct(
+            k.alias("chunk_idx"),
+            (F.element_at(full, (k + 1).cast("int"))
+             - F.element_at(full, k.cast("int"))).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        toks,
+                        F.element_at(full, k.cast("int")) + 1,
+                        F.element_at(full, (k + 1).cast("int"))
+                        - F.element_at(full, k.cast("int")),
+                    ),
+                    " ",
+                )
+            ).alias("fingerprint"),
+        ),
+    )
+    return toked.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    ).select(
+        id_col,
+        F.col("__c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("__c.n_tokens").cast("long").alias("n_tokens"),
+        F.col("__c.fingerprint").alias("fingerprint"),
+    )
+
+
+def cdc_shared_chunk_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    divisor: int = 16,
+) -> DataFrame:
+    """Per-document shift-resistant duplication profile: how much of each
+    document's content lives in chunks that also appear elsewhere. The
+    chunk table feeds a fingerprint-count rollup (one groupBy, map-side
+    combinable) joined back per chunk — the same two-pass shape as
+    ``dup_span_stats`` but on CDC boundaries, so a copy-paste with an
+    inserted sentence still matches on every untouched chunk.
+    Returns (id, n_chunks, n_tokens, n_shared_chunks, shared_token_frac).
+    """
+    chunks = _materialize(
+        content_defined_chunks(df, id_col, text_col, w, divisor),
+        "cdc_chunks_",
+    )
+    counts = chunks.groupBy("fingerprint").agg(
+        F.countDistinct(id_col).cast("long").alias("__n_docs")
+    )
+    joined = chunks.join(counts, "fingerprint")
+    shared = F.when(F.col("__n_docs") >= 2, 1).otherwise(0)
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(shared).cast("long").alias("n_shared_chunks"),
+            F.sum(shared * F.col("n_tokens")).cast("long").alias("__sh_toks"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_tokens",
+            "n_shared_chunks",
+            (
+                F.col("__sh_toks").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("shared_token_frac"),
+        )
+    )
