@@ -866,6 +866,75 @@ def run_windowed_family(spark) -> None:
     )
 
 
+# ---------------------------------------------------------------- wm-dedup
+
+WMD_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("payload", T.StringType()),
+        T.StructField("ts", T.StringType()),
+    ]
+)
+
+
+def run_wm_dedup_family(spark) -> None:
+    """dropDuplicatesWithinWatermark under an OPEN key space: every batch
+    brings 75% new keys + 25% in-horizon duplicates of the previous
+    batch, event time +1h/batch, 30-min horizon. State must plateau at
+    ~the horizon's key count (watermark eviction), NOT keys-ever-seen;
+    emitted rows = exactly the first occurrences."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.wm_dedup_stream import (
+        stream_dedup_within_watermark,
+    )
+
+    fam = "wm-dedup"
+    src, out, ckpt = _reset(f"{fam}/src", f"{fam}/out", f"{fam}/ckpt")
+    new_per = ROWS_PER_BATCH * 3 // 4
+    dup_per = ROWS_PER_BATCH - new_per
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            day, hour = 1 + b // 24, b % 24
+            for i in range(new_per):
+                eid = b * new_per + i
+                ts = f"2024-01-{day:02d} {hour:02d}:{i % 60:02d}:{i % 41:02d}"
+                fh.write(json.dumps({"event_id": eid, "payload": f"n{b}", "ts": ts}) + "\n")
+            # duplicates of the PREVIOUS batch's keys, nudged 1 min later
+            prev = max(b - 1, 0)
+            for i in range(dup_per):
+                eid = prev * new_per + i
+                ts = f"2024-01-{day:02d} {hour:02d}:{(i + 1) % 60:02d}:{i % 37:02d}"
+                fh.write(json.dumps({"event_id": eid, "payload": f"d{b}", "ts": ts}) + "\n")
+    q = stream_dedup_within_watermark(
+        spark, src, WMD_SCHEMA, out, ckpt,
+        key_cols=("event_id",), watermark_delay="30 minutes",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    secs = []
+    for p in q.recentProgress:
+        if p["numInputRows"] == 0:
+            continue
+        sec = p["durationMs"].get("triggerExecution", 0) / 1000.0
+        state = (p.get("stateOperators") or [{}])[0]
+        _emit(
+            fam, p["batchId"], sec,
+            state_rows=state.get("numRowsTotal"),
+            evicted=state.get("numRowsRemoved"),
+        )
+        secs.append(sec)
+    final_state = (q.lastProgress.get("stateOperators") or [{}])[0]
+    emitted = spark.read.parquet(out).count()
+    # exact first-occurrence count: batch b's dup block duplicates keys
+    # already emitted in batch b-1 (except batch 0, which dups its own)
+    expected = N_BATCHES * new_per
+    _summary(
+        fam, secs,
+        final_state_rows=final_state.get("numRowsTotal"),
+        emitted_rows=emitted,
+        expected_first_occurrences=expected,
+    )
+
+
 FAMILIES = {
     "pipeline-flat": lambda s: run_pipeline_family(s, partitioned=False),
     "pipeline-part": lambda s: run_pipeline_family(s, partitioned=True),
@@ -881,6 +950,7 @@ FAMILIES = {
     "ingest-dedup": run_ingest_dedup_family,
     "trending": run_trending_family,
     "windowed": run_windowed_family,
+    "wm-dedup": run_wm_dedup_family,
 }
 
 
