@@ -1465,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE48_QUERIES,
         **_WAVE49_QUERIES,
         **_WAVE50_QUERIES,
+        **_WAVE52_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1597,6 +1598,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE48_SQL,
         **_WAVE49_SQL,
         **_WAVE50_SQL,
+        **_WAVE52_SQL,
     }
 
 
@@ -10081,4 +10083,156 @@ _WAVE50_QUERIES = {
 }
 _WAVE50_SQL = {
     "cdc_chunk_stats_docs": CDC_CHUNKS_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Coverage wave 52 (round 7): residual IVF-PQ — the production IVFADC
+# layout (PQ over the residual from the assigned coarse centroid), with
+# the same bit-exact integer SQL oracle discipline as the raw-vector
+# ivfpq_topk.
+# --------------------------------------------------------------------------
+
+def ivfpq_residual_topk_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ search (operators/similarity.py
+    ivfpq_residual_topk): vectors PQ-encode their residual from the
+    assigned coarse centroid; each query builds one ADC table per probed
+    list from (q - c_list). Same int64-exact pipeline, list-keyed LUT."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivfpq_residual_topk(
+        spark, emb, emb.filter(F.col("vec_id") < 5),
+        k=5, n_lists=8, nprobe=2, n_subspaces=8, n_centroids=16,
+    )
+
+
+IVFPQ_RESIDUAL_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+dims AS (SELECT unnest(generate_series(0, 63)) AS j),
+lists AS (SELECT unnest(generate_series(0, 7)) AS l),
+cc AS (
+  SELECT l, j,
+         CAST(('0x' || substr(md5('ivf:' || CAST(l AS VARCHAR) || ':' ||
+                                  CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2000 - 1000 AS w
+  FROM lists, dims),
+subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+cents AS (SELECT unnest(generate_series(0, 15)) AS c),
+js AS (SELECT unnest(generate_series(0, 7)) AS sj),
+cb AS (
+  SELECT s, c, sj,
+         CAST(('0x' || substr(md5('pq:' || CAST(s AS VARCHAR) || ':' ||
+                                  CAST(c AS VARCHAR) || ':' ||
+                                  CAST(sj AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2000 - 1000 AS w
+  FROM subs, cents, js),
+qe AS (SELECT vec_id, j, qv[j + 1] AS qx FROM q, dims),
+cdist0 AS (
+  SELECT vec_id, l, SUM((qx - w) * (qx - w)) AS d
+  FROM qe JOIN cc USING (j) GROUP BY vec_id, l),
+assign0 AS (
+  SELECT vec_id AS neighbor_id, l AS list_id FROM (
+    SELECT vec_id, l,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, l ASC) AS rn
+    FROM cdist0) WHERE rn = 1),
+-- one Lloyd step: per-list integer means under the init assignment
+-- (floor(sum/count)); lists the init leaves empty keep their md5 centroid
+trained AS (
+  SELECT a.list_id AS l, qe.j,
+         CAST(FLOOR(CAST(SUM(qe.qx) AS DOUBLE) / COUNT(*)) AS BIGINT) AS w
+  FROM qe JOIN assign0 a ON a.neighbor_id = qe.vec_id
+  GROUP BY a.list_id, qe.j),
+tcc AS (
+  SELECT cc.l, cc.j, COALESCE(t.w, cc.w) AS w
+  FROM cc LEFT JOIN trained t ON t.l = cc.l AND t.j = cc.j),
+cdist AS (
+  SELECT vec_id, l, SUM((qx - w) * (qx - w)) AS d
+  FROM qe JOIN tcc USING (j) GROUP BY vec_id, l),
+assign AS (
+  SELECT vec_id AS neighbor_id, l AS list_id FROM (
+    SELECT vec_id, l,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, l ASC) AS rn
+    FROM cdist) WHERE rn = 1),
+res AS (
+  SELECT qe.vec_id, qe.j, qe.qx - tcc.w AS rx
+  FROM qe
+  JOIN assign a ON a.neighbor_id = qe.vec_id
+  JOIN tcc ON tcc.l = a.list_id AND tcc.j = qe.j),
+sres AS (SELECT vec_id, j // 8 AS s, j % 8 AS sj, rx FROM res),
+-- one Lloyd step on the PQ codebook: per-(subspace, centroid) integer
+-- means of the residual subvectors the md5 codebook assigns
+d2r0 AS (
+  SELECT vec_id, sres.s, cb.c, SUM((rx - w) * (rx - w)) AS dist
+  FROM sres JOIN cb ON cb.s = sres.s AND cb.sj = sres.sj
+  GROUP BY vec_id, sres.s, cb.c),
+pqa0 AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, c ASC) AS rn
+    FROM d2r0) WHERE rn = 1),
+tcb_stats AS (
+  SELECT a.s, a.c, sres.sj,
+         CAST(FLOOR(CAST(SUM(sres.rx) AS DOUBLE) / COUNT(*)) AS BIGINT) AS w
+  FROM sres JOIN pqa0 a ON a.vec_id = sres.vec_id AND a.s = sres.s
+  GROUP BY a.s, a.c, sres.sj),
+tcb AS (
+  SELECT cb.s, cb.c, cb.sj, COALESCE(t.w, cb.w) AS w
+  FROM cb LEFT JOIN tcb_stats t
+    ON t.s = cb.s AND t.c = cb.c AND t.sj = cb.sj),
+d2r AS (
+  SELECT vec_id, sres.s, tcb.c, SUM((rx - w) * (rx - w)) AS dist
+  FROM sres JOIN tcb ON tcb.s = sres.s AND tcb.sj = sres.sj
+  GROUP BY vec_id, sres.s, tcb.c),
+codes AS (
+  SELECT vec_id AS neighbor_id, CAST(SUM(c << (4 * s)) AS BIGINT) AS pq_code
+  FROM (
+    SELECT vec_id, s, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist ASC, c ASC) AS rn
+    FROM d2r) WHERE rn = 1
+  GROUP BY vec_id),
+probes AS (
+  SELECT vec_id AS query_id, l AS list_id FROM (
+    SELECT vec_id, l,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, l ASC) AS rn
+    FROM cdist WHERE vec_id < 5) WHERE rn <= 2),
+qres AS (
+  SELECT p.query_id, p.list_id, qe.j, qe.qx - tcc.w AS rx
+  FROM probes p
+  JOIN qe ON qe.vec_id = p.query_id
+  JOIN tcc ON tcc.l = p.list_id AND tcc.j = qe.j),
+sqres AS (
+  SELECT query_id, list_id, j // 8 AS s, j % 8 AS sj, rx FROM qres),
+lut AS (
+  SELECT query_id, list_id, sqres.s, tcb.c, SUM((rx - w) * (rx - w)) AS dist
+  FROM sqres JOIN tcb ON tcb.s = sqres.s AND tcb.sj = sqres.sj
+  GROUP BY query_id, list_id, sqres.s, tcb.c),
+cand AS (
+  SELECT p.query_id, p.list_id, a.neighbor_id, co.pq_code
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN codes co ON co.neighbor_id = a.neighbor_id),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, CAST(SUM(l2.dist) AS BIGINT) AS adc_dist
+  FROM cand c
+  CROSS JOIN subs
+  JOIN lut l2 ON l2.query_id = c.query_id AND l2.list_id = c.list_id
+             AND l2.s = subs.s AND l2.c = ((c.pq_code >> (4 * subs.s)) & 15)
+  GROUP BY c.query_id, c.neighbor_id)
+SELECT query_id, neighbor_id, adc_dist, "rank" FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS "rank"
+  FROM adc) WHERE "rank" <= 5
+"""
+
+_WAVE52_QUERIES = {
+    "ivfpq_residual_topk": ivfpq_residual_topk_vectors,
+}
+_WAVE52_SQL = {
+    "ivfpq_residual_topk": IVFPQ_RESIDUAL_SQL,
 }

@@ -286,6 +286,8 @@ BENCH_QUERIES = [
     "mrr_user_popularity",
     # wave 50: content-defined chunking (round 7)
     "cdc_chunk_stats_docs",
+    # wave 52: residual IVF-PQ (round 7)
+    "ivfpq_residual_topk",
 ]
 
 
