@@ -1466,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE49_QUERIES,
         **_WAVE50_QUERIES,
         **_WAVE52_QUERIES,
+        **_WAVE53_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1599,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE49_SQL,
         **_WAVE50_SQL,
         **_WAVE52_SQL,
+        **_WAVE53_SQL,
     }
 
 
@@ -10235,4 +10237,188 @@ _WAVE52_QUERIES = {
 }
 _WAVE52_SQL = {
     "ivfpq_residual_topk": IVFPQ_RESIDUAL_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 53 — position-weighted ranking eval (NDCG@k) + exact Kendall tau-b
+# --------------------------------------------------------------------------
+
+def ndcg_user_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user NDCG@20 of the popularity ranking on second-half
+    purchases (operators/evaluation.py ndcg_at_k): integer-millionths
+    log2 gain table computed once in Python, per-user DCG an exact
+    integer sum, ideal-DCG a literal prefix lookup, ONE float divide.
+    Same first-half-fit / second-half-eval split convention as
+    mrr_user_popularity / popularity_hitrate_items."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import ndcg_at_k
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    rollup = _mat(
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            F.datediff(F.to_date(F.col("ts")), F.lit("1970-01-01")).alias(
+                "__d"
+            ),
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy("user_id", "item", "__d")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+        "ndcg_rollup",
+    )
+    span = rollup.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    mid = ((F.col("__lo") + F.col("__hi") + F.lit(1)) / 2).cast("long")
+    staged = rollup.crossJoin(F.broadcast(span)).withColumn(
+        "__p", (F.col("__d") >= mid).cast("int")
+    )
+    history = staged.filter(F.col("__p") == 0).select("item", "cnt")
+    evals = staged.filter(F.col("__p") == 1).select("user_id", "item")
+    return ndcg_at_k(
+        history, evals, "user_id", "item", k=20, weight_col="cnt"
+    )
+
+
+def _ndcg_sql() -> str:
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        ndcg_weights_millionths,
+    )
+
+    w, prefix = ndcg_weights_millionths(20)
+    gain_cases = "\n".join(
+        f"           WHEN rnk = {r} THEN {g}" for r, g in enumerate(w, 1)
+    )
+    idcg_cases = "\n".join(
+        f"           WHEN LEAST(n_eval_items, 20) = {i} THEN {p}"
+        for i, p in enumerate(prefix, 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+  WHERE event_type = 'purchase'
+    AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM q),
+staged AS (
+  SELECT user_id, item,
+         CASE WHEN d >= (SELECT (lo + hi + 1) // 2 FROM span)
+              THEN 1 ELSE 0 END AS p
+  FROM q),
+top AS (
+  SELECT item,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item ASC) AS rnk
+  FROM staged WHERE p = 0
+  GROUP BY item ORDER BY COUNT(*) DESC, item ASC LIMIT 20),
+ev AS (SELECT DISTINCT user_id, item FROM staged WHERE p = 1),
+j AS (
+  SELECT e.user_id, t.rnk,
+         CASE
+{gain_cases}
+         END AS gain
+  FROM ev e LEFT JOIN top t ON t.item = e.item),
+per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_eval_items,
+         CAST(COUNT(rnk) AS BIGINT) AS n_hits,
+         CAST(COALESCE(SUM(gain), 0) AS BIGINT) AS dcg_millionths
+  FROM j GROUP BY user_id)
+SELECT user_id, n_eval_items, n_hits, dcg_millionths,
+       CAST(CASE
+{idcg_cases}
+       END AS BIGINT) AS idcg_millionths,
+       CAST(dcg_millionths AS DOUBLE)
+         / CAST(CASE
+{idcg_cases}
+         END AS DOUBLE) AS ndcg
+FROM per_user
+"""
+
+
+NDCG_SQL = _ndcg_sql()
+
+
+def kendall_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag exact Kendall tau-b between quantity and discount
+    percent (operators/evaluation.py kendall_tau_groups): the O(n^2)
+    pair count collapsed onto the 50x11 contingency grid, so the
+    concordant/discordant self-join is grid-sized, not data-sized."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        kendall_tau_groups,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+    )
+    out = kendall_tau_groups(li, "l_returnflag", "qty", "disc_pct")
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.col("x_tie_pairs").cast("long").alias("x_tie_pairs"),
+        F.col("y_tie_pairs").cast("long").alias("y_tie_pairs"),
+        "tau_b",
+    )
+
+
+KENDALL_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS grp,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem),
+cells AS (
+  SELECT grp, x, y, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM base GROUP BY grp, x, y),
+cd AS (
+  SELECT a.grp,
+         COALESCE(SUM(CASE WHEN a.y < b.y THEN a.n * b.n END), 0)
+           AS concordant,
+         COALESCE(SUM(CASE WHEN a.y > b.y THEN a.n * b.n END), 0)
+           AS discordant
+  FROM cells a JOIN cells b ON a.grp = b.grp AND a.x < b.x
+  GROUP BY a.grp),
+tot AS (SELECT grp, SUM(n) AS nt FROM cells GROUP BY grp),
+xt AS (
+  SELECT grp, SUM(m * (m - 1) / 2) AS x_tie_pairs
+  FROM (SELECT grp, x, SUM(n) AS m FROM cells GROUP BY grp, x)
+  GROUP BY grp),
+yt AS (
+  SELECT grp, SUM(m * (m - 1) / 2) AS y_tie_pairs
+  FROM (SELECT grp, y, SUM(n) AS m FROM cells GROUP BY grp, y)
+  GROUP BY grp)
+SELECT t.grp AS l_returnflag,
+       CAST(t.nt AS BIGINT) AS n,
+       CAST(t.nt * (t.nt - 1) / 2 AS BIGINT) AS n_pairs,
+       CAST(COALESCE(cd.concordant, 0) AS BIGINT) AS concordant,
+       CAST(COALESCE(cd.discordant, 0) AS BIGINT) AS discordant,
+       CAST(xt.x_tie_pairs AS BIGINT) AS x_tie_pairs,
+       CAST(yt.y_tie_pairs AS BIGINT) AS y_tie_pairs,
+       CASE WHEN (t.nt * (t.nt - 1) / 2 - xt.x_tie_pairs) > 0
+             AND (t.nt * (t.nt - 1) / 2 - yt.y_tie_pairs) > 0
+            THEN CAST(COALESCE(cd.concordant, 0)
+                      - COALESCE(cd.discordant, 0) AS DOUBLE)
+                 / sqrt(CAST(t.nt * (t.nt - 1) / 2 - xt.x_tie_pairs
+                             AS DOUBLE)
+                        * CAST(t.nt * (t.nt - 1) / 2 - yt.y_tie_pairs
+                               AS DOUBLE))
+       END AS tau_b
+FROM tot t
+JOIN xt ON xt.grp = t.grp
+JOIN yt ON yt.grp = t.grp
+LEFT JOIN cd ON cd.grp = t.grp
+"""
+
+_WAVE53_QUERIES = {
+    "ndcg_user_popularity": ndcg_user_popularity,
+    "kendall_qty_discount": kendall_qty_discount,
+}
+_WAVE53_SQL = {
+    "ndcg_user_popularity": NDCG_SQL,
+    "kendall_qty_discount": KENDALL_SQL,
 }

@@ -641,3 +641,221 @@ def conformal_threshold(
         target.join(found, ["n", "target_rank"], "left")
         .select("n", "target_rank", F.col("threshold").cast("long").alias("threshold"))
     )
+
+
+def ndcg_weights_millionths(k: int) -> tuple[list[int], list[int]]:
+    """Integer DCG gain table: weight[r] = round(1e6 / log2(r+1)) for
+    ranks 1..k, plus its prefix sums (the ideal-DCG table). Computing the
+    irrational log weights ONCE in Python and summing INTEGERS on the
+    cluster makes per-user DCG order-independent and engine-exact — the
+    same integer-ize-then-one-divide discipline as ``exact_auc`` /
+    ``psi_bands``. Exposed so the SQL oracle can inline the identical
+    literals.
+    """
+    import math
+
+    w = [int(round(1_000_000 / math.log2(r + 1))) for r in range(1, k + 1)]
+    prefix, acc = [], 0
+    for x in w:
+        acc += x
+        prefix.append(acc)
+    return w, prefix
+
+
+def ndcg_at_k(
+    history: DataFrame,
+    evals: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item",
+    k: int = 20,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-user NDCG@k of the popularity baseline — position-weighted
+    where ``hitrate_at_k`` is membership-only and ``mrr_at_k`` scores
+    only the FIRST hit: every eval item found in the top-k contributes
+    gain 1/log2(rank+1), normalized by the ideal DCG of min(n_eval, k)
+    relevant items.
+
+    Exactness: gains are the integer-millionths table from
+    ``ndcg_weights_millionths`` — per-user DCG is an INTEGER sum (any
+    aggregation order, any engine), IDCG is a literal prefix-sum lookup
+    on least(n_eval, k), and ndcg is ONE float division at the end.
+
+    Plan: k-row broadcast ranking (count desc, item asc deterministic
+    cut), eval side deduped and grouped once on the user — identical
+    shuffle shape to ``mrr_at_k``. Returns
+    (user, n_eval_items, n_hits, dcg_millionths, idcg_millionths, ndcg).
+    """
+    w_table, prefix = ndcg_weights_millionths(k)
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    w = Window.orderBy(F.col("__cnt").desc(), F.col(item_col).asc())
+    top = (
+        history.groupBy(item_col)
+        .agg(F.sum(wt).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col(item_col).asc())
+        .limit(k)
+        .withColumn("__rank", F.row_number().over(w).cast("long"))
+        .select(item_col, "__rank")
+    )
+    # rank -> integer gain, as a literal expression over the k-row side
+    gain = F.lit(None).cast("long")
+    for r, g in enumerate(w_table, start=1):
+        gain = F.when(F.col("__rank") == r, F.lit(g)).otherwise(gain)
+    top = top.withColumn("__gain", gain)
+    joined = evals.select(user_col, item_col).distinct().join(
+        F.broadcast(top), item_col, "left"
+    )
+    per_user = joined.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_items"),
+        F.sum(F.when(F.col("__rank").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.coalesce(F.sum("__gain"), F.lit(0))
+        .cast("long")
+        .alias("dcg_millionths"),
+    )
+    # idcg = prefix[min(n_eval, k)] — literal lookup, no float log on-cluster
+    clamped = F.least(F.col("n_eval_items"), F.lit(k))
+    idcg = F.lit(None).cast("long")
+    for i, p in enumerate(prefix, start=1):
+        idcg = F.when(clamped == i, F.lit(p)).otherwise(idcg)
+    per_user = per_user.withColumn("idcg_millionths", idcg)
+    ndcg = (
+        F.col("dcg_millionths").cast("double")
+        / F.col("idcg_millionths").cast("double")
+    )
+    return per_user.select(
+        user_col,
+        "n_eval_items",
+        "n_hits",
+        "dcg_millionths",
+        "idcg_millionths",
+        ndcg.alias("ndcg"),
+    )
+
+
+def kendall_tau_groups(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group EXACT Kendall tau-b between two BOUNDED-CARDINALITY
+    ordinal columns — the tie-corrected rank-correlation complement of
+    ``spearman_groups`` (Spearman weights by rank distance; Kendall
+    counts pair inversions, so one wild outlier costs at most n-1
+    pairs).
+
+    The O(n^2) pair count collapses onto the (x, y) CONTINGENCY cells:
+    concordant/discordant sums are cell-count products over cell pairs
+    with x_i < x_j (each unordered pair exactly once; equal-x pairs are
+    x-ties and contribute to neither), so the self-join is bounded by
+    distinct-cell count squared — grid-sized, not data-sized. Tie terms
+    n1/n2 come from the 1-D marginal rollups. All counts and products
+    are DECIMAL(38,0)-exact; tau-b is ONE float expression at the end.
+
+    Caller contract: x and y must be low-cardinality ordinals (bands,
+    grades, small integers). Returns
+    (group, n, n_pairs, concordant, discordant, x_tie_pairs,
+    y_tie_pairs, tau_b); tau_b is NULL when either marginal is constant
+    (denominator 0).
+    """
+    g, x, y = F.col(group_col), F.col(x_col), F.col(y_col)
+    cells = (
+        df.select(
+            g.alias("__g"),
+            x.cast("long").alias("__x"),
+            y.cast("long").alias("__y"),
+        )
+        .groupBy("__g", "__x", "__y")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"))
+    )
+    a = cells.select(
+        F.col("__g").alias("__ga"),
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+        F.col("__n").alias("__na"),
+    )
+    b = cells.select(
+        F.col("__g").alias("__gb"),
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+        F.col("__n").alias("__nb"),
+    )
+    # the cell table is grid-bounded (caller contract), so the pair join
+    # broadcasts regardless of what the base-table statistics say
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("__ga") == F.col("__gb")) & (F.col("__xa") < F.col("__xb")),
+    )
+    cd = pairs.groupBy(F.col("__ga").alias("__g")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__ya") < F.col("__yb"),
+                    F.col("__na") * F.col("__nb"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("concordant"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__ya") > F.col("__yb"),
+                    F.col("__na") * F.col("__nb"),
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("discordant"),
+    )
+    totals = cells.groupBy("__g").agg(
+        F.sum("__n").alias("__nt"),
+    )
+    x_ties = (
+        cells.groupBy("__g", "__x")
+        .agg(F.sum("__n").alias("__m"))
+        .groupBy("__g")
+        .agg(
+            (F.sum(F.col("__m") * (F.col("__m") - 1)) / 2)
+            .cast("decimal(38,0)")
+            .alias("x_tie_pairs")
+        )
+    )
+    y_ties = (
+        cells.groupBy("__g", "__y")
+        .agg(F.sum("__n").alias("__m"))
+        .groupBy("__g")
+        .agg(
+            (F.sum(F.col("__m") * (F.col("__m") - 1)) / 2)
+            .cast("decimal(38,0)")
+            .alias("y_tie_pairs")
+        )
+    )
+    out = (
+        totals.join(F.broadcast(x_ties), "__g")
+        .join(F.broadcast(y_ties), "__g")
+        .join(F.broadcast(cd), "__g", "left")
+    )
+    n0 = (F.col("__nt") * (F.col("__nt") - 1) / 2).cast("decimal(38,0)")
+    c = F.coalesce(F.col("concordant"), F.lit(0).cast("decimal(38,0)"))
+    d = F.coalesce(F.col("discordant"), F.lit(0).cast("decimal(38,0)"))
+    den_x = (n0 - F.col("x_tie_pairs")).cast("double")
+    den_y = (n0 - F.col("y_tie_pairs")).cast("double")
+    tau = F.when(
+        (den_x > 0) & (den_y > 0),
+        (c - d).cast("double") / F.sqrt(den_x * den_y),
+    )
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.col("__nt").cast("long").alias("n"),
+        n0.alias("n_pairs"),
+        c.alias("concordant"),
+        d.alias("discordant"),
+        "x_tie_pairs",
+        "y_tie_pairs",
+        tau.alias("tau_b"),
+    )
