@@ -1467,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE50_QUERIES,
         **_WAVE52_QUERIES,
         **_WAVE53_QUERIES,
+        **_WAVE54_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1601,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE50_SQL,
         **_WAVE52_SQL,
         **_WAVE53_SQL,
+        **_WAVE54_SQL,
     }
 
 
@@ -10421,4 +10423,133 @@ _WAVE53_QUERIES = {
 _WAVE53_SQL = {
     "ndcg_user_popularity": NDCG_SQL,
     "kendall_qty_discount": KENDALL_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 54 — CUSUM level-shift detection + Benford first-digit audit
+# --------------------------------------------------------------------------
+
+def cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily purchase revenue
+    (operators/behavior.py cusum_changepoint): C_k*n = n*prefix − k*total
+    kept integer-exact on the span-bounded day rollup; the standardized
+    score and the peak flag locate the most likely level shift."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        cusum_changepoint,
+    )
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return cusum_changepoint(daily, "day", "x")
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY CAST(ts AS DATE)),
+pref AS (
+  SELECT day, x,
+         CAST(SUM(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS prefix,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+  FROM daily),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS q
+  FROM daily),
+scored AS (
+  SELECT day, x, prefix,
+         CAST(n * prefix - k * s AS BIGINT) AS cusum_n_scaled,
+         CASE WHEN CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE) > 0
+              THEN CAST(n * prefix - k * s AS DOUBLE)
+                   / sqrt(CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                          * CAST(n AS DOUBLE))
+         END AS cusum_z
+  FROM pref, tot),
+peak AS (SELECT MAX(ABS(cusum_n_scaled)) AS p FROM scored)
+SELECT day, x, prefix, cusum_n_scaled, cusum_z,
+       ABS(cusum_n_scaled) = (SELECT p FROM peak) AS is_peak
+FROM scored
+"""
+
+
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (operators/profiling.py
+    benford_first_digit): digit from the integer-cents STRING rendering,
+    expected frequencies as shared integer-millionths literals, exact
+    chi-square numerators."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        benford_first_digit,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("long")
+        .alias("cents")
+    )
+    return benford_first_digit(orders, "cents")
+
+
+def _benford_sql() -> str:
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        benford_expected_millionths,
+    )
+
+    exp = benford_expected_millionths()
+    cases = "\n".join(
+        f"           WHEN digit = {d} THEN {e}"
+        for d, e in enumerate(exp, start=1)
+    )
+    return f"""
+WITH amounts AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS a
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > 0),
+digits AS (
+  SELECT CAST(substr(CAST(a AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM amounts GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM digits),
+staged AS (
+  SELECT digit, n, t,
+         CAST(CASE
+{cases}
+         END AS BIGINT) AS exp_m
+  FROM digits, tot)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS observed_p,
+       CAST(exp_m AS DOUBLE) / 1000000.0 AS expected_p,
+       CAST((1000000 * CAST(n AS HUGEINT) - CAST(t AS HUGEINT) * exp_m)
+            * (1000000 * CAST(n AS HUGEINT) - CAST(t AS HUGEINT) * exp_m)
+            AS DOUBLE)
+         / (1000000.0 * CAST(t AS DOUBLE) * CAST(exp_m AS DOUBLE))
+         AS chi2_term
+FROM staged
+"""
+
+
+BENFORD_SQL = _benford_sql()
+
+_WAVE54_QUERIES = {
+    "cusum_daily_revenue": cusum_daily_revenue,
+    "benford_order_totals": benford_order_totals,
+}
+_WAVE54_SQL = {
+    "cusum_daily_revenue": CUSUM_SQL,
+    "benford_order_totals": BENFORD_SQL,
 }

@@ -1041,3 +1041,80 @@ def daily_anomaly_robust_z(
         / (F.lit(1.4826) * F.col("__mad")),
     )
     return scored.select("day", "n_events", z.alias("robust_z"))
+
+
+def cusum_changepoint(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+) -> DataFrame:
+    """CUSUM level-shift detector over a day-grain metric series: the
+    cumulative-sum statistic C_k = sum_{i<=k}(x_i − mean) whose peak
+    |C_k| locates the most likely changepoint (Page's CUSUM / the
+    binary-segmentation first split). The complement of
+    ``daily_anomaly_robust_z``: that flags single outlier DAYS, this
+    finds a persistent LEVEL SHIFT that no single day exposes.
+
+    Exactness: the series lives on the span-bounded day rollup, so with
+    integer inputs everything up to the final standardization is exact —
+    C_k is computed SCALED BY n as C_k*n = n*P_k − k*S (prefix sum P_k,
+    total S, both integers), avoiding the float mean entirely; the
+    standardized z_k = C_k / (sigma*sqrt(n)) = (n*P_k − k*S) /
+    sqrt((n*Q − S^2) * n) is ONE float expression over exact integer
+    aggregates. Caller contract: value_col is an integer metric (cents,
+    counts); n*P_k must fit in a long (day-grain cents: safe below
+    ~$10^13 of daily revenue over a 10-year span).
+
+    Plan: one window pass over the rollup (bounded by the date span —
+    the ``daily_anomaly_robust_z`` argument), totals broadcast back.
+    Returns (day, x, prefix, cusum_n_scaled, cusum_z, is_peak) with
+    is_peak = exact-integer argmax of |C_k*n| (ties all flagged);
+    cusum_z is NULL on a flat series (zero variance).
+    """
+    from pyspark.sql import Window
+
+    d, x = F.col(day_col), F.col(value_col).cast("long")
+    base = daily.select(d.alias("day"), x.alias("x"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pref = base.select(
+        "day",
+        "x",
+        F.sum("x").over(w).cast("long").alias("prefix"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("__k"),
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("x").cast("long").alias("__s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("__q"),
+    )
+    scored = pref.crossJoin(F.broadcast(totals)).withColumn(
+        "cusum_n_scaled",
+        (F.col("__n") * F.col("prefix") - F.col("__k") * F.col("__s")).cast(
+            "long"
+        ),
+    )
+    var_n2 = (
+        F.col("__n").cast("decimal(38,0)") * F.col("__q")
+        - F.col("__s").cast("decimal(38,0)") * F.col("__s")
+    ).cast("double")
+    z = F.when(
+        var_n2 > 0.0,
+        F.col("cusum_n_scaled").cast("double")
+        / F.sqrt(var_n2 * F.col("__n").cast("double")),
+    )
+    peak = scored.agg(
+        F.max(F.abs(F.col("cusum_n_scaled"))).cast("long").alias("__peak")
+    )
+    return (
+        scored.crossJoin(F.broadcast(peak))
+        .select(
+            "day",
+            "x",
+            "prefix",
+            "cusum_n_scaled",
+            z.alias("cusum_z"),
+            (F.abs(F.col("cusum_n_scaled")) == F.col("__peak")).alias(
+                "is_peak"
+            ),
+        )
+    )

@@ -379,3 +379,80 @@ def jackknife_group_influence(
         mean_wo.alias("mean_without"),
         (mean_wo - overall).alias("delta_cents"),
     )
+
+
+def benford_expected_millionths() -> list[int]:
+    """Benford first-digit expected frequencies as exact integer
+    millionths: round(1e6 * log10(1 + 1/d)) for d = 1..9. Computed ONCE
+    in Python (the ndcg_weights_millionths discipline) so both engines
+    compare observed counts against IDENTICAL integer literals instead
+    of each taking their own log10."""
+    import math
+
+    return [
+        int(round(1_000_000 * math.log10(1.0 + 1.0 / d)))
+        for d in range(1, 10)
+    ]
+
+
+def benford_first_digit(
+    df: DataFrame,
+    amount_cents_col: str,
+) -> DataFrame:
+    """Benford's-law first-significant-digit audit over a positive
+    integer amount column — the classic fabricated-data / broken-ETL
+    screen: natural multi-scale amounts follow P(d) = log10(1 + 1/d),
+    while generated or truncated data shows a flat or spiked digit
+    histogram.
+
+    The first digit comes from the STRING rendering of the integer
+    (substr(cast(n as string), 1, 1)) — no float log10/pow round-trip,
+    so values at power-of-ten boundaries can't misclassify. Expected
+    frequencies are the integer-millionths literals from
+    ``benford_expected_millionths``. One digit-keyed groupBy (9 groups)
+    plus a broadcast total; observed_p and the chi-square term are the
+    only float expressions, each a fixed tree per row. Returns one row
+    per digit 1..9: (digit, n, observed_p, expected_p, chi2_term).
+    Non-positive amounts are excluded (Benford is defined on magnitudes).
+    """
+    exp = benford_expected_millionths()
+    amt = F.col(amount_cents_col).cast("long")
+    digits = (
+        df.select(amt.alias("__a"))
+        .filter(F.col("__a") > 0)
+        .select(
+            F.substring(F.col("__a").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = digits.agg(F.sum("n").cast("long").alias("__t"))
+    exp_col = F.lit(None).cast("long")
+    for d, e in enumerate(exp, start=1):
+        exp_col = F.when(F.col("digit") == d, F.lit(e)).otherwise(exp_col)
+    out = digits.crossJoin(F.broadcast(total)).withColumn(
+        "__exp_m", exp_col
+    )
+    observed_p = F.col("n").cast("double") / F.col("__t").cast("double")
+    expected_p = F.col("__exp_m").cast("double") / F.lit(1_000_000.0)
+    # chi2 term over counts: (o − e)^2 / e with e = total*expected —
+    # exact integer numerator (1e6-scaled) over one float divide:
+    # (1e6*o − t*exp_m)^2 / (1e6 * t * exp_m)
+    num = (
+        F.lit(1_000_000).cast("decimal(38,0)") * F.col("n")
+        - F.col("__t").cast("decimal(38,0)") * F.col("__exp_m")
+    )
+    chi2 = (num * num).cast("double") / (
+        F.lit(1_000_000.0)
+        * F.col("__t").cast("double")
+        * F.col("__exp_m").cast("double")
+    )
+    return out.select(
+        "digit",
+        "n",
+        observed_p.alias("observed_p"),
+        expected_p.alias("expected_p"),
+        chi2.alias("chi2_term"),
+    )
