@@ -1468,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE52_QUERIES,
         **_WAVE53_QUERIES,
         **_WAVE54_QUERIES,
+        **_WAVE55_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1603,6 +1604,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE52_SQL,
         **_WAVE53_SQL,
         **_WAVE54_SQL,
+        **_WAVE55_SQL,
     }
 
 
@@ -10552,4 +10554,119 @@ _WAVE54_QUERIES = {
 _WAVE54_SQL = {
     "cusum_daily_revenue": CUSUM_SQL,
     "benford_order_totals": BENFORD_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 55 — isotonic calibration fit (minimax PAV) + RxC contingency chi2
+# --------------------------------------------------------------------------
+
+def isotonic_length_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) fit of the calibration_length_lang reliability
+    diagram (operators/evaluation.py isotonic_fit_bins): the minimax
+    identity max_{i<=k} min_{j>=k} pooled-rate(i..j) computed as
+    relational algebra over the 10-row bin rollup — each pooled rate ONE
+    exact-integer division, so the min/max tower is engine-exact."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        calibration_bins,
+        isotonic_fit_bins,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").cast("long").alias("__mx"))
+    staged = docs.crossJoin(F.broadcast(mx))
+    bins = calibration_bins(
+        staged, "n_chars", F.col("__mx"), F.col("lang") == "en"
+    ).select("bin", "n", "n_pos")
+    return isotonic_fit_bins(bins, "bin", "n", "n_pos")
+
+
+ISOTONIC_SQL = """
+WITH mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS d FROM documents),
+staged AS (
+  SELECT (10 * CAST(n_chars AS BIGINT)
+          - (10 * CAST(n_chars AS BIGINT)) % d) / d AS rawbin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents CROSS JOIN mx),
+bins AS (
+  SELECT CAST(LEAST(rawbin, 9) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM staged GROUP BY 1),
+pref AS (
+  SELECT bin, n, n_pos,
+         CAST(SUM(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sn,
+         CAST(SUM(n_pos) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sy
+  FROM bins),
+intervals AS (
+  SELECT l.bin AS i, h.bin AS j,
+         CAST(h.sy - (l.sy - l.n_pos) AS DOUBLE)
+           / CAST(h.sn - (l.sn - l.n) AS DOUBLE) AS rate
+  FROM pref l JOIN pref h ON l.bin <= h.bin),
+inner_min AS (
+  SELECT k.bin AS k, t.i, MIN(t.rate) AS min_j
+  FROM intervals t JOIN pref k ON t.i <= k.bin AND k.bin <= t.j
+  GROUP BY k.bin, t.i),
+fitted AS (SELECT k, MAX(min_j) AS iso_rate FROM inner_min GROUP BY k)
+SELECT b.bin, b.n, b.n_pos,
+       CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+       f.iso_rate
+FROM bins b JOIN fitted f ON f.k = b.bin
+"""
+
+
+def chi2_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RxC independence screen between market segment and nation
+    (operators/profiling.py contingency_chi2): grid-completed cells
+    (zero-observed cells still contribute), exact integer chi-square
+    numerators, one float divide per cell."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        contingency_chi2,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    )
+    return contingency_chi2(cust, "segment", "nation")
+
+
+CHI2_RC_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment AS row_val, CAST(c_nationkey AS BIGINT) AS col_val,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM customer GROUP BY 1, 2),
+rt AS (SELECT row_val, CAST(SUM(observed) AS BIGINT) AS rtot
+       FROM cells GROUP BY row_val),
+ct AS (SELECT col_val, CAST(SUM(observed) AS BIGINT) AS ctot
+       FROM cells GROUP BY col_val),
+tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT rt.row_val, ct.col_val, rt.rtot, ct.ctot, tot.n,
+         COALESCE(c.observed, 0) AS observed
+  FROM rt CROSS JOIN ct CROSS JOIN tot
+  LEFT JOIN cells c
+    ON c.row_val = rt.row_val AND c.col_val = ct.col_val)
+SELECT row_val, col_val, observed,
+       CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE)
+         AS expected,
+       CAST((CAST(n AS HUGEINT) * observed - CAST(rtot AS HUGEINT) * ctot)
+            * (CAST(n AS HUGEINT) * observed - CAST(rtot AS HUGEINT) * ctot)
+            AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE))
+         AS chi2_term
+FROM grid
+"""
+
+_WAVE55_QUERIES = {
+    "isotonic_length_lang": isotonic_length_lang,
+    "chi2_segment_nation": chi2_segment_nation,
+}
+_WAVE55_SQL = {
+    "isotonic_length_lang": ISOTONIC_SQL,
+    "chi2_segment_nation": CHI2_RC_SQL,
 }

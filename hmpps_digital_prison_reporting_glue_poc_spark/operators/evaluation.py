@@ -859,3 +859,85 @@ def kendall_tau_groups(
         "y_tie_pairs",
         tau.alias("tau_b"),
     )
+
+
+def isotonic_fit_bins(
+    bins: DataFrame,
+    bin_col: str = "bin",
+    n_col: str = "n",
+    pos_col: str = "n_pos",
+) -> DataFrame:
+    """Weighted isotonic regression (PAV) over a binned calibration
+    rollup — the monotone-fit step that turns ``calibration_bins``'s
+    reliability diagram into an isotonic CALIBRATOR (Zadrozny & Elkan's
+    recipe): fitted rates are non-decreasing in the bin index and
+    minimize weighted squared error.
+
+    Instead of porting the sequential pool-adjacent-violators loop, the
+    fit uses the minimax identity — fitted[k] = max_{i<=k} min_{j>=k}
+    rate(i..j) with rate(i..j) the pooled positives/count over bins
+    i..j — which is pure relational algebra over the B-row rollup:
+    prefix sums, a B^2 interval grid, a B^3 (k, i, j) join, two grouped
+    extremes. Every pooled rate is ONE division of exact integer prefix
+    differences, so both engines compare IDENTICAL doubles and the
+    min/max tower is engine-deterministic. B is the caller's bin count
+    (~10-20): the whole fit is metadata-sized regardless of how many
+    rows fed the bins.
+
+    Returns (bin, n, n_pos, raw_rate, iso_rate) with iso_rate monotone
+    non-decreasing by construction.
+    """
+    b = F.col(bin_col)
+    n = F.col(n_col).cast("long")
+    y = F.col(pos_col).cast("long")
+    base = bins.select(b.alias("__b"), n.alias("__n"), y.alias("__y"))
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    pref = base.select(
+        "__b",
+        "__n",
+        "__y",
+        F.sum("__n").over(w).cast("long").alias("__sn"),
+        F.sum("__y").over(w).cast("long").alias("__sy"),
+    )
+    lo = pref.select(
+        F.col("__b").alias("__i"),
+        (F.col("__sn") - F.col("__n")).alias("__sn_lo"),
+        (F.col("__sy") - F.col("__y")).alias("__sy_lo"),
+    )
+    hi = pref.select(
+        F.col("__b").alias("__j"),
+        F.col("__sn").alias("__sn_hi"),
+        F.col("__sy").alias("__sy_hi"),
+    )
+    intervals = lo.join(
+        F.broadcast(hi), F.col("__i") <= F.col("__j")
+    ).select(
+        "__i",
+        "__j",
+        (
+            (F.col("__sy_hi") - F.col("__sy_lo")).cast("double")
+            / (F.col("__sn_hi") - F.col("__sn_lo")).cast("double")
+        ).alias("__rate"),
+    )
+    ks = base.select(F.col("__b").alias("__k"))
+    trip = intervals.join(
+        F.broadcast(ks),
+        (F.col("__i") <= F.col("__k")) & (F.col("__k") <= F.col("__j")),
+    )
+    inner = trip.groupBy("__k", "__i").agg(
+        F.min("__rate").alias("__min_j")
+    )
+    fitted = inner.groupBy("__k").agg(F.max("__min_j").alias("iso_rate"))
+    raw = F.col("__y").cast("double") / F.col("__n").cast("double")
+    return (
+        base.join(
+            F.broadcast(fitted), F.col("__b") == F.col("__k")
+        )
+        .select(
+            F.col("__b").alias(bin_col),
+            F.col("__n").alias(n_col),
+            F.col("__y").alias(pos_col),
+            raw.alias("raw_rate"),
+            "iso_rate",
+        )
+    )

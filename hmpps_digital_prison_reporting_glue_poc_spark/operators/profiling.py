@@ -456,3 +456,65 @@ def benford_first_digit(
         expected_p.alias("expected_p"),
         chi2.alias("chi2_term"),
     )
+
+
+def contingency_chi2(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """RxC contingency chi-square independence screen — the general-
+    table extension of the 2x2 ``chi2_feature_label``: per-cell terms of
+    sum((o − e)^2 / e) with e = row_total*col_total/n, over two BOUNDED-
+    CARDINALITY categoricals.
+
+    The grid is COMPLETED (row marginals cross col marginals, observed
+    cells left-joined) because zero-observed cells still contribute
+    e > 0 to the statistic — dropping them understates dependence. Cell
+    terms keep the exact integer numerator (n*o − rt*ct)^2 at
+    DECIMAL(38,0) and spend ONE float division per cell, so both
+    engines emit identical doubles. Marginals are two 1-D rollups
+    broadcast onto the grid; the only data-sized pass is the initial
+    cell groupBy. Returns one row per (row_val, col_val) grid cell:
+    (row_val, col_val, observed, expected, chi2_term); the consumer
+    sums chi2_term against a chi-square((R-1)(C-1)) tail.
+    """
+    r = F.col(row_col)
+    c = F.col(col_col)
+    cells = (
+        df.select(r.alias("row_val"), c.alias("col_val"))
+        .groupBy("row_val", "col_val")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    row_tot = cells.groupBy("row_val").agg(
+        F.sum("observed").cast("long").alias("__rt")
+    )
+    col_tot = cells.groupBy("col_val").agg(
+        F.sum("observed").cast("long").alias("__ct")
+    )
+    total = cells.agg(F.sum("observed").cast("long").alias("__n"))
+    grid = (
+        row_tot.crossJoin(F.broadcast(col_tot))
+        .crossJoin(F.broadcast(total))
+        .join(F.broadcast(cells), ["row_val", "col_val"], "left")
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0)))
+    )
+    expected = (
+        F.col("__rt").cast("double") * F.col("__ct").cast("double")
+    ) / F.col("__n").cast("double")
+    num = (
+        F.col("__n").cast("decimal(38,0)") * F.col("observed")
+        - F.col("__rt").cast("decimal(38,0)") * F.col("__ct")
+    )
+    chi2 = (num * num).cast("double") / (
+        F.col("__n").cast("double")
+        * F.col("__rt").cast("double")
+        * F.col("__ct").cast("double")
+    )
+    return grid.select(
+        "row_val",
+        "col_val",
+        "observed",
+        expected.alias("expected"),
+        chi2.alias("chi2_term"),
+    )
