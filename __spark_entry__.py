@@ -1469,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE53_QUERIES,
         **_WAVE54_QUERIES,
         **_WAVE55_QUERIES,
+        **_WAVE56_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1605,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE53_SQL,
         **_WAVE54_SQL,
         **_WAVE55_SQL,
+        **_WAVE56_SQL,
     }
 
 
@@ -10669,4 +10671,159 @@ _WAVE55_QUERIES = {
 _WAVE55_SQL = {
     "isotonic_length_lang": ISOTONIC_SQL,
     "chi2_segment_nation": CHI2_RC_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 56 — Mann-Kendall trend test + stratified ATE (subclassification)
+# --------------------------------------------------------------------------
+
+def mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall drift test on daily purchase revenue
+    (operators/behavior.py mann_kendall_trend): S and the tie-corrected
+    Var(S)*18 exact integers on the span-bounded day rollup; one float
+    z with the standard continuity correction."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        mann_kendall_trend,
+    )
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return mann_kendall_trend(daily, "day", "x")
+
+
+MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY CAST(ts AS DATE)),
+s AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.x > a.x THEN 1
+                                WHEN b.x < a.x THEN -1
+                                ELSE 0 END), 0) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.day < b.day),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x)),
+joined AS (
+  SELECT n, s_stat,
+         CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var_s_x18
+  FROM nn, s, ties)
+SELECT n, s_stat, var_s_x18,
+       CASE WHEN var_s_x18 > 0 THEN
+         CASE WHEN s_stat > 0
+              THEN CAST(s_stat - 1 AS DOUBLE)
+                   / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0)
+              WHEN s_stat < 0
+              THEN CAST(s_stat + 1 AS DOUBLE)
+                   / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0)
+              ELSE 0.0 END
+       END AS z
+FROM joined
+"""
+
+
+def stratified_ate_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Subclassification ATE of 'user clicked at least once' on total
+    purchase cents (operators/evaluation.py stratified_ate): strata =
+    exact log2 activity bands (length(bin(n))-1, the key_skew_histogram
+    idiom — no float log), per-stratum arms + weights, consumer sums
+    weight*diff."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        stratified_ate,
+    )
+
+    per_user = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "__is_click"
+            ),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value").cast("double") * 100, 0).cast("long"),
+            )
+            .otherwise(0)
+            .alias("__cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_ev"),
+            F.sum("__is_click").cast("long").alias("__clicks"),
+            F.sum("__cents").cast("long").alias("purchase_cents"),
+        )
+    )
+    staged = per_user.select(
+        (F.length(F.bin(F.col("__n_ev"))) - 1).cast("long").alias("band"),
+        (F.col("__clicks") > 0).alias("treated"),
+        "purchase_cents",
+    )
+    return stratified_ate(staged, "band", "treated", "purchase_cents")
+
+
+STRATIFIED_ATE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ev,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS purchase_cents
+  FROM events GROUP BY user_id),
+staged AS (
+  SELECT CAST(length(bin(n_ev)) - 1 AS BIGINT) AS stratum,
+         clicks > 0 AS t,
+         purchase_cents AS y
+  FROM per_user),
+per AS (
+  SELECT stratum,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+         CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control,
+         CAST(COALESCE(SUM(CASE WHEN t THEN y END), 0) AS BIGINT) AS sy_t,
+         CAST(COALESCE(SUM(CASE WHEN NOT t THEN y END), 0) AS BIGINT)
+           AS sy_c
+  FROM staged GROUP BY stratum),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM per)
+SELECT stratum AS band, n, n_treated, n_control,
+       CASE WHEN n_treated > 0
+            THEN CAST(sy_t AS DOUBLE) / CAST(n_treated AS DOUBLE)
+       END AS mean_treated,
+       CASE WHEN n_control > 0
+            THEN CAST(sy_c AS DOUBLE) / CAST(n_control AS DOUBLE)
+       END AS mean_control,
+       (CASE WHEN n_treated > 0
+             THEN CAST(sy_t AS DOUBLE) / CAST(n_treated AS DOUBLE) END)
+       - (CASE WHEN n_control > 0
+               THEN CAST(sy_c AS DOUBLE) / CAST(n_control AS DOUBLE) END)
+         AS diff,
+       CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS weight
+FROM per, tot
+"""
+
+_WAVE56_QUERIES = {
+    "mann_kendall_daily_revenue": mann_kendall_daily_revenue,
+    "stratified_ate_click_purchase": stratified_ate_click_purchase,
+}
+_WAVE56_SQL = {
+    "mann_kendall_daily_revenue": MANN_KENDALL_SQL,
+    "stratified_ate_click_purchase": STRATIFIED_ATE_SQL,
 }

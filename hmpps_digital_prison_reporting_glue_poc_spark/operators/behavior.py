@@ -1118,3 +1118,77 @@ def cusum_changepoint(
             ),
         )
     )
+
+
+def mann_kendall_trend(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test over a day-grain metric series —
+    the nonparametric complement of ``cusum_changepoint``: CUSUM finds a
+    level SHIFT, Mann-Kendall scores a sustained DRIFT without assuming
+    normality (it is Kendall's S against time itself).
+
+    S = sum_{i<j} sign(x_j − x_i) and the tie-corrected variance
+    Var(S)·18 = n(n−1)(2n+5) − sum_t t(t−1)(2t+5) are both exact
+    integers on the span-bounded day rollup (the pair join is
+    rollup×rollup with a broadcast side — bounded by the DATE SPAN
+    squared, never by event count); the normal-approximation z applies
+    the standard ±1 continuity correction in ONE float expression.
+    Returns one row (n, s_stat, var_s_x18, z); z is NULL when the
+    variance is zero (all values tied).
+    """
+    from pyspark.sql import Window  # noqa: F401  (parallel import style)
+
+    d, x = F.col(day_col), F.col(value_col).cast("long")
+    base = daily.select(d.alias("__d"), x.alias("__x"))
+    a = base.select(F.col("__d").alias("__da"), F.col("__x").alias("__xa"))
+    b = base.select(F.col("__d").alias("__db"), F.col("__x").alias("__xb"))
+    s = (
+        a.join(F.broadcast(b), F.col("__da") < F.col("__db"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__xb") > F.col("__xa"), 1)
+                    .when(F.col("__xb") < F.col("__xa"), -1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        base.groupBy("__x")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__t")
+                    * (F.col("__t") - 1)
+                    * (2 * F.col("__t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("__tie_term")
+        )
+    )
+    joined = n_row.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("__tie_term")
+    ).cast("long")
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = F.when(
+        var18 > 0,
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0)),
+    )
+    return joined.select(
+        "n", "s_stat", var18.alias("var_s_x18"), z.alias("z")
+    )

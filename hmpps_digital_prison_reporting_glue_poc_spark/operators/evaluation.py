@@ -941,3 +941,73 @@ def isotonic_fit_bins(
             "iso_rate",
         )
     )
+
+
+def stratified_ate(
+    df: DataFrame,
+    stratum_col: str,
+    treated_col,
+    outcome_col: str,
+) -> DataFrame:
+    """Stratified average-treatment-effect table — the
+    subclassification estimator (Cochran's recipe, the workhorse of
+    observational A/B readouts): within each stratum the
+    treatment/control outcome-mean gap, with the stratum's population
+    weight, so the consumer's ATE = sum(weight * diff) and common
+    support is auditable per row.
+
+    Per-stratum rows (the ``psi_bands`` convention) keep the output
+    order-independent: each row carries ONE fixed float tree over exact
+    integer sums (outcome in integer units, counts long); no
+    cross-stratum float accumulation happens inside the operator.
+    Plan: one stratum-keyed rollup with conditional sums, one broadcast
+    total. Returns (stratum, n, n_treated, n_control, mean_treated,
+    mean_control, diff, weight); means/diff NULL in strata lacking one
+    arm (off-support strata surface instead of silently dropping).
+    """
+    t = (
+        treated_col if not isinstance(treated_col, str) else F.col(treated_col)
+    ).cast("boolean")
+    y = F.col(outcome_col).cast("long")
+    staged = df.select(
+        F.col(stratum_col).alias("stratum"),
+        t.alias("__t"),
+        y.alias("__y"),
+    )
+    per = staged.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_treated"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+        F.coalesce(F.sum(F.when(F.col("__t"), F.col("__y"))), F.lit(0))
+        .cast("long")
+        .alias("__sy_t"),
+        F.coalesce(F.sum(F.when(~F.col("__t"), F.col("__y"))), F.lit(0))
+        .cast("long")
+        .alias("__sy_c"),
+    )
+    total = per.agg(F.sum("n").cast("long").alias("__nt"))
+    out = per.crossJoin(F.broadcast(total))
+    mean_t = F.when(
+        F.col("n_treated") > 0,
+        F.col("__sy_t").cast("double") / F.col("n_treated").cast("double"),
+    )
+    mean_c = F.when(
+        F.col("n_control") > 0,
+        F.col("__sy_c").cast("double") / F.col("n_control").cast("double"),
+    )
+    return out.select(
+        F.col("stratum").alias(stratum_col),
+        "n",
+        "n_treated",
+        "n_control",
+        mean_t.alias("mean_treated"),
+        mean_c.alias("mean_control"),
+        (mean_t - mean_c).alias("diff"),
+        (F.col("n").cast("double") / F.col("__nt").cast("double")).alias(
+            "weight"
+        ),
+    )
