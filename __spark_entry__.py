@@ -1470,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE54_QUERIES,
         **_WAVE55_QUERIES,
         **_WAVE56_QUERIES,
+        **_WAVE57_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1607,6 +1608,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE54_SQL,
         **_WAVE55_SQL,
         **_WAVE56_SQL,
+        **_WAVE57_SQL,
     }
 
 
@@ -10826,4 +10828,139 @@ _WAVE56_QUERIES = {
 _WAVE56_SQL = {
     "mann_kendall_daily_revenue": MANN_KENDALL_SQL,
     "stratified_ate_click_purchase": STRATIFIED_ATE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 57 — lag-k autocorrelation + Cochran-Mantel-Haenszel terms
+# --------------------------------------------------------------------------
+
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag 1..7 autocorrelation of daily purchase revenue
+    (operators/behavior.py acf_daily): centered products integer-ized by
+    n-scaling — numerator/denominator EXACT integers from the epoch-day
+    equi-join of the span-bounded rollup; one float divide per lag.
+    Calendar-gap-correct (lag = days apart, not rows apart)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import acf_daily
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return acf_daily(daily, "day", "x", max_lag=7)
+
+
+ACF_SQL = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s FROM daily),
+centered AS (
+  SELECT d, CAST(n * x - s AS HUGEINT) AS c FROM daily, tot),
+den AS (SELECT SUM(c * c) AS dd FROM centered),
+lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+num AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(a.c * b.c) AS nn
+  FROM centered a
+  CROSS JOIN lags l
+  JOIN centered b ON b.d = a.d + l.lag
+  GROUP BY l.lag)
+SELECT l.lag,
+       CAST(COALESCE(num.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN den.dd > 0 AND num.nn IS NOT NULL
+            THEN CAST(num.nn AS DOUBLE) / CAST(den.dd AS DOUBLE)
+       END AS acf
+FROM lags l LEFT JOIN num ON num.lag = l.lag CROSS JOIN den
+"""
+
+
+def cmh_click_purchase_by_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CMH per-stratum terms for 'clicked -> purchased' controlled by
+    activity band (operators/evaluation.py cmh_terms): 2x2 cells from
+    one conditional-sum rollup per band; exact DECIMAL variance
+    numerators; consumer forms the continuity-corrected statistic over
+    the tiny table."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import cmh_terms
+
+    per_user = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "__is_click"
+            ),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("__is_purchase"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_ev"),
+            F.sum("__is_click").cast("long").alias("__clicks"),
+            F.sum("__is_purchase").cast("long").alias("__purchases"),
+        )
+    )
+    staged = per_user.select(
+        (F.length(F.bin(F.col("__n_ev"))) - 1).cast("long").alias("band"),
+        (F.col("__clicks") > 0).alias("clicked"),
+        (F.col("__purchases") > 0).alias("purchased"),
+    )
+    return cmh_terms(staged, "band", "clicked", "purchased")
+
+
+CMH_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ev,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS purchases
+  FROM events GROUP BY user_id),
+staged AS (
+  SELECT CAST(length(bin(n_ev)) - 1 AS BIGINT) AS band,
+         clicks > 0 AS e, purchases > 0 AS o
+  FROM per_user),
+per AS (
+  SELECT band,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(SUM(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM staged GROUP BY band)
+SELECT band, n, a, r1, c1,
+       CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)
+         AS expected_a,
+       CASE WHEN n > 1 AND r1 > 0 AND (n - r1) > 0
+             AND c1 > 0 AND (n - c1) > 0
+            THEN CAST(CAST(r1 AS HUGEINT) * (n - r1) * c1 * (n - c1)
+                      AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n - 1 AS DOUBLE))
+       END AS var_a
+FROM per
+"""
+
+_WAVE57_QUERIES = {
+    "acf_daily_revenue": acf_daily_revenue,
+    "cmh_click_purchase_by_band": cmh_click_purchase_by_band,
+}
+_WAVE57_SQL = {
+    "acf_daily_revenue": ACF_SQL,
+    "cmh_click_purchase_by_band": CMH_SQL,
 }

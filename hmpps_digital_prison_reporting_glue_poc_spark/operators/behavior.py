@@ -1192,3 +1192,75 @@ def mann_kendall_trend(
     return joined.select(
         "n", "s_stat", var18.alias("var_s_x18"), z.alias("z")
     )
+
+
+def acf_daily(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lag-k autocorrelation function of a day-grain metric series —
+    the seasonality/memory profile (a weekly cycle shows as a spike at
+    lag 7) that complements ``cusum_changepoint`` (shift) and
+    ``mann_kendall_trend`` (drift).
+
+    Exactness: with the series on the span-bounded day rollup, the
+    centered products are integer-ized by scaling with n — the lag-k
+    numerator n^2 * sum_t (x_t − mean)(x_{t+k} − mean) equals
+    sum_t (n*x_t − S)(n*x_{t+k} − S), an EXACT integer from the
+    (epoch-day + k) equi-join of the rollup with itself; the lag-0
+    denominator is the same expression at k = 0. One float division per
+    lag row. Calendar gaps are respected: lag k means k DAYS apart, not
+    k rows (the join key is the epoch day, the rolling_daily_revenue
+    RANGE-frame argument).
+
+    Returns one row per lag 1..max_lag: (lag, n_pairs, acf); acf is
+    NULL for a flat series (zero variance) or when no pairs exist at
+    that lag.
+    """
+    d = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
+    x = F.col(value_col).cast("long")
+    base = daily.select(d.alias("__d"), x.alias("__x"))
+    totals = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__s"),
+    )
+    centered = base.crossJoin(F.broadcast(totals)).select(
+        "__d",
+        (F.col("__n") * F.col("__x") - F.col("__s"))
+        .cast("decimal(38,0)")
+        .alias("__c"),
+    )
+    den = centered.agg(
+        F.sum(F.col("__c") * F.col("__c")).alias("__den")
+    )
+    lags = centered.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = centered.select(
+        F.col("__d").alias("__da"), F.col("__c").alias("__ca")
+    )
+    b = centered.select(
+        F.col("__d").alias("__db"), F.col("__c").alias("__cb")
+    )
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        F.broadcast(b),
+        F.col("__db") == F.col("__da") + F.col("lag"),
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("__ca") * F.col("__cb")).alias("__num"),
+    )
+    out = lags.join(F.broadcast(num), "lag", "left").crossJoin(
+        F.broadcast(den)
+    )
+    acf = F.when(
+        (F.col("__den") > 0) & F.col("__num").isNotNull(),
+        F.col("__num").cast("double") / F.col("__den").cast("double"),
+    )
+    return out.select(
+        "lag",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        acf.alias("acf"),
+    )

@@ -1011,3 +1011,77 @@ def stratified_ate(
             "weight"
         ),
     )
+
+
+def cmh_terms(
+    df: DataFrame,
+    stratum_col: str,
+    exposed_col,
+    outcome_col,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel per-stratum terms — the stratified 2x2
+    association test that asks "does exposure move the outcome AFTER
+    controlling for the stratum?" (the significance companion to
+    ``stratified_ate``'s effect-size table, and the standard guard
+    against Simpson's-paradox readouts).
+
+    Each stratum's 2x2 cells (a=exposed+positive, with row/col
+    marginals r1, c1 and total n) come from one conditional-sum rollup;
+    the row reports a, E[a] = r1*c1/n and Var[a] =
+    r1*r2*c1*c2/(n^2*(n−1)) — each ONE float expression over exact
+    integer cells (numerators kept DECIMAL(38,0)). Per-stratum rows
+    keep the output order-independent; the consumer forms
+    CMH = (|sum(a − e)| − 0.5)^2 / sum(v) over the tiny table.
+    Degenerate strata (n < 2 or an empty margin) yield NULL var rather
+    than silently vanishing. Returns
+    (stratum, n, a, r1, c1, expected_a, var_a).
+    """
+    ex = (
+        exposed_col if not isinstance(exposed_col, str) else F.col(exposed_col)
+    ).cast("boolean")
+    out = (
+        outcome_col if not isinstance(outcome_col, str) else F.col(outcome_col)
+    ).cast("boolean")
+    staged = df.select(
+        F.col(stratum_col).alias("__s"),
+        ex.alias("__e"),
+        out.alias("__o"),
+    )
+    per = staged.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__e") & F.col("__o"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("__e"), 1).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(F.col("__o"), 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    r2 = F.col("n") - F.col("r1")
+    c2 = F.col("n") - F.col("c1")
+    expected = (
+        F.col("r1").cast("double") * F.col("c1").cast("double")
+    ) / F.col("n").cast("double")
+    var_num = (
+        F.col("r1").cast("decimal(38,0)")
+        * r2
+        * F.col("c1")
+        * c2
+    )
+    var = F.when(
+        (F.col("n") > 1) & (F.col("r1") > 0) & (r2 > 0)
+        & (F.col("c1") > 0) & (c2 > 0),
+        var_num.cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            * (F.col("n") - 1).cast("double")
+        ),
+    )
+    return per.select(
+        F.col("__s").alias(stratum_col),
+        "n",
+        "a",
+        "r1",
+        "c1",
+        expected.alias("expected_a"),
+        var.alias("var_a"),
+    )
