@@ -1471,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE55_QUERIES,
         **_WAVE56_QUERIES,
         **_WAVE57_QUERIES,
+        **_WAVE58_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1609,6 +1610,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE55_SQL,
         **_WAVE56_SQL,
         **_WAVE57_SQL,
+        **_WAVE58_SQL,
     }
 
 
@@ -10963,4 +10965,107 @@ _WAVE57_QUERIES = {
 _WAVE57_SQL = {
     "acf_daily_revenue": ACF_SQL,
     "cmh_click_purchase_by_band": CMH_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 58 — lead-lag cross-correlation + Flesch readability
+# --------------------------------------------------------------------------
+
+def ccf_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag CCF between daily click and purchase counts, lags -7..7
+    (operators/behavior.py ccf_daily): per-series integer centering,
+    exact epoch-day pair sums, one float divide per lag — answers 'do
+    clicks lead purchases?' without a single unstable float sum."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import ccf_daily
+
+    ev = _events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date(F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    return ccf_daily(clicks, purchases, "day", "x", max_lag=7)
+
+
+CCF_SQL = """
+WITH cx0 AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+cy0 AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+tx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(v) AS BIGINT) AS s FROM cx0),
+ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(v) AS BIGINT) AS s FROM cy0),
+cx AS (SELECT d, CAST(tx.n * v - tx.s AS HUGEINT) AS c FROM cx0, tx),
+cy AS (SELECT d, CAST(ty.n * v - ty.s AS HUGEINT) AS c FROM cy0, ty),
+dx AS (SELECT SUM(c * c) AS v FROM cx),
+dy AS (SELECT SUM(c * c) AS v FROM cy),
+lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-7, 8)),
+num AS (
+  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM(a.c * b.c) AS nn
+  FROM cx a CROSS JOIN lags l JOIN cy b ON b.d = a.d + l.lag
+  GROUP BY l.lag)
+SELECT l.lag,
+       CAST(COALESCE(num.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN dx.v > 0 AND dy.v > 0 AND num.nn IS NOT NULL
+            THEN CAST(num.nn AS DOUBLE)
+                 / sqrt(CAST(dx.v AS DOUBLE) * CAST(dy.v AS DOUBLE))
+       END AS ccf
+FROM lags l LEFT JOIN num ON num.lag = l.lag CROSS JOIN dx CROSS JOIN dy
+"""
+
+
+def flesch_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (operators/textstats.py
+    flesch_reading_scores): exact integer word/sentence/vowel-group
+    counts from columnar regexes, one fixed float tree."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.textstats import (
+        flesch_reading_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return flesch_reading_scores(docs, "id", "text")
+
+
+FLESCH_SQL = """
+WITH counts AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_words,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '[.!?]+'))
+                       AS BIGINT)) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllable_groups
+  FROM documents)
+SELECT id, n_words, n_sentences, n_syllable_groups,
+       CASE WHEN n_words > 0 THEN
+         206.835
+         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - 84.6 * (CAST(n_syllable_groups AS DOUBLE)
+                   / CAST(n_words AS DOUBLE))
+       END AS flesch
+FROM counts
+"""
+
+_WAVE58_QUERIES = {
+    "ccf_clicks_purchases": ccf_clicks_purchases,
+    "flesch_scores_docs": flesch_scores_docs,
+}
+_WAVE58_SQL = {
+    "ccf_clicks_purchases": CCF_SQL,
+    "flesch_scores_docs": FLESCH_SQL,
 }

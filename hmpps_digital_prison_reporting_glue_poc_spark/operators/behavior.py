@@ -1264,3 +1264,79 @@ def acf_daily(
         F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
         acf.alias("acf"),
     )
+
+
+def ccf_daily(
+    daily_x: DataFrame,
+    daily_y: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two day-grain series — "does
+    x lead y?" (e.g. click volume leading purchase volume): positive
+    lags correlate x at day d with y at day d+lag, negative lags the
+    reverse. The two-series sibling of ``acf_daily``.
+
+    Exactness, same scheme as acf_daily: each series is centered with
+    ITS OWN integer scaling (c_x = n_x*x − S_x), the lag-k numerator is
+    the exact integer sum of c_x(d)*c_y(d+k) over the epoch-day
+    equi-join, and the denominator sqrt(sum c_x^2 * sum c_y^2) comes
+    from exact integers — ONE float expression per lag. The estimator
+    normalizes by the full-series variances (the standard sample-CCF
+    convention, not per-overlap renormalization); days missing from
+    either series simply contribute no pair — calendar-gap-correct.
+
+    Returns one row per lag in [-max_lag, max_lag]:
+    (lag, n_pairs, ccf); ccf NULL when either series is flat or the lag
+    has no overlapping pairs.
+    """
+    def _centered(df: DataFrame, tag: str) -> DataFrame:
+        d = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
+        x = F.col(value_col).cast("long")
+        base = df.select(d.alias(f"__d{tag}"), x.alias("__v"))
+        tot = base.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__v").cast("long").alias("__s"),
+        )
+        return base.crossJoin(F.broadcast(tot)).select(
+            f"__d{tag}",
+            (F.col("__n") * F.col("__v") - F.col("__s"))
+            .cast("decimal(38,0)")
+            .alias(f"__c{tag}"),
+        )
+
+    cx = _centered(daily_x, "x")
+    cy = _centered(daily_y, "y")
+    den_x = cx.agg(F.sum(F.col("__cx") * F.col("__cx")).alias("__dx"))
+    den_y = cy.agg(F.sum(F.col("__cy") * F.col("__cy")).alias("__dy"))
+    spark = daily_x.sparkSession
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    pairs = cx.crossJoin(F.broadcast(lags)).join(
+        F.broadcast(cy),
+        F.col("__dy") == F.col("__dx") + F.col("lag"),
+    )
+    num = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("__cx") * F.col("__cy")).alias("__num"),
+    )
+    out = (
+        lags.join(F.broadcast(num), "lag", "left")
+        .crossJoin(F.broadcast(den_x))
+        .crossJoin(F.broadcast(den_y))
+    )
+    ccf = F.when(
+        (F.col("__dx") > 0) & (F.col("__dy") > 0)
+        & F.col("__num").isNotNull(),
+        F.col("__num").cast("double")
+        / F.sqrt(
+            F.col("__dx").cast("double") * F.col("__dy").cast("double")
+        ),
+    )
+    return out.select(
+        "lag",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        ccf.alias("ccf"),
+    )

@@ -745,3 +745,60 @@ def bigram_lift_top(
         .limit(k)
         .select("x", "y", "c_xy", "lift")
     )
+
+
+def flesch_reading_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability gate a
+    quality pipeline runs next to ``gopher_rules``: 206.835 −
+    1.015*(words/sentences) − 84.6*(syllables/words), with syllables
+    approximated by VOWEL-GROUP runs (the standard regex surrogate —
+    consistent, monotone with true syllable count, and exactly portable
+    across engines, unlike dictionary syllabifiers).
+
+    All three counts are exact integers from columnar regexp extraction
+    (no Python in the row path): words = whitespace tokens, sentences =
+    [.!?]+ runs floored at 1 (an unpunctuated doc is one sentence, not a
+    division by zero), syllable groups = [aeiouy]+ runs in the
+    lowercased text. The score is ONE fixed float tree over those
+    integers. Returns (id, n_words, n_sentences, n_syllable_groups,
+    flesch); flesch is NULL for wordless docs.
+    """
+    words = F.size(tokens(F.col(text_col))).cast("long")
+    sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)
+        ).cast("long"),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllable_groups"),
+    )
+    flesch = F.when(
+        F.col("n_words") > 0,
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (
+            F.col("n_words").cast("double")
+            / F.col("n_sentences").cast("double")
+        )
+        - F.lit(84.6)
+        * (
+            F.col("n_syllable_groups").cast("double")
+            / F.col("n_words").cast("double")
+        ),
+    )
+    return staged.select(
+        "id",
+        "n_words",
+        "n_sentences",
+        "n_syllable_groups",
+        flesch.alias("flesch"),
+    )
