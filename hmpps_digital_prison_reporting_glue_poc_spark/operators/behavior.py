@@ -1340,3 +1340,69 @@ def ccf_daily(
         F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
         ccf.alias("ccf"),
     )
+
+
+def cohort_ltv_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    revenue_cents_col: str = "revenue_cents",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by the period of
+    their FIRST event (the ``cohort_retention`` convention), each
+    (cohort, period_offset) row reporting the CUMULATIVE revenue per
+    cohort user through that offset — the payback-period readout next
+    to retention's activity matrix.
+
+    Exactness: revenue stays integer cents through the (cohort, offset)
+    rollup and the cumulative window (which runs over the offset axis
+    of the rollup — bounded by the date span, the hazard-table
+    argument); cohort size comes from the first-event pass (every
+    cohort user counts, including zero-revenue ones — dividing by
+    ACTIVE users would inflate LTV); ltv_per_user is ONE float divide
+    per row. Only offsets with at least one cohort event appear (the
+    cumulative value at an absent offset equals the previous row's).
+    Returns (cohort_period, period_offset, n_users, period_cents,
+    cum_cents, ltv_cents_per_user).
+    """
+    from pyspark.sql import Window
+
+    days_per = 7 if period == "week" else 1
+    first = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("__cohort")
+    )
+    sizes = first.groupBy("__cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    enriched = events.join(first, on=user_col)
+    offset = (
+        F.datediff(F.date_trunc(period, F.col(ts_col)), F.col("__cohort"))
+        / F.lit(days_per)
+    ).cast("long")
+    cells = (
+        enriched.select(
+            F.col("__cohort"),
+            offset.alias("period_offset"),
+            F.col(revenue_cents_col).cast("long").alias("__cents"),
+        )
+        .groupBy("__cohort", "period_offset")
+        .agg(F.sum("__cents").cast("long").alias("period_cents"))
+    )
+    w = Window.partitionBy("__cohort").orderBy("period_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = cells.withColumn(
+        "cum_cents", F.sum("period_cents").over(w).cast("long")
+    )
+    out = curve.join(F.broadcast(sizes), "__cohort")
+    return out.select(
+        F.col("__cohort").cast("date").alias("cohort_period"),
+        "period_offset",
+        "n_users",
+        "period_cents",
+        "cum_cents",
+        (
+            F.col("cum_cents").cast("double") / F.col("n_users").cast("double")
+        ).alias("ltv_cents_per_user"),
+    )

@@ -377,3 +377,72 @@ def token_graph_triangles(
             ).alias("transitivity"),
         )
     )
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree assortativity of an undirected graph — the Pearson
+    correlation of endpoint degrees over edges (Newman's r): positive
+    means hubs link hubs (a social-network shape), negative means hubs
+    link leaves (the hub-and-spoke shape that makes hot-key mitigation
+    matter). The one-number topology summary next to ``token_pagerank``
+    (centrality) and ``token_graph_triangles`` (clustering).
+
+    Input edges are canonicalized to DISTINCT undirected pairs
+    (least/greatest + self-loop drop), degrees come from one vertex
+    rollup over both endpoints, and the correlation runs over BOTH
+    orientations of each edge (the standard symmetric estimator —
+    which also makes the x/y marginals identical, so only three moment
+    sums are needed). All moments are exact integers (DECIMAL(38,0)
+    products of int64 degrees); r = (M*Sxy − Sx^2) / (M*Sxx − Sx^2) is
+    ONE float expression. Returns one row
+    (n_vertices, n_edges, assortativity); NULL for a degree-regular
+    graph (zero variance).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    verts = und.select(F.col("a").alias("v")).unionAll(
+        und.select(F.col("b").alias("v"))
+    )
+    deg = verts.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("__dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("__dy"))
+    oriented = (
+        und.join(da, "a").join(db, "b").select("__dx", "__dy")
+    )
+    # both orientations: (x,y) and (y,x) — symmetric marginals
+    sym = oriented.unionAll(
+        oriented.select(
+            F.col("__dy").alias("__dx"), F.col("__dx").alias("__dy")
+        )
+    )
+    mom = sym.agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum("__dx").cast("decimal(38,0)").alias("__sx"),
+        F.sum(F.col("__dx").cast("decimal(38,0)") * F.col("__dx")).alias(
+            "__sxx"
+        ),
+        F.sum(F.col("__dx").cast("decimal(38,0)") * F.col("__dy")).alias(
+            "__sxy"
+        ),
+    )
+    n_v = deg.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    n_e = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    joined = n_v.crossJoin(F.broadcast(n_e)).crossJoin(F.broadcast(mom))
+    num = (
+        F.col("__m").cast("decimal(38,0)") * F.col("__sxy")
+        - F.col("__sx") * F.col("__sx")
+    ).cast("double")
+    den = (
+        F.col("__m").cast("decimal(38,0)") * F.col("__sxx")
+        - F.col("__sx") * F.col("__sx")
+    ).cast("double")
+    r = F.when(den > 0.0, num / den)
+    return joined.select(
+        "n_vertices", "n_edges", r.alias("assortativity")
+    )

@@ -141,6 +141,9 @@ def _backfill_part() -> None:
     for tbl, key, shift in (
         ("part", "p_partkey", 10_000_000),
         ("orders", "o_orderkey", 100_000_000),
+        # waves 53+: kendall needs lineitem; value columns stay so the
+        # qty/discount grid cardinality is constant while weights grow 10x
+        ("lineitem", "l_orderkey", 100_000_000),
     ):
         dst = os.path.join(SCALED, f"{tbl}.parquet")
         if os.path.exists(dst):
