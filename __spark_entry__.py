@@ -1472,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE56_QUERIES,
         **_WAVE57_QUERIES,
         **_WAVE58_QUERIES,
+        **_WAVE59_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1611,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE56_SQL,
         **_WAVE57_SQL,
         **_WAVE58_SQL,
+        **_WAVE59_SQL,
     }
 
 
@@ -11068,4 +11070,144 @@ _WAVE58_QUERIES = {
 _WAVE58_SQL = {
     "ccf_clicks_purchases": CCF_SQL,
     "flesch_scores_docs": FLESCH_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 59 — cohort LTV curve + token-graph degree assortativity
+# --------------------------------------------------------------------------
+
+def cohort_ltv_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort cumulative LTV (operators/behavior.py
+    cohort_ltv_curve): integer cents through the (cohort, offset)
+    rollup + span-bounded cumulative window; cohort size includes
+    zero-revenue users; one divide per row."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        cohort_ltv_curve,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value").cast("double") * 100, 0).cast("long"),
+        )
+        .otherwise(0)
+        .alias("revenue_cents"),
+    )
+    return cohort_ltv_curve(ev, "user_id", "ts", "revenue_cents", "week")
+
+
+COHORT_LTV_SQL = """
+WITH ev AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100, 0) AS BIGINT)
+              ELSE 0 END AS cents
+  FROM events),
+first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM ev GROUP BY user_id),
+sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM first GROUP BY cohort),
+cells AS (
+  SELECT f.cohort,
+         CAST(datediff('day', f.cohort, date_trunc('week', e.ts)) // 7
+              AS BIGINT) AS period_offset,
+         CAST(SUM(e.cents) AS BIGINT) AS period_cents
+  FROM ev e JOIN first f ON f.user_id = e.user_id
+  GROUP BY 1, 2),
+curve AS (
+  SELECT cohort, period_offset, period_cents,
+         CAST(SUM(period_cents) OVER (PARTITION BY cohort
+               ORDER BY period_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_cents
+  FROM cells)
+SELECT CAST(c.cohort AS DATE) AS cohort_period, c.period_offset,
+       s.n_users, c.period_cents, c.cum_cents,
+       CAST(c.cum_cents AS DOUBLE) / CAST(s.n_users AS DOUBLE)
+         AS ltv_cents_per_user
+FROM curve c JOIN sizes s ON s.cohort = c.cohort
+"""
+
+
+def token_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the corpus token-bigram graph
+    (operators/graph.py degree_assortativity): distinct undirected
+    bigram edges, exact integer degree moments over both orientations,
+    ONE float expression — do hub tokens co-occur with hub tokens?"""
+    from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array(
+                F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<array<string>>"))
+    edges = toked.select(F.explode(grams).alias("__e")).select(
+        F.col("__e")[0].alias("src"), F.col("__e")[1].alias("dst")
+    )
+    return degree_assortativity(edges, "src", "dst")
+
+
+ASSORTATIVITY_SQL = """
+WITH tl AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+raw AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i])) AS src,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i + 1])) AS dst
+  FROM tl WHERE len(t) > 1),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v),
+oriented AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+sym AS (
+  SELECT dx, dy FROM oriented
+  UNION ALL SELECT dy AS dx, dx AS dy FROM oriented),
+mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         SUM(CAST(dx AS HUGEINT)) AS sx,
+         SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+         SUM(CAST(dx AS HUGEINT) * dy) AS sxy
+  FROM sym),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM deg),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+SELECT nv.n_vertices, ne.n_edges,
+       CASE WHEN CAST(m * sxx - sx * sx AS DOUBLE) > 0
+            THEN CAST(m * sxy - sx * sx AS DOUBLE)
+                 / CAST(m * sxx - sx * sx AS DOUBLE)
+       END AS assortativity
+FROM nv, ne, mom
+"""
+
+_WAVE59_QUERIES = {
+    "cohort_ltv_weekly": cohort_ltv_weekly,
+    "token_degree_assortativity": token_degree_assortativity,
+}
+_WAVE59_SQL = {
+    "cohort_ltv_weekly": COHORT_LTV_SQL,
+    "token_degree_assortativity": ASSORTATIVITY_SQL,
 }
