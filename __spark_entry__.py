@@ -1473,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE57_QUERIES,
         **_WAVE58_QUERIES,
         **_WAVE59_QUERIES,
+        **_WAVE60_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1613,6 +1614,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE57_SQL,
         **_WAVE58_SQL,
         **_WAVE59_SQL,
+        **_WAVE60_SQL,
     }
 
 
@@ -11210,4 +11212,111 @@ _WAVE59_QUERIES = {
 _WAVE59_SQL = {
     "cohort_ltv_weekly": COHORT_LTV_SQL,
     "token_degree_assortativity": ASSORTATIVITY_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 60 — linear multi-touch attribution + HHI concentration audit
+# --------------------------------------------------------------------------
+
+def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution over the event log
+    (operators/behavior.py attribution_linear): every purchase splits
+    its 10,000 bp equally over in-window preceding touches; credits
+    grouped by (channel, journey_len) so each output row is ONE exact
+    divide; zero-touch conversions surface as the NULL-channel row."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        attribution_linear,
+    )
+
+    return attribution_linear(
+        _events(spark, sf_dir),
+        conversion_type="purchase",
+        window_hours=72,
+        max_user_events=2000,
+    )
+
+
+ATTRIB_LINEAR_SQL = """
+WITH pruned AS (
+  SELECT * FROM events
+  WHERE user_id NOT IN (
+    SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) > 2000)),
+conv AS (
+  SELECT user_id, epoch_us(ts) AS ct, event_id AS cid
+  FROM pruned WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id, event_type AS channel, epoch_us(ts) AS tt
+  FROM pruned WHERE event_type <> 'purchase'),
+pairs AS (
+  SELECT c.cid, t.channel
+  FROM conv c LEFT JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.tt < c.ct
+   AND t.tt >= c.ct - 72 * 3600000000),
+per_conv AS (
+  SELECT cid, CAST(COUNT(channel) AS BIGINT) AS k
+  FROM pairs GROUP BY cid),
+credited AS (
+  SELECT p.channel, pc.k AS journey_len,
+         CAST(COUNT(*) AS BIGINT) AS n_touches
+  FROM pairs p JOIN per_conv pc ON pc.cid = p.cid
+  WHERE pc.k > 0
+  GROUP BY p.channel, pc.k),
+zero AS (
+  SELECT CAST(NULL AS VARCHAR) AS channel,
+         CAST(0 AS BIGINT) AS journey_len,
+         CAST(COUNT(*) AS BIGINT) AS n_touches,
+         0.0 AS credit_bp
+  FROM per_conv WHERE k = 0 HAVING COUNT(*) > 0)
+SELECT channel, journey_len, n_touches,
+       CAST(n_touches AS DOUBLE) * 10000.0
+         / CAST(journey_len AS DOUBLE) AS credit_bp
+FROM credited
+UNION ALL SELECT * FROM zero
+"""
+
+
+def hhi_lang_source_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language source-concentration audit (operators/profiling.py
+    concentration_stats): HHI / effective-source-count / top-1 share,
+    each ONE divide from exact integer cell counts — the corpus
+    diversity screen a mixture designer reads before trusting a lang's
+    volume."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        concentration_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    return concentration_stats(docs, "lang", "source")
+
+
+HHI_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source),
+per AS (
+  SELECT lang,
+         CAST(SUM(n) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_categories,
+         CAST(MAX(n) AS BIGINT) AS top1,
+         SUM(CAST(n AS HUGEINT) * n) AS sq
+  FROM cells GROUP BY lang)
+SELECT lang, n, n_categories,
+       CAST(top1 AS DOUBLE) / CAST(n AS DOUBLE) AS top1_share,
+       CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS hhi,
+       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(sq AS DOUBLE)
+         AS effective_categories
+FROM per
+"""
+
+_WAVE60_QUERIES = {
+    "attribution_linear_events": attribution_linear_events,
+    "hhi_lang_source_concentration": hhi_lang_source_concentration,
+}
+_WAVE60_SQL = {
+    "attribution_linear_events": ATTRIB_LINEAR_SQL,
+    "hhi_lang_source_concentration": HHI_SQL,
 }

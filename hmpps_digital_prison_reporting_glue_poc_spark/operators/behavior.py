@@ -1406,3 +1406,98 @@ def cohort_ltv_curve(
             F.col("cum_cents").cast("double") / F.col("n_users").cast("double")
         ).alias("ltv_cents_per_user"),
     )
+
+
+def attribution_linear(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    window_hours: int = 72,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_user_events: int | None = None,
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion distributes its
+    100% equally across ALL its preceding touches inside the window
+    (credit 1/k each) — the equal-credit complement of
+    ``attribution_last_touch`` (which pays only the final touch).
+
+    Exactness without a float sum: credits are grouped by
+    (channel, journey_len) — every row in a group carries the SAME
+    rational credit 1/k, so the group's total is n*10000/k basis
+    points, ONE divide per OUTPUT row (bounded by channels x window
+    capacity, not by events). The consumer sums basis points across the
+    tiny table for channel totals.
+
+    Plan: one user-keyed interval join (touch.ts in
+    [conv.ts − window, conv.ts)) — the touches-per-conversion fan-out is
+    bounded by the window; ``max_user_events`` prunes bot users exactly
+    as in attribution_last_touch. Conversions with ZERO in-window
+    touches surface as one (channel = NULL, journey_len = 0) row so
+    unattributable volume is visible. Returns
+    (channel, journey_len, n_touches, credit_bp).
+    """
+    if max_user_events is not None:
+        over = (
+            events.groupBy(F.col(user_col))
+            .agg(F.count(F.lit(1)).alias("__ne"))
+            .filter(F.col("__ne") > max_user_events)
+            .select(user_col)
+        )
+        events = events.join(F.broadcast(over), user_col, "left_anti")
+    us = F.unix_micros(F.col(ts_col))
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__c"),
+        us.alias("__t"),
+        F.col(id_col).cast("long").alias("__id"),
+    )
+    conv = base.filter(F.col("__c") == conversion_type).select(
+        F.col("__u"),
+        F.col("__t").alias("__ct"),
+        F.col("__id").alias("__cid"),
+    )
+    touch = base.filter(F.col("__c") != conversion_type).select(
+        "__u",
+        F.col("__c").alias("channel"),
+        F.col("__t").alias("__tt"),
+    )
+    win_us = window_hours * 3_600_000_000
+    pairs = conv.join(
+        touch,
+        (conv["__u"] == touch["__u"])
+        & (F.col("__tt") < F.col("__ct"))
+        & (F.col("__tt") >= F.col("__ct") - F.lit(win_us)),
+        "left",
+    )
+    per_conv = pairs.groupBy("__cid").agg(
+        F.count("channel").cast("long").alias("__k"),
+    )
+    journeys = pairs.join(
+        F.broadcast(per_conv.select("__cid", "__k")), "__cid"
+    )
+    credited = (
+        journeys.filter(F.col("__k") > 0)
+        .groupBy("channel", F.col("__k").alias("journey_len"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_touches"))
+    )
+    credit = (
+        F.col("n_touches").cast("double")
+        * F.lit(10_000.0)
+        / F.col("journey_len").cast("double")
+    )
+    zero = (
+        per_conv.filter(F.col("__k") == 0)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_touches"))
+        .select(
+            F.lit(None).cast("string").alias("channel"),
+            F.lit(0).cast("long").alias("journey_len"),
+            "n_touches",
+            F.lit(0.0).alias("credit_bp"),
+        )
+        .filter(F.col("n_touches") > 0)
+    )
+    return credited.select(
+        "channel", "journey_len", "n_touches", credit.alias("credit_bp")
+    ).unionByName(zero)

@@ -518,3 +518,49 @@ def contingency_chi2(
         expected.alias("expected"),
         chi2.alias("chi2_term"),
     )
+
+
+def concentration_stats(
+    df: DataFrame,
+    group_col: str,
+    category_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration audit per group: how
+    concentrated is each group's mass across categories? The corpus-
+    health complement of entropy — HHI = sum(share_c^2) reads directly
+    as "effective number of sources" via its reciprocal, the number a
+    mixture designer actually wants (a lang whose corpus is 95% one
+    crawl is a diversity bug no mean-based profile shows).
+
+    All three statistics are single divides from exact integers: HHI =
+    sum(n_c^2)/n^2 (DECIMAL(38,0) numerator), effective_categories =
+    n^2/sum(n_c^2), top1_share = max(n_c)/n. Two nested rollups (the
+    l_diversity two-phase shape), nothing data-sized past the first.
+    Returns (group, n, n_categories, top1_share, hhi,
+    effective_categories).
+    """
+    cells = (
+        df.select(
+            F.col(group_col).alias("__g"), F.col(category_col).alias("__c")
+        )
+        .groupBy("__g", "__c")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    per = cells.groupBy("__g").agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.max("__n").cast("long").alias("__top1"),
+        F.sum(F.col("__n").cast("decimal(38,0)") * F.col("__n")).alias(
+            "__sq"
+        ),
+    )
+    n_d = F.col("n").cast("double")
+    sq_d = F.col("__sq").cast("double")
+    return per.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "n_categories",
+        (F.col("__top1").cast("double") / n_d).alias("top1_share"),
+        (sq_d / (n_d * n_d)).alias("hhi"),
+        ((n_d * n_d) / sq_d).alias("effective_categories"),
+    )
