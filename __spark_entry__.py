@@ -1474,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE58_QUERIES,
         **_WAVE59_QUERIES,
         **_WAVE60_QUERIES,
+        **_WAVE61_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1615,6 +1616,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE58_SQL,
         **_WAVE59_SQL,
         **_WAVE60_SQL,
+        **_WAVE61_SQL,
     }
 
 
@@ -11319,4 +11321,71 @@ _WAVE60_QUERIES = {
 _WAVE60_SQL = {
     "attribution_linear_events": ATTRIB_LINEAR_SQL,
     "hhi_lang_source_concentration": HHI_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 61 — native session_window aggregation (batch; streaming twin in
+# streaming/session_agg.py)
+# --------------------------------------------------------------------------
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregates via Spark's NATIVE session_window
+    (30-min gap): one shuffle on the user key, sessions merged by the
+    engine's gap semantics (measured: an EXACTLY-gap-sized silence
+    merges, strictly-greater splits; end = last event + gap). The
+    per-event sessionize_events query labels rows; this one produces
+    the session-grain rollup — and the oracle twin pins Spark's native
+    operator to the portable lag/cumsum islands idiom."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("long")
+        .alias("__cents"),
+    )
+    out = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__cents").cast("long").alias("cents"),
+    )
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "cents",
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH ev AS (
+  SELECT user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN epoch_us(ts)
+                   - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts)
+                   > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+labeled AS (
+  SELECT user_id, ts, cents,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ev)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM labeled GROUP BY user_id, sid
+"""
+
+_WAVE61_QUERIES = {
+    "session_window_stats": session_window_stats,
+}
+_WAVE61_SQL = {
+    "session_window_stats": SESSION_WINDOW_SQL,
 }

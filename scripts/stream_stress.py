@@ -935,6 +935,86 @@ def run_wm_dedup_family(spark) -> None:
     )
 
 
+def run_session_agg_family(spark) -> None:
+    """Native session_window aggregation under many concurrent users:
+    every batch advances event time +1h (> the 30-min gap), so each of
+    the 1,000 users opens a NEW session per batch while the watermark
+    closes the previous one. State must plateau at ~open-session count
+    (one per active user), NOT sessions-ever-seen; emitted rows must be
+    exactly the closed sessions."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.session_agg import (
+        stream_session_aggregates,
+    )
+
+    fam = "session-agg"
+    src, out, ckpt = _reset(f"{fam}/src", f"{fam}/out", f"{fam}/ckpt")
+    n_users = 1000
+    per_user = max(1, ROWS_PER_BATCH // n_users)
+    for b in range(N_BATCHES):
+        day, hour = 1 + b // 24, b % 24
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for u in range(n_users):
+                for i in range(per_user):
+                    ts = f"2024-01-{day:02d} {hour:02d}:{(i * 7) % 25:02d}:{(u + i) % 60:02d}"
+                    fh.write(
+                        json.dumps(
+                            {
+                                "event_id": b * ROWS_PER_BATCH + u * per_user + i,
+                                "user_id": f"u{u}",
+                                "ts": ts,
+                                "value": float((u + i) % 50),
+                            }
+                        )
+                        + "\n"
+                    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream_session_aggregates(stream, "30 minutes", "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    secs = []
+    for p in q.recentProgress:
+        if p["numInputRows"] == 0:
+            continue
+        sec = p["durationMs"].get("triggerExecution", 0) / 1000.0
+        state = (p.get("stateOperators") or [{}])[0]
+        _emit(
+            fam, p["batchId"], sec,
+            state_rows=state.get("numRowsTotal"),
+            evicted=state.get("numRowsRemoved"),
+        )
+        secs.append(sec)
+    final_state = (q.lastProgress.get("stateOperators") or [{}])[0]
+    emitted = spark.read.parquet(out).count()
+    # each batch-hour creates one session per user; all but the last
+    # batch's sessions close once the next batch advances the watermark
+    _summary(
+        fam, secs,
+        final_state_rows=final_state.get("numRowsTotal"),
+        emitted_sessions=emitted,
+        expected_closed=(N_BATCHES - 1) * n_users,
+    )
+
+
 FAMILIES = {
     "pipeline-flat": lambda s: run_pipeline_family(s, partitioned=False),
     "pipeline-part": lambda s: run_pipeline_family(s, partitioned=True),
@@ -951,6 +1031,7 @@ FAMILIES = {
     "trending": run_trending_family,
     "windowed": run_windowed_family,
     "wm-dedup": run_wm_dedup_family,
+    "session-agg": run_session_agg_family,
 }
 
 
