@@ -1475,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE59_QUERIES,
         **_WAVE60_QUERIES,
         **_WAVE61_QUERIES,
+        **_WAVE62_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1617,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE59_SQL,
         **_WAVE60_SQL,
         **_WAVE61_SQL,
+        **_WAVE62_SQL,
     }
 
 
@@ -11388,4 +11390,126 @@ _WAVE61_QUERIES = {
 }
 _WAVE61_SQL = {
     "session_window_stats": SESSION_WINDOW_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 62 — empirical-Bayes rate shrinkage + quantile normalization
+# --------------------------------------------------------------------------
+
+def eb_item_purchase_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-binomial EB shrinkage of per-item purchase-share rates
+    (operators/mixing.py eb_shrunk_rates): categories = popularity items
+    from event props, outcome = the event is a purchase; the moment sum
+    uses the round-9dp + DECIMAL(38,9) order-free recipe."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import eb_shrunk_rates
+
+    ev = _events(spark, sf_dir).select(
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    ).filter(F.col("item").isNotNull())
+    return eb_shrunk_rates(ev, "item", "is_purchase")
+
+
+EB_RATES_SQL = """
+WITH ev AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         event_type = 'purchase' AS o
+  FROM events
+  WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+cells AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM ev GROUP BY item),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(n_pos) AS BIGINT) AS yy
+  FROM cells),
+mom AS (
+  SELECT SUM(CAST(round(
+           CAST((CAST(n_pos AS HUGEINT) * nn - CAST(n AS HUGEINT) * yy)
+                AS DOUBLE)
+           * CAST((CAST(n_pos AS HUGEINT) * nn - CAST(n AS HUGEINT) * yy)
+                  AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)),
+           9) AS DECIMAL(38,9))) AS s
+  FROM cells, tot),
+prior AS (
+  SELECT nn, yy,
+         CAST(yy AS DOUBLE) / CAST(nn AS DOUBLE) AS mu,
+         CASE WHEN k > 1 THEN CAST(s AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+         END AS v
+  FROM tot, mom),
+prior2 AS (
+  SELECT mu,
+         CASE WHEN v IS NOT NULL AND v > 0.0 AND v < mu * (1.0 - mu)
+              THEN mu * (1.0 - mu) / v - 1.0
+         END AS prior_strength
+  FROM prior)
+SELECT c.item, c.n, c.n_pos,
+       CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE) AS raw_rate,
+       p.prior_strength,
+       CASE WHEN p.prior_strength IS NOT NULL
+            THEN (CAST(c.n_pos AS DOUBLE) + p.prior_strength * p.mu)
+                 / (CAST(c.n AS DOUBLE) + p.prior_strength)
+       END AS shrunk_rate
+FROM cells c, prior2 p
+"""
+
+
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize document char lengths across sources
+    (operators/mixing.py quantile_normalize): every (source, length)
+    maps to the pooled EXACT order statistic at its in-source rank —
+    pure integer arithmetic, zero floats."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mixing import (
+        quantile_normalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return quantile_normalize(docs, "source", "n_chars")
+
+
+QNORM_SQL = """
+WITH cells AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+ranked AS (
+  SELECT g, v, n,
+         CAST(SUM(n) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS r
+  FROM cells),
+sizes AS (SELECT g, CAST(SUM(n) AS BIGINT) AS ng FROM cells GROUP BY g),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+pooled AS (
+  SELECT v AS pv, CAST(SUM(n) AS BIGINT) AS pn,
+         CAST(SUM(SUM(n)) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM cells GROUP BY v),
+staged AS (
+  SELECT rk.g, rk.v, rk.n, rk.r,
+         CAST((rk.r * t.nn + s.ng - 1
+               - ((rk.r * t.nn + s.ng - 1) % s.ng)) / s.ng AS BIGINT) AS tr
+  FROM ranked rk JOIN sizes s ON s.g = rk.g CROSS JOIN tot t)
+SELECT st.g AS source, st.v AS n_chars, st.n,
+       st.r AS in_group_rank, st.tr AS target_rank,
+       p.pv AS normalized_value
+FROM staged st JOIN pooled p
+  ON p.cum >= st.tr AND p.cum - p.pn < st.tr
+"""
+
+_WAVE62_QUERIES = {
+    "eb_item_purchase_rates": eb_item_purchase_rates,
+    "quantile_normalize_doclen": quantile_normalize_doclen,
+}
+_WAVE62_SQL = {
+    "eb_item_purchase_rates": EB_RATES_SQL,
+    "quantile_normalize_doclen": QNORM_SQL,
 }

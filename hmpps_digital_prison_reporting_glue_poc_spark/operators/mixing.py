@@ -783,3 +783,202 @@ def feature_hash_stats(
         F.sum("__n").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_crosses"),
     )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    category_col: str,
+    outcome_col,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-category rates —
+    the CTR/quality-rate smoother that keeps a 2-impression category
+    from outranking a 10,000-impression one: method-of-moments beta
+    prior fit on the observed rate spread, then posterior mean
+    (y + alpha)/(n + alpha + beta) per category. The adaptive-strength
+    sibling of ``target_encode`` (whose prior strength is a fixed k).
+
+    Exactness: the pooled mean is ONE divide (mu = Y/N); the
+    between-category moment needs a cross-category sum of per-category
+    rationals with different denominators, so each term
+    (y_c*N − n_c*Y)^2 / (n_c*N^2) — one divide from exact integers —
+    is rounded to 9 dp and summed as DECIMAL(38,9), the token_pagerank
+    recipe that makes a float sum order-free and engine-exact. The
+    prior strength M = mu(1−mu)/v − 1 and each posterior are fixed
+    float trees. Returns (category, n, n_pos, raw_rate, prior_strength,
+    shrunk_rate); prior_strength and shrunk_rate are NULL when the
+    moment estimate is degenerate (v <= 0, v >= mu(1-mu), or a single
+    category) — the honest "no basis to shrink" answer.
+    """
+    out = (
+        outcome_col if not isinstance(outcome_col, str) else F.col(outcome_col)
+    ).cast("boolean")
+    cells = (
+        df.select(F.col(category_col).alias("__c"), out.alias("__o"))
+        .groupBy("__c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("__o"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+        )
+    )
+    totals = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum("n").cast("long").alias("__nn"),
+        F.sum("n_pos").cast("long").alias("__yy"),
+    )
+    staged = cells.crossJoin(F.broadcast(totals))
+    dev = (
+        F.col("n_pos").cast("decimal(38,0)") * F.col("__nn")
+        - F.col("n").cast("decimal(38,0)") * F.col("__yy")
+    ).cast("double")
+    # (r_c − mu)^2 = dev^2 / (n_c^2 * N^2): the SIMPLE between-category
+    # rate variance (sampling noise not subtracted — the conservative
+    # prior; a noisier category can only shrink MORE, never less)
+    term = F.round(
+        dev
+        * dev
+        / (
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            * F.col("__nn").cast("double")
+            * F.col("__nn").cast("double")
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    mom = staged.agg(F.sum(term).alias("__s"))
+    prior = (
+        totals.crossJoin(F.broadcast(mom))
+        .select(
+            "__k",
+            "__nn",
+            "__yy",
+            (F.col("__yy").cast("double") / F.col("__nn").cast("double")).alias(
+                "__mu"
+            ),
+            F.when(
+                F.col("__k") > 1,
+                F.col("__s").cast("double")
+                / (F.col("__k") - 1).cast("double"),
+            ).alias("__v"),
+        )
+        .select(
+            "__nn",
+            "__yy",
+            "__mu",
+            "__v",
+            F.when(
+                F.col("__v").isNotNull()
+                & (F.col("__v") > 0.0)
+                & (F.col("__v") < F.col("__mu") * (F.lit(1.0) - F.col("__mu"))),
+                F.col("__mu") * (F.lit(1.0) - F.col("__mu")) / F.col("__v")
+                - F.lit(1.0),
+            ).alias("prior_strength"),
+        )
+    )
+    final = cells.crossJoin(F.broadcast(prior))
+    alpha = F.col("prior_strength") * F.col("__mu")
+    shrunk = F.when(
+        F.col("prior_strength").isNotNull(),
+        (F.col("n_pos").cast("double") + alpha)
+        / (F.col("n").cast("double") + F.col("prior_strength")),
+    )
+    return final.select(
+        F.col("__c").alias(category_col),
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "raw_rate"
+        ),
+        "prior_strength",
+        shrunk.alias("shrunk_rate"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups — map every group's value
+    distribution onto the POOLED distribution (the batch-effect remover:
+    after it, every source's doc-length histogram is the corpus
+    histogram, so a length-based quality gate can't favor one crawl).
+
+    Each distinct (group, value) keeps its in-group cumulative rank r
+    (of n_g); its normalized value is the pooled EXACT order statistic
+    at rank ceil(r*N/n_g) — the equifreq_edges integer order-statistic
+    idiom: ceil via (r*N + n_g − 1 − ((r*N + n_g − 1) mod n_g))/n_g,
+    the pooled lookup via a broadcast theta-join (pooled cum >= target)
+    reduced by MIN. Everything is integer-exact; there is no float at
+    all. Per-group windows run over per-group VALUE ROLLUPS (bounded by
+    distinct values, not rows). Returns one row per distinct
+    (group, value): (group, value, n, in_group_rank, target_rank,
+    normalized_value).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    v = F.col(value_col).cast("long")
+    cells = (
+        df.select(g.alias("__g"), v.alias("__v"))
+        .groupBy("__g", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    w_in = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = cells.withColumn(
+        "__r", F.sum("__n").over(w_in).cast("long")
+    )
+    sizes = cells.groupBy("__g").agg(F.sum("__n").cast("long").alias("__ng"))
+    total = cells.agg(F.sum("__n").cast("long").alias("__nn"))
+    pooled = (
+        cells.groupBy("__v")
+        .agg(F.sum("__n").cast("long").alias("__pn"))
+        .withColumn(
+            "__cum",
+            F.sum("__pn")
+            .over(
+                Window.orderBy("__v").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .cast("long"),
+        )
+        .select(F.col("__v").alias("__pv"), "__pn", "__cum")
+    )
+    staged = (
+        ranked.join(F.broadcast(sizes), "__g")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__t",
+            (
+                (
+                    F.col("__r") * F.col("__nn")
+                    + F.col("__ng")
+                    - 1
+                    - (
+                        (F.col("__r") * F.col("__nn") + F.col("__ng") - 1)
+                        % F.col("__ng")
+                    )
+                )
+                / F.col("__ng")
+            ).cast("long"),
+        )
+    )
+    # band join: rank t lives in exactly ONE pooled bucket
+    # (cum − pn < t <= cum) — single match per row, no reduce needed
+    hit = staged.join(
+        F.broadcast(pooled),
+        (F.col("__cum") >= F.col("__t"))
+        & (F.col("__cum") - F.col("__pn") < F.col("__t")),
+    ).withColumnRenamed("__pv", "normalized_value")
+    return hit.select(
+        F.col("__g").alias(group_col),
+        F.col("__v").alias(value_col),
+        F.col("__n").alias("n"),
+        F.col("__r").alias("in_group_rank"),
+        F.col("__t").alias("target_rank"),
+        "normalized_value",
+    )
