@@ -1476,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE60_QUERIES,
         **_WAVE61_QUERIES,
         **_WAVE62_QUERIES,
+        **_WAVE63_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1619,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE60_SQL,
         **_WAVE61_SQL,
         **_WAVE62_SQL,
+        **_WAVE63_SQL,
     }
 
 
@@ -11512,4 +11514,67 @@ _WAVE62_QUERIES = {
 _WAVE62_SQL = {
     "eb_item_purchase_rates": EB_RATES_SQL,
     "quantile_normalize_doclen": QNORM_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 63 — Markov stationary distribution + streaming funnel (CEP) module
+# --------------------------------------------------------------------------
+
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain
+    (operators/behavior.py markov_stationary): power iteration over the
+    bounded K x K transition grid with the token_pagerank round-9dp +
+    DECIMAL(38,9) determinism recipe; 8 iterations from uniform."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        markov_stationary,
+    )
+
+    return markov_stationary(_events(spark, sf_dir), n_iter=8)
+
+
+def _markov_sql(n_iter: int = 8) -> str:
+    head = """
+WITH pairs AS (
+  SELECT user_id, event_type AS f,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS t
+  FROM events),
+cnt AS (
+  SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs WHERE t IS NOT NULL GROUP BY f, t),
+outs AS (SELECT f, CAST(SUM(c) AS BIGINT) AS ci FROM cnt GROUP BY f),
+edges AS (
+  SELECT cnt.f, cnt.t, CAST(c AS DOUBLE) / CAST(ci AS DOUBLE) AS p
+  FROM cnt JOIN outs ON outs.f = cnt.f),
+states AS (
+  SELECT DISTINCT s FROM (
+    SELECT f AS s FROM edges UNION ALL SELECT t AS s FROM edges)),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+r0 AS (SELECT s, round(1.0 / CAST(k AS DOUBLE), 9) AS r FROM states, kk)"""
+    body = ""
+    for i in range(1, n_iter + 1):
+        body += f""",
+r{i}_raw AS (
+  SELECT e.t AS s,
+         round(CAST(SUM(CAST(round(r.r * e.p, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE), 9) AS r
+  FROM edges e JOIN r{i - 1} r ON r.s = e.f GROUP BY e.t),
+r{i} AS (
+  SELECT st.s, COALESCE(x.r, 0.0) AS r
+  FROM states st LEFT JOIN r{i}_raw x ON x.s = st.s)"""
+    return (
+        head
+        + body
+        + f"\nSELECT s AS event_type, r AS stationary_p FROM r{n_iter}\n"
+    )
+
+
+MARKOV_SQL = _markov_sql(8)
+
+_WAVE63_QUERIES = {
+    "markov_stationary_events": markov_stationary_events,
+}
+_WAVE63_SQL = {
+    "markov_stationary_events": MARKOV_SQL,
 }

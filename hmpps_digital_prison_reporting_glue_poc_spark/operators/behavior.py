@@ -1501,3 +1501,83 @@ def attribution_linear(
     return credited.select(
         "channel", "journey_len", "n_touches", credit.alias("credit_bp")
     ).unionByName(zero)
+
+
+def markov_stationary(
+    events: DataFrame,
+    n_iter: int = 8,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain —
+    where does a user's behavior settle long-run? (The equilibrium
+    complement of ``event_transitions``' one-step counts; a state whose
+    stationary mass exceeds its empirical frequency is an absorbing
+    pattern.)
+
+    Power iteration over the K-state transition matrix (K = distinct
+    event types — a BOUNDED rollup, so every iteration joins a K^2-row
+    edge table with a K-row rank table; nothing data-sized repeats).
+    Transition probabilities are exact single divides c_ij/c_i;
+    iterations use the token_pagerank determinism recipe — every
+    contribution rounded to 9 dp, summed as DECIMAL(38,9), each new
+    rank re-rounded — so both engines walk the identical orbit. States
+    with no outgoing transitions leak their mass (the documented
+    pagerank variant). Returns (event_type, stationary_p) after
+    ``n_iter`` steps from the uniform start.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("__from"),
+            F.lead(type_col, 1).over(w).alias("__to"),
+        )
+        .filter(F.col("__to").isNotNull())
+        .groupBy("__from", "__to")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    outs = pairs.groupBy("__from").agg(F.sum("__c").cast("long").alias("__ci"))
+    edges = pairs.join(F.broadcast(outs), "__from").select(
+        "__from",
+        "__to",
+        (F.col("__c").cast("double") / F.col("__ci").cast("double")).alias(
+            "__p"
+        ),
+    )
+    states = (
+        edges.select(F.col("__from").alias("__s"))
+        .unionAll(edges.select(F.col("__to").alias("__s")))
+        .distinct()
+    )
+    k_row = states.agg(F.count(F.lit(1)).cast("long").alias("__k"))
+    rank = states.crossJoin(F.broadcast(k_row)).select(
+        "__s",
+        F.round(F.lit(1.0) / F.col("__k").cast("double"), 9).alias("__r"),
+    )
+    for _ in range(n_iter):
+        contrib = edges.join(
+            F.broadcast(rank), F.col("__from") == F.col("__s")
+        ).select(
+            F.col("__to").alias("__s2"),
+            F.round(F.col("__r") * F.col("__p"), 9)
+            .cast("decimal(38,9)")
+            .alias("__c9"),
+        )
+        rank = (
+            contrib.groupBy("__s2")
+            .agg(F.round(F.sum("__c9").cast("double"), 9).alias("__r"))
+            .select(F.col("__s2").alias("__s"), "__r")
+        )
+        # states with zero inbound mass this round drop out of the rank
+        # table; re-complete against the state list with 0.0 so the next
+        # iteration's join keeps them (and output is grid-complete)
+        rank = states.join(rank, "__s", "left").select(
+            "__s", F.coalesce(F.col("__r"), F.lit(0.0)).alias("__r")
+        )
+    return rank.select(
+        F.col("__s").alias(type_col), F.col("__r").alias("stationary_p")
+    )

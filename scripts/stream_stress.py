@@ -1015,6 +1015,89 @@ def run_session_agg_family(spark) -> None:
     )
 
 
+def run_funnel_family(spark) -> None:
+    """Streaming funnel CEP under an open user space: each batch brings
+    500 users cycling view->click->purchase (one completion per user per
+    batch) with event time +1h/batch and a 2h event-time idle timeout.
+    State must be bounded by the active working set, not users-ever-seen;
+    completions must equal the planted count exactly."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.funnel_stream import (
+        stream_funnel_completions,
+    )
+
+    fam = "funnel"
+    src, out, ckpt = _reset(f"{fam}/src", f"{fam}/out", f"{fam}/ckpt")
+    n_users = 500
+    for b in range(N_BATCHES):
+        day, hour = 1 + b // 24, b % 24
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            eid = b * n_users * 3
+            for u in range(n_users):
+                # churn half the user ids every batch: open key space
+                uid = u if u % 2 == 0 else b * n_users + u
+                for i, etype in enumerate(("view", "click", "purchase")):
+                    eid += 1
+                    ts = f"2024-01-{day:02d} {hour:02d}:{(3 * (u % 15) + i):02d}:00"
+                    fh.write(
+                        json.dumps(
+                            {
+                                "event_id": eid,
+                                "user_id": uid,
+                                "event_type": etype,
+                                "ts": ts,
+                            }
+                        )
+                        + "\n"
+                    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream_funnel_completions(
+            stream, ["view", "click", "purchase"],
+            window_hours=1.0, idle_timeout_minutes=120,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    secs = []
+    for p in q.recentProgress:
+        if p["numInputRows"] == 0:
+            continue
+        sec = p["durationMs"].get("triggerExecution", 0) / 1000.0
+        state = (p.get("stateOperators") or [{}])[0]
+        _emit(
+            fam, p["batchId"], sec,
+            state_rows=state.get("numRowsTotal"),
+            evicted=state.get("numRowsRemoved"),
+        )
+        secs.append(sec)
+    final_state = (q.lastProgress.get("stateOperators") or [{}])[0]
+    emitted = spark.read.parquet(out).count()
+    _summary(
+        fam, secs,
+        final_state_rows=final_state.get("numRowsTotal"),
+        completions=emitted,
+        expected_completions=N_BATCHES * n_users,
+    )
+
+
 FAMILIES = {
     "pipeline-flat": lambda s: run_pipeline_family(s, partitioned=False),
     "pipeline-part": lambda s: run_pipeline_family(s, partitioned=True),
@@ -1032,6 +1115,7 @@ FAMILIES = {
     "windowed": run_windowed_family,
     "wm-dedup": run_wm_dedup_family,
     "session-agg": run_session_agg_family,
+    "funnel": run_funnel_family,
 }
 
 
