@@ -1477,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE61_QUERIES,
         **_WAVE62_QUERIES,
         **_WAVE63_QUERIES,
+        **_WAVE64_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1621,6 +1622,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE61_SQL,
         **_WAVE62_SQL,
         **_WAVE63_SQL,
+        **_WAVE64_SQL,
     }
 
 
@@ -11577,4 +11579,108 @@ _WAVE63_QUERIES = {
 }
 _WAVE63_SQL = {
     "markov_stationary_events": MARKOV_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 64 — exact largest-remainder quota split + rendezvous sharding
+# --------------------------------------------------------------------------
+
+def quota_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder exact split of documents per source
+    (operators/corpus.py quota_split): every source gets EXACTLY its
+    quota (floor + ranked remainders), rows ordered content-stably by
+    md5 — no O(sqrt(n)) proportional drift."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import quota_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return quota_split(
+        docs, "doc_id", "source",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+QUOTA_SPLIT_SQL = """
+WITH staged AS (
+  SELECT doc_id, source,
+         md5('v1' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+              AS BIGINT) AS r
+  FROM staged),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM staged GROUP BY source),
+quota AS (
+  SELECT source, n,
+         (n * 800 - (n * 800) % 1000) / 1000 AS b0,
+         (n * 100 - (n * 100) % 1000) / 1000 AS b1,
+         (n * 100 - (n * 100) % 1000) / 1000 AS b2,
+         (n * 800) % 1000 AS m0,
+         (n * 100) % 1000 AS m1,
+         (n * 100) % 1000 AS m2
+  FROM sizes),
+quota2 AS (
+  SELECT source,
+         n - (b0 + b1 + b2) AS leftover,
+         b0, b1, b2,
+         (CASE WHEN m1 > m0 THEN 1 ELSE 0 END
+          + CASE WHEN m2 > m0 THEN 1 ELSE 0 END) AS a0,
+         (CASE WHEN m0 >= m1 THEN 1 ELSE 0 END
+          + CASE WHEN m2 > m1 THEN 1 ELSE 0 END) AS a1,
+         (CASE WHEN m0 >= m2 THEN 1 ELSE 0 END
+          + CASE WHEN m1 >= m2 THEN 1 ELSE 0 END) AS a2
+  FROM quota),
+cums AS (
+  SELECT source,
+         CAST(b0 + CASE WHEN a0 < leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS cum0,
+         CAST(b0 + CASE WHEN a0 < leftover THEN 1 ELSE 0 END
+              + b1 + CASE WHEN a1 < leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS cum1
+  FROM quota2)
+SELECT rk.doc_id, rk.source,
+       CASE WHEN rk.r <= c.cum0 THEN 'train'
+            WHEN rk.r <= c.cum1 THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked rk JOIN cums c ON c.source = rk.source
+"""
+
+
+def rendezvous_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW shard assignment for documents (operators/
+    corpus.py rendezvous_shards): shard = argmax over 8 candidates of
+    md5(salt|shard|id) — fully map-side, zero shuffle, minimal-movement
+    under shard-count change (pytest-pinned)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import (
+        rendezvous_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_shards(docs, "doc_id", n_shards=8)
+
+
+RENDEZVOUS_SQL = """
+WITH cands AS (
+  SELECT d.doc_id, u.s,
+         md5('v1' || '|' || CAST(u.s AS VARCHAR) || '|'
+             || CAST(d.doc_id AS VARCHAR)) AS h
+  FROM documents d,
+       (SELECT CAST(range AS BIGINT) AS s FROM range(0, 8)) u),
+won AS (
+  SELECT doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC)
+           AS rn
+  FROM cands)
+SELECT doc_id, CAST(s AS BIGINT) AS shard FROM won WHERE rn = 1
+"""
+
+_WAVE64_QUERIES = {
+    "quota_split_docs": quota_split_docs,
+    "rendezvous_shards_docs": rendezvous_shards_docs,
+}
+_WAVE64_SQL = {
+    "quota_split_docs": QUOTA_SPLIT_SQL,
+    "rendezvous_shards_docs": RENDEZVOUS_SQL,
 }

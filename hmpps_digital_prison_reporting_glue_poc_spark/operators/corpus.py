@@ -967,3 +967,133 @@ def split_leakage_audit(
             F.sum("__cb").cast("long").alias("n_docs_b"),
         )
     )
+
+
+def quota_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+    weights: dict[str, float] | None = None,
+    salt: str = "v1",
+    denom: int = 1000,
+) -> DataFrame:
+    """EXACT-count train/val/test split by largest-remainder quota: each
+    stratum gets floor(n*w) rows per split plus one extra for the
+    largest fractional remainders — the allocation is exactly right PER
+    STRATUM, not just in expectation (``split_assign``'s md5-proportional
+    carve drifts by O(sqrt(n)); a 10-row stratum can easily lose its val
+    slice entirely — this one cannot).
+
+    Mechanics, all exact integers: weights quantize to ``denom``-ths
+    (caller contract: they must sum to exactly ``denom`` after
+    quantization, checked eagerly); rows order within a stratum by
+    (md5(salt || id), id) — content-stable, partition-independent; row
+    rank r (1-based) maps to the split whose cumulative largest-
+    remainder quota covers it. Quota for split j in a stratum of n:
+    base_j = floor(n*w_j/denom), remainders r_j = n*w_j mod denom ranked
+    (desc, then declaration order) get the leftover +1s. The rank->split
+    mapping is a closed-form comparison against cumulative quotas
+    computed per stratum in one rollup — no driver loop.
+
+    Returns the input plus ``split``. One window pass over the stratum
+    partition (rank) + a broadcast of the per-stratum quota table.
+    """
+    from pyspark.sql import Window
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(weights)
+    q = [int(round(w * denom)) for w in weights.values()]
+    if sum(q) != denom:
+        raise ValueError(
+            f"weights must quantize to exactly {denom}: got {q}"
+        )
+    stratum = (
+        F.col(stratum_col) if stratum_col is not None else F.lit("__all")
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w_rank = Window.partitionBy("__st").orderBy("__h", F.col(id_col))
+    staged = (
+        df.withColumn("__st", stratum)
+        .withColumn("__h", h)
+        .withColumn("__r", F.row_number().over(w_rank).cast("long"))
+    )
+    sizes = staged.groupBy("__st").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    # per-stratum cumulative quota for each split, computed as literal
+    # arithmetic over __n: cum_j = sum_{i<=j} floor(n*q_i/denom) + (number
+    # of the top-(leftover) remainders among splits 1..j). Remainder
+    # ranking is (remainder desc, declaration order asc) — deterministic.
+    n = F.col("__n")
+    bases = [(n * F.lit(qi) - (n * F.lit(qi)) % F.lit(denom)) / F.lit(denom) for qi in q]
+    bases = [b.cast("long") for b in bases]
+    rems = [(n * F.lit(qi)) % F.lit(denom) for qi in q]
+    leftover = (n - sum(bases)).cast("long")
+    # rank of split i's remainder: number of splits j with (rem_j > rem_i)
+    # or (rem_j == rem_i and j declared earlier)
+    extras = []
+    for i in range(len(q)):
+        ahead = F.lit(0)
+        for j in range(len(q)):
+            if j == i:
+                continue
+            cond = (rems[j] > rems[i]) if j > i else (rems[j] >= rems[i])
+            ahead = ahead + F.when(cond, 1).otherwise(0)
+        extras.append(F.when(ahead < leftover, 1).otherwise(0).cast("long"))
+    cums = []
+    acc = None
+    for i in range(len(q)):
+        share = bases[i] + extras[i]
+        acc = share if acc is None else acc + share
+        cums.append(acc.alias(f"__cum{i}"))
+    quota = sizes.select("__st", *cums)
+    joined = staged.join(F.broadcast(quota), "__st")
+    expr = None
+    for i, name in enumerate(names[:-1]):
+        cond = F.col("__r") <= F.col(f"__cum{i}")
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return joined.withColumn("split", expr).drop(
+        "__st", "__h", "__r", *[f"__cum{i}" for i in range(len(q))]
+    )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "v1",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key
+    goes to argmax over shards of md5(salt || shard || id) — the
+    stateless sharding scheme whose defining property is MINIMAL
+    MOVEMENT: adding shard S+1 re-homes only the keys whose new hash
+    wins (~1/(S+1) of them), and every other key stays put (a modulo
+    shard would re-home ~all of them). The natural shard-manifest
+    companion to ``training_shard_manifest``.
+
+    Columnar: the S candidate hashes are an array literal transform,
+    the argmax an ``array_max`` over (hash, shard) structs — string
+    comparison on fixed-width hex is exact and engine-portable; no
+    Python, no shuffle at all (fully map-side). Returns the input plus
+    ``shard`` (long in [0, n_shards)).
+    """
+    sid = F.col(id_col).cast("string")
+    cands = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat(F.lit(salt), F.lit(f"|{s}|"), sid)
+                ).alias("h"),
+                F.lit(s).cast("long").alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return df.withColumn("shard", F.array_max(cands).getField("s"))
