@@ -1478,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE62_QUERIES,
         **_WAVE63_QUERIES,
         **_WAVE64_QUERIES,
+        **_WAVE65_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1623,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE62_SQL,
         **_WAVE63_SQL,
         **_WAVE64_SQL,
+        **_WAVE65_SQL,
     }
 
 
@@ -11683,4 +11685,81 @@ _WAVE64_QUERIES = {
 _WAVE64_SQL = {
     "quota_split_docs": QUOTA_SPLIT_SQL,
     "rendezvous_shards_docs": RENDEZVOUS_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 65 — bucketed interval-overlap join (session co-presence)
+# --------------------------------------------------------------------------
+
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user session co-presence (operators/joins.py
+    interval_overlap_join): 30-min-gap sessions become [start, last+30m]
+    intervals; overlapping pairs of DIFFERENT users come from the
+    hour-bucketed band join + exact re-verify — never a user x user
+    cartesian. Output: per unordered user pair, overlap count."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("__us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("__us") - F.lag("__us", 1).over(w)
+    flag = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sessions = (
+        ev.withColumn("__sid", F.sum(flag).over(wsum))
+        .groupBy("user_id", "__sid")
+        .agg(
+            F.min("__us").alias("start_us"),
+            (F.max("__us") + F.lit(1_800_000_000)).alias("end_us"),
+        )
+        .select("user_id", "start_us", "end_us")
+    )
+    pairs = interval_overlap_join(
+        sessions, sessions, "start_us", "end_us",
+        bucket_us=3_600_000_000,
+    ).filter(F.col("user_id") < F.col("user_id_r"))
+    return (
+        pairs.groupBy(
+            F.col("user_id").alias("user_a"),
+            F.col("user_id_r").alias("user_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlaps"))
+    )
+
+
+SESSION_OVERLAP_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN epoch_us(ts)
+                   - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_us(ts), event_id)
+                   > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) IS NULL
+              THEN 1 ELSE 0 END AS flag
+  FROM events),
+labeled AS (
+  SELECT user_id, us,
+         SUM(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ev),
+sessions AS (
+  SELECT user_id, MIN(us) AS s, MAX(us) + 1800000000 AS e
+  FROM labeled GROUP BY user_id, sid)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM sessions a JOIN sessions b
+  ON a.s <= b.e AND b.s <= a.e AND a.user_id < b.user_id
+GROUP BY a.user_id, b.user_id
+"""
+
+_WAVE65_QUERIES = {
+    "session_overlap_pairs": session_overlap_pairs,
+}
+_WAVE65_SQL = {
+    "session_overlap_pairs": SESSION_OVERLAP_SQL,
 }

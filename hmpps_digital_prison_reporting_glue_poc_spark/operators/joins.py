@@ -276,3 +276,50 @@ def fuzzy_block_match(
             "n_b",
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 3_600_000_000,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval x interval OVERLAP join, bucketed — the scale pattern
+    that turns the O(|L|x|R|) theta join (a.start <= b.end AND b.start
+    <= a.end) into an equi-join: every interval explodes to the integer
+    time buckets it covers (``sequence`` — columnar, no Python), the
+    join runs on the bucket key, duplicate matches from multi-bucket
+    overlaps collapse with one distinct, and the exact overlap predicate
+    re-verifies each candidate. Shuffle cost follows bucket occupancy
+    (pick ``bucket_us`` ~ the typical interval length), never |L|x|R| —
+    the same band-then-verify shape as the LSH/prefix dedup family
+    (``interval_join`` handles point-in-interval; this is its
+    interval-interval sibling).
+
+    Inclusive overlap semantics: intervals touching at one instant
+    match. Returns all left columns plus right columns suffixed.
+    """
+    lcols = left.columns
+    rcols = right.columns
+    r = right
+    for c in rcols:
+        r = r.withColumnRenamed(c, c + suffix)
+    rs, re = start_col + suffix, end_col + suffix
+
+    def buckets(s, e):
+        lo = (
+            (F.col(s) - F.col(s) % F.lit(bucket_us)) / F.lit(bucket_us)
+        ).cast("long")
+        hi = (
+            (F.col(e) - F.col(e) % F.lit(bucket_us)) / F.lit(bucket_us)
+        ).cast("long")
+        return F.sequence(lo, hi)
+
+    lb = left.withColumn("__b", F.explode(buckets(start_col, end_col)))
+    rb = r.withColumn("__b", F.explode(buckets(rs, re)))
+    cand = lb.join(rb, "__b").filter(
+        (F.col(start_col) <= F.col(re)) & (F.col(rs) <= F.col(end_col))
+    )
+    return cand.select(*lcols, *[c + suffix for c in rcols]).distinct()
