@@ -1479,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE63_QUERIES,
         **_WAVE64_QUERIES,
         **_WAVE65_QUERIES,
+        **_WAVE66_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1625,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE63_SQL,
         **_WAVE64_SQL,
         **_WAVE65_SQL,
+        **_WAVE66_SQL,
     }
 
 
@@ -11762,4 +11764,102 @@ _WAVE65_QUERIES = {
 }
 _WAVE65_SQL = {
     "session_overlap_pairs": SESSION_OVERLAP_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 66 — Theil-Sen robust trend + day-of-week seasonality profile
+# --------------------------------------------------------------------------
+
+def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of daily purchase revenue
+    (operators/behavior.py theil_sen_trend): median pairwise slope
+    selected as an exact ORDER STATISTIC (row_number, full tie-break) —
+    no interpolating percentile; pair table span^2-bounded."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        theil_sen_trend,
+    )
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return theil_sen_trend(daily, "day", "x")
+
+
+THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1),
+pairs AS (
+  SELECT a.d AS da, b.d AS db,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+  FROM daily a JOIN daily b ON a.d < b.d),
+ranked AS (
+  SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s, da, db) AS BIGINT) AS r
+  FROM pairs),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+slope AS (
+  SELECT rk.s AS slope, m.m
+  FROM ranked rk, m WHERE rk.r = (m.m + 1) // 2),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+resid AS (
+  SELECT CAST(d.x AS DOUBLE) - sl.slope * CAST(d.d AS DOUBLE) AS b,
+         d.d, sl.slope, sl.m,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(d.x AS DOUBLE) - sl.slope * CAST(d.d AS DOUBLE),
+                    d.d) AS BIGINT) AS rb
+  FROM daily d, slope sl)
+SELECT nn.n_days, r.m AS n_pairs, r.slope AS slope_per_day,
+       r.b AS intercept
+FROM resid r, nn WHERE r.rb = (nn.n_days + 1) // 2
+"""
+
+
+def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality profile per event type (operators/behavior.py
+    dow_seasonality): weekday = (epoch_day + 4) mod 7 pure-integer —
+    immune to the Spark-vs-DuckDB dayofweek numbering mismatch; one
+    exact divide per cell."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        dow_seasonality,
+    )
+
+    return dow_seasonality(_events(spark, sf_dir))
+
+
+DOW_SEASONALITY_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+              AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+  FROM cells GROUP BY event_type)
+SELECT c.event_type, c.dow, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share,
+       (7.0 * CAST(c.n AS DOUBLE)) / CAST(t.t AS DOUBLE)
+         AS seasonality_index
+FROM cells c JOIN tot t ON t.event_type = c.event_type
+"""
+
+_WAVE66_QUERIES = {
+    "theil_sen_daily_revenue": theil_sen_daily_revenue,
+    "dow_seasonality_events": dow_seasonality_events,
+}
+_WAVE66_SQL = {
+    "theil_sen_daily_revenue": THEIL_SEN_SQL,
+    "dow_seasonality_events": DOW_SEASONALITY_SQL,
 }

@@ -1581,3 +1581,120 @@ def markov_stationary(
     return rank.select(
         F.col("__s").alias(type_col), F.col("__r").alias("stationary_p")
     )
+
+
+def theil_sen_trend(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+) -> DataFrame:
+    """Theil-Sen robust trend estimator over a day-grain series: the
+    MEDIAN of all pairwise slopes (x_j − x_i)/(d_j − d_i) — the
+    estimator Mann-Kendall is the test for (breakdown point 29% vs
+    OLS's 0: one bad ingest day cannot bend the line). Intercept =
+    median of (x_i − slope*d_i).
+
+    Exactness: every slope is ONE divide of exact integers, so both
+    engines hold identical doubles; the median is the k = ceil(m/2)
+    ORDER STATISTIC selected by row_number with a full deterministic
+    tie-break (slope, d_i, d_j) — no interpolating percentile, whose
+    float averaging would be the only cross-engine hazard. The pair
+    table and its selection sort are DATE-SPAN^2-bounded (the
+    mann_kendall argument) — at a 10-year daily grain that is ~6.6M
+    rollup-derived rows once, never event-scaled. Returns one row
+    (n_days, n_pairs, slope_per_day, intercept); NULLs when n_days < 2.
+    """
+    from pyspark.sql import Window
+
+    d = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
+    x = F.col(value_col).cast("long")
+    base = daily.select(d.alias("__d"), x.alias("__x"))
+    a = base.select(F.col("__d").alias("__da"), F.col("__x").alias("__xa"))
+    b = base.select(F.col("__d").alias("__db"), F.col("__x").alias("__xb"))
+    pairs = a.join(F.broadcast(b), F.col("__da") < F.col("__db")).select(
+        "__da",
+        "__db",
+        (
+            (F.col("__xb") - F.col("__xa")).cast("double")
+            / (F.col("__db") - F.col("__da")).cast("double")
+        ).alias("__s"),
+    )
+    w = Window.orderBy("__s", "__da", "__db")
+    ranked = pairs.withColumn("__r", F.row_number().over(w).cast("long"))
+    m_row = pairs.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    target = m_row.select(
+        "__m",
+        ((F.col("__m") + 1) - (F.col("__m") + 1) % 2).alias("__t2"),
+    ).select("__m", (F.col("__t2") / 2).cast("long").alias("__t"))
+    slope = (
+        ranked.join(F.broadcast(target), F.col("__r") == F.col("__t"))
+        .select(F.col("__s").alias("__slope"), "__m")
+    )
+    resid = base.crossJoin(F.broadcast(slope)).select(
+        (F.col("__x").cast("double") - F.col("__slope") * F.col("__d").cast("double")).alias(
+            "__b"
+        ),
+        "__d",
+        "__slope",
+        "__m",
+    )
+    wb = Window.orderBy("__b", "__d")
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    resid_ranked = resid.withColumn(
+        "__rb", F.row_number().over(wb).cast("long")
+    ).crossJoin(F.broadcast(n_row))
+    out = resid_ranked.filter(
+        F.col("__rb") == ((F.col("n_days") + 1) - (F.col("n_days") + 1) % 2) / 2
+    ).select(
+        "n_days",
+        F.col("__m").alias("n_pairs"),
+        F.col("__slope").alias("slope_per_day"),
+        F.col("__b").alias("intercept"),
+    )
+    # n_days < 2: no pairs, empty out — surface the degenerate row
+    empty = n_row.filter(F.col("n_days") < 2).select(
+        "n_days",
+        F.lit(0).cast("long").alias("n_pairs"),
+        F.lit(None).cast("double").alias("slope_per_day"),
+        F.lit(None).cast("double").alias("intercept"),
+    )
+    return out.unionByName(empty)
+
+
+def dow_seasonality(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week seasonality profile per event type: the share of a
+    type's volume landing on each weekday, and the seasonality index
+    7*share (1.0 = flat week) — the calendar-profile complement of
+    ``acf_daily``'s lag-7 spike.
+
+    The weekday comes from PURE INTEGER arithmetic — (epoch_day + 4)
+    mod 7, anchored on 1970-01-01 being a Thursday (0 = Monday) — not
+    from dayofweek(), whose numbering differs across engines (Spark
+    1=Sunday, DuckDB 0=Sunday: a classic silent off-by-one). One
+    (type, dow)-keyed rollup + broadcast type totals; share and index
+    are each one exact divide. Returns
+    (event_type, dow, n, share, seasonality_index) with dow 0..6.
+    """
+    epoch_day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    dow = ((epoch_day + 4) % 7).cast("long")
+    cells = (
+        events.select(F.col(type_col).alias("event_type"), dow.alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("__t")
+    )
+    out = cells.join(F.broadcast(totals), "event_type")
+    share = F.col("n").cast("double") / F.col("__t").cast("double")
+    index = (F.lit(7.0) * F.col("n").cast("double")) / F.col("__t").cast(
+        "double"
+    )
+    return out.select(
+        "event_type", "dow", "n", share.alias("share"),
+        index.alias("seasonality_index"),
+    )
