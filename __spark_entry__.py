@@ -11828,7 +11828,7 @@ FROM resid r, nn WHERE r.rb = (nn.n_days + 1) // 2
 
 def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekday seasonality profile per event type (operators/behavior.py
-    dow_seasonality): weekday = (epoch_day + 4) mod 7 pure-integer —
+    dow_seasonality): weekday = (epoch_day + 3) mod 7 pure-integer —
     immune to the Spark-vs-DuckDB dayofweek numbering mismatch; one
     exact divide per cell."""
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
@@ -11841,7 +11841,7 @@ def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOW_SEASONALITY_SQL = """
 WITH cells AS (
   SELECT event_type,
-         CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+         CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
               AS BIGINT) AS dow,
          CAST(COUNT(*) AS BIGINT) AS n
   FROM events GROUP BY 1, 2),

@@ -1671,7 +1671,7 @@ def dow_seasonality(
     7*share (1.0 = flat week) — the calendar-profile complement of
     ``acf_daily``'s lag-7 spike.
 
-    The weekday comes from PURE INTEGER arithmetic — (epoch_day + 4)
+    The weekday comes from PURE INTEGER arithmetic — (epoch_day + 3)
     mod 7, anchored on 1970-01-01 being a Thursday (0 = Monday) — not
     from dayofweek(), whose numbering differs across engines (Spark
     1=Sunday, DuckDB 0=Sunday: a classic silent off-by-one). One
@@ -1680,7 +1680,7 @@ def dow_seasonality(
     (event_type, dow, n, share, seasonality_index) with dow 0..6.
     """
     epoch_day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
-    dow = ((epoch_day + 4) % 7).cast("long")
+    dow = ((epoch_day + 3) % 7).cast("long")
     cells = (
         events.select(F.col(type_col).alias("event_type"), dow.alias("dow"))
         .groupBy("event_type", "dow")
