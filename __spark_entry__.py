@@ -1480,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE64_QUERIES,
         **_WAVE65_QUERIES,
         **_WAVE66_QUERIES,
+        **_WAVE67_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1627,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE64_SQL,
         **_WAVE65_SQL,
         **_WAVE66_SQL,
+        **_WAVE67_SQL,
     }
 
 
@@ -11862,4 +11864,75 @@ _WAVE66_QUERIES = {
 _WAVE66_SQL = {
     "theil_sen_daily_revenue": THEIL_SEN_SQL,
     "dow_seasonality_events": DOW_SEASONALITY_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 67 — exact top principal component (integer gram + 9dp power iter)
+# --------------------------------------------------------------------------
+
+def pca_top_component_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embeddings table
+    (operators/similarity.py pca_top_component): exact int64 partial
+    gram via Arrow mapInPandas, DECIMAL reduce, then the 9dp power-
+    iteration orbit — engine-exact spectral analysis with the only
+    data-sized pass being the gram scan."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
+    return pca_top_component(emb, "embedding", n_iter=8)
+
+
+def _pca_sql(n_iter: int = 8, d: int = 64) -> str:
+    head = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+elems AS (
+  SELECT vec_id, idx.i, qv[CAST(idx.i AS INT) + 1] AS qi
+  FROM q, (SELECT CAST(range AS BIGINT) AS i FROM range(0, {d})) idx),
+gram AS MATERIALIZED (
+  SELECT a.i, b.i AS j, SUM(CAST(a.qi AS HUGEINT) * b.qi) AS g
+  FROM elems a JOIN elems b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i),
+dims AS (SELECT CAST(range AS BIGINT) AS d FROM range(0, {d})),
+v0 AS (SELECT d, 1.0 AS v FROM dims)"""
+    body = ""
+    for t in range(1, n_iter + 1):
+        body += f""",
+w{t} AS MATERIALIZED (
+  SELECT g.j AS d,
+         SUM(CAST(round(CAST(g.g AS DOUBLE) * r.v, 9)
+                  AS DECIMAL(38,9))) AS wd
+  FROM gram g JOIN v{t - 1} r ON r.d = g.i GROUP BY g.j),
+m{t} AS MATERIALIZED (
+  SELECT MAX(ABS(CAST(wd AS DOUBLE))) AS mx,
+         CAST(floor(MAX(ABS(wd))) AS BIGINT) AS lam
+  FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT dims.d,
+         COALESCE(round(CAST(w{t}.wd AS DOUBLE) / m{t}.mx, 9), 0.0) AS v
+  FROM dims LEFT JOIN w{t} ON w{t}.d = dims.d CROSS JOIN m{t})"""
+    return (
+        head
+        + body
+        + f"""
+SELECT v{n_iter}.d AS dim_idx, v{n_iter}.v AS component,
+       m{n_iter}.lam AS eigenvalue_q2
+FROM v{n_iter} CROSS JOIN m{n_iter}
+"""
+    )
+
+
+PCA_SQL = _pca_sql(8, 64)
+
+_WAVE67_QUERIES = {
+    "pca_top_component_vectors": pca_top_component_vectors,
+}
+_WAVE67_SQL = {
+    "pca_top_component_vectors": PCA_SQL,
 }

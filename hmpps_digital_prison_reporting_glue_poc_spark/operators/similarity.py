@@ -1526,3 +1526,132 @@ def ivfpq_residual_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_iter: int = 8,
+) -> DataFrame:
+    """Top principal direction of an embedding table, engine-exact — the
+    drift/collapse diagnostic an embedding pipeline runs per snapshot (a
+    dominant component that swallows most variance means the encoder is
+    collapsing; its drift across snapshots means re-index).
+
+    Two-stage design that scales and stays exact:
+    1. EXACT INTEGER GRAM: vectors micro-quantize to int64 (floor(x*1e6),
+       the int8_quant_stats / LSH scale), and an Arrow ``mapInPandas``
+       kernel emits per-partition partial sums of q_i*q_j for i <= j —
+       integer outer products, mergeable, one tiny (d*(d+1)/2)-row
+       DECIMAL(38,0) reduce. The only data-sized pass; nothing float.
+    2. Power iteration on the d x d grid with the token_pagerank
+       determinism recipe: contributions rounded to 9 dp, summed as
+       DECIMAL(38,9), the vector re-normalized by max|w| (one divide by
+       one scalar) and re-rounded each step — both engines walk the
+       identical orbit (the markov_stationary machinery, on the
+       uncentered second-moment matrix; for centered PCA subtract means
+       upstream).
+
+    Returns one row per dimension: (dim_idx, component, eigenvalue_q2)
+    with the component L-infinity-normalized (max |component| = 1) and
+    ``eigenvalue_q2`` the Rayleigh-style floor(max|G v|) in micro^2
+    units from the final step (a long — the exact-decimal floor, because
+    the raw 23-digit decimal rounds to double differently per engine). Caller contract: partial int64 gram sums must not
+    overflow per partition (|q| <= ~2e6 for unit-scale embeddings ->
+    safe below ~1e6 rows per partition per the 4e12-per-term bound).
+    """
+    import pandas as pd
+
+    d_probe = len(df.select(vec_col).first()[0])
+
+    def gram_kernel(batches):
+        import numpy as np
+
+        acc = np.zeros((d_probe, d_probe), dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(
+                [
+                    np.floor(
+                        np.asarray(v, dtype=np.float64) * 1_000_000.0
+                    ).astype(np.int64)
+                    for v in pdf[vec_col]
+                ]
+            )
+            acc += mat.T @ mat
+        iu = np.triu_indices(d_probe)
+        yield pd.DataFrame(
+            {
+                "i": iu[0].astype("int64"),
+                "j": iu[1].astype("int64"),
+                "s": acc[iu].astype("int64"),
+            }
+        )
+
+    partials = df.select(vec_col).mapInPandas(
+        gram_kernel, schema="i long, j long, s long"
+    )
+    gram_u = partials.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("g")
+    )
+    gram = gram_u.unionAll(
+        gram_u.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    spark = df.sparkSession
+    # materialize the gram ONCE and the 64-row vector each round: the
+    # iteration otherwise compounds the un-cut lineage into an
+    # exponentially deep plan (measured 78s of pure analysis at
+    # sf0.001; 3.5s after the cuts) — the token_pagerank lesson
+    gram = materialize(gram, prefix="pca_gram_")
+    dims = spark.range(0, d_probe).select(F.col("id").cast("long").alias("__d"))
+    vec = dims.select("__d", F.lit(1.0).alias("__v"))
+    lam = None
+    for _ in range(n_iter):
+        w = (
+            gram.join(F.broadcast(vec), gram["i"] == vec["__d"])
+            .select(
+                F.col("j").alias("__d2"),
+                F.round(F.col("g").cast("double") * F.col("__v"), 9)
+                .cast("decimal(38,9)")
+                .alias("__c"),
+            )
+            .groupBy("__d2")
+            .agg(F.sum("__c").alias("__wd"))
+            .select("__d2", "__wd", F.col("__wd").cast("double").alias("__w"))
+        )
+        # eigenvalue from the EXACT decimal (floor -> long): the raw
+        # decimal holds ~23 significant digits, and decimal->double
+        # rounding differs between engines at the last ulp (measured
+        # .664 vs .662) — the normalization divide is ulp-insensitive
+        # (round(w/mx, 9) absorbs it) but the reported scalar is not
+        mx = w.agg(
+            F.max(F.abs(F.col("__w"))).alias("__mx"),
+            F.floor(F.max(F.abs(F.col("__wd"))))
+            .cast("long")
+            .alias("__lam"),
+        )
+        # materialize lam BEFORE replacing the vec dir: its plan reads
+        # the CURRENT round's w -> previous vec files, which the vec
+        # materialization below deletes
+        lam = materialize(mx, prefix="pca_lam_")
+        vec = (
+            w.crossJoin(F.broadcast(lam))
+            .select(
+                F.col("__d2").alias("__d"),
+                F.round(F.col("__w") / F.col("__mx"), 9).alias("__v"),
+            )
+        )
+        vec = materialize(
+            dims.join(vec, "__d", "left").select(
+                "__d", F.coalesce(F.col("__v"), F.lit(0.0)).alias("__v")
+            ),
+            prefix="pca_vec_",
+        )
+    return vec.crossJoin(F.broadcast(lam)).select(
+        F.col("__d").alias("dim_idx"),
+        F.col("__v").alias("component"),
+        F.col("__lam").alias("eigenvalue_q2"),
+    )
