@@ -11706,8 +11706,12 @@ def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_overlap_join,
     )
 
-    ev = _events(spark, sf_dir).select(
-        "user_id", F.unix_micros(F.col("ts")).alias("__us"), "event_id"
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.unix_micros(F.col("ts")).alias("__us"), "event_id"
+        )
     )
     w = Window.partitionBy("user_id").orderBy("__us", "event_id")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -11745,7 +11749,7 @@ WITH ev AS (
               OR lag(ts) OVER (PARTITION BY user_id
                                ORDER BY epoch_us(ts), event_id) IS NULL
               THEN 1 ELSE 0 END AS flag
-  FROM events),
+  FROM events WHERE event_type = 'purchase'),
 labeled AS (
   SELECT user_id, us,
          SUM(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
