@@ -481,7 +481,20 @@ def main() -> None:
     ratios = {
         name: round(t / sentinel_ref, 3) for name, t in timings.items()
     }
-    if "--write-pins" in sys.argv:
+    if "--write-pins" in sys.argv or "--pin-new" in sys.argv:
+        out_ratios = dict(sorted(ratios.items()))
+        if "--pin-new" in sys.argv and os.path.exists(BENCH_PINS_PATH):
+            # merge mode: keep every EXISTING pin's baseline (so drift
+            # detection for old queries keeps its original reference)
+            # and add pins only for queries that have none yet
+            with open(BENCH_PINS_PATH) as fh:
+                prev = json.load(fh)
+            merged = dict(prev.get("ratios", {}))
+            added = [n for n in out_ratios if n not in merged]
+            for n in added:
+                merged[n] = out_ratios[n]
+            out_ratios = dict(sorted(merged.items()))
+            print(f"PIN_NEW: {sorted(added)}", flush=True)
         with open(BENCH_PINS_PATH, "w") as fh:
             json.dump(
                 {
@@ -489,7 +502,7 @@ def main() -> None:
                     "sentinel_ref_sec": round(sentinel_ref, 3),
                     "tolerance": DRIFT_TOLERANCE,
                     "sf": sf,
-                    "ratios": dict(sorted(ratios.items())),
+                    "ratios": out_ratios,
                 },
                 fh,
                 indent=1,
