@@ -1481,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE65_QUERIES,
         **_WAVE66_QUERIES,
         **_WAVE67_QUERIES,
+        **_WAVE68_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1629,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE65_SQL,
         **_WAVE66_SQL,
         **_WAVE67_SQL,
+        **_WAVE68_SQL,
     }
 
 
@@ -11939,4 +11941,60 @@ _WAVE67_QUERIES = {
 }
 _WAVE67_SQL = {
     "pca_top_component_vectors": PCA_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 68 — real PPM decode: per-channel pixel statistics
+# --------------------------------------------------------------------------
+
+def media_ppm_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RGB channel sums/means through a REAL P6 decode
+    (operators/multimodal.py attach_ppm -> parse_ppm -> numpy plane):
+    pixels are the text bytes by construction, so DuckDB re-derives the
+    channel sums from the hex bytes and verifies the actual container
+    walk — the image twin of media_wav_energy."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.multimodal import (
+        attach_ppm,
+        ppm_channel_stats,
+    )
+
+    media = attach_ppm(
+        _t(spark, sf_dir, "documents", spread=False), "doc_id", "text"
+    )
+    return ppm_channel_stats(media)
+
+
+MEDIA_PPM_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         (octet_length(encode(text)) // 3) * 3 AS n
+  FROM documents
+  WHERE octet_length(encode(text)) >= 3),
+bytes AS (
+  SELECT media_id, i, n,
+         CAST(('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS BIGINT)
+           AS b
+  FROM media, UNNEST(generate_series(0, n - 1)) AS u(i)),
+chans AS (
+  SELECT media_id, n,
+         CAST(SUM(CASE WHEN i % 3 = 0 THEN b END) AS BIGINT) AS sum_r,
+         CAST(SUM(CASE WHEN i % 3 = 1 THEN b END) AS BIGINT) AS sum_g,
+         CAST(SUM(CASE WHEN i % 3 = 2 THEN b END) AS BIGINT) AS sum_b
+  FROM bytes GROUP BY media_id, n)
+SELECT media_id, TRUE AS valid,
+       CAST(n / 3 AS BIGINT) AS width,
+       CAST(1 AS BIGINT) AS height,
+       sum_r, sum_g, sum_b,
+       CAST(sum_r AS DOUBLE) / CAST(n / 3 AS DOUBLE) AS mean_r,
+       CAST(sum_g AS DOUBLE) / CAST(n / 3 AS DOUBLE) AS mean_g,
+       CAST(sum_b AS DOUBLE) / CAST(n / 3 AS DOUBLE) AS mean_b
+FROM chans
+"""
+
+_WAVE68_QUERIES = {
+    "media_ppm_channel_stats": media_ppm_channel_stats,
+}
+_WAVE68_SQL = {
+    "media_ppm_channel_stats": MEDIA_PPM_SQL,
 }

@@ -570,3 +570,116 @@ def extract_image_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(kernel, schema=out_schema)
+
+
+def build_ppm(payload: bytes) -> bytes | None:
+    """Wrap raw bytes as a REAL binary P6 PPM (one pixel row, width =
+    pixel count): the demo producer for the real image-decode path,
+    exactly as ``build_wav`` is for audio. Returns None when fewer than
+    one full RGB pixel is available."""
+    n_px = len(payload) // 3
+    if n_px == 0:
+        return None
+    body = payload[: n_px * 3]
+    return b"P6\n%d 1\n255\n" % n_px + body
+
+
+def attach_ppm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(media_id, content, media_type) frame of genuine P6 containers
+    built from each row's utf-8 text bytes (rows too short for one
+    pixel are dropped)."""
+    out_schema = MEDIA_SCHEMA
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, blobs = [], []
+            for mid, p in zip(pdf["media_id"], pdf["content"]):
+                blob = build_ppm(bytes(p))
+                if blob is None:
+                    continue
+                ids.append(int(mid))
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "content": pd.Series(blobs, dtype=object),
+                    "media_type": "image/x-portable-pixmap",
+                }
+            )
+
+    base = df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+    )
+    return base.mapInPandas(kernel, schema=out_schema)
+
+
+def ppm_channel_stats(df: DataFrame) -> DataFrame:
+    """Per-image RGB channel statistics through the REAL P6 decode
+    (``parse_ppm`` header walk -> pixel plane): exact integer channel
+    sums and one float mean per channel — the image-side twin of
+    ``wav_frame_energy`` (same contract: a malformed container
+    quarantines as valid=false instead of failing the task). Returns
+    (media_id, valid, width, height, sum_r, sum_g, sum_b, mean_r,
+    mean_g, mean_b).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("valid", T.BooleanType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                if payload is None:
+                    continue
+                try:
+                    m = parse_ppm(bytes(payload))
+                    px = np.frombuffer(
+                        m["pixels"], dtype=np.uint8
+                    ).astype(np.int64)
+                    n_px = m["width"] * m["height"]
+                    px = px[: n_px * 3].reshape(n_px, 3)
+                    sums = px.sum(axis=0)
+                    rows.append(
+                        (
+                            int(mid),
+                            True,
+                            int(m["width"]),
+                            int(m["height"]),
+                            int(sums[0]),
+                            int(sums[1]),
+                            int(sums[2]),
+                            float(sums[0]) / n_px,
+                            float(sums[1]) / n_px,
+                            float(sums[2]) / n_px,
+                        )
+                    )
+                except (ValueError, struct.error):
+                    rows.append(
+                        (int(mid), False, None, None, None, None, None,
+                         None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    return df.mapInPandas(kernel, schema=out_schema)
