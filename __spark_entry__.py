@@ -1482,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE66_QUERIES,
         **_WAVE67_QUERIES,
         **_WAVE68_QUERIES,
+        **_WAVE69_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1631,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE66_SQL,
         **_WAVE67_SQL,
         **_WAVE68_SQL,
+        **_WAVE69_SQL,
     }
 
 
@@ -11997,4 +11999,119 @@ _WAVE68_QUERIES = {
 }
 _WAVE68_SQL = {
     "media_ppm_channel_stats": MEDIA_PPM_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 69 — driver-checked source formats: ORC roundtrip + binaryFile dir
+# --------------------------------------------------------------------------
+
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+scan parity (sources/io.py write_orc/read_orc): the
+    documents table roundtrips through a source-partitioned ORC layout
+    and aggregates per source AFTER the roundtrip; the oracle computes
+    the same rollup from the parquet original — any loss/corruption in
+    the ORC path breaks the hash."""
+    import tempfile
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.sources.io import (
+        read_orc,
+        write_orc,
+    )
+
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    write_orc(docs, path, partition_by=["source"])
+    back = read_orc(spark, path)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.col("doc_id").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("id_checksum"),
+        )
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(doc_id AS HUGEINT)) AS BIGINT) AS id_checksum
+FROM documents GROUP BY source
+"""
+
+
+def binary_dir_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile-source ingest parity (sources/io.py read_binary_dir):
+    real P6 PPM FILES are written to a directory (one per first-100
+    document, the production multimodal layout), re-ingested through
+    Spark's binaryFile source, decoded with the stdlib parser, and
+    rolled up — the oracle re-derives width/byte sums from the text
+    bytes that built the files."""
+    import os
+    import tempfile
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.multimodal import (
+        build_ppm,
+        ppm_channel_stats,
+    )
+    from hmpps_digital_prison_reporting_glue_poc_spark.sources.io import read_binary_dir
+
+    docs = (
+        _t(spark, sf_dir, "documents", spread=False)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+        .collect()
+    )
+    path = tempfile.mkdtemp(prefix="ppm_dir_")
+    for r in docs:
+        blob = build_ppm(r.text.encode("utf-8"))
+        if blob is None:
+            continue
+        with open(os.path.join(path, f"{r.doc_id:06d}.ppm"), "wb") as fh:
+            fh.write(blob)
+    files = read_binary_dir(spark, path, glob="*.ppm")
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.ppm$", 1)
+        .cast("long")
+        .alias("media_id"),
+        "content",
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+    )
+    return ppm_channel_stats(media).select(
+        "media_id", "valid", "width", "sum_r", "sum_g", "sum_b"
+    )
+
+
+BINARY_DIR_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         (octet_length(encode(text)) // 3) * 3 AS n
+  FROM documents
+  WHERE doc_id < 100 AND octet_length(encode(text)) >= 3),
+bytes AS (
+  SELECT media_id, i, n,
+         CAST(('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT), 2)) AS BIGINT)
+           AS b
+  FROM media, UNNEST(generate_series(0, n - 1)) AS u(i))
+SELECT media_id, TRUE AS valid,
+       CAST(n / 3 AS BIGINT) AS width,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN b END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN b END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN b END) AS BIGINT) AS sum_b
+FROM bytes GROUP BY media_id, n
+"""
+
+_WAVE69_QUERIES = {
+    "orc_roundtrip_stats": orc_roundtrip_stats,
+    "binary_dir_media_stats": binary_dir_media_stats,
+}
+_WAVE69_SQL = {
+    "orc_roundtrip_stats": ORC_ROUNDTRIP_SQL,
+    "binary_dir_media_stats": BINARY_DIR_SQL,
 }

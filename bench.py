@@ -288,6 +288,23 @@ BENCH_QUERIES = [
     "cdc_chunk_stats_docs",
     # wave 52: residual IVF-PQ (round 7)
     "ivfpq_residual_topk",
+    # round-7 waves 53-69: the corpus-scan / kernel-heavy additions
+    # (the remaining new queries are genuinely rollup-bounded scalars)
+    "ndcg_user_popularity",
+    "kendall_qty_discount",
+    "benford_order_totals",
+    "flesch_scores_docs",
+    "attribution_linear_events",
+    "eb_item_purchase_rates",
+    "quantile_normalize_doclen",
+    "markov_stationary_events",
+    "token_degree_assortativity",
+    "quota_split_docs",
+    "session_window_stats",
+    "session_overlap_pairs",
+    "pca_top_component_vectors",
+    "media_ppm_channel_stats",
+    "orc_roundtrip_stats",
 ]
 
 
