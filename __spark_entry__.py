@@ -1483,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE67_QUERIES,
         **_WAVE68_QUERIES,
         **_WAVE69_QUERIES,
+        **_WAVE70_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1633,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE67_SQL,
         **_WAVE68_SQL,
         **_WAVE69_SQL,
+        **_WAVE70_SQL,
     }
 
 
@@ -12114,4 +12116,111 @@ _WAVE69_QUERIES = {
 _WAVE69_SQL = {
     "orc_roundtrip_stats": ORC_ROUNDTRIP_SQL,
     "binary_dir_media_stats": BINARY_DIR_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 70 — deterministic JL projection + Brier decomposition
+# --------------------------------------------------------------------------
+
+def jl_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-Rademacher JL projection 64 -> 16 dims
+    (operators/similarity.py jl_project): the matrix is a pure function
+    of (salt, i, j) so both engines rebuild it bit-identically; output
+    coordinates are exact integer signed sums with ONE divide by the
+    exact 4e6 normalizer."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
+    return jl_project(emb, "vec_id", "embedding", k=16)
+
+
+JL_PROJECT_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+elems AS (
+  SELECT vec_id, jj.j, qv[CAST(jj.j AS INT) + 1] AS qj
+  FROM q, (SELECT CAST(range AS BIGINT) AS j FROM range(0, 64)) jj),
+signs AS (
+  SELECT ii.i, jj.j,
+         CASE WHEN substr(md5('v1|' || ii.i || '|' || jj.j), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 16)) ii,
+       (SELECT CAST(range AS BIGINT) AS j FROM range(0, 64)) jj),
+y AS (
+  SELECT e.vec_id, s.i AS out_dim,
+         CAST(SUM(s.s * e.qj) AS BIGINT) AS y_micro
+  FROM elems e JOIN signs s ON s.j = e.j
+  GROUP BY e.vec_id, s.i)
+SELECT vec_id, out_dim, y_micro,
+       CAST(y_micro AS DOUBLE) / 4000000.0 AS component
+FROM y
+"""
+
+
+def brier_decomposition_length_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy Brier decomposition of the length->lang reliability
+    diagram (operators/evaluation.py brier_decomposition_bins): per-bin
+    reliability/resolution terms over the exact integer-ratio bins, the
+    consumer sums the 10-row table."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        brier_decomposition_bins,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").cast("long").alias("__mx"))
+    staged = docs.crossJoin(F.broadcast(mx))
+    return brier_decomposition_bins(
+        staged, "n_chars", F.col("__mx"), F.col("lang") == "en"
+    )
+
+
+BRIER_SQL = """
+WITH mx AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS d FROM documents),
+staged AS (
+  SELECT (10 * CAST(n_chars AS BIGINT)
+          - (10 * CAST(n_chars AS BIGINT)) % d) / d AS rawbin,
+         CAST(n_chars AS BIGINT) AS num, d,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents CROSS JOIN mx),
+bins AS (
+  SELECT CAST(LEAST(rawbin, 9) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(num) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(d) AS DOUBLE))
+           AS mean_score,
+         CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+  FROM staged GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(n_pos) AS BIGINT) AS yy
+  FROM bins)
+SELECT b.bin, b.n, b.n_pos, b.mean_score, b.frac_pos,
+       (CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE))
+         * (b.mean_score - b.frac_pos) * (b.mean_score - b.frac_pos)
+         AS reliability_term,
+       (CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE))
+         * (b.frac_pos - CAST(t.yy AS DOUBLE) / CAST(t.nn AS DOUBLE))
+         * (b.frac_pos - CAST(t.yy AS DOUBLE) / CAST(t.nn AS DOUBLE))
+         AS resolution_term,
+       (CAST(t.yy AS DOUBLE) / CAST(t.nn AS DOUBLE))
+         * (1.0 - CAST(t.yy AS DOUBLE) / CAST(t.nn AS DOUBLE))
+         AS uncertainty
+FROM bins b CROSS JOIN tot t
+"""
+
+_WAVE70_QUERIES = {
+    "jl_project_vectors": jl_project_vectors,
+    "brier_decomposition_length_lang": brier_decomposition_length_lang,
+}
+_WAVE70_SQL = {
+    "jl_project_vectors": JL_PROJECT_SQL,
+    "brier_decomposition_length_lang": BRIER_SQL,
 }

@@ -1085,3 +1085,52 @@ def cmh_terms(
         expected.alias("expected_a"),
         var.alias("var_a"),
     )
+
+
+def brier_decomposition_bins(
+    df: DataFrame,
+    score_num_col: str,
+    score_den_col,
+    outcome,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score over the calibration
+    bins — Brier = reliability − resolution + uncertainty, the readout
+    that separates "the probabilities are WRONG" (reliability) from
+    "the model can't DISCRIMINATE" (resolution): two models with equal
+    Brier can need opposite fixes.
+
+    Same exact integer-ratio binning as ``calibration_bins``; each
+    bin's reliability term n_b*(yhat_b − ybar_b)^2 / N and resolution
+    term n_b*(ybar_b − ybar)^2 / N are fixed float trees over exact
+    integer sums, emitted PER BIN (the psi_bands order-independence
+    convention — the consumer sums the tiny table and adds
+    ``uncertainty``). Returns (bin, n, n_pos, mean_score, frac_pos,
+    reliability_term, resolution_term, uncertainty) with uncertainty =
+    ybar*(1−ybar) repeated on every row for convenience.
+    """
+    bins = calibration_bins(
+        df, score_num_col, score_den_col, outcome, n_bins=n_bins
+    )
+    totals = bins.agg(
+        F.sum("n").cast("long").alias("__nn"),
+        F.sum("n_pos").cast("long").alias("__yy"),
+    )
+    staged = bins.crossJoin(F.broadcast(totals))
+    ybar = F.col("__yy").cast("double") / F.col("__nn").cast("double")
+    yb = F.col("frac_pos")
+    yhat = F.col("mean_score")
+    w = F.col("n").cast("double") / F.col("__nn").cast("double")
+    rel = w * (yhat - yb) * (yhat - yb)
+    res = w * (yb - ybar) * (yb - ybar)
+    unc = ybar * (F.lit(1.0) - ybar)
+    return staged.select(
+        "bin",
+        "n",
+        "n_pos",
+        "mean_score",
+        "frac_pos",
+        rel.alias("reliability_term"),
+        res.alias("resolution_term"),
+        unc.alias("uncertainty"),
+    )

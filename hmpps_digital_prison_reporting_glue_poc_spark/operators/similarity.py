@@ -1655,3 +1655,94 @@ def pca_top_component(
         F.col("__v").alias("component"),
         F.col("__lam").alias("eigenvalue_q2"),
     )
+
+
+def jl_sign(salt: str, out_dim: int, in_dim: int) -> int:
+    """The shared ±1 Rademacher entry for the deterministic JL matrix:
+    +1 when the first hex nibble of md5('salt|out|in') is 0-7, else -1.
+    Python and SQL both derive the matrix from THIS definition, so the
+    projection is engine-exact with no shipped matrix artifact."""
+    import hashlib
+
+    h = hashlib.md5(f"{salt}|{out_dim}|{in_dim}".encode()).hexdigest()
+    return 1 if h[0] in "01234567" else -1
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    salt: str = "v1",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to k dims with a
+    DETERMINISTIC md5-derived Rademacher matrix — the cheap
+    dimensionality reducer in front of LSH/clustering when d is large
+    (pairwise distances preserved within (1±eps) w.h.p.), reproducible
+    across engines and runs because the "random" matrix is a pure
+    function of (salt, i, j), never an artifact to ship.
+
+    Exactness: inputs micro-quantize to int64 (the pca_top_component /
+    LSH scale), each output coordinate is an EXACT integer signed sum
+    y_i = sum_j s_ij * q_j (Arrow kernel, matrix built once per task
+    from ``jl_sign``), and the scaled component divides ONCE by
+    sqrt(k)*1e6 — with the default k = 16 the sqrt is exact, so the
+    divide is by the exactly-representable 4e6. Map-side only, zero
+    shuffle. Returns one row per (id, out_dim):
+    (id, out_dim, y_micro, component). Caller contract: k must be a
+    perfect square to keep the normalizer exact.
+    """
+    import math
+
+    import pandas as pd
+
+    root = math.isqrt(k)
+    if root * root != k:
+        raise ValueError(f"k must be a perfect square, got {k}")
+    d_in = len(df.select(vec_col).first()[0])
+    norm = float(root) * 1_000_000.0
+
+    def kernel(batches):
+        import numpy as np
+
+        signs = np.array(
+            [
+                [jl_sign(salt, i, j) for j in range(d_in)]
+                for i in range(k)
+            ],
+            dtype=np.int64,
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(
+                [
+                    np.floor(
+                        np.asarray(v, dtype=np.float64) * 1_000_000.0
+                    ).astype(np.int64)
+                    for v in pdf[vec_col]
+                ]
+            )
+            y = mat @ signs.T  # (rows, k) exact int64
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(
+                        pdf[id_col].to_numpy().astype("int64"), k
+                    ),
+                    "out_dim": np.tile(
+                        np.arange(k, dtype="int64"), n
+                    ),
+                    "y_micro": y.reshape(-1).astype("int64"),
+                }
+            )
+
+    out = df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
+        kernel, schema=f"id long, out_dim long, y_micro long"
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "out_dim",
+        "y_micro",
+        (F.col("y_micro").cast("double") / F.lit(norm)).alias("component"),
+    )
