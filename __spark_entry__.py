@@ -1484,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE68_QUERIES,
         **_WAVE69_QUERIES,
         **_WAVE70_QUERIES,
+        **_WAVE71_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1635,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE68_SQL,
         **_WAVE69_SQL,
         **_WAVE70_SQL,
+        **_WAVE71_SQL,
     }
 
 
@@ -12223,4 +12225,152 @@ _WAVE70_QUERIES = {
 _WAVE70_SQL = {
     "jl_project_vectors": JL_PROJECT_SQL,
     "brier_decomposition_length_lang": BRIER_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 71 — per-vertex clustering coefficient + monotone streaks
+# --------------------------------------------------------------------------
+
+def local_clustering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of the token bigram graph
+    (operators/graph.py local_clustering): degree-ordered wedge
+    enumeration (Cohen), 3 corners per triangle, cc = 2t/(d(d-1)) one
+    divide; vertices with degree >= 2."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.graph import (
+        local_clustering,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array(
+                F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<array<string>>"))
+    edges = toked.select(F.explode(grams).alias("__e")).select(
+        F.col("__e")[0].alias("src"), F.col("__e")[1].alias("dst")
+    )
+    return local_clustering(edges, "src", "dst", min_degree=2)
+
+
+LOCAL_CLUSTERING_SQL = """
+WITH tl AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+raw AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i])) AS src,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i + 1])) AS dst
+  FROM tl WHERE len(t) > 1),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN da.deg < db.deg
+               OR (da.deg = db.deg AND und.a < und.b)
+              THEN und.a ELSE und.b END AS u,
+         CASE WHEN da.deg < db.deg
+               OR (da.deg = db.deg AND und.a < und.b)
+              THEN und.b ELSE und.a END AS w
+  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+tris AS MATERIALIZED (
+  SELECT w1.u AS t1, w1.w AS t2, w2.w AS t3
+  FROM oriented w1
+  JOIN oriented w2 ON w2.u = w1.u AND w1.w < w2.w
+  JOIN und c ON c.a = w1.w AND c.b = w2.w),
+corners AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT t1 AS v FROM tris
+        UNION ALL SELECT t2 AS v FROM tris
+        UNION ALL SELECT t3 AS v FROM tris)
+  GROUP BY v)
+SELECT d.v AS vertex, d.deg AS degree,
+       CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+       (2.0 * CAST(COALESCE(c.n_triangles, 0) AS DOUBLE))
+         / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE))
+         AS clustering_coeff
+FROM deg d LEFT JOIN corners c ON c.v = d.v
+WHERE d.deg >= 2
+"""
+
+
+def updown_streaks_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-up/down daily-revenue streaks
+    (operators/behavior.py longest_monotone_streaks): calendar-gap-
+    breaking islands on the span-bounded day rollup, exact integers."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        longest_monotone_streaks,
+    )
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return longest_monotone_streaks(daily, "day", "x")
+
+
+STREAKS_SQL = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1),
+signed AS (
+  SELECT d, x,
+         CASE WHEN lag(d) OVER (ORDER BY d) IS NULL
+                OR d - lag(d) OVER (ORDER BY d) <> 1 THEN NULL
+              WHEN x > lag(x) OVER (ORDER BY d) THEN 1
+              WHEN x < lag(x) OVER (ORDER BY d) THEN -1
+              ELSE 0 END AS s
+  FROM daily),
+flagged AS (
+  SELECT d, s,
+         CASE WHEN s IS NULL
+                OR s <> COALESCE(lag(s) OVER (ORDER BY d), 99)
+              THEN 1 ELSE 0 END AS brk
+  FROM signed),
+islands AS (
+  SELECT d, s,
+         SUM(brk) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM flagged),
+runs AS (
+  SELECT isl, s, CAST(COUNT(*) + 1 AS BIGINT) AS len
+  FROM islands WHERE s IN (1, -1) GROUP BY isl, s),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+SELECT nn.n_days,
+       CAST(COALESCE(MAX(CASE WHEN s = 1 THEN len END), 1) AS BIGINT)
+         AS longest_up,
+       CAST(COALESCE(MAX(CASE WHEN s = -1 THEN len END), 1) AS BIGINT)
+         AS longest_down
+FROM nn LEFT JOIN runs ON TRUE GROUP BY nn.n_days
+"""
+
+_WAVE71_QUERIES = {
+    "local_clustering_tokens": local_clustering_tokens,
+    "updown_streaks_revenue": updown_streaks_revenue,
+}
+_WAVE71_SQL = {
+    "local_clustering_tokens": LOCAL_CLUSTERING_SQL,
+    "updown_streaks_revenue": STREAKS_SQL,
 }

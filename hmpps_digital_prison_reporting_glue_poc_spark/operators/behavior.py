@@ -1698,3 +1698,70 @@ def dow_seasonality(
         "event_type", "dow", "n", share.alias("share"),
         index.alias("seasonality_index"),
     )
+
+
+def longest_monotone_streaks(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+) -> DataFrame:
+    """Longest strictly-up and strictly-down day streaks of a metric
+    series — the "9 days of growth in a row" readout (a streak is what
+    a drifting CUSUM looks like from the calendar side; unlike
+    mann_kendall it is direction-local, not global).
+
+    Islands idiom on the span-bounded day rollup: per-day direction
+    sign vs the previous CALENDAR day (a calendar gap breaks every
+    streak — a Monday after a missing weekend is not a continuation),
+    island id = running count of direction changes, lengths from one
+    rollup, maxima from another. All exact integers. Returns one row
+    (n_days, longest_up, longest_down); streak length counts the DAYS
+    in the run (a single day is a streak of 1 in neither direction —
+    up/down runs need >= 2 days, reported as day counts).
+    """
+    from pyspark.sql import Window
+
+    d = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
+    x = F.col(value_col).cast("long")
+    base = daily.select(d.alias("__d"), x.alias("__x"))
+    w = Window.orderBy("__d")
+    prev_d = F.lag("__d", 1).over(w)
+    prev_x = F.lag("__x", 1).over(w)
+    sign = (
+        F.when(
+            prev_d.isNull() | (F.col("__d") - prev_d != 1), F.lit(None)
+        )
+        .when(F.col("__x") > prev_x, F.lit(1))
+        .when(F.col("__x") < prev_x, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    staged = base.withColumn("__s", sign)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    flag = F.when(
+        F.col("__s").isNull()
+        | (F.col("__s") != F.coalesce(F.lag("__s", 1).over(w), F.lit(99))),
+        1,
+    ).otherwise(0)
+    islands = staged.withColumn("__brk", flag).withColumn(
+        "__isl", F.sum("__brk").over(wsum)
+    )
+    runs = (
+        islands.filter(F.col("__s").isin(1, -1))
+        .groupBy("__isl", "__s")
+        # run of k change-days spans k+1 calendar days
+        .agg((F.count(F.lit(1)) + 1).cast("long").alias("__len"))
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    maxes = runs.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__s") == 1, F.col("__len"))), F.lit(1)
+        )
+        .cast("long")
+        .alias("longest_up"),
+        F.coalesce(
+            F.max(F.when(F.col("__s") == -1, F.col("__len"))), F.lit(1)
+        )
+        .cast("long")
+        .alias("longest_down"),
+    )
+    return n_row.crossJoin(F.broadcast(maxes))

@@ -446,3 +446,90 @@ def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -
     return joined.select(
         "n_vertices", "n_edges", r.alias("assortativity")
     )
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst", min_degree: int = 2
+) -> DataFrame:
+    """Per-vertex local clustering coefficient — "how much of each
+    node's neighborhood is itself connected" (2*t_v / (d_v*(d_v−1))):
+    the vertex-grain refinement of ``token_graph_triangles``' global
+    census, and ``degree_assortativity``'s sibling (assortativity asks
+    who links whom; clustering asks whether neighborhoods close).
+
+    Same scale discipline as the census: degree-ordered orientation
+    (Cohen's trick) bounds the wedge self-join by O(sqrt(|E|)) per
+    node, never a hub's full degree; each closed triangle emits its 3
+    corners, a vertex-keyed count rolls them up, and cc is ONE exact
+    float division (t and d are exact integers). Vertices below
+    ``min_degree`` are excluded (cc undefined below 2). Returns
+    (vertex, degree, n_triangles, clustering_coeff).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = materialize(und, "lcc_edges_")
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    deg = materialize(deg, "lcc_deg_")
+    oriented = (
+        und.join(
+            deg.select(F.col("v").alias("a"), F.col("deg").alias("__da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("v").alias("b"), F.col("deg").alias("__db")),
+            "b",
+        )
+        .select(
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | (
+                    (F.col("__da") == F.col("__db"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("__e")
+        )
+        .select(F.col("__e.u").alias("u"), F.col("__e.w").alias("w"))
+    )
+    oriented = materialize(oriented, "lcc_oriented_")
+    w1 = oriented.select(F.col("u"), F.col("w").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("w").alias("y"))
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"]).select(
+        F.col("u").alias("__t1"), F.col("x").alias("__t2"),
+        F.col("y").alias("__t3"),
+    )
+    corners = (
+        tris.select(F.col("__t1").alias("v"))
+        .unionAll(tris.select(F.col("__t2").alias("v")))
+        .unionAll(tris.select(F.col("__t3").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    out = deg.filter(F.col("deg") >= min_degree).join(
+        corners, "v", "left"
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    cc = (F.lit(2.0) * t.cast("double")) / (
+        F.col("deg").cast("double") * (F.col("deg") - 1).cast("double")
+    )
+    return out.select(
+        F.col("v").alias("vertex"),
+        F.col("deg").alias("degree"),
+        t.alias("n_triangles"),
+        cc.alias("clustering_coeff"),
+    )
