@@ -1595,12 +1595,23 @@ def pca_top_component(
     gram_u = partials.groupBy("i", "j").agg(
         F.sum(F.col("s").cast("decimal(38,0)")).alias("g")
     )
+    return power_iteration_top(gram_u, d_probe, n_iter)
+
+
+def power_iteration_top(
+    gram_u: DataFrame, d_probe: int, n_iter: int = 8
+) -> DataFrame:
+    """The deterministic 9dp power-iteration stage shared by the batch
+    gram (``pca_top_component``) and the streaming incremental gram
+    (``streaming/gram_stream.py``): input is the UPPER-TRIANGULAR exact
+    gram (i <= j, DECIMAL(38,0) column ``g``); output is the same
+    (dim_idx, component, eigenvalue_q2) contract."""
     gram = gram_u.unionAll(
         gram_u.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "g"
         )
     )
-    spark = df.sparkSession
+    spark = gram_u.sparkSession
     # materialize the gram ONCE and the 64-row vector each round: the
     # iteration otherwise compounds the un-cut lineage into an
     # exponentially deep plan (measured 78s of pure analysis at
