@@ -63,6 +63,7 @@ def stream_gram_accumulate(
     dim: int = 64,
     trigger_once: bool = True,
     compact_threshold: int = 64,
+    max_files_per_trigger: int | None = None,
 ):
     """Stream embedding rows (JSON with a float-array column); per
     micro-batch, write the batch's exact int64 partial gram as its own
@@ -73,7 +74,10 @@ def stream_gram_accumulate(
         sweep_stale,
     )
 
-    raw = spark.readStream.schema(schema).json(source_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(source_path)
 
     def apply_batch(batch_df, batch_id: int) -> None:
         sweep_stale(spark, gram_path, batch_id)

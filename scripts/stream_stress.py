@@ -1098,6 +1098,73 @@ def run_funnel_family(spark) -> None:
     )
 
 
+def run_gram_family(spark) -> None:
+    """Streaming incremental gram: 24 batches of 1,000 64-dim vectors.
+    Non-idempotent addition under the CMS delta-partition contract —
+    state files must stay compaction-bounded, per-batch time flat, and
+    the final merged gram must have exactly d*(d+1)/2 cells."""
+    import numpy as np
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.gram_stream import (
+        read_stream_gram,
+        stream_gram_accumulate,
+    )
+
+    fam = "gram"
+    src, state, ckpt = _reset(f"{fam}/src", f"{fam}/state", f"{fam}/ckpt")
+    rng = np.random.default_rng(42)
+    dim = 64
+    for b in range(N_BATCHES):
+        mat = rng.normal(size=(1000, dim))
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i, row in enumerate(mat):
+                fh.write(
+                    json.dumps(
+                        {
+                            "vec_id": b * 1000 + i,
+                            "embedding": [float(x) for x in row],
+                        }
+                    )
+                    + "\n"
+                )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    import glob as _glob
+
+    secs = []
+    # one run per file (maxFilesPerTrigger is not honored by foreachBatch
+    # availableNow the same way; drive batch-at-a-time via repeated runs)
+    t_all = time.time()
+    q = stream_gram_accumulate(
+        spark, src, schema, state, ckpt, dim=dim, compact_threshold=8,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    total = time.time() - t_all
+    for p in q.recentProgress:
+        if p["numInputRows"] == 0:
+            continue
+        sec = p["durationMs"].get("triggerExecution", 0) / 1000.0
+        _emit(fam, p["batchId"], sec)
+        secs.append(sec)
+    n_parts = len(
+        [d for d in os.listdir(state) if d.startswith("__batch_id=")]
+    )
+    files, bytes_ = _dir_stats(state)
+    cells = read_stream_gram(spark, state).count()
+    _summary(
+        fam, secs or [total],
+        state_files=files,
+        state_partitions=n_parts,
+        merged_cells=cells,
+        expected_cells=dim * (dim + 1) // 2,
+    )
+
+
 FAMILIES = {
     "pipeline-flat": lambda s: run_pipeline_family(s, partitioned=False),
     "pipeline-part": lambda s: run_pipeline_family(s, partitioned=True),
@@ -1116,6 +1183,7 @@ FAMILIES = {
     "wm-dedup": run_wm_dedup_family,
     "session-agg": run_session_agg_family,
     "funnel": run_funnel_family,
+    "gram": run_gram_family,
 }
 
 
