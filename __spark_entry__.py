@@ -1485,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE69_QUERIES,
         **_WAVE70_QUERIES,
         **_WAVE71_QUERIES,
+        **_WAVE73_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1637,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE69_SQL,
         **_WAVE70_SQL,
         **_WAVE71_SQL,
+        **_WAVE73_SQL,
     }
 
 
@@ -12373,4 +12375,117 @@ _WAVE71_QUERIES = {
 _WAVE71_SQL = {
     "local_clustering_tokens": LOCAL_CLUSTERING_SQL,
     "updown_streaks_revenue": STREAKS_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 73 — exact weighted median + declarative constraint validation
+# --------------------------------------------------------------------------
+
+def weighted_median_price_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted median unit price cents per returnflag
+    (operators/profiling.py weighted_median_by_group): integer-only
+    lower weighted median via 2*cum >= total on the in-group VALUE
+    rollup."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        weighted_median_by_group,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("unit_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_median_by_group(li, "l_returnflag", "unit_cents", "qty")
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(round(CAST(l_extendedprice AS DOUBLE)
+                    / CAST(l_quantity AS DOUBLE) * 100, 0) AS BIGINT)
+           AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem),
+cells AS (
+  SELECT g, v, CAST(SUM(w) AS BIGINT) AS wn FROM base GROUP BY g, v),
+cum AS (
+  SELECT g, v, wn,
+         CAST(SUM(wn) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c
+  FROM cells),
+tot AS (SELECT g, CAST(SUM(wn) AS BIGINT) AS total_weight
+        FROM cells GROUP BY g)
+SELECT cum.g AS l_returnflag, tot.total_weight,
+       CAST(MIN(cum.v) AS BIGINT) AS weighted_median
+FROM cum JOIN tot ON tot.g = cum.g
+WHERE 2 * cum.c >= tot.total_weight
+GROUP BY cum.g, tot.total_weight
+"""
+
+
+def validate_orders_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate over orders (operators/profiling.py
+    validate_constraints): four declarative rules compiled into one
+    conditional-sum aggregation + one exact distinct rollup."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        validate_constraints,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return validate_constraints(
+        orders,
+        [
+            {"column": "o_orderkey", "not_null": True},
+            {"column": "o_totalprice", "min": 0},
+            {"column": "o_totalprice", "max": 1_000_000},
+            {"column": "o_orderstatus", "max_distinct": 3},
+        ],
+    )
+
+
+VALIDATE_SQL = """
+WITH scalars AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v0,
+         CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v1,
+         CAST(SUM(CASE WHEN o_totalprice > 1000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v2,
+         CAST(GREATEST(COUNT(DISTINCT o_orderstatus) - 3, 0)
+              AS BIGINT) AS v3
+  FROM orders)
+SELECT r.rule_idx, r.col AS "column", r.rule, r.threshold,
+       s.n AS n_checked,
+       CASE r.rule_idx WHEN 0 THEN s.v0 WHEN 1 THEN s.v1
+                       WHEN 2 THEN s.v2 ELSE s.v3 END AS n_violations,
+       (CASE r.rule_idx WHEN 0 THEN s.v0 WHEN 1 THEN s.v1
+                        WHEN 2 THEN s.v2 ELSE s.v3 END) = 0 AS ok
+FROM scalars s
+CROSS JOIN (VALUES
+  (CAST(0 AS BIGINT), 'o_orderkey', 'not_null', CAST(NULL AS DOUBLE)),
+  (CAST(1 AS BIGINT), 'o_totalprice', 'min', CAST(0.0 AS DOUBLE)),
+  (CAST(2 AS BIGINT), 'o_totalprice', 'max', CAST(1000000.0 AS DOUBLE)),
+  (CAST(3 AS BIGINT), 'o_orderstatus', 'max_distinct', CAST(3.0 AS DOUBLE))
+) AS r(rule_idx, col, rule, threshold)
+"""
+
+_WAVE73_QUERIES = {
+    "weighted_median_price_by_flag": weighted_median_price_by_flag,
+    "validate_orders_contract": validate_orders_contract,
+}
+_WAVE73_SQL = {
+    "weighted_median_price_by_flag": WEIGHTED_MEDIAN_SQL,
+    "validate_orders_contract": VALIDATE_SQL,
 }

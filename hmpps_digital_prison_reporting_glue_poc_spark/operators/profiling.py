@@ -564,3 +564,140 @@ def concentration_stats(
         (sq_d / (n_d * n_d)).alias("hhi"),
         ((n_d * n_d) / sq_d).alias("effective_categories"),
     )
+
+
+def weighted_median_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per group — the lower weighted median
+    (smallest value whose cumulative weight reaches half the total),
+    computed entirely in integers: per-(group, value) weight rollup,
+    in-group cumulative window over the VALUE rollup (bounded by
+    distinct values, not rows), and the threshold test
+    2*cum >= total avoids the divide-by-two entirely. The weighted
+    sibling of the exact-percentile family (conformal/equifreq order
+    statistics). Returns (group, total_weight, weighted_median).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    v = F.col(value_col).cast("long")
+    w = F.col(weight_col).cast("long")
+    cells = (
+        df.select(g.alias("__g"), v.alias("__v"), w.alias("__w"))
+        .groupBy("__g", "__v")
+        .agg(F.sum("__w").cast("long").alias("__wn"))
+    )
+    win = Window.partitionBy("__g").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.withColumn("__cum", F.sum("__wn").over(win).cast("long"))
+    totals = cells.groupBy("__g").agg(
+        F.sum("__wn").cast("long").alias("total_weight")
+    )
+    hit = (
+        cum.join(F.broadcast(totals), "__g")
+        .filter(F.lit(2) * F.col("__cum") >= F.col("total_weight"))
+        .groupBy("__g", "total_weight")
+        .agg(F.min("__v").alias("weighted_median"))
+    )
+    return hit.select(
+        F.col("__g").alias(group_col), "total_weight", "weighted_median"
+    )
+
+
+def validate_constraints(
+    df: DataFrame,
+    rules: list[dict],
+) -> DataFrame:
+    """Declarative data-contract validation in ONE pass: each rule is a
+    dict with ``column`` and one of ``not_null: True`` / ``min: x`` /
+    ``max: x`` / ``max_distinct: k``, and the report gives per-rule
+    violation counts — the CI gate a pipeline runs before publishing a
+    table (the executable form of the reference's implicit schema
+    contracts; dataset_card_stats describes, this one JUDGES).
+
+    All scalar rules compile to conditional sums in a single
+    aggregation (one job, map-side combined); ``max_distinct`` rules
+    each add one approx-free two-level distinct rollup. Returns one row
+    per rule, in declaration order:
+    (rule_idx, column, rule, threshold, n_checked, n_violations, ok).
+    """
+    aggs = []
+    metas = []
+    distinct_rules = []
+    n_total = F.count(F.lit(1)).cast("long")
+    for idx, r in enumerate(rules):
+        col = r["column"]
+        if r.get("not_null"):
+            metas.append((idx, col, "not_null", None))
+            aggs.append(
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__viol{idx}")
+            )
+        elif "min" in r:
+            metas.append((idx, col, "min", float(r["min"])))
+            aggs.append(
+                F.sum(
+                    F.when(F.col(col) < F.lit(r["min"]), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"__viol{idx}")
+            )
+        elif "max" in r:
+            metas.append((idx, col, "max", float(r["max"])))
+            aggs.append(
+                F.sum(
+                    F.when(F.col(col) > F.lit(r["max"]), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"__viol{idx}")
+            )
+        elif "max_distinct" in r:
+            metas.append((idx, col, "max_distinct", float(r["max_distinct"])))
+            distinct_rules.append((idx, col, int(r["max_distinct"])))
+            aggs.append(F.lit(0).cast("long").alias(f"__viol{idx}"))
+        else:  # pragma: no cover - caller contract
+            raise ValueError(f"unknown rule: {r}")
+    scalars = df.agg(n_total.alias("__n"), *aggs)
+    spark = df.sparkSession
+    rows = scalars.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(i, c, k, t) for i, c, k, t in metas],
+                "rule_idx long, column string, rule string, threshold double",
+            )
+        )
+    )
+    viol = F.lit(None).cast("long")
+    for idx, _, _, _ in metas:
+        viol = F.when(F.col("rule_idx") == idx, F.col(f"__viol{idx}")).otherwise(viol)
+    out = rows.select(
+        "rule_idx",
+        "column",
+        "rule",
+        "threshold",
+        F.col("__n").alias("n_checked"),
+        viol.alias("n_violations"),
+    )
+    # distinct-cardinality rules: exact count-distinct per rule column,
+    # violation = excess distinct values over the threshold
+    for idx, col, k in distinct_rules:
+        d = df.agg(
+            F.countDistinct(F.col(col)).cast("long").alias("__d")
+        ).select(
+            F.greatest(F.col("__d") - F.lit(k), F.lit(0))
+            .cast("long")
+            .alias("__excess")
+        )
+        out = out.crossJoin(F.broadcast(d)).withColumn(
+            "n_violations",
+            F.when(F.col("rule_idx") == idx, F.col("__excess")).otherwise(
+                F.col("n_violations")
+            ),
+        ).drop("__excess")
+    return out.withColumn("ok", F.col("n_violations") == 0)
