@@ -1486,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE70_QUERIES,
         **_WAVE71_QUERIES,
         **_WAVE73_QUERIES,
+        **_WAVE74_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1639,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE70_SQL,
         **_WAVE71_SQL,
         **_WAVE73_SQL,
+        **_WAVE74_SQL,
     }
 
 
@@ -12488,4 +12490,114 @@ _WAVE73_QUERIES = {
 _WAVE73_SQL = {
     "weighted_median_price_by_flag": WEIGHTED_MEDIAN_SQL,
     "validate_orders_contract": VALIDATE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 74 — RFM segmentation + seasonal-naive forecast backtest
+# --------------------------------------------------------------------------
+
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quintile RFM segmentation (operators/behavior.py
+    rfm_scores): per-dimension global ranks via the range-bucket +
+    broadcast-offset idiom (no table-spanning window), closed-form
+    tiles, recency inverted so 555 = best."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import rfm_scores
+
+    return rfm_scores(_events(spark, sf_dir))
+
+
+RFM_SQL = """
+WITH base AS (
+  SELECT user_id AS u,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(round(value * 100, 0) AS BIGINT) AS qv
+  FROM events WHERE event_type = 'purchase'),
+span AS (SELECT MAX(d) AS today FROM base),
+per_user AS (
+  SELECT u,
+         CAST(s.today - MAX(d) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(qv) AS BIGINT) AS monetary_cents
+  FROM base, span s GROUP BY u, s.today),
+ranked AS (
+  SELECT u, recency_days, frequency, monetary_cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY recency_days, u) AS BIGINT)
+           AS rr,
+         CAST(ROW_NUMBER() OVER (ORDER BY frequency, u) AS BIGINT) AS rf,
+         CAST(ROW_NUMBER() OVER (ORDER BY monetary_cents, u) AS BIGINT)
+           AS rm,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM per_user),
+scored AS (
+  SELECT u AS "user", recency_days, frequency, monetary_cents,
+         CAST(5 - (5 * (rr - 1) - (5 * (rr - 1)) % n) / n AS BIGINT)
+           AS r_score,
+         CAST((5 * (rf - 1) - (5 * (rf - 1)) % n) / n + 1 AS BIGINT)
+           AS f_score,
+         CAST((5 * (rm - 1) - (5 * (rm - 1)) % n) / n + 1 AS BIGINT)
+           AS m_score
+  FROM ranked)
+SELECT "user", recency_days, frequency, monetary_cents,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+         AS rfm_segment
+FROM scored
+"""
+
+
+def seasonal_naive_revenue_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive (lag-7) backtest of daily purchase revenue
+    (operators/behavior.py seasonal_naive_backtest): calendar-correct
+    epoch-day join, exact integer error mass, one divide each for
+    MAE/WAPE."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        seasonal_naive_backtest,
+    )
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return seasonal_naive_backtest(daily, "day", "x", season_days=7)
+
+
+SEASONAL_NAIVE_SQL = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1),
+joined AS (
+  SELECT a.x, h.x AS pred
+  FROM daily a JOIN daily h ON h.d = a.d - 7),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+         CAST(SUM(ABS(x - pred)) AS BIGINT) AS total_abs_err,
+         CAST(SUM(ABS(x)) AS BIGINT) AS total_actual
+  FROM joined)
+SELECT n_forecasts, total_abs_err,
+       CAST(total_abs_err AS DOUBLE) / CAST(n_forecasts AS DOUBLE) AS mae,
+       total_actual,
+       CAST(total_abs_err AS DOUBLE) / CAST(total_actual AS DOUBLE) AS wape
+FROM agg
+"""
+
+_WAVE74_QUERIES = {
+    "rfm_user_segments": rfm_user_segments,
+    "seasonal_naive_revenue_backtest": seasonal_naive_revenue_backtest,
+}
+_WAVE74_SQL = {
+    "rfm_user_segments": RFM_SQL,
+    "seasonal_naive_revenue_backtest": SEASONAL_NAIVE_SQL,
 }

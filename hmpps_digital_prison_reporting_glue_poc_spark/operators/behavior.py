@@ -1765,3 +1765,167 @@ def longest_monotone_streaks(
         .alias("longest_down"),
     )
     return n_row.crossJoin(F.broadcast(maxes))
+
+
+def _range_rank(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    bucket_width: int,
+    rank_col: str,
+) -> DataFrame:
+    """Exact global 1-based rank under the total order (value, id)
+    WITHOUT a table-spanning window — the numeric-range variant of
+    corpus.global_sort_rank: range-bucket the value, rank in-bucket in
+    parallel, add the broadcast cumulative bucket offset."""
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    staged = df.withColumn("__rb", b)
+    counts = staged.groupBy("__rb").agg(F.count(F.lit(1)).alias("__bn"))
+    w_off = Window.orderBy("__rb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__rb",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__rb").orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        staged.withColumn("__intra", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__rb")
+        .withColumn(
+            rank_col, (F.col("__intra") + F.col("__off")).cast("long")
+        )
+        .drop("__rb", "__intra", "__off")
+    )
+
+
+def rfm_scores(
+    events: DataFrame,
+    target_type: str = "purchase",
+    n_tiles: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    EXACT quintile scores — the classic marketing-base cut, built on
+    the same scale discipline as ``value_decile_transition``: each
+    dimension's global rank comes from the range-bucket + broadcast-
+    offset idiom (no table-spanning window), and the tile is the
+    closed-form (n_tiles*(r−1)) div n.
+
+    Scores are 1..n_tiles with n_tiles best: frequency/monetary rank
+    ascending (spend more = higher score); recency INVERTS (fewer days
+    since the last purchase = higher score). Ties break on the user id
+    — the unique total order both engines replay. Returns
+    (user, recency_days, frequency, monetary_cents, r_score, f_score,
+    m_score, rfm_segment) with segment = 100r + 10f + m.
+    """
+    qv = (
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv")
+    )
+    base = events.filter(F.col(type_col) == target_type).select(
+        F.col(user_col).alias("user"),
+        F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).alias(
+            "__d"
+        ),
+        qv,
+    )
+    span = base.agg(F.max("__d").alias("__today"))
+    per_user = (
+        base.groupBy("user")
+        .agg(
+            F.max("__d").alias("__last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("__qv").cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(span))
+        .withColumn(
+            "recency_days",
+            (F.col("__today") - F.col("__last")).cast("long"),
+        )
+        .drop("__last", "__today")
+    )
+    ranked = _range_rank(per_user, "recency_days", "user", 4, "__rr")
+    ranked = _range_rank(ranked, "frequency", "user", 4, "__rf")
+    ranked = _range_rank(ranked, "monetary_cents", "user", 5_000, "__rm")
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    scored = ranked.crossJoin(F.broadcast(n))
+
+    def tile(rank_col):
+        return (
+            (
+                F.lit(n_tiles) * (F.col(rank_col) - 1)
+                - (F.lit(n_tiles) * (F.col(rank_col) - 1)) % F.col("__n")
+            )
+            / F.col("__n")
+        ).cast("long")
+
+    r_score = (F.lit(n_tiles) - tile("__rr")).cast("long")
+    f_score = (tile("__rf") + 1).cast("long")
+    m_score = (tile("__rm") + 1).cast("long")
+    return scored.select(
+        "user",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        (r_score * 100 + f_score * 10 + m_score).alias("rfm_segment"),
+    )
+
+
+def seasonal_naive_backtest(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+    season_days: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict every day by the value
+    ``season_days`` earlier and report the exact error mass — the
+    baseline every fancier forecaster must beat, and the honest way to
+    quantify how seasonal a series is (a weekly series has tiny MAE at
+    season 7, huge at 5).
+
+    The forecast join is the epoch-day equi-join of the span-bounded
+    rollup with itself (calendar-correct: a missing day simply yields
+    no forecast); absolute errors are exact integers; MAE and WAPE are
+    ONE divide each. Returns one row
+    (n_forecasts, total_abs_err, mae, total_actual, wape).
+    """
+    d = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
+    x = F.col(value_col).cast("long")
+    base = daily.select(d.alias("__d"), x.alias("__x"))
+    hist = base.select(
+        (F.col("__d") + F.lit(season_days)).alias("__d"),
+        F.col("__x").alias("__pred"),
+    )
+    joined = base.join(hist, "__d")
+    err = F.abs(F.col("__x") - F.col("__pred"))
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+        F.sum(err).cast("long").alias("total_abs_err"),
+        F.sum(F.abs(F.col("__x"))).cast("long").alias("total_actual"),
+    )
+    return agg.select(
+        "n_forecasts",
+        "total_abs_err",
+        (
+            F.col("total_abs_err").cast("double")
+            / F.col("n_forecasts").cast("double")
+        ).alias("mae"),
+        "total_actual",
+        (
+            F.col("total_abs_err").cast("double")
+            / F.col("total_actual").cast("double")
+        ).alias("wape"),
+    )
