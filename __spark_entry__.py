@@ -1487,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE71_QUERIES,
         **_WAVE73_QUERIES,
         **_WAVE74_QUERIES,
+        **_WAVE75_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1641,6 +1642,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE71_SQL,
         **_WAVE73_SQL,
         **_WAVE74_SQL,
+        **_WAVE75_SQL,
     }
 
 
@@ -12600,4 +12602,144 @@ _WAVE74_QUERIES = {
 _WAVE74_SQL = {
     "rfm_user_segments": RFM_SQL,
     "seasonal_naive_revenue_backtest": SEASONAL_NAIVE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 75 — uplift decile terms + calendar-correct daily peaks
+# --------------------------------------------------------------------------
+
+def uplift_deciles_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Qini-style uplift table (operators/evaluation.py
+    uplift_decile_terms): users ranked by total value cents (targeting
+    proxy), treated = clicked, outcome = purchased; exact range-bucket
+    deciles, per-decile incremental-conversion terms."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        uplift_decile_terms,
+    )
+
+    per_user = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "__c"
+            ),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("__p"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("__c").cast("long").alias("__clicks"),
+            F.sum("__p").cast("long").alias("__purchases"),
+            F.sum("__cents").cast("long").alias("score"),
+        )
+    )
+    staged = per_user.select(
+        "score",
+        "user_id",
+        (F.col("__clicks") > 0).alias("treated"),
+        (F.col("__purchases") > 0).alias("purchased"),
+    )
+    return uplift_decile_terms(
+        staged, "score", "treated", "purchased", id_col="user_id"
+    )
+
+
+UPLIFT_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS purchases,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS score
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT score, user_id, clicks > 0 AS t, purchases > 0 AS y,
+         CAST(ROW_NUMBER() OVER (ORDER BY score, user_id) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM per_user),
+tiled AS (
+  SELECT *,
+         CAST((10 * (r - 1) - (10 * (r - 1)) % n) / n AS BIGINT)
+           AS decile
+  FROM ranked),
+per AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+         CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control,
+         CAST(SUM(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_treated,
+         CAST(SUM(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv_control
+  FROM tiled GROUP BY decile)
+SELECT decile, n, n_treated, n_control, conv_treated, conv_control,
+       CASE WHEN n_control > 0
+            THEN CAST(conv_treated AS DOUBLE)
+                 - CAST(conv_control AS DOUBLE)
+                   * (CAST(n_treated AS DOUBLE)
+                      / CAST(n_control AS DOUBLE))
+       END AS uplift_term
+FROM per
+"""
+
+
+def daily_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local maxima of daily purchase revenue (operators/behavior.py
+    daily_peaks): calendar neighbors via epoch-day self-joins, exact
+    integer prominence, gap-adjacent days cannot peak."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import daily_peaks
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return daily_peaks(daily, "day", "x")
+
+
+DAILY_PEAKS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2)
+SELECT a.day, a.x,
+       p.x AS prev_x, n.x AS next_x,
+       (p.x IS NOT NULL AND n.x IS NOT NULL
+        AND a.x > p.x AND a.x > n.x) AS is_peak,
+       CASE WHEN p.x IS NOT NULL AND n.x IS NOT NULL
+             AND a.x > p.x AND a.x > n.x
+            THEN CAST(a.x - GREATEST(p.x, n.x) AS BIGINT)
+       END AS prominence
+FROM daily a
+LEFT JOIN daily p ON p.d = a.d - 1
+LEFT JOIN daily n ON n.d = a.d + 1
+"""
+
+_WAVE75_QUERIES = {
+    "uplift_deciles_click_purchase": uplift_deciles_click_purchase,
+    "daily_revenue_peaks": daily_revenue_peaks,
+}
+_WAVE75_SQL = {
+    "uplift_deciles_click_purchase": UPLIFT_SQL,
+    "daily_revenue_peaks": DAILY_PEAKS_SQL,
 }

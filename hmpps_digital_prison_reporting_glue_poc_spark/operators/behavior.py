@@ -1929,3 +1929,50 @@ def seasonal_naive_backtest(
             / F.col("total_actual").cast("double")
         ).alias("wape"),
     )
+
+
+def daily_peaks(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+) -> DataFrame:
+    """Strict local maxima of a day-grain series with a simple
+    prominence measure (x minus the larger CALENDAR neighbor) — the
+    spike finder next to ``daily_anomaly_robust_z``'s distributional
+    score: a peak is local shape, an anomaly is global scale; a
+    promo-day shows in both, a drifting baseline only in one.
+
+    Calendar-correct: neighbors are day-1/day+1 values from the
+    epoch-day self-joins of the span-bounded rollup, so a value beside
+    a data GAP has no neighbor on that side and cannot be a peak there
+    (peaks need BOTH neighbors present and strictly smaller). All
+    integers; prominence is an exact integer difference. Returns
+    (day, x, prev_x, next_x, is_peak, prominence).
+    """
+    d = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
+    x = F.col(value_col).cast("long")
+    base = daily.select(F.col(day_col), d.alias("__d"), x.alias("__x"))
+    prev = base.select(
+        (F.col("__d") + 1).alias("__d"), F.col("__x").alias("prev_x")
+    )
+    nxt = base.select(
+        (F.col("__d") - 1).alias("__d"), F.col("__x").alias("next_x")
+    )
+    joined = base.join(prev, "__d", "left").join(nxt, "__d", "left")
+    is_peak = (
+        F.col("prev_x").isNotNull()
+        & F.col("next_x").isNotNull()
+        & (F.col("__x") > F.col("prev_x"))
+        & (F.col("__x") > F.col("next_x"))
+    )
+    prominence = F.when(
+        is_peak, F.col("__x") - F.greatest(F.col("prev_x"), F.col("next_x"))
+    ).cast("long")
+    return joined.select(
+        F.col(day_col),
+        F.col("__x").alias(value_col),
+        "prev_x",
+        "next_x",
+        is_peak.alias("is_peak"),
+        prominence.alias("prominence"),
+    )

@@ -1134,3 +1134,95 @@ def brier_decomposition_bins(
         res.alias("resolution_term"),
         unc.alias("uncertainty"),
     )
+
+
+def uplift_decile_terms(
+    df: DataFrame,
+    score_col: str,
+    treated_col,
+    outcome_col,
+    n_tiles: int = 10,
+    id_col: str | None = None,
+    bucket_width: int = 5_000,
+) -> DataFrame:
+    """Uplift (Qini-style) decile table: rank units by a targeting
+    score, and per decile report treated/control conversions and the
+    incremental-conversion term y_t − y_c * n_t/n_c — the evaluation
+    that separates "the model finds converters" (plain lift) from "the
+    model finds people the TREATMENT converts" (uplift), the question
+    ``stratified_ate`` answers globally and this answers per targeting
+    depth.
+
+    Deciles are EXACT: global rank via the range-bucket + broadcast-
+    offset idiom (``behavior._range_rank`` — no table-spanning window)
+    under the unique (score, id) order, tile closed-form. Counts are
+    exact integers; each row spends ONE float tree. Off-support deciles
+    (no controls) surface with NULL terms. Returns
+    (decile, n, n_treated, n_control, conv_treated, conv_control,
+    uplift_term).
+    """
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import _range_rank
+
+    t = (
+        treated_col if not isinstance(treated_col, str) else F.col(treated_col)
+    ).cast("boolean")
+    y = (
+        outcome_col if not isinstance(outcome_col, str) else F.col(outcome_col)
+    ).cast("boolean")
+    rid = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    if id_col is None:
+        raise ValueError(
+            "id_col is required: the decile order must be a unique, "
+            "engine-replayable total order"
+        )
+    staged = df.select(
+        F.col(score_col).cast("long").alias("__score"),
+        rid.alias("__id"),
+        t.alias("__t"),
+        y.alias("__y"),
+    )
+    ranked = _range_rank(staged, "__score", "__id", bucket_width, "__r")
+    n_row = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    tiled = ranked.crossJoin(F.broadcast(n_row)).withColumn(
+        "decile",
+        (
+            (
+                F.lit(n_tiles) * (F.col("__r") - 1)
+                - (F.lit(n_tiles) * (F.col("__r") - 1)) % F.col("__n")
+            )
+            / F.col("__n")
+        ).cast("long"),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_treated"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_control"),
+        F.sum(F.when(F.col("__t") & F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("conv_treated"),
+        F.sum(F.when(~F.col("__t") & F.col("__y"), 1).otherwise(0))
+        .cast("long")
+        .alias("conv_control"),
+    )
+    term = F.when(
+        F.col("n_control") > 0,
+        F.col("conv_treated").cast("double")
+        - F.col("conv_control").cast("double")
+        * (
+            F.col("n_treated").cast("double")
+            / F.col("n_control").cast("double")
+        ),
+    )
+    return per.select(
+        "decile",
+        "n",
+        "n_treated",
+        "n_control",
+        "conv_treated",
+        "conv_control",
+        term.alias("uplift_term"),
+    )
