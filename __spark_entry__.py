@@ -1488,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE73_QUERIES,
         **_WAVE74_QUERIES,
         **_WAVE75_QUERIES,
+        **_WAVE76_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1643,6 +1644,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE73_SQL,
         **_WAVE74_SQL,
         **_WAVE75_SQL,
+        **_WAVE76_SQL,
     }
 
 
@@ -12742,4 +12744,119 @@ _WAVE75_QUERIES = {
 _WAVE75_SQL = {
     "uplift_deciles_click_purchase": UPLIFT_SQL,
     "daily_revenue_peaks": DAILY_PEAKS_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 76 — embedding centroid drift + revenue Lorenz curve
+# --------------------------------------------------------------------------
+
+def centroid_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid cosine between the two label-parity halves of the
+    embeddings table (operators/similarity.py centroid_cosine_drift):
+    cosine of integer SUM vectors — scale-invariance makes the mean
+    divide unnecessary, so the whole statistic is exact to one float
+    expression."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.similarity import (
+        centroid_cosine_drift,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings", spread=False).select(
+        (F.col("label") % 2).cast("long").alias("half"), "embedding"
+    )
+    return centroid_cosine_drift(emb, "half")
+
+
+CENTROID_DRIFT_SQL = """
+WITH q AS (
+  SELECT CAST(label % 2 AS BIGINT) AS g,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+elems AS (
+  SELECT g, d.d, qv[CAST(d.d AS INT) + 1] AS qd
+  FROM q, (SELECT CAST(range AS BIGINT) AS d FROM range(0, 64)) d),
+sums AS (
+  SELECT g, d, SUM(CAST(qd AS HUGEINT)) AS s FROM elems GROUP BY g, d),
+counts AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY g),
+a AS (SELECT d, s AS sa FROM sums WHERE g = 0),
+b AS (SELECT d, s AS sb FROM sums WHERE g = 1),
+joined AS (
+  SELECT COALESCE(a.sa, 0) AS sa, COALESCE(b.sb, 0) AS sb
+  FROM a FULL JOIN b ON b.d = a.d),
+mom AS (
+  SELECT SUM(sa * sb) AS dot, SUM(sa * sa) AS na, SUM(sb * sb) AS nb
+  FROM joined)
+SELECT CAST(0 AS BIGINT) AS group_a, CAST(1 AS BIGINT) AS group_b,
+       (SELECT n FROM counts WHERE g = 0) AS n_a,
+       (SELECT n FROM counts WHERE g = 1) AS n_b,
+       CASE WHEN mom.na > 0 AND mom.nb > 0
+            THEN CAST(mom.dot AS DOUBLE)
+                 / sqrt(CAST(mom.na AS DOUBLE) * CAST(mom.nb AS DOUBLE))
+       END AS centroid_cosine
+FROM mom
+"""
+
+
+def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of user purchase revenue (operators/behavior.py
+    lorenz_deciles): exact range-bucket deciles ascending by spend,
+    integer cumulative mass, one divide per decile row — 'the top
+    decile holds X% of revenue', auditable."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        lorenz_deciles,
+    )
+
+    per_user = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value").cast("double") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return lorenz_deciles(per_user, "user_id", "cents")
+
+
+LORENZ_SQL = """
+WITH per_user AS (
+  SELECT user_id AS u,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS a
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+ranked AS (
+  SELECT u, a,
+         CAST(ROW_NUMBER() OVER (ORDER BY a, u) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         CAST(SUM(a) OVER () AS BIGINT) AS total
+  FROM per_user),
+tiled AS (
+  SELECT *,
+         CAST((10 * (r - 1) - (10 * (r - 1)) % n) / n AS BIGINT) AS decile
+  FROM ranked),
+per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(a) AS BIGINT) AS decile_amount,
+         MAX(total) AS total
+  FROM tiled GROUP BY decile)
+SELECT decile, n_units, decile_amount,
+       CAST(SUM(decile_amount) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_amount,
+       CAST(SUM(decile_amount) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(total AS DOUBLE) AS cum_share
+FROM per
+"""
+
+_WAVE76_QUERIES = {
+    "centroid_drift_labels": centroid_drift_labels,
+    "revenue_lorenz_deciles": revenue_lorenz_deciles,
+}
+_WAVE76_SQL = {
+    "centroid_drift_labels": CENTROID_DRIFT_SQL,
+    "revenue_lorenz_deciles": LORENZ_SQL,
 }

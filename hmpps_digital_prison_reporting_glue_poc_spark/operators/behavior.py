@@ -1976,3 +1976,63 @@ def daily_peaks(
         is_peak.alias("is_peak"),
         prominence.alias("prominence"),
     )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    unit_col: str,
+    amount_col: str,
+    n_tiles: int = 10,
+    bucket_width: int = 5_000,
+) -> DataFrame:
+    """Lorenz curve points over units ranked by amount — "the top
+    decile holds X% of revenue", the inequality curve whose area gap is
+    the Gini (``token_gini_docs`` reports the scalar for tokens; this
+    gives the auditable per-decile CURVE for any unit/amount pair).
+
+    Exact deciles via the range-bucket rank idiom (no table-spanning
+    window) under the unique (amount, unit) ascending order; per-decile
+    integer amount sums; the cumulative share is computed over the
+    n_tiles-row rollup (bounded window) with ONE divide per row.
+    Returns (decile, n_units, decile_amount, cum_amount, cum_share),
+    decile 0 = poorest.
+    """
+    from pyspark.sql import Window
+
+    staged = df.select(
+        F.col(unit_col).alias("__u"),
+        F.col(amount_col).cast("long").alias("__a"),
+    )
+    ranked = _range_rank(staged, "__a", "__u", bucket_width, "__r")
+    n_row = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__a").cast("long").alias("__total"),
+    )
+    tiled = ranked.crossJoin(F.broadcast(n_row)).withColumn(
+        "decile",
+        (
+            (
+                F.lit(n_tiles) * (F.col("__r") - 1)
+                - (F.lit(n_tiles) * (F.col("__r") - 1)) % F.col("__n")
+            )
+            / F.col("__n")
+        ).cast("long"),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("__a").cast("long").alias("decile_amount"),
+        F.max("__total").alias("__total"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.withColumn(
+        "cum_amount", F.sum("decile_amount").over(w).cast("long")
+    ).select(
+        "decile",
+        "n_units",
+        "decile_amount",
+        "cum_amount",
+        (
+            F.col("cum_amount").cast("double")
+            / F.col("__total").cast("double")
+        ).alias("cum_share"),
+    )

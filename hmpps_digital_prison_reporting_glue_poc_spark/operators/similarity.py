@@ -1757,3 +1757,87 @@ def jl_project(
         "y_micro",
         (F.col("y_micro").cast("double") / F.lit(norm)).alias("component"),
     )
+
+
+def centroid_cosine_drift(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine similarity between the centroids of two embedding groups —
+    the one-number drift check between snapshots/splits (a centroid
+    cosine falling from ~1 means the encoder or the corpus moved; the
+    scalar companion to ``pca_top_component``'s directional monitor).
+
+    Exactness via scale-invariance: cosine(mean_a, mean_b) =
+    cosine(sum_a, sum_b), so the mean (a float divide per dimension)
+    is never computed — per-(group, dim) integer SUMS of the
+    micro-quantized coordinates feed exact DECIMAL(38,0) dot/norm
+    accumulations, and ONE float expression (two sqrt, one divide)
+    produces the cosine. Caller contract: exactly two groups (checked).
+    Returns one row (group_a, group_b, n_a, n_b, centroid_cosine);
+    NULL when either centroid is the zero vector.
+    """
+    sums = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.posexplode(
+                F.transform(
+                    F.col(vec_col),
+                    lambda v: F.floor(
+                        v.cast("double") * F.lit(1_000_000.0)
+                    ).cast("long"),
+                )
+            ).alias("__dim", "__q"),
+        )
+        .groupBy("__g", "__dim")
+        .agg(F.sum("__q").cast("decimal(38,0)").alias("__s"))
+    )
+    counts = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    groups = [r["__g"] for r in counts.select("__g").orderBy("__g").collect()]
+    if len(groups) != 2:
+        raise ValueError(f"exactly two groups required, got {groups}")
+    ga, gb = groups
+    a = sums.filter(F.col("__g") == ga).select(
+        "__dim", F.col("__s").alias("__sa")
+    )
+    b = sums.filter(F.col("__g") == gb).select(
+        "__dim", F.col("__s").alias("__sb")
+    )
+    joined = a.join(b, "__dim", "full").select(
+        F.coalesce(F.col("__sa"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__sa"
+        ),
+        F.coalesce(F.col("__sb"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__sb"
+        ),
+    )
+    mom = joined.agg(
+        F.sum(F.col("__sa") * F.col("__sb")).alias("__dot"),
+        F.sum(F.col("__sa") * F.col("__sa")).alias("__na"),
+        F.sum(F.col("__sb") * F.col("__sb")).alias("__nb"),
+    )
+    na = counts.filter(F.col("__g") == ga).select(
+        F.col("__n").alias("n_a")
+    )
+    nb = counts.filter(F.col("__g") == gb).select(
+        F.col("__n").alias("n_b")
+    )
+    cos = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        F.col("__dot").cast("double")
+        / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double")),
+    )
+    return (
+        mom.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.lit(ga).alias("group_a"),
+            F.lit(gb).alias("group_b"),
+            "n_a",
+            "n_b",
+            cos.alias("centroid_cosine"),
+        )
+    )
