@@ -1489,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE74_QUERIES,
         **_WAVE75_QUERIES,
         **_WAVE76_QUERIES,
+        **_WAVE77_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1645,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE74_SQL,
         **_WAVE75_SQL,
         **_WAVE76_SQL,
+        **_WAVE77_SQL,
     }
 
 
@@ -12859,4 +12861,56 @@ _WAVE76_QUERIES = {
 _WAVE76_SQL = {
     "centroid_drift_labels": CENTROID_DRIFT_SQL,
     "revenue_lorenz_deciles": LORENZ_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 77 — seasonally-adjusted robust anomalies (composition)
+# --------------------------------------------------------------------------
+
+def deseasonalized_daily_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekday-adjusted robust daily anomalies (operators/behavior.py
+    deseasonalized_anomalies): center each day by its integer-weekday
+    median, then median/MAD z on the residuals — a spike flags only if
+    anomalous FOR THAT WEEKDAY."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        deseasonalized_anomalies,
+    )
+
+    return deseasonalized_anomalies(_events(spark, sf_dir))
+
+
+DESEASONALIZED_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+              AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2),
+dmed AS (
+  SELECT dow, quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS dow_median
+  FROM daily GROUP BY dow),
+resid AS (
+  SELECT d.day, d.dow, d.n_events, m.dow_median,
+         CAST(d.n_events AS DOUBLE) - m.dow_median AS residual
+  FROM daily d JOIN dmed m ON m.dow = d.dow),
+med AS (SELECT quantile_cont(residual, 0.5) AS mm FROM resid),
+mad AS (
+  SELECT quantile_cont(ABS(r.residual - med.mm), 0.5) AS md
+  FROM resid r, med)
+SELECT r.day, r.dow, r.n_events, r.dow_median, r.residual,
+       CASE WHEN mad.md > 0.0
+            THEN (r.residual - med.mm) / (1.4826 * mad.md)
+       END AS robust_z
+FROM resid r, med, mad
+"""
+
+_WAVE77_QUERIES = {
+    "deseasonalized_daily_anomalies": deseasonalized_daily_anomalies,
+}
+_WAVE77_SQL = {
+    "deseasonalized_daily_anomalies": DESEASONALIZED_SQL,
 }

@@ -2036,3 +2036,61 @@ def lorenz_deciles(
             / F.col("__total").cast("double")
         ).alias("cum_share"),
     )
+
+
+def deseasonalized_anomalies(
+    events: DataFrame,
+    target_type: str = "purchase",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Seasonally-adjusted robust daily anomalies — the composition
+    that fixes ``daily_anomaly_robust_z``'s one blind spot: on a weekly-
+    cyclic series the plain robust z flags every Saturday. Here each
+    day's count is first centered by its WEEKDAY's median (the
+    dow_seasonality axis), and the median/MAD z runs on the residuals —
+    a spike only flags if it is anomalous FOR THAT WEEKDAY.
+
+    Exactness: weekday = (epoch_day + 3) mod 7 pure integer; the
+    per-dow median is an exact interpolated percentile over the
+    span-bounded day rollup sliced 7 ways (each slice metadata-sized);
+    residual median/MAD the same. Returns
+    (day, dow, n_events, dow_median, residual, robust_z); z NULL on a
+    flat residual series.
+    """
+    daily = (
+        events.filter(F.col(type_col) == target_type)
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .withColumn(
+            "dow",
+            (
+                (F.datediff(F.col("day"), F.lit("1970-01-01")) + 3) % 7
+            ).cast("long"),
+        )
+    )
+    dow_med = daily.groupBy("dow").agg(
+        F.percentile(F.col("n_events").cast("double"), F.lit(0.5)).alias(
+            "dow_median"
+        )
+    )
+    resid = daily.join(F.broadcast(dow_med), "dow").withColumn(
+        "residual", F.col("n_events").cast("double") - F.col("dow_median")
+    )
+    med = resid.agg(
+        F.percentile(F.col("residual"), F.lit(0.5)).alias("__med")
+    )
+    dev = resid.crossJoin(F.broadcast(med)).withColumn(
+        "__dev", F.abs(F.col("residual") - F.col("__med"))
+    )
+    mad = dev.agg(F.percentile(F.col("__dev"), F.lit(0.5)).alias("__mad"))
+    scored = dev.crossJoin(F.broadcast(mad))
+    z = F.when(
+        F.col("__mad") > 0.0,
+        (F.col("residual") - F.col("__med"))
+        / (F.lit(1.4826) * F.col("__mad")),
+    )
+    return scored.select(
+        "day", "dow", "n_events", "dow_median", "residual",
+        z.alias("robust_z"),
+    )
