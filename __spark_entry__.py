@@ -1490,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE75_QUERIES,
         **_WAVE76_QUERIES,
         **_WAVE77_QUERIES,
+        **_WAVE78_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1647,6 +1648,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE75_SQL,
         **_WAVE76_SQL,
         **_WAVE77_SQL,
+        **_WAVE78_SQL,
     }
 
 
@@ -12913,4 +12915,183 @@ _WAVE77_QUERIES = {
 }
 _WAVE77_SQL = {
     "deseasonalized_daily_anomalies": DESEASONALIZED_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 78 — difference-in-differences + information-gain terms
+# --------------------------------------------------------------------------
+
+def did_click_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiD of first-half clicking on per-user-period purchase cents
+    (operators/evaluation.py diff_in_diff): treated = users who clicked
+    in the FIRST half of the span; periods = span halves; outcome =
+    the user's purchase cents in each period. Cancels both the clicker
+    fixed effect and the common time trend."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import diff_in_diff
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.datediff(F.to_date(F.col("ts")), F.lit("1970-01-01")).alias("__d"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value").cast("double") * 100, 0).cast("long"),
+        )
+        .otherwise(0)
+        .alias("__cents"),
+    )
+    span = ev.agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+    mid = ((F.col("__lo") + F.col("__hi") + F.lit(1)) / 2).cast("long")
+    staged = ev.crossJoin(F.broadcast(span)).withColumn(
+        "__after", F.col("__d") >= mid
+    )
+    treated = (
+        staged.filter(
+            (F.col("event_type") == "click") & ~F.col("__after")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("__treated", F.lit(True))
+    )
+    per_up = (
+        staged.groupBy("user_id", "__after")
+        .agg(F.sum("__cents").cast("long").alias("cents"))
+        .join(F.broadcast(treated), "user_id", "left")
+        .withColumn("__treated", F.coalesce(F.col("__treated"), F.lit(False)))
+    )
+    return diff_in_diff(per_up, "__treated", "__after", "cents")
+
+
+DID_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END
+           AS cents
+  FROM events),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+staged AS (
+  SELECT user_id, event_type, cents,
+         d >= (SELECT (lo + hi + 1) // 2 FROM span) AS a
+  FROM ev),
+treated AS (
+  SELECT DISTINCT user_id FROM staged
+  WHERE event_type = 'click' AND NOT a),
+per_up AS (
+  SELECT s.user_id, s.a,
+         CAST(SUM(s.cents) AS BIGINT) AS cents,
+         t.user_id IS NOT NULL AS t
+  FROM staged s LEFT JOIN treated t ON t.user_id = s.user_id
+  GROUP BY s.user_id, s.a, t.user_id IS NOT NULL),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN t AND NOT a THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_treat_before,
+    CAST(SUM(CASE WHEN t AND a THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_treat_after,
+    CAST(SUM(CASE WHEN NOT t AND NOT a THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_ctrl_before,
+    CAST(SUM(CASE WHEN NOT t AND a THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_ctrl_after,
+    CAST(COALESCE(SUM(CASE WHEN t AND NOT a THEN cents END), 0)
+         AS BIGINT) AS s_tb,
+    CAST(COALESCE(SUM(CASE WHEN t AND a THEN cents END), 0)
+         AS BIGINT) AS s_ta,
+    CAST(COALESCE(SUM(CASE WHEN NOT t AND NOT a THEN cents END), 0)
+         AS BIGINT) AS s_cb,
+    CAST(COALESCE(SUM(CASE WHEN NOT t AND a THEN cents END), 0)
+         AS BIGINT) AS s_ca
+  FROM per_up)
+SELECT n_treat_before, n_treat_after, n_ctrl_before, n_ctrl_after,
+       CASE WHEN n_treat_before > 0
+            THEN CAST(s_tb AS DOUBLE) / CAST(n_treat_before AS DOUBLE)
+       END AS mean_treat_before,
+       CASE WHEN n_treat_after > 0
+            THEN CAST(s_ta AS DOUBLE) / CAST(n_treat_after AS DOUBLE)
+       END AS mean_treat_after,
+       CASE WHEN n_ctrl_before > 0
+            THEN CAST(s_cb AS DOUBLE) / CAST(n_ctrl_before AS DOUBLE)
+       END AS mean_ctrl_before,
+       CASE WHEN n_ctrl_after > 0
+            THEN CAST(s_ca AS DOUBLE) / CAST(n_ctrl_after AS DOUBLE)
+       END AS mean_ctrl_after,
+       ((CASE WHEN n_treat_after > 0
+              THEN CAST(s_ta AS DOUBLE) / CAST(n_treat_after AS DOUBLE) END)
+        - (CASE WHEN n_treat_before > 0
+                THEN CAST(s_tb AS DOUBLE) / CAST(n_treat_before AS DOUBLE) END))
+       - ((CASE WHEN n_ctrl_after > 0
+                THEN CAST(s_ca AS DOUBLE) / CAST(n_ctrl_after AS DOUBLE) END)
+          - (CASE WHEN n_ctrl_before > 0
+                  THEN CAST(s_cb AS DOUBLE) / CAST(n_ctrl_before AS DOUBLE) END))
+         AS did
+FROM agg
+"""
+
+
+def info_gain_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of event_type about the high-value label
+    (operators/evaluation.py info_gain_terms): per-category weighted
+    conditional-entropy terms with the 6dp log2 convention; consumer's
+    IG = h_y − sum(terms)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        info_gain_terms,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("value") > 50.0).alias("high_value"),
+    )
+    return info_gain_terms(ev, "event_type", "high_value")
+
+
+INFO_GAIN_SQL = """
+WITH cells AS (
+  SELECT event_type AS x,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos
+  FROM events GROUP BY event_type),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(n_pos) AS BIGINT) AS yy
+  FROM cells)
+SELECT c.x AS feature_value, c.n, c.n_pos,
+       round(
+         (CAST(c.n AS DOUBLE) / CAST(t.nn AS DOUBLE))
+         * (
+           (CASE WHEN c.n_pos > 0
+                 THEN round(-(CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE))
+                       * ln(CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE))
+                       / ln(2.0), 6)
+                 ELSE 0.0 END)
+           + (CASE WHEN c.n - c.n_pos > 0
+                   THEN round(-(CAST(c.n - c.n_pos AS DOUBLE)
+                                / CAST(c.n AS DOUBLE))
+                         * ln(CAST(c.n - c.n_pos AS DOUBLE)
+                              / CAST(c.n AS DOUBLE)) / ln(2.0), 6)
+                   ELSE 0.0 END)
+         ), 6) AS cond_entropy_term,
+       (CASE WHEN t.yy > 0
+             THEN round(-(CAST(t.yy AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                   * ln(CAST(t.yy AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                   / ln(2.0), 6)
+             ELSE 0.0 END)
+       + (CASE WHEN t.nn - t.yy > 0
+               THEN round(-(CAST(t.nn - t.yy AS DOUBLE)
+                            / CAST(t.nn AS DOUBLE))
+                     * ln(CAST(t.nn - t.yy AS DOUBLE)
+                          / CAST(t.nn AS DOUBLE)) / ln(2.0), 6)
+               ELSE 0.0 END) AS h_y
+FROM cells c, tot t
+"""
+
+_WAVE78_QUERIES = {
+    "did_click_revenue": did_click_revenue,
+    "info_gain_event_type": info_gain_event_type,
+}
+_WAVE78_SQL = {
+    "did_click_revenue": DID_SQL,
+    "info_gain_event_type": INFO_GAIN_SQL,
 }

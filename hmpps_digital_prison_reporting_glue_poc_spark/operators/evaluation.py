@@ -1226,3 +1226,130 @@ def uplift_decile_terms(
         "conv_control",
         term.alias("uplift_term"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col,
+    period_col,
+    outcome_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator — the 2x2 causal workhorse
+    when treatment lands at a known time: DiD = (T_after − T_before) −
+    (C_after − C_before), which cancels both the group's fixed gap and
+    the common time trend (``stratified_ate`` controls composition;
+    this controls TIME).
+
+    One conditional-sum aggregation builds all four cells (exact
+    integer outcome sums + counts); the four means and the DiD are one
+    fixed float tree. Returns one row with the four cell means, their
+    counts, and ``did``; NULL if any cell is empty (no basis for the
+    parallel-trends subtraction).
+    """
+    g = (
+        group_col if not isinstance(group_col, str) else F.col(group_col)
+    ).cast("boolean")
+    p = (
+        period_col if not isinstance(period_col, str) else F.col(period_col)
+    ).cast("boolean")
+    y = F.col(outcome_col).cast("long")
+    staged = df.select(g.alias("__t"), p.alias("__a"), y.alias("__y"))
+
+    def cell(t, a, what):
+        cond = (F.col("__t") == t) & (F.col("__a") == a)
+        if what == "n":
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("__y"))), F.lit(0)
+        ).cast("long")
+
+    agg = staged.agg(
+        cell(True, False, "n").alias("n_treat_before"),
+        cell(True, True, "n").alias("n_treat_after"),
+        cell(False, False, "n").alias("n_ctrl_before"),
+        cell(False, True, "n").alias("n_ctrl_after"),
+        cell(True, False, "s").alias("__s_tb"),
+        cell(True, True, "s").alias("__s_ta"),
+        cell(False, False, "s").alias("__s_cb"),
+        cell(False, True, "s").alias("__s_ca"),
+    )
+
+    def mean(s, n):
+        return F.when(
+            F.col(n) > 0, F.col(s).cast("double") / F.col(n).cast("double")
+        )
+
+    m_tb = mean("__s_tb", "n_treat_before")
+    m_ta = mean("__s_ta", "n_treat_after")
+    m_cb = mean("__s_cb", "n_ctrl_before")
+    m_ca = mean("__s_ca", "n_ctrl_after")
+    return agg.select(
+        "n_treat_before",
+        "n_treat_after",
+        "n_ctrl_before",
+        "n_ctrl_after",
+        m_tb.alias("mean_treat_before"),
+        m_ta.alias("mean_treat_after"),
+        m_cb.alias("mean_ctrl_before"),
+        m_ca.alias("mean_ctrl_after"),
+        ((m_ta - m_tb) - (m_ca - m_cb)).alias("did"),
+    )
+
+
+def info_gain_terms(
+    df: DataFrame,
+    feature_col: str,
+    label_col,
+) -> DataFrame:
+    """Information gain of a BOUNDED-cardinality categorical feature
+    about a boolean label, as per-category terms — the entropy-based
+    feature screen next to ``chi2_feature_label`` (chi2 measures
+    dependence strength; IG measures it in bits, comparable across
+    features with different cardinalities).
+
+    IG = H(Y) − sum_x p(x) H(Y|x). Each output row carries its
+    category's weighted conditional-entropy term −p(x)·sum_y p(y|x)·
+    log2(p(y|x)) plus the (repeated) corpus H(Y), both built from exact
+    integer cell counts with the psi_bands 6dp log convention — the
+    consumer's IG = h_y − sum(cond_entropy_term) over the tiny table.
+    Returns (feature_value, n, n_pos, cond_entropy_term, h_y).
+    """
+    lbl = (
+        label_col if not isinstance(label_col, str) else F.col(label_col)
+    ).cast("boolean")
+    cells = (
+        df.select(F.col(feature_col).alias("__x"), lbl.alias("__y"))
+        .groupBy("__x")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("__y"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+        )
+    )
+    totals = cells.agg(
+        F.sum("n").cast("long").alias("__nn"),
+        F.sum("n_pos").cast("long").alias("__yy"),
+    )
+    staged = cells.crossJoin(F.broadcast(totals))
+    ln2 = F.log(F.lit(2.0))
+
+    def plogp(num, den):
+        # −(num/den)·log2(num/den), rounded to 6dp; 0 when num == 0
+        p = num.cast("double") / den.cast("double")
+        return F.when(
+            num > 0, F.round(-p * F.log(p) / ln2, 6)
+        ).otherwise(F.lit(0.0))
+
+    n_neg = F.col("n") - F.col("n_pos")
+    h_cond = plogp(F.col("n_pos"), F.col("n")) + plogp(n_neg, F.col("n"))
+    w = F.col("n").cast("double") / F.col("__nn").cast("double")
+    yy_neg = F.col("__nn") - F.col("__yy")
+    h_y = plogp(F.col("__yy"), F.col("__nn")) + plogp(yy_neg, F.col("__nn"))
+    return staged.select(
+        F.col("__x").alias("feature_value"),
+        "n",
+        "n_pos",
+        F.round(w * h_cond, 6).alias("cond_entropy_term"),
+        h_y.alias("h_y"),
+    )
