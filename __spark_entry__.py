@@ -1491,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE76_QUERIES,
         **_WAVE77_QUERIES,
         **_WAVE78_QUERIES,
+        **_WAVE79_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1649,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE76_SQL,
         **_WAVE77_SQL,
         **_WAVE78_SQL,
+        **_WAVE79_SQL,
     }
 
 
@@ -13094,4 +13096,103 @@ _WAVE78_QUERIES = {
 _WAVE78_SQL = {
     "did_click_revenue": DID_SQL,
     "info_gain_event_type": INFO_GAIN_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 79 — overdispersion diagnostics + source profile cosine matrix
+# --------------------------------------------------------------------------
+
+def overdispersion_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type overdispersion of per-user event counts
+    (operators/profiling.py overdispersion_by_group): exact integer
+    moments, dispersion index and MoM negative-binomial alpha in fixed
+    float trees — the Poisson-assumption gate."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        overdispersion_by_group,
+    )
+
+    per_user_type = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return overdispersion_by_group(per_user_type, "event_type", "n_events")
+
+
+OVERDISPERSION_SQL = """
+WITH per AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, user_id),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS q
+  FROM per GROUP BY event_type)
+SELECT event_type, n,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       CASE WHEN n > 1
+            THEN CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+       END AS variance,
+       CASE WHEN n > 1 AND s > 0
+            THEN (CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       END AS dispersion_index,
+       CASE WHEN n > 1 AND s > 0
+            THEN ((CAST(n * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                  - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+       END AS nb_alpha
+FROM mom
+"""
+
+
+def source_profile_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise token-profile cosines between sources
+    (operators/textstats.py source_profile_cosine): exact integer
+    dot/norms over token-keyed joins, one float per pair — do sources
+    use words at the same rates?"""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.textstats import (
+        source_profile_cosine,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return source_profile_cosine(docs, "source", "text")
+
+
+PROFILE_COSINE_SQL = """
+WITH cells AS (
+  SELECT source AS g, t.t AS tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents,
+       UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS t(t)
+  GROUP BY source, t.t),
+norms AS (
+  SELECT g, SUM(CAST(c AS HUGEINT) * c) AS n2 FROM cells GROUP BY g),
+dots AS (
+  SELECT a.g AS ga, b.g AS gb,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_tokens,
+         SUM(CAST(a.c AS HUGEINT) * b.c) AS dot
+  FROM cells a JOIN cells b ON b.tok = a.tok AND a.g < b.g
+  GROUP BY a.g, b.g)
+SELECT d.ga AS group_a, d.gb AS group_b, d.n_shared_tokens,
+       CAST(d.dot AS DOUBLE)
+         / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+FROM dots d
+JOIN norms na ON na.g = d.ga
+JOIN norms nb ON nb.g = d.gb
+"""
+
+_WAVE79_QUERIES = {
+    "overdispersion_user_events": overdispersion_user_events,
+    "source_profile_cosine_docs": source_profile_cosine_docs,
+}
+_WAVE79_SQL = {
+    "overdispersion_user_events": OVERDISPERSION_SQL,
+    "source_profile_cosine_docs": PROFILE_COSINE_SQL,
 }

@@ -701,3 +701,53 @@ def validate_constraints(
             ),
         ).drop("__excess")
     return out.withColumn("ok", F.col("n_violations") == 0)
+
+
+def overdispersion_by_group(
+    df: DataFrame,
+    group_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Count-model overdispersion diagnostics per group — is the count
+    column Poisson-like (dispersion ~ 1) or clumped (negative-binomial
+    territory)? The modeling-assumption gate before anyone fits a rate
+    model on per-user event counts.
+
+    Exact moments: n, S = sum x, Q = sum x^2 as integers/DECIMAL; the
+    unbiased sample variance's numerator n*Q − S^2 is exact, and the
+    three reported statistics — mean, dispersion index var/mean, and
+    the method-of-moments NB alpha = (var − mean)/mean^2 — are fixed
+    float trees. Returns (group, n, mean, variance, dispersion_index,
+    nb_alpha); NULLs where undefined (n < 2 or mean == 0).
+    """
+    g = F.col(group_col)
+    x = F.col(count_col).cast("long")
+    per = df.select(g.alias("__g"), x.alias("__x")).groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("__s"),
+        F.sum(F.col("__x").cast("decimal(38,0)") * F.col("__x")).alias(
+            "__q"
+        ),
+    )
+    n_d = F.col("n").cast("double")
+    mean = F.col("__s").cast("double") / n_d
+    var_num = (
+        F.col("n").cast("decimal(38,0)") * F.col("__q")
+        - F.col("__s").cast("decimal(38,0)") * F.col("__s")
+    ).cast("double")
+    variance = F.when(
+        F.col("n") > 1, var_num / (n_d * (n_d - F.lit(1.0)))
+    )
+    disp = F.when((F.col("n") > 1) & (F.col("__s") > 0), variance / mean)
+    alpha = F.when(
+        (F.col("n") > 1) & (F.col("__s") > 0),
+        (variance - mean) / (mean * mean),
+    )
+    return per.select(
+        F.col("__g").alias(group_col),
+        "n",
+        mean.alias("mean"),
+        variance.alias("variance"),
+        disp.alias("dispersion_index"),
+        alpha.alias("nb_alpha"),
+    )

@@ -802,3 +802,68 @@ def flesch_reading_scores(
         "n_syllable_groups",
         flesch.alias("flesch"),
     )
+
+
+def source_profile_cosine(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Pairwise cosine similarity between groups' token-count profiles
+    — "does source A write like source B?", the lexical-distribution
+    complement of the vocabulary-OVERLAP matrix (overlap asks which
+    words are shared; this asks whether they are used at the same
+    RATES).
+
+    Exact integer machinery end-to-end: per-(group, token) counts, the
+    dot product sum(c_a * c_b) over the token equi-join of the two
+    profiles, the norms sum(c^2) per group — all DECIMAL(38,0); one
+    float expression per pair. The pair space is groups^2 (bounded —
+    caller contract), the join is token-keyed, never a cartesian of
+    rows. Returns one row per unordered pair (group_a < group_b):
+    (group_a, group_b, n_shared_tokens, cosine).
+    """
+    from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+
+    cells = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(F.col(text_col))).alias("__t"),
+        )
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    norms = cells.groupBy("__g").agg(
+        F.sum(F.col("__c").cast("decimal(38,0)") * F.col("__c")).alias(
+            "__n2"
+        )
+    )
+    a = cells.select(
+        F.col("__g").alias("__ga"), "__t", F.col("__c").alias("__ca")
+    )
+    b = cells.select(
+        F.col("__g").alias("__gb"), "__t", F.col("__c").alias("__cb")
+    )
+    dots = (
+        a.join(b, "__t")
+        .filter(F.col("__ga") < F.col("__gb"))
+        .groupBy("__ga", "__gb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_tokens"),
+            F.sum(
+                F.col("__ca").cast("decimal(38,0)") * F.col("__cb")
+            ).alias("__dot"),
+        )
+    )
+    na = norms.select(F.col("__g").alias("__ga"), F.col("__n2").alias("__na"))
+    nb = norms.select(F.col("__g").alias("__gb"), F.col("__n2").alias("__nb"))
+    out = dots.join(F.broadcast(na), "__ga").join(F.broadcast(nb), "__gb")
+    cos = F.col("__dot").cast("double") / F.sqrt(
+        F.col("__na").cast("double") * F.col("__nb").cast("double")
+    )
+    return out.select(
+        F.col("__ga").alias("group_a"),
+        F.col("__gb").alias("group_b"),
+        "n_shared_tokens",
+        cos.alias("cosine"),
+    )
