@@ -1492,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE77_QUERIES,
         **_WAVE78_QUERIES,
         **_WAVE79_QUERIES,
+        **_WAVE80_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1651,6 +1652,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE77_SQL,
         **_WAVE78_SQL,
         **_WAVE79_SQL,
+        **_WAVE80_SQL,
     }
 
 
@@ -13195,4 +13197,110 @@ _WAVE79_QUERIES = {
 _WAVE79_SQL = {
     "overdispersion_user_events": OVERDISPERSION_SQL,
     "source_profile_cosine_docs": PROFILE_COSINE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 80 — file-level scan audit + rank-dependence (copula) grid
+# --------------------------------------------------------------------------
+
+def file_row_audit_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file row counts across the three biggest test tables
+    (operators/profiling.py file_row_audit, via input_file_name): the
+    small-file/skew detector, driver-checked against parquet footers."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        file_row_audit,
+    )
+
+    frames = [
+        file_row_audit(
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").select(F.lit(1))
+        )
+        for t in ("lineitem", "orders", "documents")
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+FILE_AUDIT_SQL = """
+SELECT 'lineitem.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem
+UNION ALL
+SELECT 'orders.parquet', CAST(COUNT(*) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'documents.parquet', CAST(COUNT(*) AS BIGINT) FROM documents
+"""
+
+
+def rank_dependence_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-copula quintile grid between quantity and extended
+    price (operators/profiling.py rank_quintile_dependence): exact
+    range-bucket rank tiles on both axes, grid-completed cells with
+    observed/expected ratios — WHERE the qty-price dependence lives."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        rank_quintile_dependence,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice").cast("double") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+    )
+    return rank_quintile_dependence(
+        li, "qty", "price_cents", "rid", n_tiles=5
+    )
+
+
+RANK_DEP_SQL = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+         CAST(l_orderkey AS VARCHAR) || '|'
+           || CAST(l_linenumber AS VARCHAR) AS rid
+  FROM lineitem),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY x, rid) AS BIGINT) AS rx,
+         CAST(ROW_NUMBER() OVER (ORDER BY y, rid) AS BIGINT) AS ry,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM base),
+tiled AS (
+  SELECT CAST((5 * (rx - 1) - (5 * (rx - 1)) % n) / n AS BIGINT)
+           AS x_tile,
+         CAST((5 * (ry - 1) - (5 * (ry - 1)) % n) / n AS BIGINT)
+           AS y_tile
+  FROM ranked),
+cells AS (
+  SELECT x_tile, y_tile, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM tiled GROUP BY x_tile, y_tile),
+mx AS (SELECT x_tile, CAST(SUM(observed) AS BIGINT) AS nx
+       FROM cells GROUP BY x_tile),
+my AS (SELECT y_tile, CAST(SUM(observed) AS BIGINT) AS ny
+       FROM cells GROUP BY y_tile),
+tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS nn FROM cells)
+SELECT mx.x_tile, my.y_tile,
+       CAST(COALESCE(c.observed, 0) AS BIGINT) AS observed,
+       CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE)
+         / CAST(tot.nn AS DOUBLE) AS expected,
+       CAST(COALESCE(c.observed, 0) AS DOUBLE)
+         / (CAST(mx.nx AS DOUBLE) * CAST(my.ny AS DOUBLE)
+            / CAST(tot.nn AS DOUBLE)) AS ratio
+FROM mx CROSS JOIN my CROSS JOIN tot
+LEFT JOIN cells c ON c.x_tile = mx.x_tile AND c.y_tile = my.y_tile
+"""
+
+_WAVE80_QUERIES = {
+    "file_row_audit_tables": file_row_audit_tables,
+    "rank_dependence_qty_price": rank_dependence_qty_price,
+}
+_WAVE80_SQL = {
+    "file_row_audit_tables": FILE_AUDIT_SQL,
+    "rank_dependence_qty_price": RANK_DEP_SQL,
 }

@@ -751,3 +751,93 @@ def overdispersion_by_group(
         disp.alias("dispersion_index"),
         alpha.alias("nb_alpha"),
     )
+
+
+def file_row_audit(df: DataFrame) -> DataFrame:
+    """Per-FILE row counts of whatever a DataFrame scans — the
+    small-file / skewed-file detector behind `maintenance.compact_
+    small_files`' decisions, via Spark's ``input_file_name`` (one
+    metadata column, no extra scan). At 100 TB this is the first
+    question about any slow table: is the row mass spread over files
+    evenly enough for the scheduler to parallelize? Returns one row per
+    file basename: (file_name, n_rows).
+    """
+    return (
+        df.withColumn(
+            "file_name",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
+def rank_quintile_dependence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    n_tiles: int = 5,
+    bucket_width: int = 1_000,
+) -> DataFrame:
+    """Empirical-copula dependence grid: quintile BOTH columns by exact
+    rank, and report each (x_tile, y_tile) cell's observed count
+    against the independence expectation — the distribution-free
+    dependence HEATMAP behind the scalar rank correlations (Spearman
+    says 0.4; this shows WHERE the dependence lives — tails, middle,
+    one corner).
+
+    Exact machinery throughout: per-dimension global ranks via the
+    range-bucket + broadcast-offset idiom under the unique (value, id)
+    order; closed-form tiles; the grid COMPLETED from the two marginal
+    tile rollups (zero-observed cells still report, the
+    contingency_chi2 argument); expected = n_x*n_y/n and the
+    observed/expected ratio are one float tree per cell. Returns
+    (x_tile, y_tile, observed, expected, ratio).
+    """
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import _range_rank
+
+    staged = df.select(
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+        F.col(id_col).alias("__id"),
+    )
+    ranked = _range_rank(staged, "__x", "__id", bucket_width, "__rx")
+    ranked = _range_rank(ranked, "__y", "__id", bucket_width, "__ry")
+    n_row = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    tiled = ranked.crossJoin(F.broadcast(n_row))
+
+    def tile(rank_col):
+        return (
+            (
+                F.lit(n_tiles) * (F.col(rank_col) - 1)
+                - (F.lit(n_tiles) * (F.col(rank_col) - 1)) % F.col("__n")
+            )
+            / F.col("__n")
+        ).cast("long")
+
+    tiled = tiled.select(
+        tile("__rx").alias("x_tile"), tile("__ry").alias("y_tile")
+    )
+    cells = tiled.groupBy("x_tile", "y_tile").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    mx = cells.groupBy("x_tile").agg(F.sum("observed").cast("long").alias("__nx"))
+    my = cells.groupBy("y_tile").agg(F.sum("observed").cast("long").alias("__ny"))
+    total = cells.agg(F.sum("observed").cast("long").alias("__nn"))
+    grid = (
+        mx.crossJoin(F.broadcast(my))
+        .crossJoin(F.broadcast(total))
+        .join(F.broadcast(cells), ["x_tile", "y_tile"], "left")
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0)))
+    )
+    expected = (
+        F.col("__nx").cast("double") * F.col("__ny").cast("double")
+    ) / F.col("__nn").cast("double")
+    return grid.select(
+        "x_tile",
+        "y_tile",
+        "observed",
+        expected.alias("expected"),
+        (F.col("observed").cast("double") / expected).alias("ratio"),
+    )
