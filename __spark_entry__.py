@@ -13255,7 +13255,9 @@ def rank_dependence_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rid"),
     )
     return rank_quintile_dependence(
-        li, "qty", "price_cents", "rid", n_tiles=5
+        li, "qty", "price_cents", "rid", n_tiles=5,
+        x_bucket_width=4,        # qty domain is 1..50: ~13 buckets
+        y_bucket_width=500_000,  # price cents up to ~1e7: ~20 buckets
     )
 
 
