@@ -1493,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE78_QUERIES,
         **_WAVE79_QUERIES,
         **_WAVE80_QUERIES,
+        **_WAVE81_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1653,6 +1654,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE78_SQL,
         **_WAVE79_SQL,
         **_WAVE80_SQL,
+        **_WAVE81_SQL,
     }
 
 
@@ -13305,4 +13307,167 @@ _WAVE80_QUERIES = {
 _WAVE80_SQL = {
     "file_row_audit_tables": FILE_AUDIT_SQL,
     "rank_dependence_qty_price": RANK_DEP_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 81 — composed per-user health mart (one scan, four families)
+# --------------------------------------------------------------------------
+
+def user_health_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-user mart — the behavioral-family counterpart of
+    corpus_pipeline_e2e: ONE materialized event rollup feeds four
+    operator families (30-min session islands, strict-order funnel
+    completion, RFM quintiles via rfm_scores, lifetime cents) into a
+    single user-grain table. Composition is where re-shuffle blowup
+    hides; every branch here re-keys on the SAME user column."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import rfm_scores
+
+    ev = _mat(
+        _events(spark, sf_dir).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.unix_micros(F.col("ts")).alias("__us"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value").cast("double") * 100, 0).cast(
+                    "long"
+                ),
+            )
+            .otherwise(0)
+            .alias("__cents"),
+        ),
+        "health_base",
+    )
+    # sessions: 30-min gap islands per user
+    w = Window.partitionBy("user_id").orderBy("__us", "event_id")
+    gap = F.col("__us") - F.lag("__us", 1).over(w)
+    flag = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sessions = (
+        ev.withColumn("__f", flag)
+        .groupBy("user_id")
+        .agg(
+            F.sum("__f").cast("long").alias("n_sessions"),
+            F.sum("__cents").cast("long").alias("lifetime_cents"),
+        )
+    )
+    # strict-order funnel completion (earliest-anchor min-chain)
+    wu = Window.partitionBy("user_id")
+    t0 = F.min(
+        F.when(F.col("event_type") == "view", F.col("__us"))
+    ).over(wu)
+    funnel = ev.withColumn("__t0", t0)
+    t1 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("__us") > F.col("__t0")),
+            F.col("__us"),
+        )
+    ).over(wu)
+    funnel = funnel.withColumn("__t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("__us") > F.col("__t1")),
+            F.col("__us"),
+        )
+    ).over(wu)
+    completed = (
+        funnel.withColumn("__t2", t2)
+        .groupBy("user_id")
+        .agg(F.max(F.col("__t2").isNotNull()).alias("completed_funnel"))
+    )
+    # RFM over the SAME materialized base (purchase rows only, inside)
+    rfm = rfm_scores(
+        ev.select("user_id", "event_type", "ts", F.col("__cents").alias("value")),
+        scale=1,  # cents already integer
+    ).select(F.col("user").alias("user_id"), "rfm_segment")
+    out = (
+        sessions.join(completed, "user_id")
+        .join(rfm, "user_id", "left")
+    )
+    return out.select(
+        "user_id",
+        "n_sessions",
+        "lifetime_cents",
+        "completed_funnel",
+        F.col("rfm_segment").cast("long").alias("rfm_segment"),
+    )
+
+
+USER_HEALTH_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END
+           AS cents
+  FROM events),
+flags AS (
+  SELECT user_id, cents,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) IS NULL
+               OR us - lag(us) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS f
+  FROM ev),
+sessions AS (
+  SELECT user_id, CAST(SUM(f) AS BIGINT) AS n_sessions,
+         CAST(SUM(cents) AS BIGINT) AS lifetime_cents
+  FROM flags GROUP BY user_id),
+t0 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN us END) AS v
+  FROM ev GROUP BY user_id),
+t1 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'click' AND e.us > t0.v
+                  THEN e.us END) AS c
+  FROM ev e JOIN t0 ON t0.user_id = e.user_id GROUP BY e.user_id),
+t2 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.us > t1.c
+                  THEN e.us END) AS p
+  FROM ev e JOIN t1 ON t1.user_id = e.user_id GROUP BY e.user_id),
+completed AS (
+  SELECT t2.user_id, t2.p IS NOT NULL AS completed_funnel FROM t2),
+base AS (
+  SELECT user_id AS u,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(round(CAST(cents AS DOUBLE) * 1, 0) AS BIGINT) AS qv
+  FROM ev WHERE event_type = 'purchase'),
+span AS (SELECT MAX(d) AS today FROM base),
+per_user AS (
+  SELECT u,
+         CAST(s.today - MAX(d) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(qv) AS BIGINT) AS monetary_cents
+  FROM base, span s GROUP BY u, s.today),
+ranked AS (
+  SELECT u,
+         CAST(ROW_NUMBER() OVER (ORDER BY recency_days, u) AS BIGINT)
+           AS rr,
+         CAST(ROW_NUMBER() OVER (ORDER BY frequency, u) AS BIGINT) AS rf,
+         CAST(ROW_NUMBER() OVER (ORDER BY monetary_cents, u) AS BIGINT)
+           AS rm,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM per_user),
+rfm AS (
+  SELECT u AS user_id,
+         CAST((5 - (5 * (rr - 1) - (5 * (rr - 1)) % n) / n) * 100
+              + ((5 * (rf - 1) - (5 * (rf - 1)) % n) / n + 1) * 10
+              + ((5 * (rm - 1) - (5 * (rm - 1)) % n) / n + 1)
+              AS BIGINT) AS rfm_segment
+  FROM ranked)
+SELECT s.user_id, s.n_sessions, s.lifetime_cents,
+       c.completed_funnel, r.rfm_segment
+FROM sessions s
+JOIN completed c ON c.user_id = s.user_id
+LEFT JOIN rfm r ON r.user_id = s.user_id
+"""
+
+_WAVE81_QUERIES = {
+    "user_health_mart": user_health_mart,
+}
+_WAVE81_SQL = {
+    "user_health_mart": USER_HEALTH_SQL,
 }
