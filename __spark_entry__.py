@@ -1101,16 +1101,15 @@ _R05_CHANGED = {
 # Queries whose PLAN or ORACLE changed during round 7 (ann_recall
 # single-plan rewrite, copurchase size-gated lineage cut): their latest
 # driver rows predate the change, so they claim the first r7 window slots.
-_R07_CHANGED = {
-    "ann_recall_at_k", "copurchase_lift_items",
-}
+_R08_CHANGED: set = set()
 
 # Latest driver CORRECTNESS round per query (generated from
-# CORRECTNESS_r01..r06 keys) — drives the oldest-first r7 rotation.
+# CORRECTNESS_r01..r07 keys) — drives the oldest-first r8 rotation.
 _LATEST_DRIVER_ROUND = {
+    "acf_daily_revenue": 7,
     "ann_cosine_topk": 5,
     "ann_ivf_topk": 2,
-    "ann_recall_at_k": 4,
+    "ann_recall_at_k": 7,
     "ann_topk_numpy": 5,
     "anti_join_customers": 5,
     "approx_distinct_parts": 2,
@@ -1119,8 +1118,11 @@ _LATEST_DRIVER_ROUND = {
     "array_functions": 3,
     "asof_join_events": 2,
     "attribution_last_touch_events": 6,
+    "attribution_linear_events": 7,
     "auc_value_purchase": 6,
+    "benford_order_totals": 7,
     "bigram_lift_top_docs": 5,
+    "binary_dir_media_stats": 7,
     "bitwise_agg_events": 3,
     "blocklist_stats_docs": 4,
     "bloom_decontaminate": 4,
@@ -1128,29 +1130,39 @@ _LATEST_DRIVER_ROUND = {
     "boilerplate_prefixes": 4,
     "bootstrap_purchase_mean": 6,
     "bpe_merge_candidates": 4,
+    "brier_decomposition_length_lang": 7,
     "calibration_length_lang": 6,
     "cap_docs_per_source": 2,
+    "ccf_clicks_purchases": 7,
+    "cdc_chunk_stats_docs": 7,
     "cdc_hash_chain_fold": 2,
     "cdc_last_writer_wins": 4,
     "cdc_merge_events": 4,
     "cdc_merge_real": 2,
+    "centroid_drift_labels": 7,
     "char_class_stats": 3,
     "char_entropy_docs": 4,
+    "chi2_segment_nation": 7,
     "chi2_value_band_purchase": 6,
     "chunk_docs_overlap": 3,
     "chunk_embed_pool_docs": 4,
+    "cmh_click_purchase_by_band": 7,
     "cms_token_counts": 4,
+    "cohort_ltv_weekly": 7,
     "cohort_retention_weekly": 3,
     "collect_sorted_events": 2,
     "conformal_value_threshold": 6,
     "containment_pairs_docs": 5,
     "contamination_pairs_docs": 3,
-    "copurchase_lift_items": 6,
+    "copurchase_lift_items": 7,
+    "corpus_pipeline_e2e": 7,
     "correlated_scalar_subquery": 2,
     "cross_doc_ngram_coverage": 3,
     "cross_source_dups": 4,
     "cube_lineitem": 6,
     "curriculum_interleave_docs": 6,
+    "cusum_daily_revenue": 7,
+    "daily_revenue_peaks": 7,
     "daily_volume_anomalies": 6,
     "dataset_card_stats": 4,
     "date_arithmetic": 2,
@@ -1162,13 +1174,17 @@ _LATEST_DRIVER_ROUND = {
     "dedup_exact_groups": 4,
     "dedup_exact_keep": 4,
     "dedup_ingest_batch": 3,
+    "deseasonalized_daily_anomalies": 7,
     "dialog_turn_stats_events": 6,
+    "did_click_revenue": 7,
     "distinct_projection": 5,
     "doc_fingerprint": 4,
     "domain_mix_weights": 3,
     "domain_sql_runner": 5,
+    "dow_seasonality_events": 7,
     "dsir_importance_weights": 3,
     "dup_span_stats_docs": 4,
+    "eb_item_purchase_rates": 7,
     "embedding_dim_stats": 5,
     "embedding_lsh_pairs": 3,
     "embedding_neardup_pairs": 5,
@@ -1181,6 +1197,8 @@ _LATEST_DRIVER_ROUND = {
     "except_non_buyers": 2,
     "explode_outer_props": 3,
     "feature_hash_collisions": 6,
+    "file_row_audit_tables": 7,
+    "flesch_scores_docs": 7,
     "forward_fill_events": 2,
     "full_outer_reconciliation": 3,
     "funnel_time_bound": 5,
@@ -1191,35 +1209,46 @@ _LATEST_DRIVER_ROUND = {
     "grid_quantiles_events": 6,
     "grouping_sets_orders": 6,
     "heavy_hitter_tokens": 4,
+    "hhi_lang_source_concentration": 7,
     "histogram_order_totals": 2,
     "hll_distinct_users": 4,
     "hybrid_rrf_fusion": 5,
     "incremental_agg_events": 2,
+    "info_gain_event_type": 7,
     "int8_quant_audit": 4,
     "intersect_all_events": 4,
     "intersect_buyers_viewers": 2,
     "inverted_index_postings": 4,
+    "isotonic_length_lang": 7,
+    "ivfpq_residual_topk": 7,
     "ivfpq_topk": 5,
     "jaccard_pairs": 4,
     "jaccard_prefix_docs": 6,
     "jackknife_source_lengths": 6,
+    "jl_project_vectors": 7,
+    "js_divergence_sources": 7,
     "json_key_profile_events": 6,
     "json_props_extract": 6,
     "k_anonymity_events": 4,
     "kappa_lang_length": 6,
+    "kendall_qty_discount": 7,
     "kmeans_refine_clusters": 4,
     "ks_value_drift": 5,
     "l_diversity_events": 6,
     "length_bucket_packing": 4,
     "line_dedup_corpus": 6,
+    "local_clustering_tokens": 7,
     "lsh_candidate_pairs": 4,
     "lsh_precision_table": 5,
     "lsh_recall_eval": 4,
+    "mann_kendall_daily_revenue": 7,
     "map_functions": 6,
+    "markov_stationary_events": 7,
     "matryoshka_prefix_audit": 4,
     "media_audio_energy": 4,
     "media_embed_stub": 3,
     "media_frame_chunks": 3,
+    "media_ppm_channel_stats": 7,
     "media_scene_cuts": 3,
     "media_wav_energy": 6,
     "media_wav_meta": 6,
@@ -1227,7 +1256,9 @@ _LATEST_DRIVER_ROUND = {
     "minhash_signatures": 4,
     "mode_event_type_per_user": 3,
     "moving_avg_time_window": 3,
+    "mrr_user_popularity": 7,
     "multimodal_meta": 5,
+    "ndcg_user_popularity": 7,
     "neardup_components": 2,
     "neardup_dedup_corpus": 3,
     "neardup_keep_best": 5,
@@ -1238,8 +1269,11 @@ _LATEST_DRIVER_ROUND = {
     "ntile_value_buckets": 6,
     "null_handling_functions": 2,
     "ohlc_resample_events": 2,
+    "orc_roundtrip_stats": 7,
+    "overdispersion_user_events": 7,
     "pack_sequences_docs": 3,
     "pareto_front_docs": 6,
+    "pca_top_component_vectors": 7,
     "percentiles_by_flag": 2,
     "pii_redact_stats": 3,
     "pit_features_purchases": 6,
@@ -1274,11 +1308,17 @@ _LATEST_DRIVER_ROUND = {
     "quality_decile_audit": 4,
     "quality_gate_per_source": 4,
     "quality_linear_score": 3,
+    "quantile_normalize_doclen": 7,
+    "quota_split_docs": 7,
     "range_join_events": 2,
+    "rank_dependence_qty_price": 7,
     "regexp_extract_ids": 2,
     "regr_corr_lineitem": 3,
+    "rendezvous_shards_docs": 7,
     "repetition_stats_docs": 3,
+    "revenue_lorenz_deciles": 7,
     "revenue_share_per_nation": 2,
+    "rfm_user_segments": 7,
     "robust_stats_by_type": 3,
     "rolling_active_users": 3,
     "rolling_revenue_daily": 6,
@@ -1286,8 +1326,11 @@ _LATEST_DRIVER_ROUND = {
     "salted_join_events": 3,
     "scan_filter_project": 5,
     "scd2_user_history": 2,
+    "seasonal_naive_revenue_backtest": 7,
     "semantic_dedup_docs": 4,
     "semi_join_customers": 5,
+    "session_overlap_pairs": 7,
+    "session_window_stats": 7,
     "sessionize_events": 2,
     "simhash_near_dups": 5,
     "simhash_sketches": 5,
@@ -1298,9 +1341,12 @@ _LATEST_DRIVER_ROUND = {
     "source_group_split": 6,
     "source_lang_entropy": 5,
     "source_overlap_matrix": 4,
+    "source_profile_cosine_docs": 7,
+    "spearman_chars_tokens": 7,
     "split_assign_docs": 3,
     "split_leakage_docs": 6,
     "stats_summary": 2,
+    "stratified_ate_click_purchase": 7,
     "stratified_sample_docs": 4,
     "string_functions": 2,
     "target_encoding_event_type": 6,
@@ -1501,7 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the staleness tail drains ~50 per round. Name tie-break keeps the
     # order deterministic.
     def tier(name: str) -> tuple[int, str]:
-        if name in _R07_CHANGED:
+        if name in _R08_CHANGED:
             return (0, name)
         r = _LATEST_DRIVER_ROUND.get(name)
         if r is None:
