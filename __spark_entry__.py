@@ -13302,11 +13302,11 @@ def rank_dependence_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("string"),
         ).alias("rid"),
     )
-    return rank_quintile_dependence(
-        li, "qty", "price_cents", "rid", n_tiles=5,
-        x_bucket_width=4,        # qty domain is 1..50: ~13 buckets
-        y_bucket_width=500_000,  # price cents up to ~1e7: ~20 buckets
-    )
+    # Widths auto-selected (r8, verdict task 3): qty has ~50 distinct
+    # values -> per-value cumulation (one rank task per VALUE, not per
+    # domain/width quotient); price_cents is high-cardinality -> a
+    # domain-scaled width giving ~256 range buckets.
+    return rank_quintile_dependence(li, "qty", "price_cents", "rid", n_tiles=5)
 
 
 RANK_DEP_SQL = """

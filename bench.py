@@ -305,7 +305,91 @@ BENCH_QUERIES = [
     "pca_top_component_vectors",
     "media_ppm_channel_stats",
     "orc_roundtrip_stats",
+    # r8 (verdict task 2): every queries() name is now either benched here
+    # or on the documented EXCLUDED list below — asserted by
+    # tests/test_bench_contract.py, so an unbenched-and-unexplained query
+    # (the r6 invisible-kernel-regression hole) can no longer exist.
+    "acf_daily_revenue",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "approx_distinct_parts",
+    "approx_quantile_check",
+    "binary_dir_media_stats",
+    "brier_decomposition_length_lang",
+    "ccf_clicks_purchases",
+    "cdc_hash_chain_fold",
+    "centroid_drift_labels",
+    "chi2_segment_nation",
+    "cmh_click_purchase_by_band",
+    "cohort_ltv_weekly",
+    "correlated_scalar_subquery",
+    "cusum_daily_revenue",
+    "daily_revenue_peaks",
+    "dedup_exact_keep",
+    "deseasonalized_daily_anomalies",
+    "did_click_revenue",
+    "doc_fingerprint",
+    "dow_seasonality_events",
+    "event_sequence_per_user",
+    "file_row_audit_tables",
+    "gopher_quality_rules",
+    "heavy_hitter_tokens",
+    "hhi_lang_source_concentration",
+    "info_gain_event_type",
+    "isotonic_length_lang",
+    "jl_project_vectors",
+    "local_clustering_tokens",
+    "lsh_recall_eval",
+    "mann_kendall_daily_revenue",
+    "map_functions",
+    "neardup_components",
+    "normalized_dedup_groups",
+    "overdispersion_user_events",
+    "percentiles_by_flag",
+    "pii_redact_stats",
+    "rank_dependence_qty_price",
+    "rendezvous_shards_docs",
+    "revenue_lorenz_deciles",
+    "revenue_share_per_nation",
+    "rfm_user_segments",
+    "seasonal_naive_revenue_backtest",
+    "simhash_near_dups",
+    "source_profile_cosine_docs",
+    "stats_summary",
+    "stratified_ate_click_purchase",
+    "text_language_id",
+    "tfidf_top_terms",
+    "theil_sen_daily_revenue",
+    "token_frequency",
+    "token_positions",
+    "token_zipf",
+    "t_closeness_events",
+    "union_by_name_events",
+    "updown_streaks_revenue",
+    "uplift_deciles_click_purchase",
+    "user_health_mart",
+    "validate_orders_contract",
+    "weighted_median_price_by_flag",
+    "window_min_over",
 ]
+
+# Deliberately NOT benched, with the reason on record. Everything in
+# queries() must appear in BENCH_QUERIES or here (tests/test_bench_contract
+# asserts the partition), so a kernel regression can only hide behind an
+# explicit, reviewable rationale.
+BENCH_EXCLUDED: dict[str, str] = {
+    "jaccard_pairs": (
+        "exact all-candidate-pair verification: quadratic in duplicate-"
+        "family size by construction, correctness-scale only (bench.py "
+        "has excluded it since r1; the scalable path is lsh_candidate_"
+        "pairs -> minhash_jaccard_pairs, both benched)"
+    ),
+    "embedding_neardup_pairs": (
+        "exact cosine over all LSH-bucket candidate pairs: quadratic in "
+        "bucket size, correctness-scale only (scalable path: embedding_"
+        "lsh_pairs + ann_* family, benched)"
+    ),
+}
 
 
 # The driver captures only the LAST 2000 characters of stdout and parses the

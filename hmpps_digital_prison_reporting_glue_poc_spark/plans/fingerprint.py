@@ -47,6 +47,7 @@ FIELDS = [
     "n_global_sort",
     "n_window",
     "n_window_unpartitioned",
+    "n_window_unpartitioned_on_base",
 ]
 
 # Growth in any of these marks a scale regression (more shuffles, a join
@@ -60,15 +61,18 @@ REGRESSION_FIELDS = [
     "n_cartesian",
     "n_global_sort",
     "n_window_unpartitioned",
+    "n_window_unpartitioned_on_base",
 ]
 
 # These must be ZERO for every query, pinned or not: a cartesian product,
-# a table-spanning window, or a single-partition Exchange fed by raw
-# base-table rows (vs an already-reduced rollup) is never the plan you
-# want at 100 TB.
+# a table-spanning window over BASE-TABLE rows, or a single-partition
+# Exchange fed by raw base-table rows (vs an already-reduced rollup) is
+# never the plan you want at 100 TB. An unpartitioned Window over an
+# aggregate output (a bounded rollup — daily revenue, a K×K grid) is fine
+# and stays merely regression-guarded via n_window_unpartitioned.
 FORBIDDEN_FIELDS = [
     "n_cartesian",
-    "n_window_unpartitioned",
+    "n_window_unpartitioned_on_base",
     "n_exchange_single_on_base",
 ]
 
@@ -149,6 +153,12 @@ def plan_fingerprint(df: DataFrame) -> dict[str, int]:
             counts["n_window"] += 1
             if node.partitionSpec().isEmpty():
                 counts["n_window_unpartitioned"] += 1
+                # r7 verdict task 5: provenance — an unpartitioned Window
+                # is a single-task funnel only when it consumes raw
+                # base-table rows; over an Aggregate output its input is
+                # group-count-bounded (same walk as the Exchange check).
+                if _funnels_base_rows(node.child()):
+                    counts["n_window_unpartitioned_on_base"] += 1
     return counts
 
 

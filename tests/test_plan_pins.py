@@ -64,6 +64,27 @@ def test_single_partition_exchanges_consume_rollups_registry_wide():
     )
 
 
+def test_unpartitioned_windows_consume_rollups_registry_wide():
+    """r7 verdict task 5: every pinned unpartitioned Window must run over a
+    bounded rollup (its input crosses an aggregate/limit), never raw
+    base-table rows — the same provenance gate n_exchange_single_on_base
+    applies to exchanges. Field must be PRESENT and ZERO for all queries."""
+    missing = sorted(
+        n for n, p in PINS.items() if "n_window_unpartitioned_on_base" not in p
+    )
+    assert not missing, (
+        f"pins missing window-provenance field (regenerate): {missing[:10]}..."
+    )
+    offenders = {
+        n: p["n_window_unpartitioned_on_base"]
+        for n, p in PINS.items()
+        if p["n_window_unpartitioned_on_base"] > 0
+    }
+    assert not offenders, (
+        f"unpartitioned Window fed by base-table rows: {offenders}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) & set(PINS)))
 def test_plan_shape_not_regressed(spark, name):
     fp = fingerprint_query(spark, QUERIES[name], SF_DIR)
