@@ -1101,7 +1101,10 @@ _R05_CHANGED = {
 # Queries whose PLAN or ORACLE changed during round 7 (ann_recall
 # single-plan rewrite, copurchase size-gated lineage cut): their latest
 # driver rows predate the change, so they claim the first r7 window slots.
-_R08_CHANGED: set = set()
+_R08_CHANGED: set = {
+    # auto-width rank strategy (r8 task 3) — plan unchanged, widths changed
+    "rank_dependence_qty_price",
+}
 
 # Latest driver CORRECTNESS round per query (generated from
 # CORRECTNESS_r01..r07 keys) — drives the oldest-first r8 rotation.
@@ -1540,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE79_QUERIES,
         **_WAVE80_QUERIES,
         **_WAVE81_QUERIES,
+        **_WAVE82_QUERIES,
+        **_WAVE83_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1701,6 +1706,8 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE79_SQL,
         **_WAVE80_SQL,
         **_WAVE81_SQL,
+        **_WAVE82_SQL,
+        **_WAVE83_SQL,
     }
 
 
@@ -13516,4 +13523,192 @@ _WAVE81_QUERIES = {
 }
 _WAVE81_SQL = {
     "user_health_mart": USER_HEALTH_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 82 (r8) — cross-document exact-substring span REMOVAL: the actionable
+# Lee et al. 2022 operator (r7 verdict task 6). dup_span_stats measures the
+# contamination; this emits the (doc, span, keep) cut list with one
+# canonical occurrence elected per duplicated span.
+# --------------------------------------------------------------------------
+
+def dup_span_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span intervals per document (8-token stride-1
+    windows; operators/dedup.py dup_span_removal): spans occurring >= 2
+    times corpus-wide, canonical occurrence = min (doc_id, pos), with
+    overlapping/adjacent windows merged per (doc, keep-class) into
+    (doc_id, span_start, span_len, keep) token intervals."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.dedup import dup_span_removal
+
+    return dup_span_removal(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=8
+    )
+
+
+DUP_SPAN_REMOVAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents),
+occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(tl, i, i + 7), ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(tl) - 7)) AS u(i)
+  WHERE len(tl) >= 8),
+marked AS (
+  SELECT doc_id, pos,
+         (doc_id = FIRST_VALUE(doc_id) OVER w
+          AND pos = FIRST_VALUE(pos) OVER w) AS keep
+  FROM occ
+  WINDOW w AS (PARTITION BY h ORDER BY doc_id, pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+  QUALIFY COUNT(*) OVER (PARTITION BY h) >= 2),
+brks AS (
+  SELECT doc_id, keep, pos,
+         CASE WHEN pos > COALESCE(
+                MAX(pos + 7) OVER (PARTITION BY doc_id, keep ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM marked),
+grp AS (
+  SELECT doc_id, keep, pos,
+         SUM(brk) OVER (PARTITION BY doc_id, keep ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM brks)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len,
+       keep
+FROM grp GROUP BY doc_id, keep, isl
+"""
+
+_WAVE82_QUERIES = {
+    "dup_span_removal_docs": dup_span_removal_docs,
+}
+_WAVE82_SQL = {
+    "dup_span_removal_docs": DUP_SPAN_REMOVAL_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 83 (r8) — K-group rank test + unequal-variance mean test: the two
+# classic "does this column differ across segments" hypothesis tests,
+# rebuilt on the engine's exact-integer machinery (midrank grid from
+# exact_auc; moment discipline from overdispersion_by_group).
+# --------------------------------------------------------------------------
+
+def kruskal_wallis_qty_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Kruskal-Wallis H of lineitem quantity across
+    the three l_returnflag groups (operators/evaluation.py
+    kruskal_wallis): per-value midrank grid, int64 doubled rank sums,
+    9dp-DECIMAL term summation."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import kruskal_wallis
+
+    return kruskal_wallis(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_returnflag"
+    )
+
+
+KRUSKAL_SQL = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS g FROM lineitem),
+gv AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS ngv FROM base GROUP BY v, g),
+pv AS (SELECT v, CAST(SUM(ngv) AS BIGINT) AS nv FROM gv GROUP BY v),
+r AS (
+  SELECT v,
+         CAST(2 * COALESCE(SUM(nv) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + nv + 1 AS BIGINT) AS two_mid
+  FROM pv),
+pg AS (
+  SELECT g, CAST(SUM(ngv) AS BIGINT) AS ng,
+         CAST(SUM(ngv * two_mid) AS BIGINT) AS sg
+  FROM gv JOIN r USING (v) GROUP BY g),
+tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k_groups FROM pg),
+cums AS (
+  SELECT g, SUM((3.0 * CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+           / (CAST(ng AS DOUBLE) * CAST(n AS DOUBLE)
+              * CAST(n + 1 AS DOUBLE)))
+           OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum
+  FROM pg CROSS JOIN tot),
+terms AS (SELECT cum AS st FROM cums ORDER BY g DESC LIMIT 1),
+ties AS (SELECT CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS t FROM pv),
+asm AS (
+  SELECT n, k_groups,
+         st - CAST(3 * (n + 1) AS DOUBLE) AS h,
+         1.0 - CAST(t AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(n AS DOUBLE)) AS c,
+         (k_groups >= 2 AND CAST(t AS DOUBLE)
+            < CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(n AS DOUBLE)) AS ok
+  FROM tot CROSS JOIN terms CROSS JOIN ties)
+SELECT n, k_groups,
+       CASE WHEN ok THEN h END AS h,
+       CASE WHEN ok THEN h / c END AS h_corrected
+FROM asm
+"""
+
+
+def welch_t_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t of lineitem quantity between the two
+    l_linestatus sides (operators/evaluation.py welch_t_two_sample):
+    int64 moments, n·Q − S² variance numerator, one IEEE float tree."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        welch_t_two_sample,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return welch_t_two_sample(li, "l_quantity", F.col("l_linestatus") == "F")
+
+
+WELCH_SQL = """
+WITH per AS (
+  SELECT CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS side,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS q
+  FROM lineitem GROUP BY 1),
+wide AS (
+  SELECT MAX(CASE WHEN side = 0 THEN n END) AS n0,
+         MAX(CASE WHEN side = 0 THEN s END) AS s0,
+         MAX(CASE WHEN side = 0 THEN q END) AS q0,
+         MAX(CASE WHEN side = 1 THEN n END) AS n1,
+         MAX(CASE WHEN side = 1 THEN s END) AS s1,
+         MAX(CASE WHEN side = 1 THEN q END) AS q1
+  FROM per),
+calc AS (
+  SELECT n0, n1,
+         CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         (CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE)
+          - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+           / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))
+           / CAST(n0 AS DOUBLE) AS a,
+         (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+           / CAST(n1 AS DOUBLE) AS b,
+         (n0 IS NOT NULL AND n1 IS NOT NULL AND n0 > 1 AND n1 > 1) AS ok
+  FROM wide)
+SELECT n0 AS n_left, n1 AS n_right,
+       CASE WHEN ok THEN m0 END AS mean_left,
+       CASE WHEN ok THEN m1 END AS mean_right,
+       CASE WHEN ok AND a + b > 0
+            THEN (m0 - m1) / sqrt(a + b) END AS t_stat,
+       CASE WHEN ok AND a + b > 0
+            THEN ((a + b) * (a + b))
+                 / (a * a / (CAST(n0 AS DOUBLE) - 1.0)
+                    + b * b / (CAST(n1 AS DOUBLE) - 1.0)) END AS df
+FROM calc
+"""
+
+_WAVE83_QUERIES = {
+    "kruskal_wallis_qty_by_flag": kruskal_wallis_qty_by_flag,
+    "welch_t_qty_by_status": welch_t_qty_by_status,
+}
+_WAVE83_SQL = {
+    "kruskal_wallis_qty_by_flag": KRUSKAL_SQL,
+    "welch_t_qty_by_status": WELCH_SQL,
 }

@@ -607,6 +607,103 @@ def dup_span_stats(
     )
 
 
+def dup_span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Cross-document exact-substring span REMOVAL (r7 verdict task 6) —
+    the actionable half of ``dup_span_stats``: Lee et al. 2022's "remove
+    the ~50-token span that appears more than once in the corpus",
+    re-expressed on the same stride-1 token-window fingerprints.
+
+    Algorithm (all equi-join / partial-agg / per-doc-window shaped):
+
+    1. every ``window_tokens``-token stride-1 window is fingerprinted
+       (md5) with its 1-based token position;
+    2. a fingerprint groupBy keeps spans occurring >= 2 times corpus-wide
+       (across docs or repeated within one) and elects the CANONICAL
+       occurrence — min (doc, pos) under the unique total order, the
+       deterministic choice both engines replay;
+    3. duplicated window occurrences join back on the fingerprint (inner
+       join: non-duplicated windows never reshuffle) and are flagged
+       ``keep`` (canonical) or not;
+    4. per (doc, keep-class), overlapping/adjacent windows merge into
+       MAXIMAL token intervals via gaps-and-islands — running max of
+       span end over a per-doc window, never a global one.
+
+    Returns one row per maximal interval: (doc_id, span_start, span_len,
+    keep) in token units — ``keep = false`` rows are the text to cut; the
+    canonical copy survives so the corpus retains exactly one occurrence
+    of every duplicated span.
+
+    100 TB shape: the fingerprint rollup + join-back is THE required
+    shuffle (same as dup_span_stats); the island merge is per-(doc,
+    keep), so its window parallelises over documents. No doc x doc
+    pairing, no global sort, no driver state. Candidate volume is linear
+    in total duplicated-window count (measured in SCALE.md).
+    """
+    w = window_tokens
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= w)
+    toks = F.col("__toks")
+    occ = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.md5(F.array_join(F.slice(toks, i, w), " ")).alias("h"),
+                ),
+            )
+        ).alias("__o"),
+    ).select("doc_id", F.col("__o.pos").alias("pos"), F.col("__o.h").alias("h"))
+    roll = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("__c"),
+        )
+        .filter(F.col("__n") >= 2)
+    )
+    marked = occ.join(roll, "h").select(
+        "doc_id",
+        "pos",
+        (
+            (F.col("doc_id") == F.col("__c.doc_id"))
+            & (F.col("pos") == F.col("__c.pos"))
+        ).alias("keep"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id", "keep")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id", "keep")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.withColumn(
+        "__brk",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + F.lit(w - 1)).over(w_prev), F.lit(-2).cast("long")
+            )
+            + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("__isl", F.sum("__brk").over(w_run))
+    return islands.groupBy("doc_id", "keep", "__isl").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(w) - F.min("pos")).cast("long").alias("span_len"),
+    ).select("doc_id", "span_start", "span_len", "keep")
+
+
 def cross_source_dup_audit(
     df: DataFrame,
     id_col: str = "doc_id",

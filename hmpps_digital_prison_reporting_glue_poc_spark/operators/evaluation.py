@@ -1353,3 +1353,205 @@ def info_gain_terms(
         F.round(w * h_cond, 6).alias("cond_entropy_term"),
         h_y.alias("h_y"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bucket_width: int = 1_000,
+) -> DataFrame:
+    """EXACT Kruskal-Wallis H (one-way ANOVA on ranks, the K-group
+    extension of the Mann-Whitney/AUC rank-sum): does the distribution of
+    an integer-valued column differ across K groups, distribution-free.
+
+    Machinery shared with :func:`exact_auc`: a per-VALUE rollup with
+    per-group counts, exact midranks from the range-bucket +
+    broadcast-offset idiom (2·mid = 2·c_below + n_v + 1, integral), and
+    per-group doubled rank sums S_g = Σ n_gv·two_mid accumulated as
+    BIGINT — every input to the float stage is an exact integer.
+
+    Engine-exact float assembly (the token_pagerank 9dp convention):
+    each group's term S_g²/(4·n_g·N·(N+1)) is ONE IEEE float tree over
+    exactly-represented integers (S_g < 2^53 casts exactly; the square
+    and divisions are correctly rounded, so both engines produce the
+    same double), rounded to 9dp and summed as DECIMAL(38,9) so the
+    cross-group sum has no float-order dependence. H = 12·Σterms −
+    3(N+1) is then DECIMAL-exact arithmetic with one final small-scalar
+    cast. Tie correction C = 1 − Σ(t³−t)/(N³−N) uses int64 sums (n_v³
+    fits comfortably below 2^63 for any per-value count this engine
+    bencharks) cast once to double. Returns one row:
+    (n, k_groups, h, h_corrected); NULL h when every row ties on one
+    value (C = 0) or k < 2.
+
+    100 TB shape: two data-sized shuffles — the (value, group) rollup
+    and its value marginal — then everything runs on value-domain-sized
+    rollups; the only ordered-unbounded window is over the BUCKET rollup
+    (the AUC discipline). At >1e9 rows per group, promote S_g to
+    DECIMAL(38,0) (the exact_auc guard); the default stays int64 for the
+    exact-cast property documented above.
+    """
+    vals = (
+        df.select(
+            F.col(value_col).cast("long").alias("__v"),
+            F.col(group_col).alias("__g"),
+        )
+        .groupBy("__v", "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__ngv"))
+    )
+    pv = vals.groupBy("__v").agg(F.sum("__ngv").cast("long").alias("__nv"))
+    bucketed = pv.withColumn(
+        "__b", F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
+    )
+    counts = bucketed.groupBy("__b").agg(F.sum("__nv").alias("__bn"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__b").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = bucketed.join(F.broadcast(offsets), "__b").select(
+        "__v",
+        "__nv",
+        (
+            F.lit(2)
+            * (
+                F.col("__off")
+                + F.coalesce(F.sum("__nv").over(w_in), F.lit(0))
+            )
+            + F.col("__nv")
+            + F.lit(1)
+        ).cast("long").alias("__two_mid"),
+    )
+    pg = (
+        vals.join(ranked.select("__v", "__two_mid"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__ngv").cast("long").alias("__ng"),
+            F.sum(F.col("__ngv") * F.col("__two_mid")).cast("long").alias("__sg"),
+        )
+    )
+    tot = pg.agg(
+        F.sum("__ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+    )
+    # per-group term carries the 12/(N(N+1)) factor already (12/4 = 3).
+    # The cross-group sum is an ORDERED cumulative window over the K-row
+    # group rollup — a left-fold of IEEE additions in group order, which
+    # both engines replay bit-identically because every leaf is an
+    # exactly-cast integer (S_g < 2^53). An unordered SUM(double) would
+    # be association-order-dependent; round-to-9dp-then-DECIMAL disagrees
+    # between engines at rounding boundaries (Spark rounds the exact
+    # decimal expansion, DuckDB rounds via an inexact 1e9 multiply).
+    sgd = F.col("__sg").cast("double")
+    term = (F.lit(3.0) * sgd * sgd) / (
+        F.col("__ng").cast("double")
+        * F.col("n").cast("double")
+        * (F.col("n") + F.lit(1)).cast("double")
+    )
+    w_cum = Window.orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = pg.crossJoin(F.broadcast(tot)).select(
+        "__g", F.sum(term).over(w_cum).alias("__cum")
+    )
+    terms = cums.agg(
+        F.max(F.struct(F.col("__g"), F.col("__cum"))).alias("__last")
+    ).select(F.col("__last.__cum").alias("__st"))
+    ties = pv.agg(
+        F.sum(
+            F.col("__nv") * F.col("__nv") * F.col("__nv") - F.col("__nv")
+        ).cast("long").alias("__t")
+    )
+    out = tot.crossJoin(F.broadcast(terms)).crossJoin(F.broadcast(ties))
+    h = F.col("__st") - (
+        F.lit(3) * (F.col("n") + F.lit(1))
+    ).cast("double")
+    n_d = F.col("n").cast("double")
+    c = F.lit(1.0) - F.col("__t").cast("double") / (
+        n_d * n_d * n_d - n_d
+    )
+    valid = (F.col("k_groups") >= 2) & (
+        F.col("__t").cast("double") < n_d * n_d * n_d - n_d
+    )
+    return out.select(
+        "n",
+        "k_groups",
+        F.when(valid, h).alias("h"),
+        F.when(valid, h / c).alias("h_corrected"),
+    )
+
+
+def welch_t_two_sample(
+    df: DataFrame,
+    value_col: str,
+    right,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t over an INTEGER value column
+    — the parametric sibling of the exact-AUC rank test, built on the
+    overdispersion_by_group moment discipline: per-side n, Σx, Σx² in
+    int64 (every sum < 2^53 casts to double exactly for the value ranges
+    this engine benchmarks; promote to DECIMAL(38,0) past ~1e9 rows of
+    wide values), unbiased variance from the n·Q − S² numerator, then
+    t and the Welch-Satterthwaite df as ONE fixed float tree per side —
+    IEEE-deterministic across engines because every leaf is an exactly-
+    cast integer. Returns one row: (n_left, n_right, mean_left,
+    mean_right, t_stat, df); NULLs when either side has n < 2 or both
+    variances are zero.
+    """
+    r = (right if not isinstance(right, str) else F.col(right)).cast("boolean")
+    per = (
+        df.select(
+            F.col(value_col).cast("long").alias("__x"),
+            F.when(r, 1).otherwise(0).alias("__side"),
+        )
+        .groupBy("__side")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__x").cast("long").alias("__s"),
+            F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__q"),
+        )
+    )
+
+    def side(col, s):
+        return F.max(F.when(F.col("__side") == s, F.col(col)))
+
+    wide = per.agg(
+        side("__n", 0).alias("n0"), side("__s", 0).alias("s0"),
+        side("__q", 0).alias("q0"),
+        side("__n", 1).alias("n1"), side("__s", 1).alias("s1"),
+        side("__q", 1).alias("q1"),
+    )
+
+    def stats(n, s, q):
+        nd = F.col(n).cast("double")
+        mean = F.col(s).cast("double") / nd
+        var = (
+            nd * F.col(q).cast("double")
+            - F.col(s).cast("double") * F.col(s).cast("double")
+        ) / (nd * (nd - F.lit(1.0)))
+        return nd, mean, var
+
+    n0, m0, v0 = stats("n0", "s0", "q0")
+    n1, m1, v1 = stats("n1", "s1", "q1")
+    a = v0 / n0
+    b = v1 / n1
+    se2 = a + b
+    t = (m0 - m1) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        a * a / (n0 - F.lit(1.0)) + b * b / (n1 - F.lit(1.0))
+    )
+    valid = (
+        F.col("n0").isNotNull() & F.col("n1").isNotNull()
+        & (F.col("n0") > 1) & (F.col("n1") > 1)
+    )
+    return wide.select(
+        F.col("n0").alias("n_left"),
+        F.col("n1").alias("n_right"),
+        F.when(valid, m0).alias("mean_left"),
+        F.when(valid, m1).alias("mean_right"),
+        F.when(valid & (se2 > 0), t).alias("t_stat"),
+        F.when(valid & (se2 > 0), dof).alias("df"),
+    )

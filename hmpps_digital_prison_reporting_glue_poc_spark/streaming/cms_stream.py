@@ -33,6 +33,7 @@ def stream_cms_counts(
     depth: int = 3,
     trigger_once: bool = True,
     compact_threshold: int = 64,
+    on_batch=None,
 ):
     """Stream documents; per micro-batch, hash the batch's token counts
     into its own CMS delta partition. Query totals with
@@ -97,6 +98,11 @@ def stream_cms_counts(
             aggs=[F.sum("cell").cast("long").alias("cell")],
             threshold=compact_threshold,
         )
+        # crash-window hook: fires after every state write, before the
+        # checkpoint commit (tests/test_stream_crash_replay.py raises
+        # here to simulate a kill in the at-least-once window)
+        if on_batch is not None:
+            on_batch(batch_id)
 
     writer = (
         raw.writeStream.foreachBatch(apply_batch)

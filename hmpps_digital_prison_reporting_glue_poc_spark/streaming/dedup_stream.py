@@ -42,6 +42,7 @@ def stream_ingest_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_threshold: int = 64,
+    on_batch=None,
 ):
     """Continuous corpus growth with dedup-at-ingest: stream incoming
     documents, drop anything whose content fingerprint already exists in
@@ -127,6 +128,9 @@ def stream_ingest_dedup(
             )
         finally:
             kept.unpersist()
+        # crash-window hook (see tests/test_stream_crash_replay.py)
+        if on_batch is not None:
+            on_batch(batch_id)
 
     writer = (
         raw.writeStream.foreachBatch(apply_batch)

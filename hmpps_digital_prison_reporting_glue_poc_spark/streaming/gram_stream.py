@@ -64,6 +64,7 @@ def stream_gram_accumulate(
     trigger_once: bool = True,
     compact_threshold: int = 64,
     max_files_per_trigger: int | None = None,
+    on_batch=None,
 ):
     """Stream embedding rows (JSON with a float-array column); per
     micro-batch, write the batch's exact int64 partial gram as its own
@@ -105,6 +106,9 @@ def stream_gram_accumulate(
             aggs=[F.sum("s").cast("long").alias("s")],
             threshold=compact_threshold,
         )
+        # crash-window hook (see tests/test_stream_crash_replay.py)
+        if on_batch is not None:
+            on_batch(batch_id)
 
     writer = (
         raw.writeStream.foreachBatch(apply_batch)

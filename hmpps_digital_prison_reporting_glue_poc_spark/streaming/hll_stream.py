@@ -34,6 +34,7 @@ def stream_hll_distinct(
     key_col: str = "user_id",
     m_registers: int = 256,
     trigger_once: bool = True,
+    on_batch=None,
 ):
     """Stream records from ``source_path``; per micro-batch, sketch the
     batch's keys (same md5 register/rank derivation as the batch
@@ -126,6 +127,9 @@ def stream_hll_distinct(
         present.sort(key=lambda t: t[0])
         for _old_id, path in present[:-2]:
             fs.delete(path, True)
+        # crash-window hook (see tests/test_stream_crash_replay.py)
+        if on_batch is not None:
+            on_batch(batch_id)
 
     writer = (
         raw.writeStream.foreachBatch(apply_batch)

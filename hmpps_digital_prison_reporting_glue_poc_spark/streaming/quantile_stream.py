@@ -40,6 +40,7 @@ def stream_quantile_counts(
     scale: int = 100,
     trigger_once: bool = True,
     compact_threshold: int = 64,
+    on_batch=None,
 ) -> StreamingQuery:
     """Stream value-bearing JSON rows into the grid-count state; query
     quantiles any time with :func:`quantiles_from_state`."""
@@ -65,6 +66,9 @@ def stream_quantile_counts(
             aggs=[F.sum("n").cast("long").alias("n")],
             threshold=compact_threshold,
         )
+        # crash-window hook (see tests/test_stream_crash_replay.py)
+        if on_batch is not None:
+            on_batch(batch_id)
 
     raw = spark.readStream.schema(schema).json(source_path)
     writer = (

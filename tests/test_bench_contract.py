@@ -44,3 +44,42 @@ def test_bench_query_list_is_resolvable():
     declared = entry_mod.queries()
     missing = [q for q in bench.BENCH_QUERIES if q not in declared]
     assert not missing, f"bench names not in queries(): {missing}"
+
+
+def test_every_query_benched_or_documented_excluded():
+    """r7 verdict task 2: BENCH_QUERIES and BENCH_EXCLUDED partition the
+    full queries() registry — every query either gets a kernel-time pin or
+    sits on an explicit, reasoned exclusion list. An unbenched query with
+    no recorded rationale (the r6 invisible-kernel-regression hole) fails
+    here."""
+    import collections
+
+    import __spark_entry__ as entry_mod
+
+    declared = set(entry_mod.queries())
+    benched = set(bench.BENCH_QUERIES)
+    excluded = set(bench.BENCH_EXCLUDED)
+    dups = [n for n, c in collections.Counter(bench.BENCH_QUERIES).items() if c > 1]
+    assert not dups, f"duplicate bench names: {dups}"
+    assert not benched & excluded, f"both benched and excluded: {benched & excluded}"
+    uncovered = sorted(declared - benched - excluded)
+    assert not uncovered, (
+        f"queries neither benched nor on the documented exclusion list: {uncovered}"
+    )
+    stale = sorted((benched | excluded) - declared)
+    assert not stale, f"bench/exclusion names not in queries(): {stale}"
+    for name, reason in bench.BENCH_EXCLUDED.items():
+        assert len(reason) > 20, f"exclusion reason for {name} too thin"
+
+
+def test_every_benched_query_has_a_pin():
+    """Kernel-time pins (BENCH_PINS.json) must cover the full bench set —
+    a benched-but-unpinned query reports no drift signal."""
+    import json
+    import os
+
+    with open(os.path.join(os.path.dirname(bench.__file__), "BENCH_PINS.json")) as fh:
+        pins = json.load(fh)
+    ratios = pins.get("ratios", pins)
+    missing = sorted(set(bench.BENCH_QUERIES) - set(ratios))
+    assert not missing, f"benched queries without a time pin: {missing}"
