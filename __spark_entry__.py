@@ -1545,6 +1545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE81_QUERIES,
         **_WAVE82_QUERIES,
         **_WAVE83_QUERIES,
+        **_WAVE84_QUERIES,
+        **_WAVE85_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1708,6 +1710,8 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE81_SQL,
         **_WAVE82_SQL,
         **_WAVE83_SQL,
+        **_WAVE84_SQL,
+        **_WAVE85_SQL,
     }
 
 
@@ -13711,4 +13715,193 @@ _WAVE83_QUERIES = {
 _WAVE83_SQL = {
     "kruskal_wallis_qty_by_flag": KRUSKAL_SQL,
     "welch_t_qty_by_status": WELCH_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 84 (r8) — post-hoc and dose-response companions to the K-group
+# tests: Dunn pairwise z (WHICH groups differ after a KW rejection) and the
+# Cochran-Armitage trend test (monotone association of a binary outcome
+# with an ordered exposure).
+# --------------------------------------------------------------------------
+
+def dunn_pairwise_qty_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's tie-corrected pairwise z over lineitem quantity across
+    l_returnflag groups (operators/evaluation.py dunn_pairwise_z) —
+    shares the exact midrank grid with kruskal_wallis; K(K-1)/2
+    broadcast pairs."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import dunn_pairwise_z
+
+    return dunn_pairwise_z(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_returnflag"
+    )
+
+
+DUNN_SQL = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS g FROM lineitem),
+gv AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS ngv FROM base GROUP BY v, g),
+pv AS (SELECT v, CAST(SUM(ngv) AS BIGINT) AS nv FROM gv GROUP BY v),
+r AS (
+  SELECT v,
+         CAST(2 * COALESCE(SUM(nv) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + nv + 1 AS BIGINT) AS two_mid
+  FROM pv),
+pg AS (
+  SELECT g, CAST(SUM(ngv) AS BIGINT) AS ng,
+         CAST(SUM(ngv * two_mid) AS BIGINT) AS sg
+  FROM gv JOIN r USING (v) GROUP BY g),
+tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n FROM pg),
+ties AS (SELECT CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS t FROM pv),
+calc AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.ng AS n_a, b.ng AS n_b,
+         CAST(a.sg AS DOUBLE) / (2.0 * CAST(a.ng AS DOUBLE)) AS mean_rank_a,
+         CAST(b.sg AS DOUBLE) / (2.0 * CAST(b.ng AS DOUBLE)) AS mean_rank_b,
+         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+          - CAST(t AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+         * (1.0 / CAST(a.ng AS DOUBLE) + 1.0 / CAST(b.ng AS DOUBLE)) AS var,
+         n
+  FROM pg a JOIN pg b ON a.g < b.g CROSS JOIN tot CROSS JOIN ties)
+SELECT group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b,
+       CASE WHEN n > 1 AND var > 0
+            THEN (mean_rank_a - mean_rank_b) / sqrt(var) END AS z_dunn
+FROM calc
+"""
+
+
+def trend_purchase_by_value_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend z of the purchase outcome against the
+    ordered 50-unit value band index (operators/evaluation.py
+    cochran_armitage_trend) — the 1-df monotone-alternative sibling of
+    chi2_value_band_purchase."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        cochran_armitage_trend,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.floor(F.col("value").cast("double") / 50).cast("long").alias("band"),
+        "event_type",
+    )
+    return cochran_armitage_trend(ev, "band", F.col("event_type") == "purchase")
+
+
+TREND_SQL = """
+WITH b AS (
+  SELECT CAST(FLOOR(CAST(value AS DOUBLE) / 50) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+per AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS r
+  FROM b GROUP BY s),
+agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) AS BIGINT) AS k_scores,
+         CAST(SUM(s * n) AS BIGINT) AS sn,
+         CAST(SUM(s * r) AS BIGINT) AS sr,
+         CAST(SUM(s * s * n) AS BIGINT) AS s2n
+  FROM per),
+calc AS (
+  SELECT n, n_pos, k_scores,
+         CAST(n AS DOUBLE) * CAST(sr AS DOUBLE)
+           - CAST(n_pos AS DOUBLE) * CAST(sn AS DOUBLE) AS diff,
+         CAST(n_pos AS DOUBLE)
+           * (CAST(n AS DOUBLE) - CAST(n_pos AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(s2n AS DOUBLE)
+              - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+           / CAST(n AS DOUBLE) AS den,
+         (n_pos > 0 AND n_pos < n AND k_scores > 1) AS ok
+  FROM agg)
+SELECT n, n_pos, k_scores,
+       CASE WHEN ok AND den > 0 THEN diff / sqrt(den) END AS z_trend,
+       CASE WHEN ok AND den > 0
+            THEN (diff / sqrt(den)) * (diff / sqrt(den)) END AS z2_trend
+FROM calc
+"""
+
+_WAVE84_QUERIES = {
+    "dunn_pairwise_qty_flag": dunn_pairwise_qty_flag,
+    "trend_purchase_by_value_band": trend_purchase_by_value_band,
+}
+_WAVE84_SQL = {
+    "dunn_pairwise_qty_flag": DUNN_SQL,
+    "trend_purchase_by_value_band": TREND_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 85 (r8) — corpus preprocessing screens: code-vs-prose structural
+# detection (route code out of a prose corpus without a model) and the
+# UTF-8 byte-budget audit (convert a byte budget into char/token budgets
+# per language).
+# --------------------------------------------------------------------------
+
+def code_prose_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc code-detection heuristic (operators/textstats.py
+    code_prose_stats): code-punctuation density + keyword hits, pure
+    columnar regex passes, map-only at any scale."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.textstats import code_prose_stats
+
+    return code_prose_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+CODE_PROSE_SQL = """
+WITH calc AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^{}\\[\\]();=<>#`]', '', 'g'))
+              AS BIGINT) AS n_code_chars,
+         CAST(len(regexp_extract_all(text,
+              '\\b(def|return|import|void|const|function|class)\\b'))
+              AS BIGINT) AS n_keyword_hits
+  FROM documents),
+ratio AS (
+  SELECT *,
+         CASE WHEN n_chars > 0
+              THEN CAST(n_code_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+              ELSE 0.0 END AS code_char_ratio
+  FROM calc)
+SELECT doc_id, n_chars, n_tokens, n_code_chars, n_keyword_hits,
+       code_char_ratio,
+       (code_char_ratio > 0.03 OR n_keyword_hits >= 3) AS is_codelike
+FROM ratio
+"""
+
+
+def byte_char_audit_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language UTF-8 byte/char budget audit (operators/textstats.py
+    byte_char_audit): exact byte and char sums, bytes-per-char and
+    multibyte share — one map-side-combined aggregation."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.textstats import byte_char_audit
+
+    return byte_char_audit(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", group_col="lang"
+    )
+
+
+BYTE_CHAR_SQL = """
+WITH agg AS (
+  SELECT lang AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+         CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+         CAST(SUM(strlen(text) - length(text)) AS BIGINT) AS multibyte_extra
+  FROM documents GROUP BY lang)
+SELECT grp, n_docs, total_bytes, total_chars, multibyte_extra,
+       CASE WHEN total_chars > 0
+            THEN CAST(total_bytes AS DOUBLE) / CAST(total_chars AS DOUBLE)
+            END AS bytes_per_char,
+       CASE WHEN total_bytes > 0
+            THEN CAST(multibyte_extra AS DOUBLE) / CAST(total_bytes AS DOUBLE)
+            END AS multibyte_extra_share
+FROM agg
+"""
+
+_WAVE85_QUERIES = {
+    "code_prose_stats_docs": code_prose_stats_docs,
+    "byte_char_audit_lang": byte_char_audit_lang,
+}
+_WAVE85_SQL = {
+    "code_prose_stats_docs": CODE_PROSE_SQL,
+    "byte_char_audit_lang": BYTE_CHAR_SQL,
 }

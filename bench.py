@@ -374,6 +374,12 @@ BENCH_QUERIES = [
     # wave 83 (r8)
     "kruskal_wallis_qty_by_flag",
     "welch_t_qty_by_status",
+    # wave 84 (r8)
+    "dunn_pairwise_qty_flag",
+    "trend_purchase_by_value_band",
+    # wave 85 (r8)
+    "code_prose_stats_docs",
+    "byte_char_audit_lang",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in
@@ -549,35 +555,13 @@ def main() -> None:
             samples.append(time.perf_counter() - start)
         timings[name] = round(min(samples), 3)
 
-    # No silent caps: name every declared-but-unbenched query and why.
-    quadratic = {
-        "jaccard_pairs",
-        "embedding_neardup_pairs",
-        "lsh_recall_eval",  # joins against the quadratic exact baseline
+    # No silent caps: name every declared-but-unbenched query and why —
+    # driven by the committed BENCH_EXCLUDED list (the single source of
+    # truth tests/test_bench_contract.py asserts covers the registry).
+    excluded = {
+        name: BENCH_EXCLUDED.get(name, "UNDOCUMENTED - fails test_bench_contract")
+        for name in sorted(set(queries) - set(BENCH_QUERIES))
     }
-    twin_of = {  # scale path already timed under the named benched twin
-        "ann_cosine_topk": "ann_topk_numpy",
-        "ann_ivf_topk": "ivfpq_topk",
-        "simhash_near_dups": "simhash_sketches",
-        "neardup_components": "neardup_dedup_corpus",
-        "dedup_exact_keep": "dedup_exact_groups",
-        "normalized_dedup_groups": "dedup_exact_groups",
-        "cdc_hash_chain_fold": "cdc_merge_real",
-        "doc_fingerprint": "winnow_doc_fingerprints",
-        "text_language_id": "text_language_id_multi",
-        "token_frequency": "ngram_counts_top",
-    }
-    excluded = {}
-    for name in sorted(set(queries) - set(BENCH_QUERIES)):
-        if name in quadratic:
-            excluded[name] = (
-                "quadratic exact-pair baseline (correctness-scale oracle,"
-                " not a scale path)"
-            )
-        elif name in twin_of:
-            excluded[name] = f"same plan family as benched '{twin_of[name]}'"
-        else:
-            excluded[name] = "correctness-only / sub-bench-scale scalar query"
     print("EXCLUDED: " + json.dumps(excluded), flush=True)
 
     sentinel_end = time_query("scan_filter_project")

@@ -1391,80 +1391,7 @@ def kruskal_wallis(
     DECIMAL(38,0) (the exact_auc guard); the default stays int64 for the
     exact-cast property documented above.
     """
-    vals = (
-        df.select(
-            F.col(value_col).cast("long").alias("__v"),
-            F.col(group_col).alias("__g"),
-        )
-        .groupBy("__v", "__g")
-        .agg(F.count(F.lit(1)).cast("long").alias("__ngv"))
-    )
-    pv = vals.groupBy("__v").agg(F.sum("__ngv").cast("long").alias("__nv"))
-    bucketed = pv.withColumn(
-        "__b", F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
-    )
-    counts = bucketed.groupBy("__b").agg(F.sum("__nv").alias("__bn"))
-    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__b",
-        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
-    )
-    w_in = Window.partitionBy("__b").orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = bucketed.join(F.broadcast(offsets), "__b").select(
-        "__v",
-        "__nv",
-        (
-            F.lit(2)
-            * (
-                F.col("__off")
-                + F.coalesce(F.sum("__nv").over(w_in), F.lit(0))
-            )
-            + F.col("__nv")
-            + F.lit(1)
-        ).cast("long").alias("__two_mid"),
-    )
-    pg = (
-        vals.join(ranked.select("__v", "__two_mid"), "__v")
-        .groupBy("__g")
-        .agg(
-            F.sum("__ngv").cast("long").alias("__ng"),
-            F.sum(F.col("__ngv") * F.col("__two_mid")).cast("long").alias("__sg"),
-        )
-    )
-    tot = pg.agg(
-        F.sum("__ng").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("k_groups"),
-    )
-    # per-group term carries the 12/(N(N+1)) factor already (12/4 = 3).
-    # The cross-group sum is an ORDERED cumulative window over the K-row
-    # group rollup — a left-fold of IEEE additions in group order, which
-    # both engines replay bit-identically because every leaf is an
-    # exactly-cast integer (S_g < 2^53). An unordered SUM(double) would
-    # be association-order-dependent; round-to-9dp-then-DECIMAL disagrees
-    # between engines at rounding boundaries (Spark rounds the exact
-    # decimal expansion, DuckDB rounds via an inexact 1e9 multiply).
-    sgd = F.col("__sg").cast("double")
-    term = (F.lit(3.0) * sgd * sgd) / (
-        F.col("__ng").cast("double")
-        * F.col("n").cast("double")
-        * (F.col("n") + F.lit(1)).cast("double")
-    )
-    w_cum = Window.orderBy("__g").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cums = pg.crossJoin(F.broadcast(tot)).select(
-        "__g", F.sum(term).over(w_cum).alias("__cum")
-    )
-    terms = cums.agg(
-        F.max(F.struct(F.col("__g"), F.col("__cum"))).alias("__last")
-    ).select(F.col("__last.__cum").alias("__st"))
-    ties = pv.agg(
-        F.sum(
-            F.col("__nv") * F.col("__nv") * F.col("__nv") - F.col("__nv")
-        ).cast("long").alias("__t")
-    )
+    pg, tot, ties = _rank_group_sums(df, value_col, group_col, bucket_width)
     out = tot.crossJoin(F.broadcast(terms)).crossJoin(F.broadcast(ties))
     h = F.col("__st") - (
         F.lit(3) * (F.col("n") + F.lit(1))
@@ -1554,4 +1481,208 @@ def welch_t_two_sample(
         F.when(valid, m1).alias("mean_right"),
         F.when(valid & (se2 > 0), t).alias("t_stat"),
         F.when(valid & (se2 > 0), dof).alias("df"),
+    )
+
+
+def _rank_group_sums(
+    df: DataFrame, value_col: str, group_col: str, bucket_width: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared midrank machinery for the K-group rank tests
+    (:func:`kruskal_wallis`, :func:`dunn_pairwise_z`): returns
+    (per-group ``(__g, __ng, __sg)`` with S_g = doubled rank sum,
+    per-corpus ``(n, k_groups)``, tie rollup ``(__t,)`` with
+    T = Σ(t³ − t)) — every column an exact int64."""
+    vals = (
+        df.select(
+            F.col(value_col).cast("long").alias("__v"),
+            F.col(group_col).alias("__g"),
+        )
+        .groupBy("__v", "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__ngv"))
+    )
+    pv = vals.groupBy("__v").agg(F.sum("__ngv").cast("long").alias("__nv"))
+    bucketed = pv.withColumn(
+        "__b", F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
+    )
+    counts = bucketed.groupBy("__b").agg(F.sum("__nv").alias("__bn"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__b").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = bucketed.join(F.broadcast(offsets), "__b").select(
+        "__v",
+        (
+            F.lit(2)
+            * (
+                F.col("__off")
+                + F.coalesce(F.sum("__nv").over(w_in), F.lit(0))
+            )
+            + F.col("__nv")
+            + F.lit(1)
+        ).cast("long").alias("__two_mid"),
+    )
+    pg = (
+        vals.join(ranked, "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__ngv").cast("long").alias("__ng"),
+            F.sum(F.col("__ngv") * F.col("__two_mid")).cast("long").alias("__sg"),
+        )
+    )
+    tot = pg.agg(
+        F.sum("__ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+    )
+    ties = pv.agg(
+        F.sum(
+            F.col("__nv") * F.col("__nv") * F.col("__nv") - F.col("__nv")
+        ).cast("long").alias("__t")
+    )
+    return pg, tot, ties
+
+
+def dunn_pairwise_z(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bucket_width: int = 1_000,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise z after a Kruskal-Wallis rejection:
+    WHICH groups differ, not just "some group differs". Shares the
+    midrank grid with :func:`kruskal_wallis` (same per-group doubled
+    rank sums S_g, same tie rollup) and emits one row per unordered
+    group pair:
+
+        z_ij = (m_i − m_j) / sqrt( (N(N+1)/12 − T/(12(N−1)))
+                                    · (1/n_i + 1/n_j) )
+
+    with m_g = S_g/(2·n_g) the tie-corrected mean rank. The pair space
+    is the K-row group rollup self-joined on g_a < g_b — K(K−1)/2 rows,
+    broadcast, never data-sized. Every float leaf is an exactly-cast
+    int64 and the z tree is fixed, so both engines reproduce the value
+    bit for bit. Returns (group_a, group_b, n_a, n_b, mean_rank_a,
+    mean_rank_b, z_dunn); z NULL when the tie term consumes the whole
+    variance (all values equal) or N < 2.
+    """
+    pg, tot, ties = _rank_group_sums(df, value_col, group_col, bucket_width)
+    left = pg.select(
+        F.col("__g").alias("group_a"),
+        F.col("__ng").alias("n_a"),
+        F.col("__sg").alias("__sa"),
+    )
+    right = pg.select(
+        F.col("__g").alias("group_b"),
+        F.col("__ng").alias("n_b"),
+        F.col("__sg").alias("__sb"),
+    )
+    pairs = (
+        left.join(F.broadcast(right), F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+    )
+    nd = F.col("n").cast("double")
+    ma = F.col("__sa").cast("double") / (
+        F.lit(2.0) * F.col("n_a").cast("double")
+    )
+    mb = F.col("__sb").cast("double") / (
+        F.lit(2.0) * F.col("n_b").cast("double")
+    )
+    var = (
+        nd * (nd + F.lit(1.0)) / F.lit(12.0)
+        - F.col("__t").cast("double")
+        / (F.lit(12.0) * (nd - F.lit(1.0)))
+    ) * (
+        F.lit(1.0) / F.col("n_a").cast("double")
+        + F.lit(1.0) / F.col("n_b").cast("double")
+    )
+    valid = (F.col("n") > 1) & (var > 0)
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        ma.alias("mean_rank_a"),
+        mb.alias("mean_rank_b"),
+        F.when(valid, (ma - mb) / F.sqrt(var)).alias("z_dunn"),
+    )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    score_col: str,
+    label,
+) -> DataFrame:
+    """Cochran-Armitage trend test: is a BINARY outcome monotonically
+    associated with an ORDERED integer exposure score — the
+    dose-response sibling of the chi2 independence screen (chi2 asks
+    "any association", this asks "a trend in score order", one degree of
+    freedom, far more powerful when the alternative is monotone).
+
+        z = (N·Σs·r − R·Σs·n) /
+            sqrt( R(N−R)/N · (N·Σs²n − (Σs·n)²) / N )
+          = diff / sqrt(R(N−R)(N·Σs²n − (Σsn)²)/N²)  [algebra folded
+            into one fixed tree below]
+
+    All five sufficient statistics (N, R, Σsn, Σsr, Σs²n) are exact
+    int64 sums from ONE map-side-combinable aggregation over the
+    per-score rollup; the z/z² assembly is a fixed IEEE float tree whose
+    leaves are exactly-cast integers — deterministic across engines.
+    Keep scores SMALL (band indexes, not raw cents): the products stay
+    within the 2^53 exact-integer window of a double; past ~1e9 rows
+    promote the sums to DECIMAL(38,0) (the exact_auc guard). Returns one
+    row: (n, n_pos, k_scores, z_trend, z2_trend); NULL when the outcome
+    or the score is constant.
+    """
+    lab = (label if not isinstance(label, str) else F.col(label)).cast(
+        "boolean"
+    )
+    per = (
+        df.select(
+            F.col(score_col).cast("long").alias("__s"),
+            F.when(lab, 1).otherwise(0).alias("__y"),
+        )
+        .groupBy("__s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__y").cast("long").alias("__r"),
+        )
+    )
+    agg = per.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__r").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("k_scores"),
+        F.sum(F.col("__s") * F.col("__n")).cast("long").alias("__sn"),
+        F.sum(F.col("__s") * F.col("__r")).cast("long").alias("__sr"),
+        F.sum(F.col("__s") * F.col("__s") * F.col("__n"))
+        .cast("long")
+        .alias("__s2n"),
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("n_pos").cast("double")
+    diff = nd * F.col("__sr").cast("double") - rd * F.col("__sn").cast("double")
+    den = (
+        rd
+        * (nd - rd)
+        * (
+            nd * F.col("__s2n").cast("double")
+            - F.col("__sn").cast("double") * F.col("__sn").cast("double")
+        )
+        / nd
+    )
+    valid = (
+        (F.col("n_pos") > 0)
+        & (F.col("n_pos") < F.col("n"))
+        & (F.col("k_scores") > 1)
+    )
+    z = diff / F.sqrt(den)
+    return agg.select(
+        "n",
+        "n_pos",
+        "k_scores",
+        F.when(valid & (den > 0), z).alias("z_trend"),
+        F.when(valid & (den > 0), z * z).alias("z2_trend"),
     )

@@ -867,3 +867,97 @@ def source_profile_cosine(
         "n_shared_tokens",
         cos.alias("cosine"),
     )
+
+
+def code_prose_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Code-vs-prose detection heuristic — the RedPajama/Dolma-style
+    structural screen that routes documents to a code pipeline (or drops
+    code from a prose corpus) WITHOUT a model: per document, the density
+    of code-indicative structure over total characters, all from
+    ``regexp_count``-style columnar passes (no UDF, no explode).
+
+    Signals (integer counts, exact in both engines):
+    - ``n_code_chars``: characters in ``{}[]();=<>`` plus ``#`` and
+      backtick — punctuation prose rarely stacks;
+    - ``n_keyword_hits``: occurrences of a fixed code-keyword set
+      (def/return/import/void/const/function/class) as whole words;
+    - ``n_chars`` / ``n_tokens`` for the densities.
+
+    Returns (doc_id, n_chars, n_tokens, n_code_chars, n_keyword_hits,
+    code_char_ratio, is_codelike) with is_codelike the standard
+    ratio>0.03 OR keywords>=3 cut. Ratios are single IEEE divisions of
+    exact int64 counts — engine-deterministic. One narrow projection per
+    doc: at 100 TB this is a map-only pass, no shuffle at all.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("long")
+    code_chars = F.length(
+        F.regexp_replace(text, r"[^{}\[\]();=<>#`]", "")
+    ).cast("long")
+    kw = F.regexp_count(
+        text,
+        F.lit(r"\b(def|return|import|void|const|function|class)\b"),
+    ).cast("long")
+    n_tokens = F.size(tokens(text)).cast("long")
+    ratio = F.when(
+        n_chars > 0, code_chars.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        code_chars.alias("n_code_chars"),
+        kw.alias("n_keyword_hits"),
+        ratio.alias("code_char_ratio"),
+        ((ratio > 0.03) | (kw >= 3)).alias("is_codelike"),
+    )
+
+
+def byte_char_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """UTF-8 byte-budget audit: bytes vs characters per group (or
+    corpus-wide with ``group_col=None``) — the number that converts a
+    100 TB *byte* budget into a character/token budget, and the
+    multibyte share that flags scripts whose tokenizer fertility will
+    differ (CJK, Cyrillic, emoji-heavy). Exact int64 sums of
+    ``octet_length`` and ``length`` per group; one map-side-combinable
+    aggregation, ratios as single IEEE divisions. Returns (group?,
+    n_docs, total_bytes, total_chars, multibyte_chars,
+    bytes_per_char, multibyte_share).
+    """
+    text = F.col(text_col)
+    byts = F.octet_length(text).cast("long")
+    chars = F.length(text).cast("long")
+    grouped = (
+        df.groupBy(F.col(group_col).alias("grp")) if group_col else df.groupBy()
+    )
+    agg = grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(byts).cast("long").alias("total_bytes"),
+        F.sum(chars).cast("long").alias("total_chars"),
+        F.sum(byts - chars).cast("long").alias("multibyte_extra"),
+    )
+    bpc = F.when(
+        F.col("total_chars") > 0,
+        F.col("total_bytes").cast("double") / F.col("total_chars").cast("double"),
+    )
+    share = F.when(
+        F.col("total_bytes") > 0,
+        F.col("multibyte_extra").cast("double")
+        / F.col("total_bytes").cast("double"),
+    )
+    return agg.select(
+        *(["grp"] if group_col else []),
+        "n_docs",
+        "total_bytes",
+        "total_chars",
+        "multibyte_extra",
+        bpc.alias("bytes_per_char"),
+        share.alias("multibyte_extra_share"),
+    )
