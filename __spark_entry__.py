@@ -1547,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE83_QUERIES,
         **_WAVE84_QUERIES,
         **_WAVE85_QUERIES,
+        **_WAVE86_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1712,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE83_SQL,
         **_WAVE84_SQL,
         **_WAVE85_SQL,
+        **_WAVE86_SQL,
     }
 
 
@@ -13904,4 +13906,105 @@ _WAVE85_QUERIES = {
 _WAVE85_SQL = {
     "code_prose_stats_docs": CODE_PROSE_SQL,
     "byte_char_audit_lang": BYTE_CHAR_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 86 (r8) — graph degeneracy screen (fixed-round k-core peel, DuckDB
+# twin unrolled to the same rounds) and third-order behavioral paths.
+# --------------------------------------------------------------------------
+
+def kcore_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the corpus token-bigram graph after an 8-round peel
+    (operators/graph.py kcore_peel): per-vertex degree of the surviving
+    dense center — stopword/template hub detection."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.graph import kcore_peel
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array(
+                F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<array<string>>"))
+    edges = (
+        toked.select(F.explode(grams).alias("__e"))
+        .select(F.col("__e")[0].alias("s"), F.col("__e")[1].alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=4, rounds=8)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel oracle: the same fixed simultaneous-peel
+    rounds the Spark operator applies, as chained CTEs."""
+    parts = ["""WITH tl AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+raw AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i])) AS src,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i + 1])) AS dst
+  FROM tl WHERE len(t) > 1),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst)"""]
+    for r in range(rounds):
+        parts.append(f"""d{r} AS MATERIALIZED (
+  SELECT v FROM (SELECT a AS v FROM e{r} UNION ALL SELECT b AS v FROM e{r})
+  GROUP BY v HAVING COUNT(*) >= {k})""")
+        parts.append(f"""e{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{r}
+  WHERE a IN (SELECT v FROM d{r}) AND b IN (SELECT v FROM d{r}))""")
+    final = f"""SELECT v AS vertex, CAST(COUNT(*) AS BIGINT) AS degree
+FROM (SELECT a AS v FROM e{rounds} UNION ALL SELECT b AS v FROM e{rounds})
+GROUP BY v"""
+    return ",\n".join(parts) + "\n" + final
+
+
+KCORE_SQL = _kcore_sql(k=4, rounds=8)
+
+
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 third-order event-type paths across user streams
+    (operators/behavior.py event_path_trigrams): lead/lead2 under the
+    (ts, event_id) order, exact counts, deterministic tie-break."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        event_path_trigrams,
+    )
+
+    return event_path_trigrams(_events(spark, sf_dir), top_n=50)
+
+
+TRIGRAM_PATHS_SQL = """
+WITH seq AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+tri AS (
+  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_paths
+  FROM seq WHERE t3 IS NOT NULL GROUP BY t1, t2, t3)
+SELECT t1, t2, t3, n_paths
+FROM tri ORDER BY n_paths DESC, t1, t2, t3 LIMIT 50
+"""
+
+_WAVE86_QUERIES = {
+    "kcore_token_graph": kcore_token_graph,
+    "event_trigram_paths": event_trigram_paths,
+}
+_WAVE86_SQL = {
+    "kcore_token_graph": KCORE_SQL,
+    "event_trigram_paths": TRIGRAM_PATHS_SQL,
 }

@@ -380,6 +380,9 @@ BENCH_QUERIES = [
     # wave 85 (r8)
     "code_prose_stats_docs",
     "byte_char_audit_lang",
+    # wave 86 (r8)
+    "kcore_token_graph",
+    "event_trigram_paths",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

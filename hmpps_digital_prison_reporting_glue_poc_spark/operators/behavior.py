@@ -2094,3 +2094,55 @@ def deseasonalized_anomalies(
         "day", "dow", "n_events", "dow_median", "residual",
         z.alias("robust_z"),
     )
+
+
+def event_path_trigrams(
+    events: DataFrame,
+    top_n: int = 50,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    max_user_events: int | None = 100_000,
+) -> DataFrame:
+    """Top third-order behavioral paths: the (t1 -> t2 -> t3) event-type
+    trigrams across every user's time-ordered stream — the sequence-mining
+    step past ``event_transitions``' first-order Markov edges (a funnel
+    like view->click->purchase only shows up at third order).
+
+    One user-keyed window shuffle (lead, lead2 under the deterministic
+    (ts, event_id) order), one tiny trigram rollup, exact counts, and a
+    deterministic top-N (count desc, then path asc — the tie-break both
+    engines replay). Returns (t1, t2, t3, n_paths).
+
+    ``max_user_events`` is the hot-user cap (the max_turns/max_basket
+    convention): a single bot user's window partition is one task — the
+    round-6 stress measured 231x stragglers on exactly this shape — and
+    its machine-generated paths poison the path table anyway. Over-cap
+    users are dropped via a broadcast anti-join of the (tiny) over-cap
+    head; non-binding at organic scale factors (oracle-parity-pinned).
+    """
+    if max_user_events is not None:
+        over = (
+            events.groupBy(F.col(user_col))
+            .agg(F.count(F.lit(1)).alias("__ne"))
+            .filter(F.col("__ne") > max_user_events)
+            .select(user_col)
+        )
+        events = events.join(F.broadcast(over), user_col, "left_anti")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    tri = (
+        events.select(
+            F.col(type_col).alias("t1"),
+            F.lead(type_col, 1).over(w).alias("t2"),
+            F.lead(type_col, 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
+    return tri.orderBy(
+        F.col("n_paths").desc(), "t1", "t2", "t3"
+    ).limit(top_n)

@@ -533,3 +533,56 @@ def local_clustering(
         t.alias("n_triangles"),
         cc.alias("clustering_coeff"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Fixed-round k-core peel of an undirected simple graph — the
+    degeneracy screen between raw co-occurrence edges and the dense
+    center (stopword cliques, template hubs) that graph-based corpus
+    diagnostics care about.
+
+    Each round removes every vertex whose CURRENT degree is < k (and its
+    incident edges); ``rounds`` rounds of simultaneous peeling are
+    applied. The FIXED round count is the cross-engine determinism
+    contract (the DuckDB twin unrolls the same rounds): when the peel
+    converges earlier — on the bigram graphs this engine benchmarks it
+    converges in 3-5 rounds for small k — the output IS the exact
+    k-core; otherwise the residual `degree < k` rows make the
+    non-convergence visible to the consumer instead of being silently
+    absorbed. Returns (vertex, degree) of the round-``rounds`` subgraph.
+
+    Scale shape per round: one two-orientation degree aggregation + two
+    semi-joins on the vertex key — 3 vertex/edge-keyed shuffles, lineage
+    cut by materializing the shrinking edge set (the connected-components
+    discipline; never persist()/localCheckpoint in local mode). Edge set
+    is monotonically shrinking, so later rounds cost less, not more.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    live = edges.select(a.alias("a"), b.alias("b"))
+    for r in range(rounds):
+        deg = (
+            live.select(F.col("a").alias("v"))
+            .unionAll(live.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        live = materialize(
+            live.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b"),
+            f"kcore_r{r}_",
+        )
+    final_deg = (
+        live.select(F.col("a").alias("vertex"))
+        .unionAll(live.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return final_deg
