@@ -1548,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE84_QUERIES,
         **_WAVE85_QUERIES,
         **_WAVE86_QUERIES,
+        **_WAVE87_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1714,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE84_SQL,
         **_WAVE85_SQL,
         **_WAVE86_SQL,
+        **_WAVE87_SQL,
     }
 
 
@@ -14007,4 +14009,138 @@ _WAVE86_QUERIES = {
 _WAVE86_SQL = {
     "kcore_token_graph": KCORE_SQL,
     "event_trigram_paths": TRIGRAM_PATHS_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 87 (r8) — Brunner-Munzel stochastic superiority (the shape-robust
+# two-sample test: global + within-side midrank grids, exact placements)
+# and per-group Wilson score intervals (the conversion-dashboard CI).
+# --------------------------------------------------------------------------
+
+def brunner_munzel_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel W / p-hat of lineitem quantity between l_linestatus
+    sides (operators/evaluation.py brunner_munzel) — the rank-based
+    shape-robust companion to welch_t_qty_by_status on the same cut."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import brunner_munzel
+
+    li = _t(spark, sf_dir, "lineitem")
+    return brunner_munzel(li, "l_quantity", F.col("l_linestatus") == "F")
+
+
+BRUNNER_SQL = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS side
+  FROM lineitem),
+gv AS (SELECT v, side, CAST(COUNT(*) AS BIGINT) AS ngv
+       FROM base GROUP BY v, side),
+pv AS (SELECT v, CAST(SUM(ngv) AS BIGINT) AS nv FROM gv GROUP BY v),
+g AS (
+  SELECT v, CAST(2 * COALESCE(SUM(nv) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + nv + 1 AS BIGINT) AS tg
+  FROM pv),
+w AS (
+  SELECT side, v,
+         CAST(2 * COALESCE(SUM(ngv) OVER (PARTITION BY side ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + ngv + 1 AS BIGINT) AS tw
+  FROM gv),
+cells AS (
+  SELECT gv.side, gv.ngv, g.tg - w.tw AS p2
+  FROM gv JOIN g USING (v) JOIN w ON w.side = gv.side AND w.v = gv.v),
+per AS (
+  SELECT side, CAST(SUM(ngv) AS BIGINT) AS n,
+         CAST(SUM(ngv * p2) AS BIGINT) AS s,
+         SUM(CAST(ngv AS HUGEINT) * CAST(p2 * p2 AS HUGEINT)) AS q
+  FROM cells GROUP BY side),
+wide AS (
+  SELECT MAX(CASE WHEN side = 0 THEN n END) AS n0,
+         MAX(CASE WHEN side = 0 THEN s END) AS s0,
+         MAX(CASE WHEN side = 0 THEN q END) AS q0,
+         MAX(CASE WHEN side = 1 THEN n END) AS n1,
+         MAX(CASE WHEN side = 1 THEN s END) AS s1,
+         MAX(CASE WHEN side = 1 THEN q END) AS q1
+  FROM per),
+calc AS (
+  SELECT n0, n1,
+         CAST(s0 AS DOUBLE) / (2.0 * CAST(n0 AS DOUBLE)) AS m0,
+         CAST(s1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) AS m1,
+         CAST(CAST(n0 AS HUGEINT) * q0
+              - CAST(s0 AS HUGEINT) * CAST(s0 AS HUGEINT) AS DOUBLE)
+           / (4.0 * CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)) AS v0,
+         CAST(CAST(n1 AS HUGEINT) * q1
+              - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT) AS DOUBLE)
+           / (4.0 * CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+         (n0 IS NOT NULL AND n1 IS NOT NULL AND n0 > 1 AND n1 > 1) AS ok
+  FROM wide),
+asm AS (
+  SELECT n0, n1, ok,
+         ((m1 - m0) + (CAST(n1 AS DOUBLE) - CAST(n0 AS DOUBLE)) / 2.0)
+           / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) + 0.5 AS p_hat,
+         CAST(n0 AS DOUBLE) * v0 + CAST(n1 AS DOUBLE) * v1 AS pooled,
+         (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+          * ((m1 - m0) + (CAST(n1 AS DOUBLE) - CAST(n0 AS DOUBLE)) / 2.0))
+           / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+              * sqrt(CAST(n0 AS DOUBLE) * v0 + CAST(n1 AS DOUBLE) * v1))
+           AS w_stat,
+         ((CAST(n0 AS DOUBLE) * v0 + CAST(n1 AS DOUBLE) * v1)
+          * (CAST(n0 AS DOUBLE) * v0 + CAST(n1 AS DOUBLE) * v1))
+           / ((CAST(n0 AS DOUBLE) * v0) * (CAST(n0 AS DOUBLE) * v0)
+                / (CAST(n0 AS DOUBLE) - 1.0)
+              + (CAST(n1 AS DOUBLE) * v1) * (CAST(n1 AS DOUBLE) * v1)
+                / (CAST(n1 AS DOUBLE) - 1.0)) AS df
+  FROM calc)
+SELECT n0 AS n_left, n1 AS n_right,
+       CASE WHEN ok THEN p_hat END AS p_hat,
+       CASE WHEN ok AND pooled > 0 THEN w_stat END AS w_stat,
+       CASE WHEN ok AND pooled > 0 THEN df END AS df
+FROM asm
+"""
+
+
+def proportion_ci_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval of the high-value share (value >= 100) per
+    event type (operators/evaluation.py proportion_ci_by_group)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        proportion_ci_by_group,
+    )
+
+    ev = _events(spark, sf_dir)
+    return proportion_ci_by_group(
+        ev, "event_type", F.col("value") >= 100.0
+    )
+
+
+WILSON_SQL = """
+WITH per AS (
+  SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos
+  FROM events GROUP BY event_type),
+calc AS (
+  SELECT grp, n, n_pos,
+         CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         1.0 + (1.96e0 * 1.96e0) / CAST(n AS DOUBLE) AS denom,
+         CAST(n AS DOUBLE) AS nd
+  FROM per)
+SELECT grp, n, n_pos, p AS share,
+       GREATEST((p + (1.96e0 * 1.96e0) / (2.0 * nd)) / denom
+         - 1.96e0 * sqrt(p * (1.0 - p) / nd
+                       + (1.96e0 * 1.96e0) / (4.0 * nd * nd)) / denom, 0.0)
+         AS wilson_lo,
+       LEAST((p + (1.96e0 * 1.96e0) / (2.0 * nd)) / denom
+         + 1.96e0 * sqrt(p * (1.0 - p) / nd
+                       + (1.96e0 * 1.96e0) / (4.0 * nd * nd)) / denom, 1.0)
+         AS wilson_hi
+FROM calc
+"""
+
+_WAVE87_QUERIES = {
+    "brunner_munzel_qty_by_status": brunner_munzel_qty_by_status,
+    "proportion_ci_event_types": proportion_ci_event_types,
+}
+_WAVE87_SQL = {
+    "brunner_munzel_qty_by_status": BRUNNER_SQL,
+    "proportion_ci_event_types": WILSON_SQL,
 }

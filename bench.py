@@ -383,6 +383,9 @@ BENCH_QUERIES = [
     # wave 86 (r8)
     "kcore_token_graph",
     "event_trigram_paths",
+    # wave 87 (r8)
+    "brunner_munzel_qty_by_status",
+    "proportion_ci_event_types",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

@@ -1686,3 +1686,202 @@ def cochran_armitage_trend(
         F.when(valid & (den > 0), z).alias("z_trend"),
         F.when(valid & (den > 0), z * z).alias("z2_trend"),
     )
+
+
+def brunner_munzel(
+    df: DataFrame,
+    value_col: str,
+    right,
+    bucket_width: int = 1_000,
+) -> DataFrame:
+    """Brunner-Munzel two-sample test (stochastic superiority with
+    unequal variances — the modern replacement for Mann-Whitney when the
+    two distributions may differ in shape, not just location).
+
+    Built entirely on tied-value rollups: GLOBAL midranks (the exact_auc
+    bucket-offset grid) and WITHIN-GROUP midranks (same grid, cumulated
+    per side), giving every row's doubled placement 2P = 2R − 2R^w as an
+    exact integer per (value, side) cell. Per-side placement moments
+    (n, Σ2P, Σ(2P)²) accumulate in int64/DECIMAL(38,0); the estimator
+
+        d  = (m₂ − m₁) + (n₂ − n₁)/2      (= R̄₂ − R̄₁, global ranks)
+        p̂  = d/N + 1/2                    (P(X₁ < X₂) + ½P(=))
+        W  = n₁n₂·d / ((n₁+n₂)·sqrt(n₁v₁ + n₂v₂))
+        df = (n₁v₁ + n₂v₂)² / ((n₁v₁)²/(n₁−1) + (n₂v₂)²/(n₂−1))
+
+    (m/v the per-side placement mean/ddof-1 variance) is one fixed IEEE
+    float tree whose leaves are exactly-cast integers / scale-0 decimals
+    — deterministic across engines. Returns one row: (n_left, n_right,
+    p_hat, w_stat, df); NULLs when a side has n < 2 or both placement
+    variances are 0 (complete separation still yields p_hat 0/1).
+    """
+    staged = df.select(
+        F.col(value_col).cast("long").alias("__v"),
+        F.when(
+            (right if not isinstance(right, str) else F.col(right)).cast(
+                "boolean"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("__side"),
+    )
+    gv = staged.groupBy("__v", "__side").agg(
+        F.count(F.lit(1)).cast("long").alias("__ngv")
+    )
+    pv = gv.groupBy("__v").agg(F.sum("__ngv").cast("long").alias("__nv"))
+    b = F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
+
+    def midranks(rollup: DataFrame, count_col: str, part_cols: list[str]):
+        """two_mid per (part_cols..., __v) under the bucket-offset idiom;
+        partition-scoped when part_cols names the side."""
+        staged_r = rollup.withColumn("__b", b)
+        counts = staged_r.groupBy(*part_cols, "__b").agg(
+            F.sum(count_col).alias("__bn")
+        )
+        w_off = Window.partitionBy(*part_cols).orderBy("__b").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.select(
+            *part_cols,
+            "__b",
+            F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
+        )
+        w_in = Window.partitionBy(*part_cols, "__b").orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return staged_r.join(F.broadcast(offsets), [*part_cols, "__b"]).select(
+            *part_cols,
+            "__v",
+            (
+                F.lit(2)
+                * (
+                    F.col("__off")
+                    + F.coalesce(F.sum(count_col).over(w_in), F.lit(0))
+                )
+                + F.col(count_col)
+                + F.lit(1)
+            ).cast("long").alias("__two_mid"),
+        )
+
+    glob = midranks(pv, "__nv", []).select("__v", F.col("__two_mid").alias("__tg"))
+    within = midranks(gv, "__ngv", ["__side"]).select(
+        "__side", "__v", F.col("__two_mid").alias("__tw")
+    )
+    cells = (
+        gv.join(glob, "__v")
+        .join(within, ["__side", "__v"])
+        .select(
+            "__side",
+            "__ngv",
+            (F.col("__tg") - F.col("__tw")).alias("__p2"),  # doubled placement
+        )
+    )
+    per = cells.groupBy("__side").agg(
+        F.sum("__ngv").cast("long").alias("__n"),
+        F.sum(F.col("__ngv") * F.col("__p2")).cast("long").alias("__s"),
+        F.sum(
+            F.col("__ngv").cast("decimal(38,0)")
+            * (F.col("__p2") * F.col("__p2")).cast("decimal(38,0)")
+        ).alias("__q"),
+    )
+
+    def side(col, s):
+        return F.max(F.when(F.col("__side") == s, F.col(col)))
+
+    wide = per.agg(
+        side("__n", 0).alias("n0"), side("__s", 0).alias("s0"),
+        side("__q", 0).alias("q0"),
+        side("__n", 1).alias("n1"), side("__s", 1).alias("s1"),
+        side("__q", 1).alias("q1"),
+    )
+
+    def mv(n, s, q):
+        # placement moments: P = p2/2, so mean = S/(2n) and the ddof-1
+        # variance carries a /4: v = (n·Q − S²) / (4·n·(n−1))
+        nd = F.col(n).cast("double")
+        mean = F.col(s).cast("double") / (F.lit(2.0) * nd)
+        var = (
+            (
+                F.col(n).cast("decimal(38,0)") * F.col(q)
+                - (F.col(s).cast("decimal(38,0)") * F.col(s))
+            ).cast("double")
+        ) / (F.lit(4.0) * nd * (nd - F.lit(1.0)))
+        return nd, mean, var
+
+    n0, m0, v0 = mv("n0", "s0", "q0")
+    n1, m1, v1 = mv("n1", "s1", "q1")
+    nd = n0 + n1
+    # the statistic runs on the GLOBAL mean-rank difference R̄₁ − R̄₀ =
+    # (m₁ − m₀) + (n₁ − n₀)/2 — placement means alone drop the group-size
+    # offset and bias p̂ whenever n₀ ≠ n₁ (caught by the complete-
+    # separation pytest: p̂ must be exactly 1)
+    d = (m1 - m0) + (n1 - n0) / F.lit(2.0)
+    p_hat = d / nd + F.lit(0.5)
+    pooled = n0 * v0 + n1 * v1
+    w = (n0 * n1 * d) / (nd * F.sqrt(pooled))
+    dof = (pooled * pooled) / (
+        (n0 * v0) * (n0 * v0) / (n0 - F.lit(1.0))
+        + (n1 * v1) * (n1 * v1) / (n1 - F.lit(1.0))
+    )
+    valid = (
+        F.col("n0").isNotNull() & F.col("n1").isNotNull()
+        & (F.col("n0") > 1) & (F.col("n1") > 1)
+    )
+    return wide.select(
+        F.col("n0").alias("n_left"),
+        F.col("n1").alias("n_right"),
+        F.when(valid, p_hat).alias("p_hat"),
+        F.when(valid & (pooled > 0), w).alias("w_stat"),
+        F.when(valid & (pooled > 0), dof).alias("df"),
+    )
+
+
+def proportion_ci_by_group(
+    df: DataFrame,
+    group_col: str,
+    label,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group binomial share with the Wilson score interval — the
+    monitoring table behind every conversion/defect-rate dashboard (the
+    Wald interval misbehaves at small n / extreme p; Wilson is the
+    standard fix). One map-side-combinable aggregation; the interval is
+    one fixed IEEE float tree per group row over exact int64 counts with
+    a LITERAL z (both engines parse the same constant). Returns
+    (group, n, n_pos, share, wilson_lo, wilson_hi).
+    """
+    lab = (label if not isinstance(label, str) else F.col(label)).cast(
+        "boolean"
+    )
+    per = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.when(lab, 1).otherwise(0).alias("__y"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("n_pos").cast("double") / nd
+    z2 = F.lit(float(z)) * F.lit(float(z))
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd))
+        / denom
+    )
+    return per.select(
+        "grp",
+        "n",
+        "n_pos",
+        p.alias("share"),
+        # clamp: at p in {0,1} the exact bound is 0/1 but the float tree
+        # can land an ulp outside; both engines clamp identically
+        F.greatest(center - half, F.lit(0.0)).alias("wilson_lo"),
+        F.least(center + half, F.lit(1.0)).alias("wilson_hi"),
+    )
