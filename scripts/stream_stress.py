@@ -1165,6 +1165,51 @@ def run_gram_family(spark) -> None:
     )
 
 
+def run_trend_family(spark) -> None:
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.trend_stream import (
+        stream_trend_drift,
+        trend_from_state,
+    )
+
+    fam = "trend"
+    src, state, ckpt = _reset(f"{fam}/src", f"{fam}/state", f"{fam}/ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("score", T.LongType()),
+            T.StructField("label", T.BooleanType()),
+        ]
+    )
+    secs = []
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH):
+                s_val = (i * 31 + b) % 8
+                fh.write(
+                    json.dumps(
+                        {"score": s_val, "label": (i % (s_val + 2)) == 0}
+                    )
+                    + "\n"
+                )
+        t0 = time.time()
+        q = stream_trend_drift(
+            spark, src, schema, state, ckpt, trigger_once=True,
+            compact_threshold=8,
+        )
+        q.awaitTermination()
+        apply_sec = time.time() - t0
+        t1 = time.time()
+        trend_from_state(spark, state).collect()
+        read_sec = time.time() - t1
+        files, size = _dir_stats(state)
+        _emit(
+            fam, b, apply_sec,
+            read_sec=round(read_sec, 3),
+            state_files=files, state_kb=round(size / 1e3, 1),
+        )
+        secs.append(apply_sec + read_sec)
+    _summary(fam, secs, final_state_files=_dir_stats(state)[0])
+
+
 FAMILIES = {
     "pipeline-flat": lambda s: run_pipeline_family(s, partitioned=False),
     "pipeline-part": lambda s: run_pipeline_family(s, partitioned=True),
@@ -1184,6 +1229,7 @@ FAMILIES = {
     "session-agg": run_session_agg_family,
     "funnel": run_funnel_family,
     "gram": run_gram_family,
+    "trend": run_trend_family,
 }
 
 

@@ -315,7 +315,45 @@ class _Gram(_Family):
         return sorted(map(repr, read_stream_gram(spark, state).collect()))
 
 
-FAMILIES = [_KS(), _CMS(), _HLL(), _Quantile(), _Anomaly(), _IngestDedup(), _Gram()]
+class _Trend(_Family):
+    name = "trend"
+    schema = T.StructType(
+        [
+            T.StructField("score", T.LongType()),
+            T.StructField("label", T.BooleanType()),
+        ]
+    )
+
+    def rows(self, b):
+        if b == 2:
+            return []
+        return [
+            {"score": (b + i) % 5, "label": (i % ((b + i) % 5 + 2)) == 0}
+            for i in range(20)
+        ]
+
+    def start(self, spark, src, state, ck, on_batch):
+        from hmpps_digital_prison_reporting_glue_poc_spark.streaming.trend_stream import (
+            stream_trend_drift,
+        )
+
+        return stream_trend_drift(
+            spark, src, self.schema, state, ck,
+            on_batch=on_batch, compact_threshold=2,
+        )
+
+    def read(self, spark, state):
+        from hmpps_digital_prison_reporting_glue_poc_spark.streaming.trend_stream import (
+            trend_from_state,
+        )
+
+        return sorted(map(repr, trend_from_state(spark, state).collect()))
+
+
+FAMILIES = [
+    _KS(), _CMS(), _HLL(), _Quantile(), _Anomaly(), _IngestDedup(), _Gram(),
+    _Trend(),
+]
 
 N_BATCHES = 4
 CRASH_BATCHES = {1, 3}  # 3 crashes right after the empty-batch-2 gap
