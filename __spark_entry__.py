@@ -1549,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE85_QUERIES,
         **_WAVE86_QUERIES,
         **_WAVE87_QUERIES,
+        **_WAVE89_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1716,6 +1717,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE85_SQL,
         **_WAVE86_SQL,
         **_WAVE87_SQL,
+        **_WAVE89_SQL,
     }
 
 
@@ -14143,4 +14145,98 @@ _WAVE87_QUERIES = {
 _WAVE87_SQL = {
     "brunner_munzel_qty_by_status": BRUNNER_SQL,
     "proportion_ci_event_types": WILSON_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 89 (r8) — corpus distribution fits: Hill power-law tail index of the
+# token frequencies and the log-normal doc-length fit. Both quantize log
+# terms to INTEGER MICROS: int64 -> double casts are correctly rounded
+# identically in both engines, where DECIMAL -> double casts diverge at the
+# 17th digit (the round-7 pitfall).
+# --------------------------------------------------------------------------
+
+def hill_token_tail_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index alpha of the top-200 token frequencies
+    (operators/textstats.py hill_tail_alpha)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.textstats import hill_tail_alpha
+
+    return hill_tail_alpha(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=200
+    )
+
+
+HILL_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+    AS token
+  FROM documents),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token),
+top AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rn
+  FROM counts ORDER BY n DESC, token ASC LIMIT 201),
+thr AS (SELECT n AS cmin FROM top WHERE rn = 201),
+terms AS (
+  SELECT CAST(round(ln(CAST(top.n AS DOUBLE) / CAST(thr.cmin AS DOUBLE))
+              * 1000000.0, 0) AS BIGINT) AS m,
+         thr.cmin
+  FROM top CROSS JOIN thr WHERE top.rn <= 200),
+agg AS (
+  SELECT cmin, CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(m) AS BIGINT) AS sm
+  FROM terms GROUP BY cmin)
+SELECT k, CAST(cmin AS BIGINT) AS c_threshold,
+       CAST(sm AS DOUBLE) / 1000000.0 AS sum_log,
+       CASE WHEN sm > 0
+            THEN CAST(k AS DOUBLE) / (CAST(sm AS DOUBLE) / 1000000.0)
+            END AS alpha
+FROM agg
+"""
+
+
+def doclen_lognormal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal (mu, sigma) fit of document token-count lengths
+    (operators/textstats.py doclen_lognormal_fit)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.textstats import (
+        doclen_lognormal_fit,
+    )
+
+    return doclen_lognormal_fit(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+DOCLEN_LOGNORM_SQL = """
+WITH lens AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS l
+  FROM documents),
+micros AS (
+  SELECT CAST(round(ln(CAST(l AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS m
+  FROM lens WHERE l > 0),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(m) AS BIGINT) AS s,
+         CAST(SUM(m * m) AS BIGINT) AS q
+  FROM micros),
+emp AS (
+  SELECT CAST(SUM(CASE WHEN l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+  FROM lens)
+SELECT n_docs, n_empty,
+       CASE WHEN n_docs > 0
+            THEN CAST(s AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE)
+            END AS mu_log_len,
+       CASE WHEN n_docs > 1
+            THEN sqrt((CAST(n_docs AS DOUBLE) * CAST(q AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (1000000.0 * 1000000.0 * CAST(n_docs AS DOUBLE)
+                         * (CAST(n_docs AS DOUBLE) - 1.0)))
+            END AS sigma_log_len
+FROM agg CROSS JOIN emp
+"""
+
+_WAVE89_QUERIES = {
+    "hill_token_tail_alpha": hill_token_tail_alpha,
+    "doclen_lognormal_docs": doclen_lognormal_docs,
+}
+_WAVE89_SQL = {
+    "hill_token_tail_alpha": HILL_SQL,
+    "doclen_lognormal_docs": DOCLEN_LOGNORM_SQL,
 }

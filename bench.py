@@ -386,6 +386,9 @@ BENCH_QUERIES = [
     # wave 87 (r8)
     "brunner_munzel_qty_by_status",
     "proportion_ci_event_types",
+    # wave 89 (r8)
+    "hill_token_tail_alpha",
+    "doclen_lognormal_docs",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

@@ -1371,16 +1371,17 @@ def kruskal_wallis(
     per-group doubled rank sums S_g = Σ n_gv·two_mid accumulated as
     BIGINT — every input to the float stage is an exact integer.
 
-    Engine-exact float assembly (the token_pagerank 9dp convention):
-    each group's term S_g²/(4·n_g·N·(N+1)) is ONE IEEE float tree over
-    exactly-represented integers (S_g < 2^53 casts exactly; the square
-    and divisions are correctly rounded, so both engines produce the
-    same double), rounded to 9dp and summed as DECIMAL(38,9) so the
-    cross-group sum has no float-order dependence. H = 12·Σterms −
-    3(N+1) is then DECIMAL-exact arithmetic with one final small-scalar
-    cast. Tie correction C = 1 − Σ(t³−t)/(N³−N) uses int64 sums (n_v³
-    fits comfortably below 2^63 for any per-value count this engine
-    bencharks) cast once to double. Returns one row:
+    Engine-exact float assembly: each group's term 3·S_g²/(n_g·N·(N+1))
+    (the 12/(N(N+1)) factor folded in, 12/4 = 3) is ONE IEEE float tree
+    over exactly-represented integers (S_g < 2^53 casts exactly; the
+    square and divisions are correctly rounded, so both engines produce
+    the same double); the cross-group sum is an ORDERED cumulative
+    window over the K-row rollup — a left-fold both engines replay
+    bit-identically (an unordered SUM(double) is association-order-
+    dependent, and round-to-9dp-then-DECIMAL disagrees between engines
+    at rounding boundaries). H = Σterms − 3(N+1) with one final
+    small-scalar subtraction. Tie correction C = 1 − Σ(t³−t)/(N³−N)
+    uses int64 sums cast once to double. Returns one row:
     (n, k_groups, h, h_corrected); NULL h when every row ties on one
     value (C = 0) or k < 2.
 
@@ -1392,6 +1393,21 @@ def kruskal_wallis(
     exact-cast property documented above.
     """
     pg, tot, ties = _rank_group_sums(df, value_col, group_col, bucket_width)
+    sgd = F.col("__sg").cast("double")
+    term = (F.lit(3.0) * sgd * sgd) / (
+        F.col("__ng").cast("double")
+        * F.col("n").cast("double")
+        * (F.col("n") + F.lit(1)).cast("double")
+    )
+    w_cum = Window.orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = pg.crossJoin(F.broadcast(tot)).select(
+        "__g", F.sum(term).over(w_cum).alias("__cum")
+    )
+    terms = cums.agg(
+        F.max(F.struct(F.col("__g"), F.col("__cum"))).alias("__last")
+    ).select(F.col("__last.__cum").alias("__st"))
     out = tot.crossJoin(F.broadcast(terms)).crossJoin(F.broadcast(ties))
     h = F.col("__st") - (
         F.lit(3) * (F.col("n") + F.lit(1))

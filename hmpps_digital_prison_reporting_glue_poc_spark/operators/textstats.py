@@ -12,7 +12,7 @@ while an inlined ``split(...)`` expression would re-evaluate per reference
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import (
@@ -960,4 +960,115 @@ def byte_char_audit(
         "multibyte_extra",
         bpc.alias("bytes_per_char"),
         share.alias("multibyte_extra_share"),
+    )
+
+
+def hill_tail_alpha(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 200,
+) -> DataFrame:
+    """Hill estimator of the token-frequency power-law tail index — the
+    number behind "is this corpus Zipfian with alpha ~ 1?" that
+    token_zipf's rank table only shows visually. alpha_hat = k / Σ_{i<=k}
+    ln(c_i / c_(k+1)) over the k most frequent tokens, with the
+    (k+1)-th count as the threshold.
+
+    Determinism contract: the top-(k+1) selection orders by (count desc,
+    token asc) — a TakeOrderedAndProject, never a vocab-spanning sort —
+    and each ln term is quantized to INTEGER MICROS
+    (round(ln(ratio)·1e6) as BIGINT): int64 sums cast to double are
+    correctly rounded identically in both engines, where a DECIMAL→
+    double cast is not (the 17th-digit pitfall). Returns one row:
+    (k, c_threshold, sum_log, alpha); NULL alpha when the top-k counts
+    all tie the threshold (sum 0) or the vocabulary is smaller than
+    k+1 (no threshold row -> empty output guarded to one NULL row by
+    the caller if needed).
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k + 1)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.withColumn("__rn", F.row_number().over(w))
+    thr = ranked.filter(F.col("__rn") == k + 1).select(
+        F.col("n").alias("__cmin")
+    )
+    micros = F.round(
+        F.log(F.col("n").cast("double") / F.col("__cmin").cast("double"))
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    terms = (
+        ranked.filter(F.col("__rn") <= k)
+        .crossJoin(F.broadcast(thr))
+        .select(micros.alias("__m"), "__cmin")
+    )
+    agg = terms.groupBy("__cmin").agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum("__m").cast("long").alias("__sm"),
+    )
+    sum_log = F.col("__sm").cast("double") / F.lit(1000000.0)
+    return agg.select(
+        F.col("__k").alias("k"),
+        F.col("__cmin").cast("long").alias("c_threshold"),
+        sum_log.alias("sum_log"),
+        F.when(
+            F.col("__sm") > 0, F.col("__k").cast("double") / sum_log
+        ).alias("alpha"),
+    )
+
+
+def doclen_lognormal_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Log-normal fit of the document-length distribution: mu/sigma of
+    ln(token count) — corpus length distributions are approximately
+    lognormal, and (mu, sigma) is the 2-number summary that a length-
+    bucketed packing plan or a truncation policy actually needs.
+
+    Integer-micros convention end-to-end: each doc's ln(n_tokens) is one
+    IEEE log over an exact integer, quantized to micros
+    (round(ln·1e6) as BIGINT); first and second moments accumulate in
+    int64 (promote to DECIMAL(38,0) past ~1e9 docs), every cast to
+    double is the unique correctly-rounded int64 conversion, and mu /
+    the ddof-1 sigma are fixed IEEE trees — bit-equal across engines.
+    Returns one row: (n_docs, n_empty, mu_log_len, sigma_log_len);
+    zero-token docs are excluded from the fit (ln undefined) and
+    counted in n_empty.
+    """
+    lens = df.select(
+        F.size(tokens(F.col(text_col))).cast("long").alias("__l")
+    )
+    micros = F.round(
+        F.log(F.col("__l").cast("double")) * F.lit(1000000.0), 0
+    ).cast("long")
+    nonempty = lens.filter(F.col("__l") > 0).select(micros.alias("__m"))
+    agg = nonempty.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__m").cast("long").alias("__s"),
+        F.sum(F.col("__m") * F.col("__m")).cast("long").alias("__q"),
+    )
+    empty = lens.agg(
+        F.sum(F.when(F.col("__l") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty")
+    )
+    out = agg.crossJoin(F.broadcast(empty))
+    nd = F.col("n_docs").cast("double")
+    mu = F.col("__s").cast("double") / F.lit(1000000.0) / nd
+    var = (
+        nd * F.col("__q").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double")
+    ) / (F.lit(1000000.0) * F.lit(1000000.0) * nd * (nd - F.lit(1.0)))
+    return out.select(
+        "n_docs",
+        "n_empty",
+        F.when(F.col("n_docs") > 0, mu).alias("mu_log_len"),
+        F.when(F.col("n_docs") > 1, F.sqrt(var)).alias("sigma_log_len"),
     )
