@@ -1550,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE86_QUERIES,
         **_WAVE87_QUERIES,
         **_WAVE89_QUERIES,
+        **_WAVE90_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1718,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE86_SQL,
         **_WAVE87_SQL,
         **_WAVE89_SQL,
+        **_WAVE90_SQL,
     }
 
 
@@ -14239,4 +14241,146 @@ _WAVE89_QUERIES = {
 _WAVE89_SQL = {
     "hill_token_tail_alpha": HILL_SQL,
     "doclen_lognormal_docs": DOCLEN_LOGNORM_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 90 (r8) — warehouse data-quality gates: FK referential integrity and
+# PK uniqueness audits over the schema's real key edges.
+# --------------------------------------------------------------------------
+
+def fk_orphan_audit_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan / childless counts across the three FK edges
+    (operators/profiling.py fk_orphan_audit): lineitem->orders,
+    orders->customer, customer->nation."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import fk_orphan_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return fk_orphan_audit(
+        [
+            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("orders->customer", o, "o_custkey", c, "c_custkey"),
+            ("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        ]
+    )
+
+
+FK_ORPHAN_SQL = """
+SELECT 'lineitem->orders' AS edge,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+   WHERE l_orderkey IS NULL) AS n_null_fk,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+   WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS n_orphans,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_parents,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o WHERE NOT EXISTS
+     (SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_orderkey IS NOT NULL))
+    AS n_childless
+UNION ALL
+SELECT 'orders->customer',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+   WHERE o_custkey IS NOT NULL AND NOT EXISTS
+     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c WHERE NOT EXISTS
+     (SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_custkey IS NOT NULL))
+UNION ALL
+SELECT 'customer->nation',
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+   WHERE c_nationkey IS NULL),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+   WHERE c_nationkey IS NOT NULL AND NOT EXISTS
+     (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation),
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n WHERE NOT EXISTS
+     (SELECT 1 FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey AND c.c_nationkey IS NOT NULL))
+"""
+
+
+def pk_uniqueness_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK uniqueness audit over five tables incl. lineitem's composite
+    (orderkey, linenumber) key (operators/profiling.py
+    pk_uniqueness_audit)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import (
+        pk_uniqueness_audit,
+    )
+
+    return pk_uniqueness_audit(
+        [
+            ("orders", _t(spark, sf_dir, "orders"), ["o_orderkey"]),
+            ("customer", _t(spark, sf_dir, "customer"), ["c_custkey"]),
+            (
+                "lineitem",
+                _t(spark, sf_dir, "lineitem"),
+                ["l_orderkey", "l_linenumber"],
+            ),
+            ("events", _events(spark, sf_dir), ["event_id"]),
+            ("documents", _t(spark, sf_dir, "documents"), ["doc_id"]),
+        ]
+    )
+
+
+PK_UNIQUE_SQL = """
+WITH o AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS m
+           FROM orders GROUP BY 1),
+c AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS m
+      FROM customer GROUP BY 1),
+l AS (SELECT l_orderkey AS k1, l_linenumber AS k2,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM lineitem GROUP BY 1, 2),
+e AS (SELECT event_id AS k, CAST(COUNT(*) AS BIGINT) AS m
+      FROM events GROUP BY 1),
+d AS (SELECT doc_id AS k, CAST(COUNT(*) AS BIGINT) AS m
+      FROM documents GROUP BY 1)
+SELECT 'orders' AS table_name, CAST(SUM(m) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       CAST(MAX(m) AS BIGINT) AS max_multiplicity,
+       CAST(SUM(CASE WHEN k IS NULL THEN m ELSE 0 END) AS BIGINT)
+         AS n_null_keys
+FROM o
+UNION ALL
+SELECT 'customer', CAST(SUM(m) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MAX(m) AS BIGINT),
+       CAST(SUM(CASE WHEN k IS NULL THEN m ELSE 0 END) AS BIGINT)
+FROM c
+UNION ALL
+SELECT 'lineitem', CAST(SUM(m) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MAX(m) AS BIGINT),
+       CAST(SUM(CASE WHEN k1 IS NULL OR k2 IS NULL THEN m ELSE 0 END)
+            AS BIGINT)
+FROM l
+UNION ALL
+SELECT 'events', CAST(SUM(m) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MAX(m) AS BIGINT),
+       CAST(SUM(CASE WHEN k IS NULL THEN m ELSE 0 END) AS BIGINT)
+FROM e
+UNION ALL
+SELECT 'documents', CAST(SUM(m) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MAX(m) AS BIGINT),
+       CAST(SUM(CASE WHEN k IS NULL THEN m ELSE 0 END) AS BIGINT)
+FROM d
+"""
+
+_WAVE90_QUERIES = {
+    "fk_orphan_audit_tables": fk_orphan_audit_tables,
+    "pk_uniqueness_tables": pk_uniqueness_tables,
+}
+_WAVE90_SQL = {
+    "fk_orphan_audit_tables": FK_ORPHAN_SQL,
+    "pk_uniqueness_tables": PK_UNIQUE_SQL,
 }

@@ -389,6 +389,9 @@ BENCH_QUERIES = [
     # wave 89 (r8)
     "hill_token_tail_alpha",
     "doclen_lognormal_docs",
+    # wave 90 (r8)
+    "fk_orphan_audit_tables",
+    "pk_uniqueness_tables",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

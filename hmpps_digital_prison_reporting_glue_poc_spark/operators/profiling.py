@@ -883,3 +883,117 @@ def rank_quintile_dependence(
         expected.alias("expected"),
         (F.col("observed").cast("double") / expected).alias("ratio"),
     )
+
+
+def fk_orphan_audit(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit across declared FK edges: for each
+    (name, child_df, fk_col, parent_df, pk_col), count child rows whose
+    FK has no parent (orphans) and parents with no children (childless)
+    — the two numbers every warehouse DQ gate checks before a join-heavy
+    mart build trusts its FKs.
+
+    Shape per edge: one left-anti join each way, keyed on the FK — at
+    100 TB the child-side anti-join is the same shuffle the downstream
+    equi-join would pay (broadcast when the parent is dim-sized, which
+    Catalyst decides from stats), and counts are map-side-combined.
+    NULL FKs are counted separately (a NULL is "unknown", not an
+    orphan). Returns one row per edge: (edge, n_child, n_null_fk,
+    n_orphans, n_parents, n_childless).
+    """
+    outs = []
+    for name, child, fk, parent, pk in edges:
+        c = child.select(F.col(fk).alias("__fk"))
+        p = parent.select(F.col(pk).alias("__pk"))
+        nn = c.filter(F.col("__fk").isNull())
+        orphans = (
+            c.filter(F.col("__fk").isNotNull())
+            .join(p.withColumnRenamed("__pk", "__fk"), "__fk", "left_anti")
+        )
+        childless = p.join(
+            c.filter(F.col("__fk").isNotNull()).withColumnRenamed("__fk", "__pk"),
+            "__pk",
+            "left_anti",
+        )
+        row = (
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                F.broadcast(
+                    nn.agg(F.count(F.lit(1)).cast("long").alias("n_null_fk"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_orphans")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    p.agg(F.count(F.lit(1)).cast("long").alias("n_parents"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    childless.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_childless")
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("edge"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                "n_parents",
+                "n_childless",
+            )
+        )
+        outs.append(row)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def pk_uniqueness_audit(
+    tables: list[tuple[str, DataFrame, list[str]]],
+) -> DataFrame:
+    """Primary-key uniqueness audit: per (name, df, key_cols), the row
+    count, distinct-key count, number of keys appearing more than once,
+    and the worst key's multiplicity — the other half of the DQ gate
+    (:func:`fk_orphan_audit` trusts parents are unique; this verifies
+    it). One groupBy per table (map-side combined), rollup-sized
+    aggregation after. NULL key components participate as ordinary
+    grouping values (two NULL-keyed rows ARE a duplicate — surrogate
+    keys must not be NULL, and the n_null_keys column exposes them).
+    Returns (table_name, n_rows, n_keys, n_dup_keys, max_multiplicity,
+    n_null_keys).
+    """
+    outs = []
+    for name, df, keys in tables:
+        per = df.groupBy(*[F.col(k) for k in keys]).agg(
+            F.count(F.lit(1)).cast("long").alias("__m")
+        )
+        null_any = None
+        for k in keys:
+            cond = F.col(k).isNull()
+            null_any = cond if null_any is None else (null_any | cond)
+        row = per.agg(
+            F.sum("__m").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("__m") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_keys"),
+            F.max("__m").cast("long").alias("max_multiplicity"),
+            F.sum(F.when(null_any, F.col("__m")).otherwise(0))
+            .cast("long")
+            .alias("n_null_keys"),
+        ).select(F.lit(name).alias("table_name"), "*")
+        outs.append(row)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -155,6 +155,16 @@ def _backfill_part() -> None:
             c[key] = c[key] + k * shift
             out.append(c)
         pd.concat(out, ignore_index=True).to_parquet(dst, index=False)
+    # dimension tables pass through unscaled (wave 90: the FK audits join
+    # the scaled facts against the same dim universe — orphans grow 10x,
+    # the parent side stays broadcastable, the realistic DQ shape)
+    for tbl in ("nation", "region", "supplier"):
+        dst = os.path.join(SCALED, f"{tbl}.parquet")
+        if os.path.exists(dst):
+            continue
+        pq.write_table(
+            pq.read_table(os.path.join(BASE, f"{tbl}.parquet")), dst
+        )
 
 
 def _ui(path: str):
