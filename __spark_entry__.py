@@ -1551,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE87_QUERIES,
         **_WAVE89_QUERIES,
         **_WAVE90_QUERIES,
+        **_WAVE91_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1720,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE87_SQL,
         **_WAVE89_SQL,
         **_WAVE90_SQL,
+        **_WAVE91_SQL,
     }
 
 
@@ -14383,4 +14385,118 @@ _WAVE90_QUERIES = {
 _WAVE90_SQL = {
     "fk_orphan_audit_tables": FK_ORPHAN_SQL,
     "pk_uniqueness_tables": PK_UNIQUE_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 91 (r8) — time-series significance pair: two-period Poisson rate
+# ratio (did the volume actually shift?) and the Wald-Wolfowitz runs test
+# (do above/below-median days clump?).
+# --------------------------------------------------------------------------
+
+def rate_ratio_halves_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-rate comparison between the two halves of the observed
+    span (operators/behavior.py rate_ratio_two_periods)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        rate_ratio_two_periods,
+    )
+
+    return rate_ratio_two_periods(_events(spark, sf_dir))
+
+
+RATE_RATIO_SQL = """
+WITH days AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events WHERE event_type = 'purchase'),
+span AS (
+  SELECT MIN(d) AS lo, MAX(d) AS hi,
+         CAST((MIN(d) + MAX(d) - (MIN(d) + MAX(d)) % 2) / 2 AS BIGINT)
+           AS mid
+  FROM days),
+counted AS (
+  SELECT CAST(SUM(CASE WHEN d <= mid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN d > mid THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(MAX(mid - lo + 1) AS BIGINT) AS e1_days,
+         CAST(MAX(hi - mid) AS BIGINT) AS e2_days
+  FROM days CROSS JOIN span),
+calc AS (
+  SELECT c1, e1_days, c2, e2_days,
+         CAST(c1 AS DOUBLE) / CAST(e1_days AS DOUBLE) AS r1,
+         CAST(c2 AS DOUBLE) / CAST(e2_days AS DOUBLE) AS r2,
+         sqrt(CAST(c1 AS DOUBLE)
+              / (CAST(e1_days AS DOUBLE) * CAST(e1_days AS DOUBLE))
+              + CAST(c2 AS DOUBLE)
+              / (CAST(e2_days AS DOUBLE) * CAST(e2_days AS DOUBLE))) AS se,
+         (c1 > 0 AND c2 > 0 AND e2_days > 0) AS ok
+  FROM counted)
+SELECT c1, e1_days, r1 AS rate1, c2, e2_days,
+       CASE WHEN e2_days > 0 THEN r2 END AS rate2,
+       CASE WHEN ok THEN r1 / r2 END AS rate_ratio,
+       CASE WHEN ok THEN (r1 - r2) / se END AS z_rate
+FROM calc
+"""
+
+
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of daily purchase revenue vs its exact
+    lower median (operators/behavior.py runs_test_daily)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import runs_test_daily
+
+    return runs_test_daily(_events(spark, sf_dir))
+
+
+RUNS_TEST_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT))
+              AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, day ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM daily),
+med AS (
+  SELECT x AS m FROM ranked
+  WHERE rn = (n - n % 2) / 2 + n % 2),
+signed AS (
+  SELECT day, (x > m) AS up, m
+  FROM daily CROSS JOIN med WHERE x <> m),
+runs AS (
+  SELECT up, m,
+         CASE WHEN LAG(up) OVER (ORDER BY day) IS NULL
+                OR LAG(up) OVER (ORDER BY day) <> up
+              THEN 1 ELSE 0 END AS new_run
+  FROM signed),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         CAST(SUM(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+         CAST(MAX(m) AS BIGINT) AS median_cents,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs
+  FROM runs),
+calc AS (
+  SELECT *,
+         2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+           / (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE)) + 1.0
+           AS e_r,
+         (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+          * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+             - CAST(n_above AS DOUBLE) - CAST(n_below AS DOUBLE)))
+           / ((CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+              * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE))
+              * (CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) - 1.0))
+           AS v_r
+  FROM agg)
+SELECT n_days, n_above, n_below, median_cents, n_runs,
+       CASE WHEN n_above > 0 AND n_below > 0 AND v_r > 0
+            THEN (CAST(n_runs AS DOUBLE) - e_r) / sqrt(v_r) END AS z_runs
+FROM calc
+"""
+
+_WAVE91_QUERIES = {
+    "rate_ratio_halves_events": rate_ratio_halves_events,
+    "runs_test_daily_revenue": runs_test_daily_revenue,
+}
+_WAVE91_SQL = {
+    "rate_ratio_halves_events": RATE_RATIO_SQL,
+    "runs_test_daily_revenue": RUNS_TEST_SQL,
 }

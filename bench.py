@@ -392,6 +392,9 @@ BENCH_QUERIES = [
     # wave 90 (r8)
     "fk_orphan_audit_tables",
     "pk_uniqueness_tables",
+    # wave 91 (r8)
+    "rate_ratio_halves_events",
+    "runs_test_daily_revenue",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in
@@ -619,20 +622,46 @@ def main() -> None:
         print(f"WROTE_BENCH_PINS: {BENCH_PINS_PATH}", flush=True)
     drifted: dict[str, dict[str, float]] = {}
     unpinned: list[str] = []
+    median_infl = 1.0
     if os.path.exists(BENCH_PINS_PATH):
         with open(BENCH_PINS_PATH) as fh:
             pins = json.load(fh)
         pinned = pins.get("ratios", {})
         tol = pins.get("tolerance", DRIFT_TOLERANCE)
+        # Run-level inflation correction (r8): on a shared host a whole
+        # run can be uniformly 1.5-2x slower (GC/session degradation,
+        # noisy neighbors) — sentinel normalization alone misses it when
+        # the sentinel's two samples land in calm moments. The MEDIAN
+        # per-query inflation vs pin estimates that run-wide factor; a
+        # genuine single-query regression still stands out against it,
+        # while a globally slow run stops spraying dozens of false
+        # drifts. Floored at 1.0 so detection never gets STRICTER than
+        # the absolute pin.
+        infls = sorted(
+            ratio / pinned[name]
+            for name, ratio in ratios.items()
+            if name in pinned and pinned[name] > 0
+        )
+        if infls:
+            mid = len(infls) // 2
+            med = (
+                infls[mid]
+                if len(infls) % 2
+                else (infls[mid - 1] + infls[mid]) / 2.0
+            )
+            median_infl = max(1.0, med)
         for name, ratio in ratios.items():
             if name not in pinned:
                 unpinned.append(name)
                 continue
-            if ratio > tol * pinned[name]:
+            if ratio > tol * pinned[name] * median_infl:
                 drifted[name] = {
                     "pinned": pinned[name],
                     "now": ratio,
                     "x": round(ratio / max(pinned[name], 1e-9), 2),
+                    "x_adj": round(
+                        ratio / max(pinned[name] * median_infl, 1e-9), 2
+                    ),
                 }
     # Loud report: every query whose sentinel-normalized time drifted
     # beyond tolerance vs the committed pin, worst first. Empty = clean.
@@ -647,6 +676,7 @@ def main() -> None:
         print("BENCH_UNPINNED: " + json.dumps(sorted(unpinned)), flush=True)
     print("BENCH_RATIOS: " + json.dumps(dict(sorted(ratios.items()))), flush=True)
     noise["n_drift"] = len(drifted)
+    noise["run_inflation"] = round(median_infl, 2)
     # Full per-query map + per-query load samples for humans (NOT the
     # contract line).
     print("FULL_TIMINGS: " + json.dumps(timings), flush=True)

@@ -2146,3 +2146,156 @@ def event_path_trigrams(
     return tri.orderBy(
         F.col("n_paths").desc(), "t1", "t2", "t3"
     ).limit(top_n)
+
+
+def rate_ratio_two_periods(
+    events: DataFrame,
+    target_type: str = "purchase",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-period Poisson rate comparison: split the observed span at its
+    midpoint day and test whether the target event RATE (count per day
+    of exposure) changed — the "did volume actually shift or did the
+    window just get longer" check behind every before/after dashboard
+    claim.
+
+    Counts and exposures are exact integers from one filtered rollup +
+    one min/max scan; the unconditional z
+
+        z = (r1 − r2) / sqrt(c1/e1² + c2/e2²),  r_i = c_i/e_i
+
+    is a fixed IEEE tree over exactly-cast int64 leaves (no logs), so
+    both engines agree bit-for-bit. Returns one row: (c1, e1_days,
+    rate1, c2, e2_days, rate2, rate_ratio, z_rate); NULL z when either
+    period has zero events (no variance basis), NULL ratio when period
+    2 is empty.
+    """
+    days = events.filter(F.col(type_col) == target_type).select(
+        F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).alias("__d")
+    )
+    span = days.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    mid = (F.col("__lo") + F.col("__hi") - (F.col("__lo") + F.col("__hi")) % 2) / 2
+    split = span.select(
+        "__lo", "__hi", mid.cast("long").alias("__mid")
+    )
+    counted = days.crossJoin(F.broadcast(split)).agg(
+        F.sum(F.when(F.col("__d") <= F.col("__mid"), 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("__d") > F.col("__mid"), 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+        F.max(F.col("__mid") - F.col("__lo") + 1).cast("long").alias("e1_days"),
+        F.max(F.col("__hi") - F.col("__mid")).cast("long").alias("e2_days"),
+    )
+    r1 = F.col("c1").cast("double") / F.col("e1_days").cast("double")
+    r2 = F.col("c2").cast("double") / F.col("e2_days").cast("double")
+    se = F.sqrt(
+        F.col("c1").cast("double")
+        / (F.col("e1_days").cast("double") * F.col("e1_days").cast("double"))
+        + F.col("c2").cast("double")
+        / (F.col("e2_days").cast("double") * F.col("e2_days").cast("double"))
+    )
+    ok = (F.col("c1") > 0) & (F.col("c2") > 0) & (F.col("e2_days") > 0)
+    return counted.select(
+        "c1",
+        "e1_days",
+        r1.alias("rate1"),
+        "c2",
+        "e2_days",
+        F.when(F.col("e2_days") > 0, r2).alias("rate2"),
+        F.when(ok, r1 / r2).alias("rate_ratio"),
+        F.when(ok, (r1 - r2) / se).alias("z_rate"),
+    )
+
+
+def runs_test_daily(
+    events: DataFrame,
+    target_type: str = "purchase",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue vs its median: are the
+    above/below-median days RANDOMLY interleaved, or do they clump
+    (trend/regime) or alternate (overcorrection)? The significance
+    companion to ``updown_streaks``' descriptive streak table.
+
+    All machinery on the span-bounded day rollup: exact integer daily
+    cents, the exact LOWER median via the ceil(n/2) order statistic on
+    the bounded rollup, median-tied days excluded (the standard
+    convention), runs counted with one lag over the day order. E[R] and
+    V[R] are the closed forms in n1, n2; z is one fixed IEEE tree over
+    exact int64 leaves. Returns one row: (n_days, n_above, n_below,
+    median_cents, n_runs, z_runs); NULL z when either side is empty or
+    V = 0.
+    """
+    daily = (
+        events.filter(F.col(type_col) == target_type)
+        .select(
+            F.to_date(F.col(ts_col)).alias("__day"),
+            F.round(F.col(value_col).cast("double") * scale, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("__day")
+        .agg(F.sum("__cents").cast("long").alias("__x"))
+    )
+    w_ord = Window.orderBy(F.col("__x").asc(), F.col("__day").asc())
+    ranked = daily.withColumn("__rn", F.row_number().over(w_ord))
+    n_row = daily.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    med = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .filter(
+            F.col("__rn")
+            == (F.col("__n") - F.col("__n") % 2) / 2 + F.col("__n") % 2
+        )
+        .select(F.col("__x").alias("__med"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("__x") != F.col("__med"))
+        .select(
+            "__day",
+            (F.col("__x") > F.col("__med")).alias("__up"),
+            "__med",
+        )
+    )
+    w_day = Window.orderBy("__day")
+    runs = signed.withColumn(
+        "__new",
+        F.when(
+            F.lag("__up").over(w_day).isNull()
+            | (F.lag("__up").over(w_day) != F.col("__up")),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("__up"), 1).otherwise(0)).cast("long").alias("n_above"),
+        F.sum(F.when(~F.col("__up"), 1).otherwise(0)).cast("long").alias("n_below"),
+        F.max("__med").cast("long").alias("median_cents"),
+        F.sum("__new").cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    e_r = F.lit(2.0) * n1 * n2 / nn + F.lit(1.0)
+    v_r = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+    ) / (nn * nn * (nn - F.lit(1.0)))
+    ok = (F.col("n_above") > 0) & (F.col("n_below") > 0) & (v_r > 0)
+    return agg.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        "median_cents",
+        "n_runs",
+        F.when(ok, (F.col("n_runs").cast("double") - e_r) / F.sqrt(v_r)).alias(
+            "z_runs"
+        ),
+    )
