@@ -650,19 +650,41 @@ def main() -> None:
                 else (infls[mid - 1] + infls[mid]) / 2.0
             )
             median_infl = max(1.0, med)
-        for name, ratio in ratios.items():
-            if name not in pinned:
-                unpinned.append(name)
-                continue
-            if ratio > tol * pinned[name] * median_infl:
-                drifted[name] = {
-                    "pinned": pinned[name],
-                    "now": ratio,
-                    "x": round(ratio / max(pinned[name], 1e-9), 2),
-                    "x_adj": round(
-                        ratio / max(pinned[name] * median_infl, 1e-9), 2
-                    ),
-                }
+        def flag(rs: dict[str, float]) -> dict[str, dict[str, float]]:
+            out: dict[str, dict[str, float]] = {}
+            for name, ratio in rs.items():
+                if name not in pinned:
+                    continue
+                if ratio > tol * pinned[name] * median_infl:
+                    out[name] = {
+                        "pinned": pinned[name],
+                        "now": ratio,
+                        "x": round(ratio / max(pinned[name], 1e-9), 2),
+                        "x_adj": round(
+                            ratio / max(pinned[name] * median_infl, 1e-9), 2
+                        ),
+                    }
+            return out
+
+        unpinned = sorted(set(ratios) - set(pinned))
+        drifted = flag(ratios)
+        # Transient-stall retry (r8): a multi-second host stall can
+        # inflate 2-3 CONSECUTIVE queries 10x (all reps of each land
+        # inside the stall — min-of-3 can't save them). Re-measure each
+        # flagged query once the run is past the stall and keep the
+        # better number: a transient clears, a real regression survives
+        # the retry and stays flagged.
+        if drifted:
+            print(
+                "BENCH_DRIFT_RETRY: " + json.dumps(sorted(drifted)),
+                flush=True,
+            )
+            for name in list(drifted):
+                retry = round(time_query(name), 3)
+                if retry < timings[name]:
+                    timings[name] = retry
+                    ratios[name] = round(retry / sentinel_ref, 3)
+            drifted = flag(ratios)
     # Loud report: every query whose sentinel-normalized time drifted
     # beyond tolerance vs the committed pin, worst first. Empty = clean.
     print(
