@@ -1552,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE89_QUERIES,
         **_WAVE90_QUERIES,
         **_WAVE91_QUERIES,
+        **_WAVE92_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1722,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE89_SQL,
         **_WAVE90_SQL,
         **_WAVE91_SQL,
+        **_WAVE92_SQL,
     }
 
 
@@ -14499,4 +14501,94 @@ _WAVE91_QUERIES = {
 _WAVE91_SQL = {
     "rate_ratio_halves_events": RATE_RATIO_SQL,
     "runs_test_daily_revenue": RUNS_TEST_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 92 (r8) — corpus vocabulary-growth curve (Heaps' law checkpoints)
+# and the dow×hour activity heatmap.
+# --------------------------------------------------------------------------
+
+def heaps_vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-type vs token-volume curve over 10 doc-order
+    checkpoints (operators/corpus.py heaps_law_vocab_growth)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import heaps_law_vocab_growth
+
+    return heaps_law_vocab_growth(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_buckets=10
+    )
+
+
+HEAPS_SQL = """
+WITH toked AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents),
+per_doc AS (
+  SELECT id, CAST(len(tl) AS BIGINT) AS nt FROM toked),
+ranked AS (
+  SELECT id, nt, ROW_NUMBER() OVER (ORDER BY id) AS r,
+         COUNT(*) OVER () AS n
+  FROM per_doc),
+doc_b AS (
+  SELECT id, nt,
+         CAST((10 * (r - 1) - (10 * (r - 1)) % n) / n AS BIGINT) AS bucket
+  FROM ranked),
+vol AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS tok
+  FROM doc_b GROUP BY bucket),
+first_doc AS (
+  SELECT t, MIN(id) AS fd
+  FROM (SELECT id, unnest(tl) AS t FROM toked) GROUP BY t),
+new_types AS (
+  SELECT d.bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first_doc f JOIN doc_b d ON d.id = f.fd GROUP BY d.bucket),
+grid AS (
+  SELECT v.bucket, v.n_docs, v.tok,
+         COALESCE(nt.new_types, 0) AS new_types
+  FROM vol v LEFT JOIN new_types nt ON nt.bucket = v.bucket)
+SELECT bucket, n_docs,
+       CAST(SUM(tok) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       CAST(new_types AS BIGINT) AS new_types,
+       CAST(SUM(new_types) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_types
+FROM grid
+"""
+
+
+def activity_heatmap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dow×hour event-count heatmap with exact shares and peak flag
+    (operators/behavior.py activity_heatmap_dow_hour; Monday=0 via the
+    (epoch_day+3)%7 integer convention)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        activity_heatmap_dow_hour,
+    )
+
+    return activity_heatmap_dow_hour(_events(spark, sf_dir))
+
+
+HEATMAP_SQL = """
+WITH cells AS (
+  SELECT CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+              AS BIGINT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT dow, hour, n_events,
+       CAST(n_events AS DOUBLE)
+         / CAST(SUM(n_events) OVER () AS DOUBLE) AS share,
+       n_events = MAX(n_events) OVER () AS is_peak
+FROM cells
+"""
+
+_WAVE92_QUERIES = {
+    "heaps_vocab_growth_docs": heaps_vocab_growth_docs,
+    "activity_heatmap_events": activity_heatmap_events,
+}
+_WAVE92_SQL = {
+    "heaps_vocab_growth_docs": HEAPS_SQL,
+    "activity_heatmap_events": HEATMAP_SQL,
 }

@@ -395,6 +395,9 @@ BENCH_QUERIES = [
     # wave 91 (r8)
     "rate_ratio_halves_events",
     "runs_test_daily_revenue",
+    # wave 92 (r8)
+    "heaps_vocab_growth_docs",
+    "activity_heatmap_events",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

@@ -2299,3 +2299,51 @@ def runs_test_daily(
             "z_runs"
         ),
     )
+
+
+def activity_heatmap_dow_hour(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    target_type: str | None = None,
+) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap with exact shares and
+    peak flags — the load-shape table behind capacity planning and
+    send-time optimization. Weekday uses the integer (epoch_day + 3) % 7
+    convention (Monday = 0; 1970-01-01 was a Thursday) so both engines
+    derive it from exact arithmetic rather than locale-dependent
+    date-part functions. One map-side-combinable groupBy onto the
+    bounded 7×24 grid; share is one IEEE divide; the peak flag compares
+    against the grid max (a window over ≤168 rows). Returns
+    (dow, hour, n_events, share, is_peak).
+    """
+    base = events
+    if target_type is not None:
+        base = base.filter(F.col(type_col) == target_type)
+    cells = (
+        base.select(
+            (
+                (
+                    F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+                    + F.lit(3)
+                )
+                % 7
+            ).cast("long").alias("dow"),
+            F.hour(F.col(ts_col)).cast("long").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cells.select(
+        "dow",
+        "hour",
+        "n_events",
+        (
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(w_all).cast("double")
+        ).alias("share"),
+        (F.col("n_events") == F.max("n_events").over(w_all)).alias("is_peak"),
+    )

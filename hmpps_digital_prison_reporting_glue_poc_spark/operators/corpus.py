@@ -1097,3 +1097,73 @@ def rendezvous_shards(
         ]
     )
     return df.withColumn("shard", F.array_max(cands).getField("s"))
+
+
+def heaps_law_vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct token
+    TYPES vs cumulative token volume at corpus-order checkpoints — the
+    "is the vocabulary saturating or still growing" diagnostic that
+    decides whether more data buys new diversity or re-treads.
+
+    Exact machinery: every token type is attributed to its FIRST
+    occurrence document (min doc id — one groupBy), documents get exact
+    ranks under the unique id order via the range-bucket idiom (never a
+    corpus-spanning window), ranks collapse to ``n_buckets`` closed-form
+    buckets, and both the new-type and token-volume rollups cumulate
+    over the bucket grid. All integers; returns one row per bucket:
+    (bucket, n_docs, cum_tokens, new_types, cum_types).
+    """
+    from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import _range_rank
+
+    toked = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    per_doc = toked.select(
+        "__id", F.size("__toks").cast("long").alias("__nt")
+    )
+    ranked = _range_rank(per_doc, "__id", "__id", 1_000, "__r")
+    n_row = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    bucket = (
+        (
+            F.lit(n_buckets) * (F.col("__r") - 1)
+            - (F.lit(n_buckets) * (F.col("__r") - 1)) % F.col("__n")
+        )
+        / F.col("__n")
+    ).cast("long")
+    doc_b = ranked.crossJoin(F.broadcast(n_row)).select(
+        "__id", "__nt", bucket.alias("bucket")
+    )
+    vol = doc_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("__tok"),
+    )
+    first_doc = (
+        toked.select("__id", F.explode("__toks").alias("__t"))
+        .groupBy("__t")
+        .agg(F.min("__id").alias("__fd"))
+    )
+    new_types = (
+        first_doc.join(
+            doc_b.select(F.col("__id").alias("__fd"), "bucket"), "__fd"
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    grid = vol.join(new_types, "bucket", "left").fillna(0, ["new_types"])
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return grid.select(
+        "bucket",
+        "n_docs",
+        F.sum("__tok").over(w_cum).cast("long").alias("cum_tokens"),
+        "new_types",
+        F.sum("new_types").over(w_cum).cast("long").alias("cum_types"),
+    )
