@@ -1553,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE90_QUERIES,
         **_WAVE91_QUERIES,
         **_WAVE92_QUERIES,
+        **_WAVE93_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1724,6 +1725,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE90_SQL,
         **_WAVE91_SQL,
         **_WAVE92_SQL,
+        **_WAVE93_SQL,
     }
 
 
@@ -14591,4 +14593,119 @@ _WAVE92_QUERIES = {
 _WAVE92_SQL = {
     "heaps_vocab_growth_docs": HEAPS_SQL,
     "activity_heatmap_events": HEATMAP_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 93 (r8) — fulfillment analytics on the real date columns: order-to-
+# ship latency percentiles per order priority (lineitem x orders FK join)
+# and the monthly slow-fulfillment trend.
+# --------------------------------------------------------------------------
+
+def ship_latency_percentiles_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency (l_shipdate − o_orderdate, days) per order
+    priority: exact linear-interpolation percentiles (F.percentile,
+    bit-identical to DuckDB quantile_cont — the percentiles_by_flag
+    contract), exact day-sum, and the slow share (> 90 days). One FK
+    equi-join + one groupBy onto the bounded priority grid."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_orderpriority").alias("priority"), lat.alias("__lat"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("__lat").cast("long").alias("sum_latency_days"),
+            F.percentile("__lat", 0.5).alias("p50_latency"),
+            F.percentile("__lat", 0.9).alias("p90_latency"),
+            F.percentile("__lat", 0.99).alias("p99_latency"),
+            (
+                F.sum(F.when(F.col("__lat") > 90, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("slow_share"),
+        )
+    )
+
+
+SHIP_LATENCY_SQL = """
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+         AS sum_latency_days,
+       quantile_cont(datediff('day', o.o_orderdate, l.l_shipdate), 0.5)
+         AS p50_latency,
+       quantile_cont(datediff('day', o.o_orderdate, l.l_shipdate), 0.9)
+         AS p90_latency,
+       quantile_cont(datediff('day', o.o_orderdate, l.l_shipdate), 0.99)
+         AS p99_latency,
+       CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS slow_share
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def slow_fulfillment_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly slow-fulfillment rate (order-to-ship > 90 days) with the
+    month-over-month delta: the FK join, one groupBy onto the bounded
+    month grid keyed as year*100+month, and a lag over that grid."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    mk = (
+        F.year(F.col("o_orderdate")) * 100 + F.month(F.col("o_orderdate"))
+    ).cast("long")
+    slow = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90, 1
+    ).otherwise(0)
+    monthly = (
+        joined.select(mk.alias("month_key"), slow.alias("__s"))
+        .groupBy("month_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("__s").cast("long").alias("n_slow"),
+        )
+        .withColumn(
+            "slow_share",
+            F.col("n_slow").cast("double") / F.col("n_lines").cast("double"),
+        )
+    )
+    w = Window.orderBy("month_key")
+    return monthly.select(
+        "month_key",
+        "n_lines",
+        "n_slow",
+        "slow_share",
+        (F.col("slow_share") - F.lag("slow_share").over(w)).alias("mom_delta"),
+    )
+
+
+LATE_MONTHLY_SQL = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) * 100
+              + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS month_key,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_slow
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1),
+shared AS (
+  SELECT *, CAST(n_slow AS DOUBLE) / CAST(n_lines AS DOUBLE) AS slow_share
+  FROM monthly)
+SELECT month_key, n_lines, n_slow, slow_share,
+       slow_share - LAG(slow_share) OVER (ORDER BY month_key) AS mom_delta
+FROM shared
+"""
+
+_WAVE93_QUERIES = {
+    "ship_latency_percentiles_priority": ship_latency_percentiles_priority,
+    "slow_fulfillment_monthly": slow_fulfillment_monthly,
+}
+_WAVE93_SQL = {
+    "ship_latency_percentiles_priority": SHIP_LATENCY_SQL,
+    "slow_fulfillment_monthly": LATE_MONTHLY_SQL,
 }

@@ -398,6 +398,9 @@ BENCH_QUERIES = [
     # wave 92 (r8)
     "heaps_vocab_growth_docs",
     "activity_heatmap_events",
+    # wave 93 (r8)
+    "ship_latency_percentiles_priority",
+    "slow_fulfillment_monthly",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in
