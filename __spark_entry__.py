@@ -1554,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE91_QUERIES,
         **_WAVE92_QUERIES,
         **_WAVE93_QUERIES,
+        **_WAVE94_QUERIES,
     }
     # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
     # changed this round, (1) never-driver-checked (new this round), then
@@ -1726,6 +1727,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE91_SQL,
         **_WAVE92_SQL,
         **_WAVE93_SQL,
+        **_WAVE94_SQL,
     }
 
 
@@ -14708,4 +14710,122 @@ _WAVE93_QUERIES = {
 _WAVE93_SQL = {
     "ship_latency_percentiles_priority": SHIP_LATENCY_SQL,
     "slow_fulfillment_monthly": LATE_MONTHLY_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 94 (r8) — order-book composition monitors: monthly priority-mix
+# shares and the per-nation repeat-customer rate.
+# --------------------------------------------------------------------------
+
+def order_priority_mix_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order-priority composition: per (month, priority) count and
+    within-month share — the mix-shift monitor behind 'did URGENT grow or
+    did everything grow'. One groupBy onto the bounded month x priority
+    grid; shares via a month-partitioned window over that grid."""
+    o = _t(spark, sf_dir, "orders")
+    mk = (
+        F.year(F.col("o_orderdate")) * 100 + F.month(F.col("o_orderdate"))
+    ).cast("long")
+    cells = (
+        o.select(mk.alias("month_key"), F.col("o_orderpriority").alias("priority"))
+        .groupBy("month_key", "priority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    w_m = Window.partitionBy("month_key")
+    return cells.select(
+        "month_key",
+        "priority",
+        "n_orders",
+        (
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(w_m).cast("double")
+        ).alias("month_share"),
+    )
+
+
+PRIORITY_MIX_SQL = """
+WITH cells AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS month_key,
+         o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2)
+SELECT month_key, priority, n_orders,
+       CAST(n_orders AS DOUBLE)
+         / CAST(SUM(n_orders) OVER (PARTITION BY month_key) AS DOUBLE)
+         AS month_share
+FROM cells
+"""
+
+
+def customer_repeat_rate_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation repeat-customer rate: of the customers who ordered at
+    all, what share ordered >= 2 times, plus the exact orders-per-buyer
+    mean — one order->customer groupBy, one customer->nation rollup,
+    nation names broadcast."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("__no")
+    )
+    per_nation = (
+        per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buyers"),
+            F.sum(F.when(F.col("__no") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeat"),
+            F.sum("__no").cast("long").alias("n_orders"),
+        )
+    )
+    return (
+        per_nation.join(
+            F.broadcast(n), per_nation["c_nationkey"] == n["n_nationkey"]
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_buyers",
+            "n_repeat",
+            "n_orders",
+            (
+                F.col("n_repeat").cast("double")
+                / F.col("n_buyers").cast("double")
+            ).alias("repeat_rate"),
+            (
+                F.col("n_orders").cast("double")
+                / F.col("n_buyers").cast("double")
+            ).alias("orders_per_buyer"),
+        )
+    )
+
+
+REPEAT_RATE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS no
+  FROM orders GROUP BY o_custkey),
+per_nation AS (
+  SELECT c.c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_buyers,
+         CAST(SUM(CASE WHEN no >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repeat,
+         CAST(SUM(no) AS BIGINT) AS n_orders
+  FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+  GROUP BY c.c_nationkey)
+SELECT n.n_name AS nation, p.n_buyers, p.n_repeat, p.n_orders,
+       CAST(p.n_repeat AS DOUBLE) / CAST(p.n_buyers AS DOUBLE)
+         AS repeat_rate,
+       CAST(p.n_orders AS DOUBLE) / CAST(p.n_buyers AS DOUBLE)
+         AS orders_per_buyer
+FROM per_nation p JOIN nation n ON n.n_nationkey = p.c_nationkey
+"""
+
+_WAVE94_QUERIES = {
+    "order_priority_mix_monthly": order_priority_mix_monthly,
+    "customer_repeat_rate_nation": customer_repeat_rate_nation,
+}
+_WAVE94_SQL = {
+    "order_priority_mix_monthly": PRIORITY_MIX_SQL,
+    "customer_repeat_rate_nation": REPEAT_RATE_SQL,
 }

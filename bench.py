@@ -401,6 +401,9 @@ BENCH_QUERIES = [
     # wave 93 (r8)
     "ship_latency_percentiles_priority",
     "slow_fulfillment_monthly",
+    # wave 94 (r8)
+    "order_priority_mix_monthly",
+    "customer_repeat_rate_nation",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in
