@@ -14193,13 +14193,22 @@ terms AS (
   FROM top CROSS JOIN thr WHERE top.rn <= 200),
 agg AS (
   SELECT cmin, CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(m) AS BIGINT) AS sm
-  FROM terms GROUP BY cmin)
-SELECT k, CAST(cmin AS BIGINT) AS c_threshold,
-       CAST(sm AS DOUBLE) / 1000000.0 AS sum_log,
-       CASE WHEN sm > 0
-            THEN CAST(k AS DOUBLE) / (CAST(sm AS DOUBLE) / 1000000.0)
-            END AS alpha
-FROM agg
+  FROM terms GROUP BY cmin),
+final AS (
+  SELECT k, CAST(cmin AS BIGINT) AS c_threshold,
+         CAST(sm AS DOUBLE) / 1000000.0 AS sum_log,
+         CASE WHEN sm > 0
+              THEN CAST(k AS DOUBLE) / (CAST(sm AS DOUBLE) / 1000000.0)
+              END AS alpha
+  FROM agg)
+-- small-vocabulary guard (r8 advice fix): <= k token types -> no
+-- (k+1)-th threshold -> final is EMPTY; the one-row left join restores
+-- the documented (requested k, NULL, NULL, NULL) single-row contract,
+-- mirroring operators/textstats.py hill_tail_alpha.
+SELECT COALESCE(f.k, CAST(200 AS BIGINT)) AS k,
+       f.c_threshold, f.sum_log, f.alpha
+FROM (SELECT 1 AS j) one
+LEFT JOIN (SELECT 1 AS j, * FROM final) f USING (j)
 """
 
 

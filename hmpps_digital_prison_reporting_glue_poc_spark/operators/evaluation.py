@@ -1798,7 +1798,10 @@ def brunner_munzel(
         F.sum(F.col("__ngv") * F.col("__p2")).cast("long").alias("__s"),
         F.sum(
             F.col("__ngv").cast("decimal(38,0)")
-            * (F.col("__p2") * F.col("__p2")).cast("decimal(38,0)")
+            * (
+                F.col("__p2").cast("decimal(38,0)")
+                * F.col("__p2").cast("decimal(38,0)")
+            )
         ).alias("__q"),
     )
 

@@ -778,8 +778,10 @@ def _auto_rank_bucket_width(
 ) -> int:
     """Pick the range-bucket width for an exact-rank dimension from the
     column's observed shape (r7 verdict task 3). One metadata-scale agg
-    (approx distinct + min/max — decision only, both strategies are
-    exact) selects between:
+    (EXACT distinct + min/max — decision only, both strategies are
+    exact; exact count_distinct keeps the cutover deterministic near the
+    per_value_max_distinct boundary where an HLL estimate could flip the
+    plan shape run-to-run, r8 advice fix) selects between:
 
     - **per-value cumulation** (width 1: bucket == value, the
       ``equifreq_edges`` idiom) when the dimension is low-cardinality —
@@ -791,7 +793,7 @@ def _auto_rank_bucket_width(
       ~1e7) doesn't degenerate to a handful of mega-buckets.
     """
     row = df.agg(
-        F.approx_count_distinct(col).alias("d"),
+        F.count_distinct(F.col(col)).alias("d"),
         F.min(col).cast("long").alias("lo"),
         F.max(col).cast("long").alias("hi"),
     ).collect()[0]

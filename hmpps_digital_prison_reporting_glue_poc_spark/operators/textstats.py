@@ -980,11 +980,13 @@ def hill_tail_alpha(
     and each ln term is quantized to INTEGER MICROS
     (round(ln(ratio)·1e6) as BIGINT): int64 sums cast to double are
     correctly rounded identically in both engines, where a DECIMAL→
-    double cast is not (the 17th-digit pitfall). Returns one row:
-    (k, c_threshold, sum_log, alpha); NULL alpha when the top-k counts
-    all tie the threshold (sum 0) or the vocabulary is smaller than
-    k+1 (no threshold row -> empty output guarded to one NULL row by
-    the caller if needed).
+    double cast is not (the 17th-digit pitfall). ALWAYS returns exactly
+    one row: (k, c_threshold, sum_log, alpha); alpha is NULL when the
+    top-k counts all tie the threshold (sum 0), and the whole row is
+    (requested k, NULL, NULL, NULL) when the vocabulary has <= k types
+    (no (k+1)-th threshold exists). The small-vocabulary guard is a
+    left join from a literal one-row frame, so collect()[0]-style
+    consumers never crash on a small corpus (r8 advice fix).
     """
     counts = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
@@ -1012,13 +1014,27 @@ def hill_tail_alpha(
         F.sum("__m").cast("long").alias("__sm"),
     )
     sum_log = F.col("__sm").cast("double") / F.lit(1000000.0)
-    return agg.select(
+    out = agg.select(
         F.col("__k").alias("k"),
         F.col("__cmin").cast("long").alias("c_threshold"),
         sum_log.alias("sum_log"),
         F.when(
             F.col("__sm") > 0, F.col("__k").cast("double") / sum_log
         ).alias("alpha"),
+    )
+    # Small-vocabulary guard: when the corpus has <= k token types, thr
+    # is empty and the aggregate above yields ZERO rows. A left join
+    # from a literal one-row frame restores the documented one-row
+    # contract with (requested k, NULL, NULL, NULL).
+    one = df.sparkSession.range(1).select(F.lit(1).alias("__j"))
+    return (
+        one.join(F.broadcast(out.withColumn("__j", F.lit(1))), "__j", "left")
+        .select(
+            F.coalesce(F.col("k"), F.lit(k).cast("long")).alias("k"),
+            "c_threshold",
+            "sum_log",
+            "alpha",
+        )
     )
 
 

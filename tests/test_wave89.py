@@ -51,9 +51,16 @@ def test_hill_all_tied_null_alpha(spark):
     assert len(rows) == 1 and rows[0].alpha is None  # every count ties
 
 
-def test_hill_vocab_smaller_than_k_empty(spark):
+def test_hill_vocab_smaller_than_k_null_row(spark):
+    # <= k token types: no (k+1)-th threshold exists. The r8 advice fix
+    # guarantees ONE (k, NULL, NULL, NULL) row instead of a zero-row
+    # frame that crashed collect()[0]-style consumers.
     df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
-    assert hill_tail_alpha(df, "doc_id", "text", k=10).count() == 0
+    rows = hill_tail_alpha(df, "doc_id", "text", k=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.k == 10
+    assert r.c_threshold is None and r.sum_log is None and r.alpha is None
 
 
 def test_doclen_lognormal_reference(spark):
