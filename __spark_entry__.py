@@ -959,444 +959,109 @@ FROM documents
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, SF001)
+# --------------------------------------------------------------------------
+# Driver rotation (r8 verdict tasks 1+2). The driver checks ~50 queries()
+# entries per round in dict order; the ordering below guarantees every
+# declared query keeps earning fresh CORRECTNESS rows:
+#
+#   tier 0 — DIRTY: the query's source fingerprint (its wrapper + entry
+#            helpers + oracle SQL + every transitively imported package
+#            module file) differs from the committed QUERY_FP.json
+#            baseline, i.e. a refactor touched its code path since its
+#            last green driver check. Computed at import time by
+#            hmpps_digital_prison_reporting_glue_poc_spark/fingerprint.py —
+#            generalizing the hand-maintained _R0x_CHANGED lists after the
+#            round-8 kruskal_wallis helper-refactor break proved hand
+#            lists miss things. _R09_CHANGED below remains as a belt-and-
+#            braces floor: tests assert the generated set covers it.
+#   tier 1 — never driver-checked (brand-new this round), or checked but
+#            RED at its latest row (must re-check after the fix).
+#   tier 2+ — green, oldest-latest-driver-row first, so the staleness
+#            tail drains ~50 per round (r1-era before r2-era ...).
+#
+# _latest_driver_rounds() reads the committed CORRECTNESS_r*.json files at
+# import time (green rows only), replacing the hand-regenerated literal
+# that r8 carried — the rotation now updates itself the moment a round's
+# driver artifact lands. The r1–r8 hand-maintained _R0x_GREEN/_CHECKED
+# sets this replaces are in git history (r8: __spark_entry__.py@7fb7ec3).
+# --------------------------------------------------------------------------
 
-
-# Queries with a GREEN driver CORRECTNESS row in round 1 (the driver checks
-# ~50 entries per round in dict order; rotating never-checked queries to the
-# front gives every declared query a hard correctness row across rounds).
-# collect_sorted_events was checked but RED (array canonicalization) so it is
-# deliberately NOT in this set — it must be re-checked after the fix.
-_R01_GREEN = {
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q10_returned_items", "q14_promo_effect",
-    "q18_large_orders", "scan_filter_project", "distinct_projection",
-    "semi_join_customers", "anti_join_customers", "union_by_name_events",
-    "window_first_event", "window_min_over", "cdc_last_writer_wins",
-    "cdc_merge_events", "sort_limit_top_events", "date_time_functions",
-    "domain_sql_runner", "doc_fingerprint", "dedup_exact_groups",
-    "dedup_exact_keep", "minhash_signatures", "lsh_candidate_pairs",
-    # simhash_near_dups deliberately absent: its r01 row was rows-only
-    # (no_oracle); it now has a real oracle and must be re-checked.
-    "jaccard_pairs", "simhash_sketches",
-    "text_token_stats", "text_language_id", "text_quality_score",
-    # ann_ivf_topk deliberately absent: its r01 row was rows-only
-    # (no_oracle); it now has an exact oracle and must be re-checked.
-    "ann_cosine_topk", "ann_topk_numpy",
-    "embedding_neardup_pairs", "multimodal_meta", "q4_order_priority",
-    "q7_volume_shipping", "q9_profit_by_nation_year", "q12_priority_counts",
-    "q13_customer_distribution", "q16_supplier_count",
-    "q19_disjunctive_revenue", "q22_idle_customers", "rollup_lineitem",
-    "cube_lineitem", "grouping_sets_orders", "pivot_event_counts",
-    "window_running_sum", "window_lag_delta",
-}
-
-
-# Queries with a driver CORRECTNESS row in round 2 (49 green + the one
-# no_oracle). Everything declared in waves 9-13 after the round-2 window
-# closed sits at the tail un-checked; rotating it to the front gives all
-# 127 declared queries a hard driver row across rounds.
-# embedding_lsh_pairs is deliberately ABSENT from this set: its r02 row was
-# rows-only (no_oracle); it now has an exact md5-hyperplane oracle and must
-# be re-checked with it.
-_R02_CHECKED = {
-    "ann_ivf_topk", "approx_distinct_parts", "argmax_order_per_customer",
-    "asof_join_events", "bm25_doc_scores", "cap_docs_per_source",
-    "cdc_hash_chain_fold", "cdc_merge_real", "collect_sorted_events",
-    "correlated_scalar_subquery", "date_arithmetic", "date_spine_zero_fill",
-    "except_non_buyers", "forward_fill_events", "fuzzy_match_docs",
-    "histogram_order_totals", "incremental_agg_events",
-    "intersect_buyers_viewers", "map_functions", "neardup_components",
-    "ngram_counts_top", "normalized_dedup_groups", "ntile_value_buckets",
-    "null_handling_functions", "ohlc_resample_events", "percentiles_by_flag",
-    "profile_lineitem", "q11_important_parts", "q15_top_supplier",
-    "q17_small_qty_revenue", "q20_promotion_suppliers",
-    "q21_waiting_suppliers", "q2_min_cost_supplier", "q8_market_share",
-    "range_join_events", "regexp_extract_ids", "revenue_share_per_nation",
-    "scd2_user_history", "sessionize_events", "simhash_near_dups",
-    "stats_summary", "string_functions", "text_bpe_token_count",
-    "text_language_id_multi", "token_frequency", "topk_orders_per_segment",
-    "unpivot_lineitem_measures", "window_rank_orders",
-    "winnow_doc_fingerprints",
-}
-
-# Queries with a driver CORRECTNESS row in round 3 (the rotation window
-# that round covered waves 9-17; all green after the two r3 HUGEINT
-# oracle-typing artifacts were cast away in r4). These go LAST in r4's
-# ordering: the r1/r2-era rows predate the perf rework (signature
-# materialization, _spread, Expand-free rewrites touched shared plumbing)
-# and need fresher driver rows more than these do.
-_R03_CHECKED = {
-    "embedding_lsh_pairs", "contamination_pairs_docs", "pack_sequences_docs",
-    "split_assign_docs", "repetition_stats_docs", "funnel_view_click_purchase",
-    "cohort_retention_weekly", "json_props_extract", "mode_event_type_per_user",
-    "value_moments_by_type", "neardup_dedup_corpus", "moving_avg_time_window",
-    "window_rank_metrics", "media_frame_chunks", "media_embed_stub",
-    "pii_redact_stats", "tfidf_top_terms", "gopher_quality_rules",
-    "token_zipf", "chunk_docs_overlap", "token_positions", "char_class_stats",
-    "salted_join_events", "minhash_jaccard_pairs", "approx_quantile_check",
-    "event_transition_counts", "dedup_events_time_window",
-    "rolling_active_users", "event_sequence_per_user", "robust_stats_by_type",
-    "full_outer_reconciliation", "dsir_importance_weights",
-    "domain_mix_weights", "weighted_sample_docs", "cross_doc_ngram_coverage",
-    "tokenizer_fertility", "regr_corr_lineitem", "pq_encode_vectors",
-    "dedup_ingest_batch", "training_order_shuffle", "quality_linear_score",
-    "ivfpq_topk", "array_functions", "bitwise_agg_events",
-    "explode_outer_props", "except_all_purchases", "media_scene_cuts",
-    "skew_key_stats", "q1_pricing_summary", "q3_shipping_priority",
-}
-
-_DRIVER_CHECKED = _R01_GREEN | _R02_CHECKED
-
-# r1/r2-era queries whose producing plumbing changed in the r3 perf rework
-# and therefore deserve the earliest re-check slots: everything over
-# documents/embeddings (materialization + _spread paths) and the CDC fold.
-_PLUMBING_TOUCHED_PREFIXES = (
-    "minhash", "lsh", "simhash", "jaccard", "dedup", "neardup", "winnow",
-    "doc_", "text_", "ann_", "embedding", "multimodal", "bm25", "fuzzy",
-    "cdc_", "ngram", "cap_docs", "token",
-)
-
-# Queries with a driver CORRECTNESS row in round 4 (keys of
-# CORRECTNESS_r04.json): the never-checked wave-19..26 additions plus the
-# front of the plumbing-touched re-check tier. All 50 green.
-_R04_CHECKED = {
-    "ann_recall_at_k", "blocklist_stats_docs", "bloom_decontaminate",
-    "boilerplate_prefixes", "bpe_merge_candidates", "cdc_last_writer_wins",
-    "cdc_merge_events", "char_entropy_docs", "chunk_embed_pool_docs",
-    "cms_token_counts", "cross_source_dups", "dataset_card_stats",
-    "dedup_exact_groups", "dedup_exact_keep", "doc_fingerprint",
-    "dup_span_stats_docs", "embedding_dim_stats", "heavy_hitter_tokens",
-    "hll_distinct_users", "int8_quant_audit", "intersect_all_events",
-    "inverted_index_postings", "jaccard_pairs", "k_anonymity_events",
-    "kmeans_refine_clusters", "length_bucket_packing", "lsh_candidate_pairs",
-    "lsh_recall_eval", "matryoshka_prefix_audit", "media_audio_energy",
-    "minhash_signatures", "ngram_lm_scores_docs", "quality_decile_audit",
-    "quality_gate_per_source", "semantic_dedup_docs", "simhash_near_dups",
-    "simhash_sketches", "source_overlap_matrix", "stratified_sample_docs",
-    "temporal_drift_stats", "token_gini_docs", "token_graph_triangle_census",
-    "token_pagerank", "train_eval_overlap_report", "training_shard_manifest",
-    "user_value_percentile", "user_value_zscores", "weak_label_votes",
-    "weighted_topk_sample_docs", "winsorized_quality_means",
-}
-
-# Round-5 priority head: fixed in commit b3c4b25 (r3 oracle-side HUGEINT
-# dtype artifacts) and verified green locally, but the r4 rotation sorted
-# r3-checked queries last so the driver never re-recorded them. These two
-# MUST claim the first slots of the r5 window to close the 184/184 loop.
-_R05_PRIORITY = ("json_props_extract", "ivfpq_topk")
-
-# Queries whose PLAN or ORACLE changed during round 5 (64-bit SimHash
-# geometry, two-level gini/zipf ranks, decimal-exact squared sums): their
-# latest driver rows predate the change, so they re-check right after the
-# priority pair — "no query's latest driver row predates the last commit
-# that touched its plan path" (r4 verdict item 4).
-_R05_CHANGED = {
-    "simhash_sketches", "simhash_near_dups", "token_gini_docs",
-    "token_zipf", "temporal_drift_stats", "user_value_zscores",
-    "embedding_dim_stats",
-}
-
-
-
-# Queries whose PLAN or ORACLE changed during round 7 (ann_recall
-# single-plan rewrite, copurchase size-gated lineage cut): their latest
-# driver rows predate the change, so they claim the first r7 window slots.
-_R08_CHANGED: set = {
-    # auto-width rank strategy (r8 task 3) — plan unchanged, widths changed
+# Queries whose PLAN or ORACLE changed during round 9, kept as the hand
+# floor under the generated dirty set (advice fixes: decimal-safe
+# brunner_munzel square, hill one-NULL-row small-vocab guard + oracle twin,
+# exact count_distinct width decision).
+_R09_CHANGED: set = {
+    "brunner_munzel_qty_by_status",
+    "hill_token_tail_alpha",
     "rank_dependence_qty_price",
 }
 
-# Latest driver CORRECTNESS round per query (generated from
-# CORRECTNESS_r01..r07 keys) — drives the oldest-first r8 rotation.
-_LATEST_DRIVER_ROUND = {
-    "acf_daily_revenue": 7,
-    "ann_cosine_topk": 5,
-    "ann_ivf_topk": 2,
-    "ann_recall_at_k": 7,
-    "ann_topk_numpy": 5,
-    "anti_join_customers": 5,
-    "approx_distinct_parts": 2,
-    "approx_quantile_check": 3,
-    "argmax_order_per_customer": 2,
-    "array_functions": 3,
-    "asof_join_events": 2,
-    "attribution_last_touch_events": 6,
-    "attribution_linear_events": 7,
-    "auc_value_purchase": 6,
-    "benford_order_totals": 7,
-    "bigram_lift_top_docs": 5,
-    "binary_dir_media_stats": 7,
-    "bitwise_agg_events": 3,
-    "blocklist_stats_docs": 4,
-    "bloom_decontaminate": 4,
-    "bm25_doc_scores": 2,
-    "boilerplate_prefixes": 4,
-    "bootstrap_purchase_mean": 6,
-    "bpe_merge_candidates": 4,
-    "brier_decomposition_length_lang": 7,
-    "calibration_length_lang": 6,
-    "cap_docs_per_source": 2,
-    "ccf_clicks_purchases": 7,
-    "cdc_chunk_stats_docs": 7,
-    "cdc_hash_chain_fold": 2,
-    "cdc_last_writer_wins": 4,
-    "cdc_merge_events": 4,
-    "cdc_merge_real": 2,
-    "centroid_drift_labels": 7,
-    "char_class_stats": 3,
-    "char_entropy_docs": 4,
-    "chi2_segment_nation": 7,
-    "chi2_value_band_purchase": 6,
-    "chunk_docs_overlap": 3,
-    "chunk_embed_pool_docs": 4,
-    "cmh_click_purchase_by_band": 7,
-    "cms_token_counts": 4,
-    "cohort_ltv_weekly": 7,
-    "cohort_retention_weekly": 3,
-    "collect_sorted_events": 2,
-    "conformal_value_threshold": 6,
-    "containment_pairs_docs": 5,
-    "contamination_pairs_docs": 3,
-    "copurchase_lift_items": 7,
-    "corpus_pipeline_e2e": 7,
-    "correlated_scalar_subquery": 2,
-    "cross_doc_ngram_coverage": 3,
-    "cross_source_dups": 4,
-    "cube_lineitem": 6,
-    "curriculum_interleave_docs": 6,
-    "cusum_daily_revenue": 7,
-    "daily_revenue_peaks": 7,
-    "daily_volume_anomalies": 6,
-    "dataset_card_stats": 4,
-    "date_arithmetic": 2,
-    "date_spine_zero_fill": 2,
-    "date_time_functions": 6,
-    "decayed_type_counts": 6,
-    "decile_lift_value": 6,
-    "dedup_events_time_window": 3,
-    "dedup_exact_groups": 4,
-    "dedup_exact_keep": 4,
-    "dedup_ingest_batch": 3,
-    "deseasonalized_daily_anomalies": 7,
-    "dialog_turn_stats_events": 6,
-    "did_click_revenue": 7,
-    "distinct_projection": 5,
-    "doc_fingerprint": 4,
-    "domain_mix_weights": 3,
-    "domain_sql_runner": 5,
-    "dow_seasonality_events": 7,
-    "dsir_importance_weights": 3,
-    "dup_span_stats_docs": 4,
-    "eb_item_purchase_rates": 7,
-    "embedding_dim_stats": 5,
-    "embedding_lsh_pairs": 3,
-    "embedding_neardup_pairs": 5,
-    "embedding_outlier_rate": 5,
-    "entity_resolution_parts": 6,
-    "equifreq_price_edges": 6,
-    "event_sequence_per_user": 3,
-    "event_transition_counts": 3,
-    "except_all_purchases": 3,
-    "except_non_buyers": 2,
-    "explode_outer_props": 3,
-    "feature_hash_collisions": 6,
-    "file_row_audit_tables": 7,
-    "flesch_scores_docs": 7,
-    "forward_fill_events": 2,
-    "full_outer_reconciliation": 3,
-    "funnel_time_bound": 5,
-    "funnel_view_click_purchase": 3,
-    "fuzzy_match_docs": 2,
-    "fuzzy_part_matches": 6,
-    "gopher_quality_rules": 3,
-    "grid_quantiles_events": 6,
-    "grouping_sets_orders": 6,
-    "heavy_hitter_tokens": 4,
-    "hhi_lang_source_concentration": 7,
-    "histogram_order_totals": 2,
-    "hll_distinct_users": 4,
-    "hybrid_rrf_fusion": 5,
-    "incremental_agg_events": 2,
-    "info_gain_event_type": 7,
-    "int8_quant_audit": 4,
-    "intersect_all_events": 4,
-    "intersect_buyers_viewers": 2,
-    "inverted_index_postings": 4,
-    "isotonic_length_lang": 7,
-    "ivfpq_residual_topk": 7,
-    "ivfpq_topk": 5,
-    "jaccard_pairs": 4,
-    "jaccard_prefix_docs": 6,
-    "jackknife_source_lengths": 6,
-    "jl_project_vectors": 7,
-    "js_divergence_sources": 7,
-    "json_key_profile_events": 6,
-    "json_props_extract": 6,
-    "k_anonymity_events": 4,
-    "kappa_lang_length": 6,
-    "kendall_qty_discount": 7,
-    "kmeans_refine_clusters": 4,
-    "ks_value_drift": 5,
-    "l_diversity_events": 6,
-    "length_bucket_packing": 4,
-    "line_dedup_corpus": 6,
-    "local_clustering_tokens": 7,
-    "lsh_candidate_pairs": 4,
-    "lsh_precision_table": 5,
-    "lsh_recall_eval": 4,
-    "mann_kendall_daily_revenue": 7,
-    "map_functions": 6,
-    "markov_stationary_events": 7,
-    "matryoshka_prefix_audit": 4,
-    "media_audio_energy": 4,
-    "media_embed_stub": 3,
-    "media_frame_chunks": 3,
-    "media_ppm_channel_stats": 7,
-    "media_scene_cuts": 3,
-    "media_wav_energy": 6,
-    "media_wav_meta": 6,
-    "minhash_jaccard_pairs": 3,
-    "minhash_signatures": 4,
-    "mode_event_type_per_user": 3,
-    "moving_avg_time_window": 3,
-    "mrr_user_popularity": 7,
-    "multimodal_meta": 5,
-    "ndcg_user_popularity": 7,
-    "neardup_components": 2,
-    "neardup_dedup_corpus": 3,
-    "neardup_keep_best": 5,
-    "negative_samples_docs": 6,
-    "ngram_counts_top": 2,
-    "ngram_lm_scores_docs": 4,
-    "normalized_dedup_groups": 2,
-    "ntile_value_buckets": 6,
-    "null_handling_functions": 2,
-    "ohlc_resample_events": 2,
-    "orc_roundtrip_stats": 7,
-    "overdispersion_user_events": 7,
-    "pack_sequences_docs": 3,
-    "pareto_front_docs": 6,
-    "pca_top_component_vectors": 7,
-    "percentiles_by_flag": 2,
-    "pii_redact_stats": 3,
-    "pit_features_purchases": 6,
-    "pivot_event_counts": 6,
-    "popularity_hitrate_items": 6,
-    "pq_encode_vectors": 3,
-    "profile_lineitem": 2,
-    "psi_value_drift": 6,
-    "purchase_gap_hazard": 6,
-    "q10_returned_items": 5,
-    "q11_important_parts": 2,
-    "q12_priority_counts": 5,
-    "q13_customer_distribution": 5,
-    "q14_promo_effect": 5,
-    "q15_top_supplier": 2,
-    "q16_supplier_count": 5,
-    "q17_small_qty_revenue": 2,
-    "q18_large_orders": 5,
-    "q19_disjunctive_revenue": 6,
-    "q1_pricing_summary": 3,
-    "q20_promotion_suppliers": 2,
-    "q21_waiting_suppliers": 2,
-    "q22_idle_customers": 6,
-    "q2_min_cost_supplier": 2,
-    "q3_shipping_priority": 3,
-    "q4_order_priority": 5,
-    "q5_local_supplier_volume": 5,
-    "q6_forecast_revenue": 5,
-    "q7_volume_shipping": 5,
-    "q8_market_share": 2,
-    "q9_profit_by_nation_year": 5,
-    "quality_decile_audit": 4,
-    "quality_gate_per_source": 4,
-    "quality_linear_score": 3,
-    "quantile_normalize_doclen": 7,
-    "quota_split_docs": 7,
-    "range_join_events": 2,
-    "rank_dependence_qty_price": 7,
-    "regexp_extract_ids": 2,
-    "regr_corr_lineitem": 3,
-    "rendezvous_shards_docs": 7,
-    "repetition_stats_docs": 3,
-    "revenue_lorenz_deciles": 7,
-    "revenue_share_per_nation": 2,
-    "rfm_user_segments": 7,
-    "robust_stats_by_type": 3,
-    "rolling_active_users": 3,
-    "rolling_revenue_daily": 6,
-    "rollup_lineitem": 6,
-    "salted_join_events": 3,
-    "scan_filter_project": 5,
-    "scd2_user_history": 2,
-    "seasonal_naive_revenue_backtest": 7,
-    "semantic_dedup_docs": 4,
-    "semi_join_customers": 5,
-    "session_overlap_pairs": 7,
-    "session_window_stats": 7,
-    "sessionize_events": 2,
-    "simhash_near_dups": 5,
-    "simhash_sketches": 5,
-    "skew_key_stats": 3,
-    "skipgram_counts_docs": 6,
-    "snapshot_diff_docs": 5,
-    "sort_limit_top_events": 5,
-    "source_group_split": 6,
-    "source_lang_entropy": 5,
-    "source_overlap_matrix": 4,
-    "source_profile_cosine_docs": 7,
-    "spearman_chars_tokens": 7,
-    "split_assign_docs": 3,
-    "split_leakage_docs": 6,
-    "stats_summary": 2,
-    "stratified_ate_click_purchase": 7,
-    "stratified_sample_docs": 4,
-    "string_functions": 2,
-    "target_encoding_event_type": 6,
-    "temporal_drift_stats": 5,
-    "text_bpe_token_count": 2,
-    "text_language_id": 5,
-    "text_language_id_multi": 2,
-    "text_quality_score": 5,
-    "text_token_stats": 5,
-    "tfidf_top_terms": 3,
-    "token_budget_waterfill_docs": 5,
-    "token_frequency": 2,
-    "token_gini_docs": 5,
-    "token_graph_triangle_census": 4,
-    "token_pagerank": 4,
-    "token_positions": 3,
-    "token_zipf": 5,
-    "tokenizer_fertility": 3,
-    "topk_orders_per_segment": 2,
-    "train_eval_overlap_report": 4,
-    "training_order_shuffle": 3,
-    "training_shard_manifest": 4,
-    "union_by_name_events": 5,
-    "unpivot_lineitem_measures": 2,
-    "user_key_skew_histogram": 6,
-    "user_value_decile_transition": 6,
-    "user_value_percentile": 4,
-    "user_value_zscores": 5,
-    "value_moments_by_type": 3,
-    "value_pctrank_by_type": 6,
-    "value_quantiles_by_type": 6,
-    "vocab_oov_rate_docs": 5,
-    "weak_label_votes": 4,
-    "weighted_sample_docs": 3,
-    "weighted_topk_sample_docs": 4,
-    "window_first_event": 5,
-    "window_lag_delta": 1,
-    "window_min_over": 5,
-    "window_rank_metrics": 3,
-    "window_rank_orders": 2,
-    "window_running_sum": 1,
-    "winnow_doc_fingerprints": 2,
-    "winsorized_quality_means": 4,
-}
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    all_q = {
+def _latest_driver_rounds() -> dict[str, int]:
+    """{query: latest round with a GREEN driver CORRECTNESS row}, read
+    from the committed CORRECTNESS_r*.json artifacts next to this file.
+    Red rows are deliberately NOT recorded: a red query sorts with the
+    never-checked tier and re-checks at the first opportunity."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path, encoding="utf-8") as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):  # artifact unreadable -> skip round
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False  # rows-only checks
+                and row.get("err") in (None, "")
+            )
+            if green:
+                out[name] = max(rnd, out.get(name, 0))
+    return out
+
+
+_LATEST_DRIVER_ROUND = _latest_driver_rounds()
+
+
+def _dirty_rotation_set() -> set:
+    """Generated tier-0 set: fingerprint-dirty queries plus the hand
+    floor. Never raises — a harness bug here must not break the driver
+    contract, so any failure degrades to the hand list alone."""
+    try:
+        import sys as _sys
+
+        from hmpps_digital_prison_reporting_glue_poc_spark import (
+            fingerprint as _fp,
+        )
+
+        entry_mod = _sys.modules[__name__]
+        return _R09_CHANGED | _fp.dirty_queries(
+            _all_queries(), oracle_sql(), entry_mod
+        )
+    except Exception:  # pragma: no cover - defensive driver-contract guard
+        return set(_R09_CHANGED)
+
+
+_DIRTY_CACHE: list = []  # one-shot memo: fingerprinting is ~0.5s
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Unsorted query registry (rotation-free) — fingerprinting and tests
+    use this to avoid the queries() -> dirty-set -> queries() cycle."""
+    return {
         # TPC-H-adapted analytics
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1556,13 +1221,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE93_QUERIES,
         **_WAVE94_QUERIES,
     }
-    # Round-6 rotation (r5 verdict task 7): (0) queries whose plan/oracle
-    # changed this round, (1) never-driver-checked (new this round), then
-    # strictly oldest-latest-driver-row first (r1-era before r2-era ...),
-    # so the staleness tail drains ~50 per round. Name tie-break keeps the
-    # order deterministic.
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver contract: the full registry, rotation-ordered — (0) dirty
+    (fingerprint changed since last green driver check, incl. the
+    _R09_CHANGED hand floor), (1) never-checked-green, then oldest green
+    driver row first. Name tie-break keeps the order deterministic."""
+    all_q = _all_queries()
+    if not _DIRTY_CACHE:
+        _DIRTY_CACHE.append(frozenset(_dirty_rotation_set()))
+    dirty = _DIRTY_CACHE[0]
+
     def tier(name: str) -> tuple[int, str]:
-        if name in _R08_CHANGED:
+        if name in dirty:
             return (0, name)
         r = _LATEST_DRIVER_ROUND.get(name)
         if r is None:
