@@ -454,6 +454,73 @@ BENCH_PINS_PATH = os.path.join(
 )
 DRIFT_TOLERANCE = 1.5
 
+# --- uniform-regression watch (r8 verdict task 3) -----------------------
+# The run_inflation median-correction silences shared-host burst noise,
+# but a change that slows EVERY query uniformly (session config, AQE
+# flag, Arrow batch size) raises the median and suppresses its own drift
+# flags. Counter-signal: a SECOND sentinel with a different shape —
+# q3_shipping_priority (3-table broadcast join + agg + top-k) vs the
+# scan-shaped primary — timed at run start and end like the primary.
+# Host noise hits both sentinels alike AND rarely persists across two
+# full runs; a code/config regression persists and keeps the two
+# sentinels' ratio TO EACH OTHER flat (both inflate together). Rule:
+# run_inflation > 1.3 on two CONSECUTIVE runs while the cross-sentinel
+# ratio stays within CROSS_FLAT_TOL of its pin on both -> that signature
+# is code, not host: report "uniform_suspect": true in the contract line.
+SENTINEL_QUERY = "scan_filter_project"
+SENTINEL2_QUERY = "q3_shipping_priority"
+UNIFORM_INFLATION_THRESHOLD = 1.3
+CROSS_FLAT_TOL = 1.25  # |cross/pin| within [1/1.25, 1.25] counts as flat
+BENCH_HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.json"
+)
+
+
+def _cross_flat(cross_now: float, cross_pinned: float) -> bool:
+    if not cross_pinned or cross_pinned <= 0 or not cross_now:
+        return False
+    r = cross_now / cross_pinned
+    return (1.0 / CROSS_FLAT_TOL) <= r <= CROSS_FLAT_TOL
+
+
+def uniform_suspect(
+    run_inflation: float,
+    cross_now: float,
+    cross_pinned: float,
+    prev_entry: dict | None,
+) -> bool:
+    """Pure decision rule for the uniform-regression watch: the current
+    run AND the previous recorded run both show >1.3x median inflation
+    with a flat cross-sentinel ratio. One inflated run alone is host
+    noise until corroborated; a shifted cross-ratio means the slowdown
+    has a shape (one plan family) and per-query drift flags own it."""
+    now_signal = (
+        run_inflation > UNIFORM_INFLATION_THRESHOLD
+        and _cross_flat(cross_now, cross_pinned)
+    )
+    if not now_signal or not prev_entry:
+        return False
+    return (
+        prev_entry.get("run_inflation", 1.0) > UNIFORM_INFLATION_THRESHOLD
+        and _cross_flat(prev_entry.get("cross_sentinel", 0.0), cross_pinned)
+    )
+
+
+def _load_history() -> list[dict]:
+    try:
+        with open(BENCH_HISTORY_PATH) as fh:
+            return list(json.load(fh))
+    except (OSError, ValueError):
+        return []
+
+
+def _append_history(entry: dict, keep: int = 8) -> None:
+    hist = _load_history()
+    hist.append(entry)
+    with open(BENCH_HISTORY_PATH, "w") as fh:
+        json.dump(hist[-keep:], fh, indent=1)
+        fh.write("\n")
+
 
 def _load1() -> float | None:
     try:
@@ -544,10 +611,12 @@ def main() -> None:
             samples.append(time.perf_counter() - start)
         return min(samples)
 
-    # Sentinel: a fixed-cost query timed immediately after warm-up and
-    # again after the whole run; its drift quantifies ambient noise /
-    # session degradation accumulated across the ~10 min of benching.
-    sentinel_start = time_query("scan_filter_project")
+    # Sentinels: fixed-cost queries timed immediately after warm-up and
+    # again after the whole run; the primary's drift quantifies ambient
+    # noise / session degradation, and the differently-shaped second
+    # sentinel powers the uniform-regression watch (see uniform_suspect).
+    sentinel_start = time_query(SENTINEL_QUERY)
+    sentinel2_start = time_query(SENTINEL2_QUERY)
 
     timings: dict[str, float] = {}
     loads: list[float] = []
@@ -588,16 +657,21 @@ def main() -> None:
     }
     print("EXCLUDED: " + json.dumps(excluded), flush=True)
 
-    sentinel_end = time_query("scan_filter_project")
+    sentinel_end = time_query(SENTINEL_QUERY)
+    sentinel2_end = time_query(SENTINEL2_QUERY)
     noise = {
         "sentinel_drift": round(sentinel_end / max(sentinel_start, 1e-9), 2),
         "sentinel_sec": [round(sentinel_start, 3), round(sentinel_end, 3)],
+        "sentinel2_sec": [round(sentinel2_start, 3), round(sentinel2_end, 3)],
         "load_min": min(loads) if loads else None,
         "load_max": max(loads) if loads else None,
     }
 
     # --- sentinel-normalized ratio pins -------------------------------
     sentinel_ref = max((sentinel_start + sentinel_end) / 2.0, 1e-9)
+    cross_sentinel = round(
+        ((sentinel2_start + sentinel2_end) / 2.0) / sentinel_ref, 3
+    )
     ratios = {
         name: round(t / sentinel_ref, 3) for name, t in timings.items()
     }
@@ -615,11 +689,20 @@ def main() -> None:
                 merged[n] = out_ratios[n]
             out_ratios = dict(sorted(merged.items()))
             print(f"PIN_NEW: {sorted(added)}", flush=True)
+        prev_cross = None
+        if "--pin-new" in sys.argv and os.path.exists(BENCH_PINS_PATH):
+            with open(BENCH_PINS_PATH) as fh:
+                prev_cross = json.load(fh).get("cross_sentinel_ratio")
         with open(BENCH_PINS_PATH, "w") as fh:
             json.dump(
                 {
-                    "sentinel_query": "scan_filter_project",
+                    "sentinel_query": SENTINEL_QUERY,
                     "sentinel_ref_sec": round(sentinel_ref, 3),
+                    "sentinel2_query": SENTINEL2_QUERY,
+                    # --pin-new keeps the existing cross pin (same reason
+                    # it keeps existing ratio pins: the baseline must not
+                    # drift with every merge run)
+                    "cross_sentinel_ratio": prev_cross or cross_sentinel,
                     "tolerance": DRIFT_TOLERANCE,
                     "sf": sf,
                     "ratios": out_ratios,
@@ -708,6 +791,37 @@ def main() -> None:
     print("BENCH_RATIOS: " + json.dumps(dict(sorted(ratios.items()))), flush=True)
     noise["n_drift"] = len(drifted)
     noise["run_inflation"] = round(median_infl, 2)
+    # --- uniform-regression watch (r8 verdict task 3) -------------------
+    cross_pinned = 0.0
+    if os.path.exists(BENCH_PINS_PATH):
+        with open(BENCH_PINS_PATH) as fh:
+            cross_pinned = json.load(fh).get("cross_sentinel_ratio") or 0.0
+    hist = [e for e in _load_history() if e.get("sf") == sf]
+    prev_entry = hist[-1] if hist else None
+    suspect = uniform_suspect(
+        median_infl, cross_sentinel, cross_pinned, prev_entry
+    )
+    noise["cross_sentinel"] = cross_sentinel
+    noise["uniform_suspect"] = suspect
+    _append_history(
+        {
+            "run_inflation": round(median_infl, 2),
+            "cross_sentinel": cross_sentinel,
+            "sentinel_ref_sec": round(sentinel_ref, 3),
+            "n_drift": len(drifted),
+            "sf": sf,
+        }
+    )
+    if suspect:
+        print(
+            "UNIFORM_REGRESSION_SUSPECT: run_inflation "
+            f"{round(median_infl, 2)} persisted across two consecutive "
+            f"runs with a flat cross-sentinel ratio ({cross_sentinel} vs "
+            f"pinned {cross_pinned}) — that signature is a code/session-"
+            "config change, not host noise. Diff session confs and "
+            "re-measure solo before trusting this run's numbers.",
+            flush=True,
+        )
     # Full per-query map + per-query load samples for humans (NOT the
     # contract line).
     print("FULL_TIMINGS: " + json.dumps(timings), flush=True)

@@ -83,3 +83,43 @@ def test_every_benched_query_has_a_pin():
     ratios = pins.get("ratios", pins)
     missing = sorted(set(bench.BENCH_QUERIES) - set(ratios))
     assert not missing, f"benched queries without a time pin: {missing}"
+
+
+def test_uniform_suspect_rule():
+    """r8 verdict task 3: run_inflation > 1.3 persisting across two
+    consecutive runs with a flat cross-sentinel ratio flags a uniform
+    (whole-run) regression that the median-correction would otherwise
+    suppress; every other combination stays quiet."""
+    pin = 3.9
+    flat_prev = {"run_inflation": 1.5, "cross_sentinel": 3.8}
+    # two consecutive inflated runs, cross ratio flat on both -> suspect
+    assert bench.uniform_suspect(1.6, 3.95, pin, flat_prev)
+    # single inflated run (no corroborating previous run) -> host noise
+    assert not bench.uniform_suspect(1.6, 3.95, pin, None)
+    assert not bench.uniform_suspect(
+        1.6, 3.95, pin, {"run_inflation": 1.0, "cross_sentinel": 3.9}
+    )
+    # inflation under threshold -> quiet
+    assert not bench.uniform_suspect(1.2, 3.9, pin, flat_prev)
+    # cross ratio shifted beyond tolerance -> the slowdown has a SHAPE
+    # (one plan family), so per-query drift flags own it, not this rule
+    assert not bench.uniform_suspect(1.6, 5.2, pin, flat_prev)
+    assert not bench.uniform_suspect(1.6, 2.5, pin, flat_prev)
+    # previous run's cross ratio shifted -> not the same signature twice
+    assert not bench.uniform_suspect(
+        1.6, 3.9, pin, {"run_inflation": 1.6, "cross_sentinel": 6.0}
+    )
+    # no pin on record -> rule disabled (never crashes)
+    assert not bench.uniform_suspect(1.6, 3.9, 0.0, flat_prev)
+
+
+def test_sentinel2_pin_committed():
+    import json
+    import os
+
+    with open(os.path.join(os.path.dirname(bench.__file__), "BENCH_PINS.json")) as fh:
+        pins = json.load(fh)
+    assert pins["sentinel2_query"] == bench.SENTINEL2_QUERY
+    assert pins["cross_sentinel_ratio"] > 0
+    assert bench.SENTINEL2_QUERY in bench.BENCH_QUERIES
+    assert bench.SENTINEL_QUERY in bench.BENCH_QUERIES
