@@ -994,6 +994,10 @@ _R09_CHANGED: set = {
     "brunner_munzel_qty_by_status",
     "hill_token_tail_alpha",
     "rank_dependence_qty_price",
+    # r9 fuzz-harness fixes (empty-input CTE vanish; single-row-group
+    # ddof-1 divide-by-zero under ANSI)
+    "kruskal_wallis_qty_by_flag",
+    "stats_summary",
 }
 
 
@@ -1220,6 +1224,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE92_QUERIES,
         **_WAVE93_QUERIES,
         **_WAVE94_QUERIES,
+        **_WAVE95_QUERIES,
     }
 
 
@@ -1400,6 +1405,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE92_SQL,
         **_WAVE93_SQL,
         **_WAVE94_SQL,
+        **_WAVE95_SQL,
     }
 
 
@@ -2232,7 +2238,14 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n_rows").cast("double")
     mean = F.col("__s") / n
-    var = (F.col("__ss") - (F.col("__s") * F.col("__s")) / n) / (n - F.lit(1.0))
+    # n > 1 guard: a single-row group's ddof-1 variance is undefined —
+    # unguarded, ANSI Spark raises DIVIDE_BY_ZERO while DuckDB emits
+    # NaN (r9 fuzz harness, "single" seed). NULL on both sides.
+    var = F.when(
+        F.col("n_rows") > 1,
+        (F.col("__ss") - (F.col("__s") * F.col("__s")) / n)
+        / (n - F.lit(1.0)),
+    )
     return grouped.select(
         "l_returnflag",
         "n_rows",
@@ -2245,8 +2258,11 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 STATS_SQL = """
 SELECT l_returnflag, n_rows,
        __s / n AS mean_qty,
-       (__ss - (__s * __s) / n) / (n - 1.0) AS var_qty,
-       sqrt((__ss - (__s * __s) / n) / (n - 1.0)) AS std_qty
+       CASE WHEN n_rows > 1
+            THEN (__ss - (__s * __s) / n) / (n - 1.0) END AS var_qty,
+       CASE WHEN n_rows > 1
+            THEN sqrt((__ss - (__s * __s) / n) / (n - 1.0))
+            END AS std_qty
 FROM (
   SELECT l_returnflag,
          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS __s,
@@ -13323,7 +13339,11 @@ cums AS (
            OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
                  AND CURRENT ROW) AS cum
   FROM pg CROSS JOIN tot),
-terms AS (SELECT cum AS st FROM cums ORDER BY g DESC LIMIT 1),
+-- scalar subquery, NOT "FROM cums ... LIMIT 1": on EMPTY input cums has
+-- no rows and a LIMIT-1 CTE would vanish the whole result through the
+-- CROSS JOINs, while the Spark side's agg(max(struct)) always emits one
+-- row — the r9 fuzz harness caught exactly this divergence (empty seed)
+terms AS (SELECT (SELECT cum FROM cums ORDER BY g DESC LIMIT 1) AS st),
 ties AS (SELECT CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS t FROM pv),
 asm AS (
   SELECT n, k_groups,
@@ -14509,4 +14529,72 @@ _WAVE94_QUERIES = {
 _WAVE94_SQL = {
     "order_priority_mix_monthly": PRIORITY_MIX_SQL,
     "customer_repeat_rate_nation": REPEAT_RATE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 95 (r9) — batch twin of the streaming MinHash-LSH near-dup ingest
+# gate (streaming/neardup_stream.py, r8 verdict task 5). Survivor contract:
+# reject a doc when any LSH band hits the accepted-corpus band store, or
+# when it is not the minimum id in every in-batch band bucket (keep-first
+# closure: survivors are pairwise band-disjoint, the smallest id of every
+# near-dup family survives). The store here is the band table of every
+# 5th original document (ids shifted +200000), so the gate exercises both
+# rejection paths against the near-corpus.
+# --------------------------------------------------------------------------
+
+def neardup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup ingest gate: surviving (doc_id, band_idx, band_key) band
+    rows of the near-corpus against a band store of every 5th original
+    doc (operators/dedup.py neardup_against_store)."""
+    incoming = _dup_corpus(spark, sf_dir, mutate=True)
+    store_src = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    store = dd.doc_band_table(store_src, "doc_id", "text")
+    return dd.neardup_against_store(incoming, store)
+
+
+_STORE_SHINGLES_SQL = _SHINGLES_SQL.replace("FROM corpus", "FROM store_corpus")
+
+_BANDS_SQL = """
+  SELECT doc_id, CAST(0 AS INT) AS band_idx, mh0 || '|' || mh1 AS band_key FROM {s}
+  UNION ALL SELECT doc_id, CAST(1 AS INT), mh2 || '|' || mh3 FROM {s}
+  UNION ALL SELECT doc_id, CAST(2 AS INT), mh4 || '|' || mh5 FROM {s}
+  UNION ALL SELECT doc_id, CAST(3 AS INT), mh6 || '|' || mh7 FROM {s}
+"""
+
+NEARDUP_GATE_SQL = f"""
+WITH corpus AS ({_NEAR_CORPUS_SQL}),
+toks AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM toks GROUP BY doc_id),
+bands AS ({_BANDS_SQL.format(s="sigs")}),
+store_corpus AS (
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+store_toks AS ({_STORE_SHINGLES_SQL}),
+store_sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM store_toks GROUP BY doc_id),
+store_bands AS ({_BANDS_SQL.format(s="store_sigs")}),
+hit AS (
+  SELECT DISTINCT b.doc_id FROM bands b
+  JOIN store_bands s USING (band_idx, band_key)),
+beaten AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY band_idx, band_key) AS m
+    FROM bands)
+  WHERE doc_id > m)
+SELECT doc_id, band_idx, band_key
+FROM bands
+WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+  AND doc_id NOT IN (SELECT doc_id FROM beaten)
+"""
+
+_WAVE95_QUERIES = {
+    "neardup_ingest_gate": neardup_ingest_gate,
+}
+
+_WAVE95_SQL = {
+    "neardup_ingest_gate": NEARDUP_GATE_SQL,
 }

@@ -404,6 +404,8 @@ BENCH_QUERIES = [
     # wave 94 (r8)
     "order_priority_mix_monthly",
     "customer_repeat_rate_nation",
+    # wave 95 (r9)
+    "neardup_ingest_gate",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

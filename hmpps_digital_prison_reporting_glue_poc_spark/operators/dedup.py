@@ -172,6 +172,97 @@ def lsh_candidate_pairs(
     )
 
 
+def doc_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) LSH band table — the storable index unit
+    behind near-dup detection. ``num_hashes // rows_per_band`` rows per
+    document, so a persistent band store grows linearly with the accepted
+    corpus and every candidate probe is an equi-join on
+    (band_idx, band_key), never an all-pairs comparison."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    bands = num_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{i}")
+                  for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")
+    ).select(id_col, "__b.band_idx", "__b.band_key")
+
+
+def neardup_against_store(
+    incoming: DataFrame,
+    store_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """NEAR-dup gate for continuous ingest — the MinHash-LSH twin of
+    ``dedup_against_store`` (which gates on exact content fingerprints).
+    An incoming document is REJECTED when
+
+    - any of its LSH bands matches the accepted-corpus band store
+      (``store_bands``: (band_idx, band_key), extra columns ignored), or
+    - it is not the minimum id in EVERY in-batch band bucket it belongs
+      to.
+
+    The in-batch rule makes the survivor set deterministic and pairwise
+    band-disjoint in one window pass (no surviving pair shares a band;
+    the smallest id of every near-dup family always survives) — the
+    distributed-friendly closure of "keep first arrival", where a
+    sequential gate's outcome would depend on scan order for chained
+    near-dups. It is deliberately conservative toward rejection: a doc
+    band-tied ONLY to a store-rejected batch-mate is still dropped
+    (they are near-dups of each other — the family is represented by the
+    store copy).
+
+    Cost shape at 100 TB: one shingle->minhash aggregation over the
+    batch, one window over the batch's band buckets, one broadcast-or-
+    shuffle semi-join against the store's band partitions. Returns the
+    surviving (id, band_idx, band_key) rows; callers append these to the
+    store and the matching documents to the corpus.
+    """
+    bands = _materialize(
+        doc_band_table(
+            incoming, id_col, text_col, num_hashes, rows_per_band, shingle_k
+        ),
+        "neardup_bands_",
+    )
+    hit_store = (
+        bands.join(
+            store_bands.select("band_idx", "band_key"),
+            on=["band_idx", "band_key"],
+            how="left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    w = Window.partitionBy("band_idx", "band_key")
+    beaten = (
+        bands.withColumn("__min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) > F.col("__min_id"))
+        .select(id_col)
+        .distinct()
+    )
+    rejected = hit_store.unionByName(beaten).distinct()
+    return bands.join(rejected, on=id_col, how="left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1210,6 +1210,73 @@ def run_trend_family(spark) -> None:
     _summary(fam, secs, final_state_files=_dir_stats(state)[0])
 
 
+def run_neardup_family(spark) -> None:
+    """Streaming MinHash-LSH near-dup gate: 24 batches of docs where ~25%
+    of each batch near-dups earlier batches (re-sent bodies with one word
+    changed) and the rest is fresh. The band store must grow only with
+    ACCEPTED docs (so growth flattens as the dup share repeats), state
+    files stay compaction-bounded, per-batch time flat."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.neardup_stream import (
+        stream_neardup_ingest,
+    )
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import (
+        live_state,
+    )
+
+    fam = "neardup"
+    src, store, corpus, ckpt = _reset(
+        f"{fam}/src", f"{fam}/store", f"{fam}/corpus", f"{fam}/ckpt"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    n_docs = max(ROWS_PER_BATCH // 20, 50)  # text docs are heavier rows
+
+    def body(b: int, i: int) -> str:
+        if i % 4 == 0 and b > 0:
+            # near-dup of an earlier batch's doc: same body, one word off
+            ob, oi = (b - 1), (i + 1) % n_docs
+            return (
+                f"document body {ob} {oi} " +
+                " ".join(f"w{(oi * 7 + j) % 97}" for j in range(20)) +
+                " tailvariant"
+            )
+        return (
+            f"document body {b} {i} " +
+            " ".join(f"w{(i * 7 + j) % 97}" for j in range(20))
+        )
+
+    secs = []
+    for b in range(N_BATCHES):
+        with open(os.path.join(src, f"b{b:03d}.json"), "w") as fh:
+            for i in range(n_docs):
+                fh.write(
+                    json.dumps(
+                        {"doc_id": b * 100000 + i, "text": body(b, i)}
+                    )
+                    + "\n"
+                )
+        t0 = time.time()
+        q = stream_neardup_ingest(
+            spark, src, schema, store, corpus, ckpt, trigger_once=True,
+            compact_threshold=8,
+        )
+        q.awaitTermination()
+        apply_sec = time.time() - t0
+        accepted = live_state(spark, store).select("doc_id").distinct().count()
+        files, size = _dir_stats(store)
+        _emit(
+            fam, b, apply_sec,
+            accepted_docs=accepted,
+            state_files=files, state_kb=round(size / 1e3, 1),
+        )
+        secs.append(apply_sec)
+    _summary(fam, secs, final_state_files=_dir_stats(store)[0])
+
+
 FAMILIES = {
     "pipeline-flat": lambda s: run_pipeline_family(s, partitioned=False),
     "pipeline-part": lambda s: run_pipeline_family(s, partitioned=True),
@@ -1230,6 +1297,7 @@ FAMILIES = {
     "funnel": run_funnel_family,
     "gram": run_gram_family,
     "trend": run_trend_family,
+    "neardup": run_neardup_family,
 }
 
 

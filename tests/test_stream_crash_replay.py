@@ -350,9 +350,66 @@ class _Trend(_Family):
         return sorted(map(repr, trend_from_state(spark, state).collect()))
 
 
+class _NearDup(_Family):
+    name = "neardup"
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    _BASE = "the quick brown fox jumps over the lazy dog by the river bank"
+
+    def rows(self, b):
+        if b == 2:
+            return []
+        fresh = [
+            {
+                "doc_id": b * 100 + i,
+                "text": f"unique body {b}-{i} " + " ".join(
+                    f"tok{b}x{i}y{j}" for j in range(6)
+                ),
+            }
+            for i in range(4)
+        ]
+        # near/exact re-sends of the batch-0 base doc — must stay rejected
+        # on every delivery and every replay
+        base = [{"doc_id": b * 100 + 50, "text": self._BASE}]
+        return fresh + base
+
+    def start(self, spark, src, state, ck, on_batch):
+        from hmpps_digital_prison_reporting_glue_poc_spark.streaming.neardup_stream import (
+            stream_neardup_ingest,
+        )
+
+        return stream_neardup_ingest(
+            spark, src, self.schema,
+            os.path.join(state, "store"), os.path.join(state, "corpus"), ck,
+            on_batch=on_batch, compact_threshold=2,
+        )
+
+    def read(self, spark, state):
+        from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import live_state
+
+        corpus = sorted(
+            r.doc_id
+            for r in live_state(spark, os.path.join(state, "corpus"))
+            .select("doc_id")
+            .collect()
+        )
+        store = sorted(
+            (r.doc_id, r.band_idx, r.band_key)
+            for r in live_state(spark, os.path.join(state, "store"))
+            .select("doc_id", "band_idx", "band_key")
+            .collect()
+        )
+        return [repr(corpus), repr(store)]
+
+
 FAMILIES = [
     _KS(), _CMS(), _HLL(), _Quantile(), _Anomaly(), _IngestDedup(), _Gram(),
-    _Trend(),
+    _Trend(), _NearDup(),
 ]
 
 N_BATCHES = 4
