@@ -994,10 +994,15 @@ _R09_CHANGED: set = {
     "brunner_munzel_qty_by_status",
     "hill_token_tail_alpha",
     "rank_dependence_qty_price",
-    # r9 fuzz-harness fixes (empty-input CTE vanish; single-row-group
-    # ddof-1 divide-by-zero under ANSI)
+    # r9 fuzz-harness fixes — every query whose output CONTRACT changed
+    # (empty-input one-row guards, single-row-group / empty-side NULL
+    # guards, NULL-value sample exclusion, never-NULL is_peak):
     "kruskal_wallis_qty_by_flag",
     "stats_summary",
+    "cusum_daily_revenue",
+    "ks_value_drift",
+    "theil_sen_daily_revenue",
+    "auc_value_purchase",
 }
 
 
@@ -7527,7 +7532,7 @@ counts AS (
   SELECT qv,
          SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS c1,
          SUM(CASE WHEN r THEN 1 ELSE 0 END) AS c2
-  FROM q GROUP BY qv),
+  FROM q WHERE qv IS NOT NULL GROUP BY qv),
 cum AS (
   SELECT qv, SUM(c1) OVER (ORDER BY qv) AS f1, SUM(c2) OVER (ORDER BY qv) AS f2
   FROM counts),
@@ -7536,9 +7541,15 @@ tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
 scored AS (
   SELECT qv, abs(f1 * n2 - f2 * n1) AS d FROM cum CROSS JOIN tot),
 best AS (SELECT MAX(struct_pack(d := d, nq := -qv)) AS s FROM scored)
+-- n1/n2 > 0 guard: KS is undefined with an empty side (divide by zero;
+-- ANSI Spark throws, DuckDB emits non-finite — r9 fuzz harness)
 SELECT tot.n1 AS n_left, tot.n2 AS n_right,
-       CAST(best.s.d AS DOUBLE) / CAST(tot.n1 * tot.n2 AS DOUBLE) AS ks_d,
-       CAST(-best.s.nq AS DOUBLE) / CAST(100 AS DOUBLE) AS ks_at_value
+       CASE WHEN tot.n1 > 0 AND tot.n2 > 0
+            THEN CAST(best.s.d AS DOUBLE) / CAST(tot.n1 * tot.n2 AS DOUBLE)
+            END AS ks_d,
+       CASE WHEN tot.n1 > 0 AND tot.n2 > 0
+            THEN CAST(-best.s.nq AS DOUBLE) / CAST(100 AS DOUBLE)
+            END AS ks_at_value
 FROM best CROSS JOIN tot
 """
 _WAVE28_QUERIES["ks_value_drift"] = ks_value_drift
@@ -8875,10 +8886,10 @@ r AS (
   SELECT pos,
          RANK() OVER (ORDER BY score) AS rk,
          COUNT(*) OVER (PARTITION BY score) AS m
-  FROM s),
+  FROM s WHERE score IS NOT NULL),
 agg AS (
   SELECT COUNT(*) AS n,
-         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS n_pos,
          SUM(CASE WHEN pos = 1 THEN 2 * rk + m - 1 ELSE 0 END) AS s2
   FROM r)
 SELECT CAST(n AS BIGINT) AS n, n_pos,
@@ -10296,7 +10307,7 @@ scored AS (
   FROM pref, tot),
 peak AS (SELECT MAX(ABS(cusum_n_scaled)) AS p FROM scored)
 SELECT day, x, prefix, cusum_n_scaled, cusum_z,
-       ABS(cusum_n_scaled) = (SELECT p FROM peak) AS is_peak
+       COALESCE(ABS(cusum_n_scaled) = (SELECT p FROM peak), FALSE) AS is_peak
 FROM scored
 """
 
@@ -11613,9 +11624,15 @@ resid AS (
            ORDER BY CAST(d.x AS DOUBLE) - sl.slope * CAST(d.d AS DOUBLE),
                     d.d) AS BIGINT) AS rb
   FROM daily d, slope sl)
-SELECT nn.n_days, r.m AS n_pairs, r.slope AS slope_per_day,
-       r.b AS intercept
-FROM resid r, nn WHERE r.rb = (nn.n_days + 1) // 2
+-- scalar subqueries, not CTE joins: with < 2 observed days the pair
+-- table is empty and joined CTEs would vanish the whole result, while
+-- the Spark side's aggregates always emit one (n_days, 0, NULL, NULL)
+-- row — the r9 fuzz harness caught the 1-vs-0 row divergence
+SELECT (SELECT n_days FROM nn) AS n_days,
+       (SELECT m FROM m) AS n_pairs,
+       (SELECT slope FROM slope) AS slope_per_day,
+       (SELECT r.b FROM resid r, nn WHERE r.rb = (nn.n_days + 1) // 2)
+         AS intercept
 """
 
 

@@ -278,12 +278,16 @@ def ks_two_sample(
     Returns one row: (n_left, n_right, ks_d, ks_at_value).
     """
     side = F.col(side_col) if isinstance(side_col, str) else side_col
+    # NULL values carry no distribution information and a NULL grid key
+    # silently falls out of the bucket-offset equi-join (NULL keys never
+    # match), losing its side counts on one engine only — filter
+    # explicitly so both engines test the same sample (r9 fuzz harness).
     q = df.select(
         side.cast("boolean").alias("__r"),
         F.round(F.col(value_col).cast("double") * scale, 0)
         .cast("long")
         .alias("__qv"),
-    )
+    ).filter(F.col("__qv").isNotNull())
     counts = q.groupBy("__qv").agg(
         F.sum(F.when(~F.col("__r"), 1).otherwise(0)).cast("long").alias("c1"),
         F.sum(F.when(F.col("__r"), 1).otherwise(0)).cast("long").alias("c2"),
@@ -336,12 +340,19 @@ def ks_two_sample(
         F.col("n_left").cast("decimal(19,0)")
         * F.col("n_right").cast("decimal(19,0)")
     ).cast("double")
+    # KS is undefined when either sample is empty — unguarded, the final
+    # divide is n1*n2 = 0 and ANSI Spark raises DIVIDE_BY_ZERO where
+    # DuckDB emits a non-finite value (r9 fuzz harness). NULL both stats.
+    valid = (F.col("n_left") > 0) & (F.col("n_right") > 0)
     return agg.select(
         "n_left",
         "n_right",
-        (F.col("__best.__d").cast("double") / denom).alias("ks_d"),
-        (
-            (-F.col("__best.__nq")).cast("double") / F.lit(float(scale))
+        F.when(valid, F.col("__best.__d").cast("double") / denom).alias(
+            "ks_d"
+        ),
+        F.when(
+            valid,
+            (-F.col("__best.__nq")).cast("double") / F.lit(float(scale)),
         ).alias("ks_at_value"),
     )
 
@@ -1113,9 +1124,15 @@ def cusum_changepoint(
             "prefix",
             "cusum_n_scaled",
             z.alias("cusum_z"),
-            (F.abs(F.col("cusum_n_scaled")) == F.col("__peak")).alias(
-                "is_peak"
-            ),
+            # coalesce: an all-NULL value column makes cusum_n_scaled NULL
+            # and a bare equality would emit a NULL BOOLEAN — which pandas
+            # renders as None (Spark) vs NaN (DuckDB) and the driver
+            # canonicalizer hashes differently (r9 fuzz, "nulls" seed).
+            # No signal -> not a peak.
+            F.coalesce(
+                F.abs(F.col("cusum_n_scaled")) == F.col("__peak"),
+                F.lit(False),
+            ).alias("is_peak"),
         )
     )
 

@@ -209,6 +209,10 @@ def exact_auc(
             F.col(score_col).cast("long").alias("__s"),
             F.when(lab, 1).otherwise(0).alias("__pos"),
         )
+        # NULL scores are unrankable and a NULL bucket key silently falls
+        # out of the offset equi-join on one engine only — exclude them
+        # from the sample explicitly (r9 fuzz harness, "nulls" seed)
+        .filter(F.col("__s").isNotNull())
         .groupBy("__s")
         .agg(
             F.count(F.lit(1)).cast("long").alias("__n"),
@@ -239,8 +243,11 @@ def exact_auc(
     )
     two_mid = F.lit(2) * F.col("__cb") + F.col("__n") + F.lit(1)
     agg = ranked.agg(
-        F.sum("__n").cast("long").alias("n"),
-        F.sum("__np").cast("long").alias("n_pos"),
+        # coalesce(0): on an EMPTY sample SUM is NULL while the oracle's
+        # COUNT(*) is 0 — the (n, n_pos, n_neg) counts are defined (zero)
+        # even when the AUC itself is not (r9 fuzz harness, "empty" seed)
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("__np"), F.lit(0)).cast("long").alias("n_pos"),
         F.sum(
             F.col("__np").cast("decimal(38,0)")
             * two_mid.cast("decimal(38,0)")

@@ -71,6 +71,31 @@ FUZZ_QUERIES = [
     "fk_orphan_audit_tables",      # referential audit
     "pk_uniqueness_tables",        # uniqueness audit
     "ann_cosine_topk",             # brute cosine top-k
+    # second sweep (r9): time-series / distribution / subquery edges
+    "ohlc_resample_events",        # first/last per window
+    "theil_sen_daily_revenue",     # median pairwise slope
+    "benford_order_totals",        # leading-digit distribution
+    "updown_streaks_revenue",      # sign runs
+    "cusum_daily_revenue",         # cumulative deviation
+    "acf_daily_revenue",           # autocorrelation lags (short series)
+    "markov_stationary_events",    # iterative transition power
+    "token_zipf",                  # two-level rank
+    "equifreq_price_edges",        # equi-frequency edges under ties
+    "js_divergence_sources",       # zero-probability smoothing
+    "psi_value_drift",             # drift bins
+    "ks_value_drift",              # KS statistic
+    "quantile_normalize_doclen",   # quantile normalization
+    "heaps_vocab_growth_docs",     # vocab growth curve
+    "doclen_lognormal_docs",       # ln over zero-token docs
+    "welch_t_qty_by_status",       # n<2 / zero-variance guards
+    "dunn_pairwise_qty_flag",      # post-hoc pairwise z
+    "mode_event_type_per_user",    # mode tie-break
+    "date_spine_zero_fill",        # generated spine vs empty facts
+    "cohort_retention_weekly",     # cohort triangles
+    "funnel_view_click_purchase",  # ordered funnel
+    "correlated_scalar_subquery",  # correlated scalar subquery
+    "q17_small_qty_revenue",       # avg subquery against empty inner
+    "auc_value_purchase",          # exact AUC midranks
 ]
 
 _VOCAB = (
@@ -202,10 +227,13 @@ def _gen_tables(mode: str) -> dict[str, dict[str, list]]:
     base_ts = 1704067200 * 1_000_000  # 2024-01-01
     t["events"] = {
         "event_id": list(range(1, n + 1)),
-        # seconds-scale gaps with duplicates: session boundaries + ties
+        # ~45-day span (crosses the 2024-01-20 before/after split several
+        # registered drift queries use) with seconds-scale intra-day gaps
+        # and duplicates: daily series, session boundaries, and ties
         "ts": sorted(
-            base_ts + (0 if ties else int(rng.integers(0, 3600))) * 1_000_000
-            + int(rng.integers(0, 1000)) * (0 if ties else 1_000_000)
+            base_ts
+            + (0 if ties else int(rng.integers(0, 45))) * 86_400_000_000
+            + (0 if ties else int(rng.integers(0, 4000))) * 1_000_000
             for _ in range(n)
         ),
         "user_id": [int(rng.integers(0, 15)) for _ in range(n)],
