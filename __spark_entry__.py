@@ -1003,6 +1003,14 @@ _R09_CHANGED: set = {
     "ks_value_drift",
     "theil_sen_daily_revenue",
     "auc_value_purchase",
+    # fuzz sweep 3 (empty-input grouping-set mirror, computed map oracle,
+    # never-NULL has_k, n_rows coalesce, explicit NULL-spend exclusion)
+    "rollup_lineitem",
+    "cube_lineitem",
+    "grouping_sets_orders",
+    "map_functions",
+    "profile_lineitem",
+    "revenue_lorenz_deciles",
 }
 
 
@@ -1677,10 +1685,16 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROLLUP_SQL = """
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
+-- nonempty guard: on EMPTY input the SQL standard (and DuckDB) emits
+-- the () grand-total grouping-set row, while Spark's rollup/cube/
+-- grouping-sets emit ZERO rows — the engine contract here is Spark's,
+-- so the oracle mirrors it (r9 fuzz harness, "empty" seed)
+SELECT r.* FROM (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)) r,
+  (SELECT 1 FROM lineitem LIMIT 1) nonempty
 """
 
 
@@ -1693,9 +1707,15 @@ def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CUBE_SQL = """
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
+-- nonempty guard: on EMPTY input the SQL standard (and DuckDB) emits
+-- the () grand-total grouping-set row, while Spark's rollup/cube/
+-- grouping-sets emit ZERO rows — the engine contract here is Spark's,
+-- so the oracle mirrors it (r9 fuzz harness, "empty" seed)
+SELECT r.* FROM (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+  FROM lineitem
+  GROUP BY CUBE (l_returnflag, l_linestatus)) r,
+  (SELECT 1 FROM lineitem LIMIT 1) nonempty
 """
 
 
@@ -1712,9 +1732,15 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GROUPING_SETS_SQL = """
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+-- nonempty guard: on EMPTY input the SQL standard (and DuckDB) emits
+-- the () grand-total grouping-set row, while Spark's rollup/cube/
+-- grouping-sets emit ZERO rows — the engine contract here is Spark's,
+-- so the oracle mirrors it (r9 fuzz harness, "empty" seed)
+SELECT r.* FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())) r,
+  (SELECT 1 FROM orders LIMIT 1) nonempty
 """
 
 
@@ -2216,15 +2242,23 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.size(props_map).cast("long").alias("n_props"),
-        F.array_contains(F.map_keys(props_map), "k").alias("has_k"),
+        # never-NULL boolean: pandas renders a NULL BOOLEAN as None
+        # (Spark) vs NaN (DuckDB) and the driver hasher distinguishes —
+        # "no key k in an absent payload" is FALSE (r9 fuzz, nulls seed)
+        F.coalesce(
+            F.array_contains(F.map_keys(props_map), "k"), F.lit(False)
+        ).alias("has_k"),
         F.element_at(props_map, "k").alias("k_value"),
     )
 
 
 MAP_FUNC_SQL = """
+-- compute from the payload, never hardcode: the old '1 AS n_props,
+-- TRUE AS has_k' constants were only valid for the committed fixture
+-- and diverged on NULL props (r9 fuzz harness, "nulls" seed)
 SELECT event_id,
-       CAST(1 AS BIGINT) AS n_props,
-       TRUE AS has_k,
+       CAST(len(json_keys(props)) AS BIGINT) AS n_props,
+       COALESCE(list_contains(json_keys(props), 'k'), FALSE) AS has_k,
        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
 FROM events
 """
@@ -12616,11 +12650,13 @@ WITH per_user AS (
          CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS a
   FROM events WHERE event_type = 'purchase' GROUP BY user_id),
 ranked AS (
+  -- a IS NOT NULL: NULL spend is unrankable and excluded from the
+  -- Lorenz population on both engines (r9 fuzz harness, "nulls" seed)
   SELECT u, a,
          CAST(ROW_NUMBER() OVER (ORDER BY a, u) AS BIGINT) AS r,
          CAST(COUNT(*) OVER () AS BIGINT) AS n,
          CAST(SUM(a) OVER () AS BIGINT) AS total
-  FROM per_user),
+  FROM per_user WHERE a IS NOT NULL),
 tiled AS (
   SELECT *,
          CAST((10 * (r - 1) - (10 * (r - 1)) % n) / n AS BIGINT) AS decile

@@ -2019,7 +2019,11 @@ def lorenz_deciles(
     staged = df.select(
         F.col(unit_col).alias("__u"),
         F.col(amount_col).cast("long").alias("__a"),
-    )
+    # explicit: a NULL amount is unrankable. It would silently fall out
+    # of the range-bucket join anyway (NULL keys never match) while a
+    # SQL twin's row_number KEEPS it — the engines must agree on the
+    # population, not rely on join accidents (r9 fuzz, "nulls" seed).
+    ).filter(F.col("__a").isNotNull())
     ranked = _range_rank(staged, "__a", "__u", bucket_width, "__r")
     n_row = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("__n"),

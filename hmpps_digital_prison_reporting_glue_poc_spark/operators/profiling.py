@@ -31,7 +31,10 @@ def _profile_exact(df: DataFrame, cols: list[str]) -> DataFrame:
         frames.append(
             grouped.agg(
                 F.lit(c).alias("column"),
-                F.sum("__cnt").cast("long").alias("n_rows"),
+                # coalesce(0): SUM over an EMPTY table is NULL while the
+                # oracle's COUNT(*) is 0 — row counts are defined (zero)
+                # on empty input (r9 fuzz harness, "empty" seed)
+                F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias("n_rows"),
                 F.coalesce(
                     F.sum(F.when(F.col(c).isNull(), F.col("__cnt"))), F.lit(0)
                 )
