@@ -1011,6 +1011,13 @@ _R09_CHANGED: set = {
     "map_functions",
     "profile_lineitem",
     "revenue_lorenz_deciles",
+    # NOTE: the full-registry sweep (scripts/fuzz_sweep.py) fixed ~25 more
+    # queries' degenerate-input guards (empty corpora, all-NULL measures,
+    # zero variance). Those are deliberately NOT floored here: every guard
+    # is invisible at driver scale (full sf0.001 + sf0.01 parity re-run
+    # green after the fixes), and flooring all of them would push the
+    # 30-query r2-era staleness tail out of the ~50-slot r9 driver window
+    # — the round's primary correctness objective (r8 verdict task 1).
 }
 
 
@@ -3805,7 +3812,9 @@ def value_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.col("__s").cast("double")
     ss = F.col("__ss").cast("double")
     n = F.col("n").cast("double")
-    var = (ss - s * s / n) / (n - F.lit(1.0))
+    # n > 1 guard: a 1-row group's ddof-1 variance divides by zero —
+    # ANSI Spark throws, DuckDB emits non-finite (r9 fuzz sweep)
+    var = F.when(F.col("n") > 1, (ss - s * s / n) / (n - F.lit(1.0)))
     return agg.select(
         "event_type",
         "n",
@@ -3823,10 +3832,12 @@ WITH agg AS (
   FROM events GROUP BY event_type)
 SELECT event_type, n,
        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
-       (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-         / (CAST(n AS DOUBLE) - 1.0) AS var_value,
-       sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-         / (CAST(n AS DOUBLE) - 1.0)) AS stddev_value
+       CASE WHEN n > 1 THEN
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) END AS var_value,
+       CASE WHEN n > 1 THEN
+         sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0)) END AS stddev_value
 FROM agg
 """
 
@@ -4313,11 +4324,20 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     exact = F.percentile("l_extendedprice", 0.5)
     approx = F.percentile_approx("l_extendedprice", 0.5, 10000)
+    # The 2% relative check is meaningful only past the sketch's
+    # exactness threshold: with n <= accuracy GK returns a TRUE element
+    # (rank error < 1 — empirically the lower-central element), and any
+    # gap vs the interpolated exact median is interpolation on sparse
+    # values, not sketch error (r9 fuzz sweep caught exactly that on a
+    # 200-row random seed). Below the threshold the sketch is
+    # exact-by-construction, so the flag passes by definition.
+    n = F.count(F.lit(1))
     return li.groupBy("l_returnflag").agg(
         exact.alias("p50_exact"),
-        (F.abs(approx - exact) <= F.lit(0.02) * exact).alias(
-            "approx_within_tolerance"
-        ),
+        (
+            (F.abs(approx - exact) <= F.lit(0.02) * F.abs(exact))
+            | (n <= F.lit(10000))
+        ).alias("approx_within_tolerance"),
     )
 
 
@@ -4699,16 +4719,22 @@ def regr_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
-    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    # zero-variance / single-row guards: every stat below divides by a
+    # variance term (or n-1) that is 0 for a constant column or a 1-row
+    # group — ANSI Spark raises DIVIDE_BY_ZERO even for doubles while
+    # DuckDB emits non-finite values; the statistics are undefined there,
+    # so both sides return NULL (r9 fuzz sweep, ties/single seeds).
+    vx, vy = n * sx2 - sx * sx, n * sy2 - sy * sy
+    slope = F.when(vx > 0, (n * sxy - sx * sy) / vx)
     return sums.select(
         "l_returnflag",
         n.cast("long").alias("n_rows"),
-        ((n * sxy - sx * sy) / (n - 1) / n / F.lit(10000.0)).alias(
-            "covar_samp"
-        ),
-        (
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+        F.when(
+            n > 1, (n * sxy - sx * sy) / (n - 1) / n / F.lit(10000.0)
+        ).alias("covar_samp"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)),
         ).alias("corr"),
         slope.alias("regr_slope"),
         (((sy - slope * sx) / n) / F.lit(100.0)).alias("regr_intercept"),
@@ -4732,11 +4758,20 @@ sums AS (
   FROM cents GROUP BY l_returnflag)
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n_rows,
-       (n * sxy - sx * sy) / (n - 1) / n / 10000.0 AS covar_samp,
-       (n * sxy - sx * sy)
-         / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr,
-       (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS regr_slope,
-       ((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n) / 100.0 AS regr_intercept
+       CASE WHEN n > 1
+            THEN (n * sxy - sx * sy) / (n - 1) / n / 10000.0
+            END AS covar_samp,
+       CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+            THEN (n * sxy - sx * sy)
+                 / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+            END AS corr,
+       CASE WHEN n * sx2 - sx * sx > 0
+            THEN (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+            END AS regr_slope,
+       CASE WHEN n * sx2 - sx * sx > 0
+            THEN ((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n)
+                 / 100.0
+            END AS regr_intercept
 FROM sums
 """
 
@@ -5248,7 +5283,10 @@ def skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_key.crossJoin(F.broadcast(totals))
         .groupBy()
         .agg(
-            F.max("n_keys").cast("long").alias("n_keys"),
+            # coalesce(0): the empty-events crossJoin leaves the global
+            # agg with zero input rows, so MAX is NULL while the oracle's
+            # COUNT(*) key count is 0 (r9 fuzz sweep, "empty" seed)
+            F.coalesce(F.max("n_keys"), F.lit(0)).cast("long").alias("n_keys"),
             F.max("max_n").cast("long").alias("max_key_rows"),
             F.max("min_n").cast("long").alias("min_key_rows"),
             (
@@ -6947,24 +6985,24 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the actual cost at 100 TB."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.size(txt_tokens(F.col("text")))
+    # n > 0 guards: every per-doc rate divides by COUNT(*), which is 0
+    # on an empty corpus — ANSI Spark throws where DuckDB emits NULL/NaN
+    # (r9 fuzz sweep, "empty" seed). Rates are undefined there -> NULL.
+    n = F.count(F.lit(1))
+    nd = F.when(n > 0, n.cast("double"))
     return docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        n.alias("n_docs"),
         F.sum(toks).cast("long").alias("total_tokens"),
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("lang").alias("n_langs"),
         (
             F.lit(1.0)
-            - F.countDistinct(F.md5("text")).cast("double")
-            / F.count(F.lit(1)).cast("double")
+            - F.countDistinct(F.md5("text")).cast("double") / nd
         ).alias("exact_dup_rate"),
         (
-            F.sum(F.when(toks < 10, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)).cast("double")
+            F.sum(F.when(toks < 10, 1).otherwise(0)).cast("double") / nd
         ).alias("short_doc_share"),
-        (
-            F.sum(F.length("text")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("mean_chars"),
+        (F.sum(F.length("text")).cast("double") / nd).alias("mean_chars"),
     )
 
 
@@ -6979,10 +7017,13 @@ SELECT COUNT(*) AS n_docs,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
        CAST(1.0 AS DOUBLE)
          - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
-           / CAST(COUNT(*) AS DOUBLE) AS exact_dup_rate,
+           / CASE WHEN COUNT(*) > 0 THEN CAST(COUNT(*) AS DOUBLE) END
+         AS exact_dup_rate,
        CAST(SUM(CASE WHEN n_toks < 10 THEN 1 ELSE 0 END) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) AS short_doc_share,
-       CAST(SUM(length(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         / CASE WHEN COUNT(*) > 0 THEN CAST(COUNT(*) AS DOUBLE) END
+         AS short_doc_share,
+       CAST(SUM(length(text)) AS DOUBLE)
+         / CASE WHEN COUNT(*) > 0 THEN CAST(COUNT(*) AS DOUBLE) END
          AS mean_chars
 FROM toks
 """
@@ -7964,7 +8005,7 @@ GRID_QUANTILES_SQL = """
 WITH counts AS (
   SELECT CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv,
          COUNT(*) AS n
-  FROM events GROUP BY 1),
+  FROM events WHERE value IS NOT NULL GROUP BY 1),
 cum AS (SELECT qv, SUM(n) OVER (ORDER BY qv) AS c FROM counts),
 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
 qs AS (SELECT UNNEST([0.25, 0.5, 0.75, 0.95]) AS q)
@@ -8675,7 +8716,8 @@ per AS (
   SELECT u,
          CASE WHEN d >= (SELECT (lo + hi + 1) // 2 FROM span)
               THEN 1 ELSE 0 END AS period,
-         CAST(SUM(qv) AS BIGINT) AS cents
+         -- COALESCE(0): all-NULL spend = zero recorded cents (r9 fuzz)
+         CAST(COALESCE(SUM(qv), 0) AS BIGINT) AS cents
   FROM q GROUP BY 1, 2),
 ranked AS (
   SELECT u, period,
@@ -8962,10 +9004,11 @@ WITH s AS (
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
   FROM events),
 ranked AS (
+  -- score IS NOT NULL: NULL scores are unrankable (r9 fuzz sweep)
   SELECT pos,
          ROW_NUMBER() OVER (ORDER BY score DESC, event_id ASC) AS r,
          COUNT(*) OVER () AS nt
-  FROM s),
+  FROM s WHERE score IS NOT NULL),
 per AS (
   SELECT (10 * (r - 1)) // nt AS tile,
          COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
@@ -9081,6 +9124,7 @@ SELECT event_id, event_type,
          ORDER BY CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) ASC,
                   event_id ASC) AS pct_rank
 FROM events
+WHERE value IS NOT NULL
 """
 
 
@@ -9300,9 +9344,12 @@ def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FEATURE_HASH_SQL = """
 WITH x AS (
-  SELECT event_type || chr(31)
-           || CAST(CAST(FLOOR(CAST(value AS DOUBLE) / 50) * 50 AS BIGINT)
-                   AS VARCHAR) AS cross_key
+  -- concat_ws, not ||: both engines SKIP a NULL feature (and its
+  -- separator) in the cross key, where || would NULL the whole key
+  -- (r9 fuzz sweep, "nulls" seed)
+  SELECT concat_ws(chr(31), event_type,
+           CAST(CAST(FLOOR(CAST(value AS DOUBLE) / 50) * 50 AS BIGINT)
+                AS VARCHAR)) AS cross_key
   FROM events),
 per AS (
   SELECT CAST(('0x' || substr(md5('fh1' || cross_key), 1, 8)) AS BIGINT)
@@ -9670,12 +9717,14 @@ per AS (
          CAST(MAX(t.nn) AS BIGINT) AS nn, CAST(MAX(t.m) AS BIGINT) AS m
   FROM cumg CROSS JOIN tot t GROUP BY 1, 2)
 SELECT event_type, n_rows, m AS n_bands,
-       CAST(emd_num AS DOUBLE)
+       -- single-band EMD is exactly 0 (identical distributions); the
+       -- (m-1) normalizer would divide by zero (r9 fuzz sweep)
+       CASE WHEN m > 1 THEN CAST(emd_num AS DOUBLE)
          / (CAST(m - 1 AS DOUBLE) * CAST(n_rows AS DOUBLE)
-            * CAST(nn AS DOUBLE)) AS t_closeness,
-       CAST(emd_num AS DOUBLE)
+            * CAST(nn AS DOUBLE)) ELSE 0.0 END AS t_closeness,
+       CASE WHEN m > 1 THEN CAST(emd_num AS DOUBLE)
          / (CAST(m - 1 AS DOUBLE) * CAST(n_rows AS DOUBLE)
-            * CAST(nn AS DOUBLE)) <= 0.2 AS t_ok
+            * CAST(nn AS DOUBLE)) ELSE 0.0 END <= 0.2 AS t_ok
 FROM per
 """
 
@@ -11770,7 +11819,13 @@ FROM v{n_iter} CROSS JOIN m{n_iter}
     )
 
 
-PCA_SQL = _pca_sql(8, 64)
+# nonempty guard: the unrolled power-iteration CTE emits its 64-row dim
+# grid even over an EMPTY corpus, while the operator returns a typed
+# empty frame (r9 fuzz sweep, "empty" seed)
+PCA_SQL = (
+    "SELECT r.* FROM (" + _pca_sql(8, 64) + ") r,"
+    " (SELECT 1 FROM embeddings LIMIT 1) nonempty"
+)
 
 _WAVE67_QUERIES = {
     "pca_top_component_vectors": pca_top_component_vectors,
@@ -11858,7 +11913,9 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="orc_roundtrip_")
     write_orc(docs, path, partition_by=["source"])
-    back = read_orc(spark, path)
+    # explicit schema: an EMPTY corpus writes zero ORC files and
+    # inference would raise (r9 fuzz sweep, "empty" seed)
+    back = read_orc(spark, path, schema=docs.schema)
     return (
         back.groupBy("source")
         .agg(
@@ -12285,11 +12342,12 @@ def validate_orders_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 VALIDATE_SQL = """
 WITH scalars AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+         -- COALESCE(0): zero rows -> zero violations (r9 fuzz sweep)
+         CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
               AS BIGINT) AS v0,
-         CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+         CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END), 0)
               AS BIGINT) AS v1,
-         CAST(SUM(CASE WHEN o_totalprice > 1000000 THEN 1 ELSE 0 END)
+         CAST(COALESCE(SUM(CASE WHEN o_totalprice > 1000000 THEN 1 ELSE 0 END), 0)
               AS BIGINT) AS v2,
          CAST(GREATEST(COUNT(DISTINCT o_orderstatus) - 3, 0)
               AS BIGINT) AS v3
@@ -12344,7 +12402,8 @@ per_user AS (
   SELECT u,
          CAST(s.today - MAX(d) AS BIGINT) AS recency_days,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(qv) AS BIGINT) AS monetary_cents
+         -- COALESCE(0): all-NULL spend = zero recorded spend (r9 fuzz)
+         CAST(COALESCE(SUM(qv), 0) AS BIGINT) AS monetary_cents
   FROM base, span s GROUP BY u, s.today),
 ranked AS (
   SELECT u, recency_days, frequency, monetary_cents,
@@ -12462,7 +12521,11 @@ def uplift_deciles_click_purchase(
         .agg(
             F.sum("__c").cast("long").alias("__clicks"),
             F.sum("__p").cast("long").alias("__purchases"),
-            F.sum("__cents").cast("long").alias("score"),
+            # coalesce(0): all-NULL value = zero recorded spend, still a
+            # rankable targeting score (r9 fuzz sweep, "nulls" seed)
+            F.coalesce(F.sum("__cents"), F.lit(0))
+            .cast("long")
+            .alias("score"),
         )
     )
     staged = per_user.select(
@@ -12483,8 +12546,8 @@ WITH per_user AS (
               AS BIGINT) AS clicks,
          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
               AS BIGINT) AS purchases,
-         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-           AS score
+         CAST(COALESCE(SUM(CAST(round(value * 100, 0) AS BIGINT)), 0)
+              AS BIGINT) AS score
   FROM events GROUP BY user_id),
 ranked AS (
   SELECT score, user_id, clicks > 0 AS t, purchases > 0 AS y,
@@ -13041,12 +13104,16 @@ def file_row_audit_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FILE_AUDIT_SQL = """
+-- HAVING > 0 mirrors input_file_name semantics: a zero-row file yields
+-- no scan rows, so it contributes no audit row (r9 fuzz sweep, "empty")
 SELECT 'lineitem.parquet' AS file_name,
-       CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem
+       CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem HAVING COUNT(*) > 0
 UNION ALL
 SELECT 'orders.parquet', CAST(COUNT(*) AS BIGINT) FROM orders
+HAVING COUNT(*) > 0
 UNION ALL
 SELECT 'documents.parquet', CAST(COUNT(*) AS BIGINT) FROM documents
+HAVING COUNT(*) > 0
 """
 
 
@@ -13254,7 +13321,8 @@ per_user AS (
   SELECT u,
          CAST(s.today - MAX(d) AS BIGINT) AS recency_days,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         CAST(SUM(qv) AS BIGINT) AS monetary_cents
+         -- COALESCE(0): all-NULL spend = zero recorded spend (r9 fuzz)
+         CAST(COALESCE(SUM(qv), 0) AS BIGINT) AS monetary_cents
   FROM base, span s GROUP BY u, s.today),
 ranked AS (
   SELECT u,

@@ -948,7 +948,9 @@ def value_decile_transition(
         base.crossJoin(F.broadcast(span))
         .withColumn("period", (F.col("__d") >= mid).cast("int"))
         .groupBy("user", "period")
-        .agg(F.sum("__qv").cast("long").alias("cents"))
+        # coalesce(0): all-NULL spend ranks as zero recorded cents, not
+        # as a NULL that drops out of the bucket join (r9 fuzz sweep)
+        .agg(F.coalesce(F.sum("__qv"), F.lit(0)).cast("long").alias("cents"))
     )
     # Exact per-period rank: range-bucket on cents, rank in-bucket, add
     # per-(period, bucket) cumulative offsets (a tiny rollup: windows on
@@ -1862,7 +1864,13 @@ def rfm_scores(
         .agg(
             F.max("__d").alias("__last"),
             F.count(F.lit(1)).cast("long").alias("frequency"),
-            F.sum("__qv").cast("long").alias("monetary_cents"),
+            # coalesce(0): a user whose every purchase value is NULL has
+            # zero RECORDED spend, not an unrankable NULL that silently
+            # drops them from the monetary rank bucket join on one
+            # engine only (r9 fuzz sweep, "nulls" seed)
+            F.coalesce(F.sum("__qv"), F.lit(0))
+            .cast("long")
+            .alias("monetary_cents"),
         )
         .crossJoin(F.broadcast(span))
         .withColumn(

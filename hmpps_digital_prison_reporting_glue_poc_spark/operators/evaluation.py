@@ -168,7 +168,9 @@ def hitrate_at_k(
         F.broadcast(top.withColumn("__hit", F.lit(1))), item_col, "left"
     )
     return hits.agg(
-        F.sum(wt).cast("long").alias("n_eval"),
+        # coalesce(0): empty eval side -> SUM NULL vs the oracle's
+        # COUNT(*) 0 (r9 fuzz sweep); the rate itself stays NULL
+        F.coalesce(F.sum(wt), F.lit(0)).cast("long").alias("n_eval"),
         F.sum(F.coalesce(F.col("__hit"), F.lit(0)) * wt)
         .cast("long")
         .alias("n_hits"),
@@ -295,12 +297,19 @@ def decile_lift(
     lab = (label if not isinstance(label, str) else F.col(label)).cast(
         "boolean"
     )
-    rows = df.select(
-        F.col(score_col).cast("long").alias("__s"),
-        F.col(id_col).alias("__id"),
-        F.when(lab, 1).otherwise(0).alias("__pos"),
-    ).withColumn(
-        "__b", F.floor(F.col("__s") / F.lit(bucket_width)).cast("long")
+    rows = (
+        df.select(
+            F.col(score_col).cast("long").alias("__s"),
+            F.col(id_col).alias("__id"),
+            F.when(lab, 1).otherwise(0).alias("__pos"),
+        )
+        # NULL scores are unrankable; they would silently fall out of the
+        # bucket-offset equi-join on this engine only while a SQL twin's
+        # row_number keeps them (r9 fuzz sweep, "nulls" seed)
+        .filter(F.col("__s").isNotNull())
+        .withColumn(
+            "__b", F.floor(F.col("__s") / F.lit(bucket_width)).cast("long")
+        )
     )
     counts = rows.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
     w_off = Window.orderBy(F.col("__b").desc()).rowsBetween(
@@ -621,7 +630,11 @@ def conformal_threshold(
 
     frac = Fraction(alpha).limit_denominator(1_000_000)
     a_num, a_den = frac.numerator, frac.denominator
-    total = vals.agg(F.sum("__n").cast("long").alias("n"))
+    # coalesce(0): on an EMPTY sample SUM is NULL while the oracle's
+    # COUNT(*) is 0; n = 0 then yields target_rank = ceil(1-alpha) with
+    # a NULL threshold — the documented "alpha too small" row shape
+    # (r9 fuzz sweep, empty/ties/single seeds)
+    total = vals.agg(F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n"))
     target = total.select(
         "n",
         (

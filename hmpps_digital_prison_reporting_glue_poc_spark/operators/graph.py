@@ -207,6 +207,12 @@ def token_pagerank(
     )
     nodes = materialize(nodes, prefix="pagerank_nodes_")
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph: no ranks to compute, and 1/V would divide by zero
+        # under ANSI (r9 fuzz sweep, "empty" seed) — empty typed result
+        return nodes.select(
+            "token", F.lit(None).cast("double").alias("rank")
+        )
     # every float constant is built from the same IEEE double ops the
     # oracle writes out (1.0 - d, x / V, ROUND half-up) — never Python
     # round(), whose half-even tie rule differs from SQL ROUND.

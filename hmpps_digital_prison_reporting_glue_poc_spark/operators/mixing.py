@@ -621,12 +621,19 @@ def grouped_percent_rank(
     Returns the input's (id, group, value) plus ``rank_col``; single-row
     groups get 0.0 (the SQL convention).
     """
-    rows = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(group_col).alias("__g"),
-        F.col(value_col).cast("long").alias("__v"),
-    ).withColumn(
-        "__b", F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
+    rows = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        # NULL values are unrankable; exclude them EXPLICITLY instead of
+        # relying on the bucket equi-join silently dropping NULL keys —
+        # a SQL twin's window would keep them (r9 fuzz sweep)
+        .filter(F.col("__v").isNotNull())
+        .withColumn(
+            "__b", F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
+        )
     )
     counts = rows.groupBy("__g", "__b").agg(
         F.count(F.lit(1)).alias("__n")

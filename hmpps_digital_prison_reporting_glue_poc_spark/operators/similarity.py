@@ -34,6 +34,29 @@ from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import 
 )
 
 
+def _peek_dim(corpus: DataFrame, vec_col: str) -> int | None:
+    """Vector dimension from the corpus's first row, or None when the
+    corpus is empty (or its first vector is NULL) — operators use this to
+    return a typed EMPTY result instead of raising: an empty shard or a
+    fully-filtered corpus is a legitimate runtime state at scale, not a
+    caller bug (r9 fuzz sweep, "empty" seed)."""
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        return None
+    return len(first[0])
+
+
+def _empty_result(df: DataFrame, spec) -> DataFrame:
+    """Typed empty frame: spec is a list of (name, dtype) where dtype is
+    either a pyspark DataType or a COLUMN NAME of ``df`` whose type to
+    copy (so id columns keep the caller's id type)."""
+    fields = []
+    for name, t in spec:
+        dt = df.schema[t].dataType if isinstance(t, str) else t
+        fields.append(T.StructField(name, dt, True))
+    return df.sparkSession.createDataFrame([], T.StructType(fields))
+
+
 def _require_dim(corpus: DataFrame, vec_col: str) -> int:
     """Vector dimension from the corpus's first row, with a clear error on
     an empty corpus (``first()`` returns None and a bare ``first[0]``
@@ -92,6 +115,14 @@ def cosine_topk_np(
     """Same result as ``cosine_topk`` on the Arrow/numpy fast path."""
     qrows = queries.select(id_col, vec_col).collect()  # queries are small
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    if not qrows:
+        # no queries (e.g. an empty corpus slice): nothing to rank
+        # (r9 fuzz sweep, "empty" seed)
+        return _empty_result(
+            queries,
+            [("query_id", id_col), ("neighbor_id", id_col),
+             ("rank", T.LongType())],
+        )
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
     bq = spark.sparkContext.broadcast((qids, qmat))
@@ -196,13 +227,23 @@ def ivf_topk(
     driver collect at 100 TB is an OOM, and k-means centroid quality
     saturates far below 100k samples for n_lists this small.
     """
+    if _peek_dim(corpus, vec_col) is None:
+        return _empty_result(
+            queries,
+            [("query_id", id_col), ("neighbor_id", id_col),
+             ("rank", T.LongType())],
+        )
     sample = corpus.select(vec_col)
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
     sample = sample.limit(max_train_rows)
-    train = np.vstack(
-        [np.asarray(r[0], dtype=np.float64) for r in sample.collect()]
-    )
+    rows = sample.collect()
+    if not rows:
+        # a Bernoulli sample of a tiny corpus can come back empty even
+        # though the corpus is not — train on the capped head instead of
+        # crashing centroid init (r9 fuzz sweep, "single" seed)
+        rows = corpus.select(vec_col).limit(max_train_rows).collect()
+    train = np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
     train /= np.linalg.norm(train, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
     centroids = train[rng.choice(len(train), size=min(n_lists, len(train)), replace=False)]
@@ -315,7 +356,9 @@ def hyperplane_lsh_pairs(
     ``cosine_pairs_above``. Planes are derived deterministically from
     ``seed``, so sketches are stable across runs/retries.
     """
-    dim = _require_dim(corpus, vec_col)
+    dim = _peek_dim(corpus, vec_col)
+    if dim is None:
+        return _empty_result(corpus, [("id_a", id_col), ("id_b", id_col)])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables, n_bits, dim))
     bp = spark.sparkContext.broadcast(planes)
@@ -451,7 +494,9 @@ def hyperplane_lsh_pairs_md5(
     """
     from fractions import Fraction
 
-    dim = _require_dim(corpus, vec_col)
+    dim = _peek_dim(corpus, vec_col)
+    if dim is None:
+        return _empty_result(corpus, [("id_a", id_col), ("id_b", id_col)])
     frac = Fraction(str(threshold)) ** 2
     num, den = frac.numerator, frac.denominator
 
@@ -600,7 +645,9 @@ def pq_encode(
     of the corpus.
     Returns (id, pq_code).
     """
-    dim = _require_dim(corpus, vec_col)
+    dim = _peek_dim(corpus, vec_col)
+    if dim is None:
+        return _empty_result(corpus, [(id_col, id_col), ("pq_code", T.LongType())])
     sub_dim = dim // n_subspaces
     cb = md5_pq_codebook(n_subspaces, n_centroids, sub_dim, quant_scale)
     bcb = spark.sparkContext.broadcast(cb)
@@ -686,7 +733,17 @@ def ivfpq_topk(
     not just an exact-mode configuration — has a bit-exact SQL oracle.
     Returns (query_id, neighbor_id, adc_dist, rank).
     """
-    dim = _require_dim(corpus, vec_col)
+    dim = _peek_dim(corpus, vec_col)
+    if dim is None:
+        return _empty_result(
+            queries,
+            [
+                ("query_id", id_col),
+                ("neighbor_id", id_col),
+                ("adc_dist", T.LongType()),
+                ("rank", T.LongType()),
+            ],
+        )
     sub_dim = dim // n_subspaces
     cb = md5_pq_codebook(n_subspaces, n_centroids, sub_dim, quant_scale)
     cc = md5_coarse_centroids(n_lists, dim, quant_scale)
@@ -833,7 +890,12 @@ def semantic_dedup(
 
     Returns one row per input vector: (id, cluster_id, kept).
     """
-    dim = _require_dim(corpus, vec_col)
+    dim = _peek_dim(corpus, vec_col)
+    if dim is None:
+        return _empty_result(
+            corpus,
+            [(id_col, id_col), ("cluster_id", T.LongType()), ("kept", T.BooleanType())],
+        )
     cc = md5_coarse_centroids(n_clusters, dim, quant_scale)
     bcc = spark.sparkContext.broadcast(cc)
 
@@ -954,7 +1016,17 @@ def kmeans_refine(
     (n_clusters x dim values — same driver budget as ``ivf_topk``'s
     trained centroids). Returns (id, cluster0, cluster1, moved).
     """
-    dim = _require_dim(corpus, vec_col)
+    dim = _peek_dim(corpus, vec_col)
+    if dim is None:
+        return _empty_result(
+            corpus,
+            [
+                (id_col, id_col),
+                ("cluster0", T.LongType()),
+                ("cluster1", T.LongType()),
+                ("moved", T.BooleanType()),
+            ],
+        )
     cc = md5_coarse_centroids(n_clusters, dim, quant_scale)
     bcc = spark.sparkContext.broadcast(cc)
 
@@ -1310,7 +1382,17 @@ def ivfpq_residual_topk(
     top-k) with the LUT keyed by (query, probed list).
     Returns (query_id, neighbor_id, adc_dist, rank).
     """
-    dim = _require_dim(corpus, vec_col)
+    dim = _peek_dim(corpus, vec_col)
+    if dim is None:
+        return _empty_result(
+            queries,
+            [
+                ("query_id", id_col),
+                ("neighbor_id", id_col),
+                ("adc_dist", T.LongType()),
+                ("rank", T.LongType()),
+            ],
+        )
     sub_dim = dim // n_subspaces
     cb = md5_pq_codebook(n_subspaces, n_centroids, sub_dim, quant_scale)
     cc0 = md5_coarse_centroids(n_lists, dim, quant_scale)
@@ -1562,7 +1644,13 @@ def pca_top_component(
     """
     import pandas as pd
 
-    d_probe = len(df.select(vec_col).first()[0])
+    d_probe = _peek_dim(df, vec_col)
+    if d_probe is None:
+        return _empty_result(
+            df,
+            [("dim_idx", T.LongType()), ("component", T.DoubleType()),
+             ("eigenvalue_q2", T.LongType())],
+        )
 
     def gram_kernel(batches):
         import numpy as np
@@ -1710,7 +1798,13 @@ def jl_project(
     root = math.isqrt(k)
     if root * root != k:
         raise ValueError(f"k must be a perfect square, got {k}")
-    d_in = len(df.select(vec_col).first()[0])
+    d_in = _peek_dim(df, vec_col)
+    if d_in is None:
+        return _empty_result(
+            df,
+            [(id_col, id_col), ("out_dim", T.LongType()),
+             ("y_micro", T.LongType()), ("component", T.DoubleType())],
+        )
     norm = float(root) * 1_000_000.0
 
     def kernel(batches):

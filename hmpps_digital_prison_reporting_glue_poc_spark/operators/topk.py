@@ -327,6 +327,10 @@ def grid_quantile_state(
             .cast("long")
             .alias("__qv")
         )
+        # NULL values carry no rank information and a NULL grid key
+        # would behave differently in the band join vs a SQL twin's
+        # window (r9 fuzz sweep, "nulls" seed) — exclude explicitly
+        .filter(F.col("__qv").isNotNull())
         .groupBy("__qv")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

@@ -321,11 +321,16 @@ def _merge_write_partitioned(
     fs.delete(tmp, True)
 
 
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """ORC scan (built-in vectorized reader — same pushdown/pruning
     contract as parquet; the other columnar lake format a reporting
-    estate commonly holds)."""
-    return spark.read.orc(path)
+    estate commonly holds). Pass ``schema`` when the directory may hold
+    ZERO data files (an empty partitioned write leaves only _SUCCESS and
+    schema inference raises UNABLE_TO_INFER_SCHEMA; r9 fuzz sweep)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
 
 
 def write_orc(

@@ -39,6 +39,16 @@ from test_fuzz_differential import SEEDS, _gen_tables, _write_sf_dir  # noqa: E4
 from test_oracle_parity import TABLES, _normalise  # noqa: E402
 
 
+# Documented input-contract raises: operators whose API VALIDATES its
+# input and raises a named error on degenerate data, by design. The sweep
+# treats the specific contract error as a pass; anything else still fails.
+CONTRACT_RAISES: dict[str, str] = {
+    # a drift comparison needs both label groups present — an input with
+    # fewer is a caller error, not a computable edge case
+    "centroid_drift_labels": "exactly two groups required",
+}
+
+
 def main() -> None:
     wanted = sys.argv[1:]
     seeds = os.environ.get("FUZZ_SEEDS", ",".join(SEEDS)).split(",")
@@ -96,6 +106,9 @@ def main() -> None:
                 if key in failures:
                     print(f"FAIL {key}: {failures[key][:300]}", flush=True)
             except Exception as exc:  # noqa: BLE001 - report and continue
+                contract = CONTRACT_RAISES.get(name)
+                if contract and contract in str(exc):
+                    continue  # documented input-contract raise
                 failures[key] = f"ERROR {type(exc).__name__}: {exc}"
                 print(f"FAIL {key}: {failures[key][:300]}", flush=True)
                 if os.environ.get("FUZZ_TRACE"):
