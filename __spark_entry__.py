@@ -1245,6 +1245,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE93_QUERIES,
         **_WAVE94_QUERIES,
         **_WAVE95_QUERIES,
+        **_WAVE96_QUERIES,
     }
 
 
@@ -1426,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE93_SQL,
         **_WAVE94_SQL,
         **_WAVE95_SQL,
+        **_WAVE96_SQL,
     }
 
 
@@ -14718,4 +14720,154 @@ _WAVE95_QUERIES = {
 
 _WAVE95_SQL = {
     "neardup_ingest_gate": NEARDUP_GATE_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 96 (r9) — survival analysis over the event log: Kaplan-Meier
+# time-to-first-purchase curve and the A/A log-rank bucket test. log terms
+# quantize to INTEGER MICROS over exact integer risk-set counts (exp is
+# never taken — no cross-engine precedent); all windows run on the
+# span-bounded duration grid, never the user set (the cusum_changepoint
+# discipline).
+# --------------------------------------------------------------------------
+
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase survival curve; never-buyers
+    right-censored at last activity (operators/behavior.py
+    kaplan_meier_curve)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        kaplan_meier_curve,
+    )
+
+    return kaplan_meier_curve(_events(spark, sf_dir), target_type="purchase")
+
+
+KAPLAN_MEIER_SQL = """
+WITH days AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS d,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+  FROM events WHERE ts IS NOT NULL),
+per_user AS (
+  SELECT u, MIN(d) AS first_d, MAX(d) AS last_d,
+         MIN(CASE WHEN hit = 1 THEN d END) AS conv_d
+  FROM days GROUP BY u),
+flagged AS (
+  SELECT CAST(date_diff('day', first_d, COALESCE(conv_d, last_d))
+              AS BIGINT) AS t_day,
+         CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM per_user),
+grid AS (
+  SELECT t_day, CAST(SUM(e) AS BIGINT) AS d_event,
+         CAST(SUM(1 - e) AS BIGINT) AS c_censored
+  FROM flagged GROUP BY t_day),
+risk AS (
+  SELECT *, CAST(SUM(d_event + c_censored) OVER (ORDER BY t_day DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_risk
+  FROM grid),
+stepped AS (
+  SELECT *,
+         CASE WHEN d_event < n_risk
+              THEN CAST(round((ln(CAST(n_risk - d_event AS DOUBLE))
+                               - ln(CAST(n_risk AS DOUBLE)))
+                              * 1000000.0, 0) AS BIGINT) END AS m,
+         CASE WHEN d_event >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM risk),
+walked AS (
+  SELECT t_day, n_risk, d_event, c_censored,
+         MAX(dead) OVER (ORDER BY t_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zero_flag,
+         CAST(SUM(m) OVER (ORDER BY t_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s
+  FROM stepped)
+SELECT t_day, n_risk, d_event, c_censored,
+       CASE WHEN zero_flag = 0
+            THEN CAST(s AS DOUBLE) / 1000000.0 END AS log_survival,
+       zero_flag = 1 AS survival_zero
+FROM walked WHERE d_event > 0
+"""
+
+
+def logrank_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A log-rank test of time-to-first-purchase across user-id-parity
+    buckets (operators/behavior.py logrank_two_cohorts)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        logrank_two_cohorts,
+    )
+
+    return logrank_two_cohorts(_events(spark, sf_dir), target_type="purchase")
+
+
+LOGRANK_SQL = """
+WITH days AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS d,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+  FROM events WHERE ts IS NOT NULL),
+per_user AS (
+  SELECT u, MIN(d) AS first_d, MAX(d) AS last_d,
+         MIN(CASE WHEN hit = 1 THEN d END) AS conv_d
+  FROM days GROUP BY u),
+flagged AS (
+  SELECT CAST(date_diff('day', first_d, COALESCE(conv_d, last_d))
+              AS BIGINT) AS t_day,
+         CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS e,
+         CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END AS grp
+  FROM per_user),
+grid AS (
+  SELECT t_day,
+         CAST(SUM(e * grp) AS BIGINT) AS d1,
+         CAST(SUM(e * (1 - grp)) AS BIGINT) AS d0,
+         CAST(SUM(grp) AS BIGINT) AS r1,
+         CAST(SUM(1 - grp) AS BIGINT) AS r0
+  FROM flagged GROUP BY t_day),
+risk AS (
+  SELECT t_day, d1, d0,
+         CAST(SUM(r1) OVER (ORDER BY t_day DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n1,
+         CAST(SUM(r0) OVER (ORDER BY t_day DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n0
+  FROM grid),
+terms AS (
+  SELECT d1,
+         CAST(round(CAST(d1 + d0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                    / CAST(n1 + n0 AS DOUBLE) * 1000000.0, 0)
+              AS BIGINT) AS e1m,
+         CAST(round(CAST(d1 + d0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                    * CAST(n0 AS DOUBLE)
+                    * CAST((n1 + n0) - (d1 + d0) AS DOUBLE)
+                    / (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 AS DOUBLE)
+                       * CAST((n1 + n0) - 1 AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS vm
+  FROM risk WHERE d1 + d0 > 0 AND n1 + n0 > 1),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+         CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS o1,
+         CAST(SUM(e1m) AS BIGINT) AS e1mu,
+         CAST(SUM(vm) AS BIGINT) AS vmu
+  FROM terms),
+sizes AS (
+  SELECT CAST(COALESCE(SUM(grp), 0) AS BIGINT) AS n_users_cohort,
+         CAST(COALESCE(SUM(1 - grp), 0) AS BIGINT) AS n_users_rest
+  FROM flagged)
+SELECT n_users_cohort, n_users_rest, n_event_times, o1,
+       CAST(e1mu AS DOUBLE) / 1000000.0 AS e1,
+       CAST(vmu AS DOUBLE) / 1000000.0 AS v1,
+       CASE WHEN vmu > 0 THEN
+         (CAST(o1 AS DOUBLE) - CAST(e1mu AS DOUBLE) / 1000000.0)
+         * (CAST(o1 AS DOUBLE) - CAST(e1mu AS DOUBLE) / 1000000.0)
+         / (CAST(vmu AS DOUBLE) / 1000000.0)
+       END AS logrank_chi2
+FROM sizes CROSS JOIN agg
+"""
+
+_WAVE96_QUERIES = {
+    "kaplan_meier_conversion": kaplan_meier_conversion,
+    "logrank_ab_conversion": logrank_ab_conversion,
+}
+_WAVE96_SQL = {
+    "kaplan_meier_conversion": KAPLAN_MEIER_SQL,
+    "logrank_ab_conversion": LOGRANK_SQL,
 }

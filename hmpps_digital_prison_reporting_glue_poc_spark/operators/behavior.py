@@ -2376,3 +2376,234 @@ def activity_heatmap_dow_hour(
         ).alias("share"),
         (F.col("n_events") == F.max("n_events").over(w_all)).alias("is_peak"),
     )
+
+
+def kaplan_meier_curve(
+    events: DataFrame,
+    target_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Kaplan-Meier time-to-first-``target_type`` survival curve (day
+    granularity): a user's clock starts at their first event; the event
+    of interest is their first ``target_type`` event; users who never
+    convert are right-censored at their last observed day. Returns one
+    row per event time, ordered by ``t_day``: (t_day, n_risk, d_event,
+    c_censored, log_survival, survival_zero).
+
+    Cross-engine exactness: the per-step factor ln(1 - d/n) is computed
+    as ln(n - d) - ln(n) over exact integer risk-set counts, quantized
+    to integer micros (round(x * 1e6) as BIGINT), and the survival
+    product becomes an exact int64 running SUM over the span-bounded
+    duration grid — ``log_survival`` is the unique correctly-rounded
+    int64 -> double conversion divided by 1e6 (the doclen_lognormal_fit
+    convention; exp is deliberately never taken — it is the one libm
+    function with no cross-engine bit-parity precedent here). When the
+    risk set is exhausted (d == n: the largest observation is an event,
+    survival hits exactly 0) ``log_survival`` is NULL from that step on
+    and ``survival_zero`` (never NULL) marks the tail.
+
+    Scale shape: one user-keyed shuffle for the per-user rollup, then
+    all windows run over the duration grid, which is bounded by the
+    day-span of the corpus (the cusum_changepoint discipline) — never
+    by user count. NULL timestamps are excluded up front on both
+    engines (window NULL-ordering is an engine divergence).
+    """
+    days = events.filter(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("__u"),
+        F.to_date(F.col(ts_col)).alias("__d"),
+        F.when(F.col(type_col) == target_type, 1).otherwise(0).alias("__hit"),
+    )
+    per_user = days.groupBy("__u").agg(
+        F.min("__d").alias("__first"),
+        F.max("__d").alias("__last"),
+        F.min(F.when(F.col("__hit") == 1, F.col("__d"))).alias("__conv"),
+    )
+    flagged = per_user.select(
+        F.datediff(
+            F.coalesce(F.col("__conv"), F.col("__last")), F.col("__first")
+        )
+        .cast("long")
+        .alias("t_day"),
+        F.when(F.col("__conv").isNotNull(), 1).otherwise(0).alias("__e"),
+    )
+    grid = flagged.groupBy("t_day").agg(
+        F.sum("__e").cast("long").alias("d_event"),
+        F.sum(F.lit(1) - F.col("__e")).cast("long").alias("c_censored"),
+    )
+    w_rev = Window.orderBy(F.col("t_day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.withColumn(
+        "n_risk",
+        F.sum(F.col("d_event") + F.col("c_censored"))
+        .over(w_rev)
+        .cast("long"),
+    )
+    w_fwd = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    micros = F.when(
+        F.col("d_event") < F.col("n_risk"),
+        F.round(
+            (
+                F.log((F.col("n_risk") - F.col("d_event")).cast("double"))
+                - F.log(F.col("n_risk").cast("double"))
+            )
+            * F.lit(1000000.0),
+            0,
+        ).cast("long"),
+    )
+    return (
+        risk.withColumn("__m", micros)
+        .withColumn(
+            "__zero",
+            F.max(
+                F.when(F.col("d_event") >= F.col("n_risk"), 1).otherwise(0)
+            ).over(w_fwd),
+        )
+        .withColumn("__s", F.sum("__m").over(w_fwd))
+        .filter(F.col("d_event") > 0)
+        .select(
+            "t_day",
+            "n_risk",
+            "d_event",
+            "c_censored",
+            F.when(
+                F.col("__zero") == 0,
+                F.col("__s").cast("double") / F.lit(1000000.0),
+            ).alias("log_survival"),
+            (F.col("__zero") == 1).alias("survival_zero"),
+        )
+    )
+
+
+def logrank_two_cohorts(
+    events: DataFrame,
+    target_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Log-rank test comparing time-to-first-``target_type`` hazards of
+    the two A/A-style experiment buckets (user-id parity — the
+    deterministic stand-in for hash-bucketed assignment), under the same
+    clock/censoring model as :func:`kaplan_meier_curve`. Returns exactly
+    ONE row: (n_users_cohort, n_users_rest, n_event_times, o1, e1, v1,
+    logrank_chi2) — the bucket-0 observed conversions, their
+    hypergeometric expectation and variance, and the 1-df chi-square.
+    On a healthy assignment the statistic is small — this is the
+    experiment-health (A/A) shape of the test.
+
+    Exactness: per event time the expectation term d*n1/n and variance
+    term d*n1*n0*(n-d) / (n*n*(n-1)) are each ONE fixed IEEE tree over
+    exact integer risk-set counts, quantized to integer micros and
+    summed in int64; the final statistic is two subtractions/divides on
+    int64->double casts. Times where the pooled risk set is a single
+    user carry no information and are skipped on both engines. Empty
+    inputs (or zero observed conversions) keep the one-row contract
+    with zero counts and NULL e1/v1/chi2.
+
+    Scale shape: identical to the KM curve — one user-keyed shuffle,
+    then span-bounded grid windows; the bucket flag is exact integer
+    arithmetic folded into the same rollup.
+    """
+    days = events.filter(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("__u"),
+        F.to_date(F.col(ts_col)).alias("__d"),
+        F.when(F.col(type_col) == target_type, 1).otherwise(0).alias("__hit"),
+    )
+    per_user = days.groupBy("__u").agg(
+        F.min("__d").alias("__first"),
+        F.max("__d").alias("__last"),
+        F.min(F.when(F.col("__hit") == 1, F.col("__d"))).alias("__conv"),
+    )
+    flagged = per_user.select(
+        F.datediff(
+            F.coalesce(F.col("__conv"), F.col("__last")), F.col("__first")
+        )
+        .cast("long")
+        .alias("t_day"),
+        F.when(F.col("__conv").isNotNull(), 1).otherwise(0).alias("__e"),
+        F.when(F.pmod(F.col("__u"), F.lit(2)) == 0, 1)
+        .otherwise(0)
+        .alias("__grp"),
+    )
+    grid = flagged.groupBy("t_day").agg(
+        F.sum(F.col("__e") * F.col("__grp")).cast("long").alias("__d1"),
+        F.sum(F.col("__e") * (F.lit(1) - F.col("__grp")))
+        .cast("long")
+        .alias("__d0"),
+        F.sum(F.col("__grp")).cast("long").alias("__r1"),
+        F.sum(F.lit(1) - F.col("__grp")).cast("long").alias("__r0"),
+    )
+    w_rev = Window.orderBy(F.col("t_day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "t_day",
+        "__d1",
+        "__d0",
+        F.sum("__r1").over(w_rev).cast("long").alias("__n1"),
+        F.sum("__r0").over(w_rev).cast("long").alias("__n0"),
+    )
+    d = (F.col("__d1") + F.col("__d0")).cast("long")
+    n = (F.col("__n1") + F.col("__n0")).cast("long")
+    terms = risk.filter(d > 0).filter(n > 1).select(
+        F.col("__d1"),
+        F.round(
+            d.cast("double")
+            * F.col("__n1").cast("double")
+            / n.cast("double")
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("__e1m"),
+        F.round(
+            d.cast("double")
+            * F.col("__n1").cast("double")
+            * F.col("__n0").cast("double")
+            * (n - d).cast("double")
+            / (
+                n.cast("double")
+                * n.cast("double")
+                * (n - F.lit(1)).cast("double")
+            )
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("__vm"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+        F.coalesce(F.sum("__d1"), F.lit(0)).cast("long").alias("o1"),
+        F.sum("__e1m").cast("long").alias("__e1mu"),
+        F.sum("__vm").cast("long").alias("__vmu"),
+    )
+    sizes = flagged.agg(
+        F.coalesce(F.sum("__grp"), F.lit(0))
+        .cast("long")
+        .alias("n_users_cohort"),
+        F.coalesce(F.sum(F.lit(1) - F.col("__grp")), F.lit(0))
+        .cast("long")
+        .alias("n_users_rest"),
+    )
+    ome = (
+        F.col("o1").cast("double")
+        - F.col("__e1mu").cast("double") / F.lit(1000000.0)
+    )
+    return sizes.crossJoin(F.broadcast(agg)).select(
+        "n_users_cohort",
+        "n_users_rest",
+        "n_event_times",
+        "o1",
+        (F.col("__e1mu").cast("double") / F.lit(1000000.0)).alias("e1"),
+        (F.col("__vmu").cast("double") / F.lit(1000000.0)).alias("v1"),
+        F.when(
+            F.col("__vmu") > 0,
+            (ome * ome) / (F.col("__vmu").cast("double") / F.lit(1000000.0)),
+        ).alias("logrank_chi2"),
+    )
