@@ -1246,6 +1246,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE94_QUERIES,
         **_WAVE95_QUERIES,
         **_WAVE96_QUERIES,
+        **_WAVE97_QUERIES,
     }
 
 
@@ -1428,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE94_SQL,
         **_WAVE95_SQL,
         **_WAVE96_SQL,
+        **_WAVE97_SQL,
     }
 
 
@@ -14870,4 +14872,142 @@ _WAVE96_QUERIES = {
 _WAVE96_SQL = {
     "kaplan_meier_conversion": KAPLAN_MEIER_SQL,
     "logrank_ab_conversion": LOGRANK_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 97 (r9) — label-propagation communities on the token bigram graph
+# (fixed synchronous rounds, mode-with-lex-tiebreak: deterministic, so the
+# DuckDB twin unrolls identical rounds) and Cramér's V effect size (micros-
+# quantized chi-square rollup: float cell terms are never summed raw).
+# --------------------------------------------------------------------------
+
+def lpa_token_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round label-propagation communities of the token-bigram graph
+    (operators/graph.py label_propagation); same edge builder as
+    kcore_token_graph."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array(
+                F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<array<string>>"))
+    edges = (
+        toked.select(F.explode(grams).alias("__e"))
+        .select(F.col("__e")[0].alias("s"), F.col("__e")[1].alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .distinct()
+    )
+    return label_propagation(edges, rounds=4)
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Unrolled label-propagation oracle: the same fixed synchronous
+    rounds the Spark operator applies, as chained CTEs."""
+    parts = ["""WITH tl AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+raw AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i])) AS src,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i + 1])) AS dst
+  FROM tl WHERE len(t) > 1),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst),
+nb AS MATERIALIZED (
+  SELECT a AS v, b AS u FROM e0 UNION ALL SELECT b AS v, a AS u FROM e0),
+l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lab FROM nb)"""]
+    for r in range(rounds):
+        parts.append(f"""c{r} AS (
+  SELECT n.v, l.lab, COUNT(*) AS c
+  FROM nb n JOIN l{r} l ON n.u = l.v GROUP BY n.v, l.lab)""")
+        parts.append(f"""l{r + 1} AS MATERIALIZED (
+  SELECT v, lab FROM (
+    SELECT v, lab,
+           ROW_NUMBER() OVER (PARTITION BY v
+                              ORDER BY c DESC, lab ASC) AS rn
+    FROM c{r}) WHERE rn = 1)""")
+    final = f"""SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{rounds} GROUP BY lab"""
+    return ",\n".join(parts) + "\n" + final
+
+
+LPA_SQL = _lpa_sql(4)
+
+
+def cramers_v_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between market segment and nation
+    (operators/profiling.py cramers_v over contingency_chi2 cells)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import cramers_v
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+    )
+    return cramers_v(cust, "segment", "nation")
+
+
+CRAMERS_V_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment AS row_val, CAST(c_nationkey AS BIGINT) AS col_val,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM customer GROUP BY 1, 2),
+rt AS (SELECT row_val, CAST(SUM(observed) AS BIGINT) AS rtot
+       FROM cells GROUP BY row_val),
+ct AS (SELECT col_val, CAST(SUM(observed) AS BIGINT) AS ctot
+       FROM cells GROUP BY col_val),
+tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT rt.row_val, ct.col_val, rt.rtot, ct.ctot, tot.n,
+         COALESCE(c.observed, 0) AS observed
+  FROM rt CROSS JOIN ct CROSS JOIN tot
+  LEFT JOIN cells c
+    ON c.row_val = rt.row_val AND c.col_val = ct.col_val),
+terms AS (
+  SELECT observed, row_val, col_val, n,
+         CAST(round(
+           CAST((CAST(n AS HUGEINT) * observed
+                 - CAST(rtot AS HUGEINT) * ctot)
+                * (CAST(n AS HUGEINT) * observed
+                   - CAST(rtot AS HUGEINT) * ctot) AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(rtot AS DOUBLE)
+              * CAST(ctot AS DOUBLE))
+           * 1000000.0, 0) AS BIGINT) AS chi2m
+  FROM grid),
+agg AS (
+  SELECT CAST(COALESCE(SUM(observed), 0) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT row_val) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT col_val) AS BIGINT) AS n_cols,
+         CAST(SUM(chi2m) AS BIGINT) AS chi2m
+  FROM terms)
+SELECT n, n_rows, n_cols,
+       CAST(chi2m AS DOUBLE) / 1000000.0 AS chi2,
+       CASE WHEN n > 0 AND LEAST(n_rows - 1, n_cols - 1) > 0 THEN
+         sqrt(CAST(chi2m AS DOUBLE) / 1000000.0
+              / (CAST(n AS DOUBLE)
+                 * CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE)))
+       END AS cramers_v
+FROM agg
+"""
+
+_WAVE97_QUERIES = {
+    "lpa_token_communities": lpa_token_communities,
+    "cramers_v_segment_nation": cramers_v_segment_nation,
+}
+_WAVE97_SQL = {
+    "lpa_token_communities": LPA_SQL,
+    "cramers_v_segment_nation": CRAMERS_V_SQL,
 }

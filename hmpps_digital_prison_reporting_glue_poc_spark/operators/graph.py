@@ -592,3 +592,62 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     return final_deg
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation over an undirected
+    simple graph — the cheap community detector between connected
+    components (too coarse: one label per component) and modularity
+    methods (iterative, non-deterministic). Labels start as the vertex
+    id; each round every vertex adopts the MOST FREQUENT label among
+    its neighbors, ties broken by the lexicographically smallest label
+    — fully deterministic, so the DuckDB twin can unroll the identical
+    rounds. The FIXED round count is the cross-engine determinism
+    contract (the kcore_peel discipline): synchronous LPA can
+    oscillate on bipartite-ish structures, and a fixed horizon makes
+    the round-``rounds`` state THE defined output instead of a
+    convergence race. Returns one row per surviving label:
+    (community, n_members).
+
+    Scale shape per round: the two-orientation neighbor list joins the
+    current label table on the vertex key, one (vertex, label) count
+    rollup, one per-vertex argmax window — 3 keyed shuffles over
+    edge-sized data, lineage cut by materializing the (vertex-sized)
+    label table between rounds. Label tables never grow beyond the
+    vertex set; the neighbor list is static and reused every round.
+    """
+    from pyspark.sql import Window
+
+    nbrs = edges.select(
+        F.col(a_col).alias("v"), F.col(b_col).alias("u")
+    ).unionAll(
+        edges.select(F.col(b_col).alias("v"), F.col(a_col).alias("u"))
+    )
+    labels = (
+        nbrs.select("v").distinct().select("v", F.col("v").alias("lab"))
+    )
+    w = Window.partitionBy("v").orderBy(
+        F.col("__c").desc(), F.col("lab").asc()
+    )
+    for r in range(rounds):
+        counted = (
+            nbrs.join(
+                labels.withColumnRenamed("v", "u"), "u"
+            )
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = materialize(
+            counted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("v", "lab"),
+            f"lpa_r{r}_",
+        )
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )

@@ -1021,3 +1021,52 @@ def pk_uniqueness_audit(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Cramér's V effect size for an RxC contingency table — the
+    [0, 1]-normalized companion to :func:`contingency_chi2` that makes
+    dependence strengths comparable across tables of different shapes
+    (raw chi-square grows with n; V does not). Returns exactly ONE row:
+    (n, n_rows, n_cols, chi2, cramers_v) with
+    V = sqrt(chi2 / (n * min(R-1, C-1))).
+
+    Exactness: the per-cell terms are the driver-verified
+    contingency_chi2 doubles (exact DECIMAL(38,0) numerators, one float
+    divide each); summing raw doubles would be ORDER-DEPENDENT across
+    engines, so each term is quantized to integer micros and the
+    statistic accumulates in int64 (the established micros rollup
+    convention). Degenerate tables (single row or column category:
+    min(R-1, C-1) = 0) keep the one-row contract with NULL V.
+    """
+    cells = contingency_chi2(df, row_col, col_col)
+    agg = cells.agg(
+        F.coalesce(F.sum("observed"), F.lit(0)).cast("long").alias("n"),
+        F.count_distinct(F.col("row_val")).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("col_val")).cast("long").alias("n_cols"),
+        F.sum(
+            F.round(F.col("chi2_term") * F.lit(1000000.0), 0).cast("long")
+        )
+        .cast("long")
+        .alias("__chi2m"),
+    )
+    dfree = F.least(F.col("n_rows") - F.lit(1), F.col("n_cols") - F.lit(1))
+    chi2 = F.col("__chi2m").cast("double") / F.lit(1000000.0)
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        chi2.alias("chi2"),
+        F.when(
+            (F.col("n") > 0) & (dfree > 0),
+            F.sqrt(
+                F.col("__chi2m").cast("double")
+                / F.lit(1000000.0)
+                / (F.col("n").cast("double") * dfree.cast("double"))
+            ),
+        ).alias("cramers_v"),
+    )
