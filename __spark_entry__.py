@@ -1247,6 +1247,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE95_QUERIES,
         **_WAVE96_QUERIES,
         **_WAVE97_QUERIES,
+        **_WAVE98_QUERIES,
     }
 
 
@@ -1430,6 +1431,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE95_SQL,
         **_WAVE96_SQL,
         **_WAVE97_SQL,
+        **_WAVE98_SQL,
     }
 
 
@@ -15010,4 +15012,139 @@ _WAVE97_QUERIES = {
 _WAVE97_SQL = {
     "lpa_token_communities": LPA_SQL,
     "cramers_v_segment_nation": CRAMERS_V_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 98 (r9) — Page-Hinkley upward-shift monitor on daily purchase
+# revenue: the streaming-form changepoint companion to cusum (running mean
+# instead of global mean). One micros quantization per row; m_t, its
+# running min, and PH_t stay exact int64 end-to-end.
+# --------------------------------------------------------------------------
+
+def page_hinkley_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley scan over the exact-cents daily purchase revenue
+    rollup (operators/behavior.py page_hinkley)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import page_hinkley
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return page_hinkley(daily, "day", "x")
+
+
+PAGE_HINKLEY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY CAST(ts AS DATE)),
+pref AS (
+  SELECT day, x,
+         CAST(SUM(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS prefix,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+  FROM daily),
+terms AS (
+  SELECT day, x,
+         CAST(round((CAST(x AS DOUBLE)
+                     - CAST(prefix AS DOUBLE) / CAST(k AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS t
+  FROM pref),
+walked AS (
+  SELECT day, x,
+         CAST(SUM(t) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS m
+  FROM terms),
+ph AS (
+  SELECT day, x,
+         CAST(m - MIN(m) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ph_micros
+  FROM walked)
+SELECT day, x, ph_micros,
+       CAST(ph_micros AS DOUBLE) / 1000000.0 AS ph,
+       COALESCE(ph_micros = MAX(ph_micros) OVER (), FALSE) AS is_peak
+FROM ph
+"""
+
+
+
+def holt_linear_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend smoothing of exact-cents daily purchase revenue
+    (operators/behavior.py holt_linear_smooth); alpha=1/5, beta=1/10,
+    bit-identical integer-millis state on both engines."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        holt_linear_smooth,
+    )
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return holt_linear_smooth(daily, "day", "x")
+
+
+HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY CAST(ts AS DATE)),
+idx AS (
+  -- NULL rollups are missing readings, not zeros (and the Spark fold
+  -- state is non-nullable by construction) -> exclude on both engines
+  SELECT CAST(x AS BIGINT) AS x,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+  FROM daily WHERE x IS NOT NULL),
+st(k, l, b) AS (
+  SELECT k, x * 1000, CAST(0 AS BIGINT) FROM idx WHERE k = 1
+  UNION ALL
+  SELECT i.k,
+         -- l_t = rnd_half_up((x*1000 + 4*(l+b)) / 5) via nonneg mod
+         ((2 * (i.x * 1000 + 4 * (s.l + s.b)) + 5)
+          - ((((2 * (i.x * 1000 + 4 * (s.l + s.b)) + 5) % 10) + 10) % 10))
+         // 10 AS lt,
+         -- b_t = rnd_half_up(((l_t - l_prev) + 9*b) / 10)
+         ((2 * ((lt - s.l) + 9 * s.b) + 10)
+          - ((((2 * ((lt - s.l) + 9 * s.b) + 10) % 20) + 20) % 20)) // 20
+  FROM st s JOIN idx i ON i.k = s.k + 1),
+fin AS (SELECT l, b FROM st WHERE k = (SELECT MAX(k) FROM st)),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM idx)
+SELECT cnt.n_days,
+       f.l AS level_millis,
+       f.b AS trend_millis,
+       CAST(f.l AS DOUBLE) / 1000.0 AS level,
+       CAST(f.b AS DOUBLE) / 1000.0 AS trend,
+       CAST(f.l + f.b AS DOUBLE) / 1000.0 AS forecast_next
+FROM cnt
+LEFT JOIN (SELECT 1 AS j, * FROM fin) f ON TRUE
+"""
+
+
+_WAVE98_QUERIES = {
+    "page_hinkley_daily_revenue": page_hinkley_daily_revenue,
+    "holt_linear_daily_revenue": holt_linear_daily_revenue,
+}
+_WAVE98_SQL = {
+    "page_hinkley_daily_revenue": PAGE_HINKLEY_SQL,
+    "holt_linear_daily_revenue": HOLT_SQL,
 }

@@ -2607,3 +2607,163 @@ def logrank_two_cohorts(
             (ome * ome) / (F.col("__vmu").cast("double") / F.lit(1000000.0)),
         ).alias("logrank_chi2"),
     )
+
+
+def page_hinkley(
+    daily: DataFrame,
+    day_col: str = "day",
+    x_col: str = "x",
+    delta_micros: int = 0,
+) -> DataFrame:
+    """Page-Hinkley upward-shift detector over an ordered integer
+    series (typically the exact-cents daily revenue rollup): the
+    sequential cousin of :func:`cusum_changepoint` — PH_t =
+    m_t - min_{i<=t} m_i with m_t = sum_{i<=t} (x_i - mean_i - delta),
+    where mean_i is the RUNNING mean (cusum uses the global mean, so it
+    needs the full series; PH is the form a streaming monitor applies).
+    Returns one row per day: (day, x, ph_micros, ph, is_peak).
+
+    Exactness: the running mean prefix_i / i is one fixed IEEE tree per
+    row over exact int64 prefix sums, quantized to integer micros; m_t,
+    its running minimum, and PH_t then stay in exact int64 arithmetic
+    end-to-end — ``ph`` is the unique correctly-rounded int64 -> double
+    conversion divided by 1e6 and ``is_peak`` (never NULL) marks the
+    arg-max days. ``delta_micros`` is the drift allowance in micros.
+
+    Scale shape: all windows run over the span-bounded day grid (the
+    cusum_changepoint discipline) — the data-sized pass is whatever
+    rollup produced ``daily``.
+    """
+    w_fwd = Window.orderBy(day_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pref = daily.select(
+        F.col(day_col).alias("day"),
+        F.col(x_col).cast("long").alias("x"),
+        F.sum(F.col(x_col).cast("long")).over(w_fwd).alias("__prefix"),
+        F.row_number().over(Window.orderBy(day_col)).cast("long").alias("__k"),
+    )
+    term = (
+        F.round(
+            (
+                F.col("x").cast("double")
+                - F.col("__prefix").cast("double") / F.col("__k").cast("double")
+            )
+            * F.lit(1000000.0),
+            0,
+        ).cast("long")
+        - F.lit(int(delta_micros))
+    )
+    walked = (
+        pref.withColumn("__t", term)
+        .withColumn("__m", F.sum("__t").over(w_fwd))
+        .withColumn("__mmin", F.min(F.col("__m")).over(w_fwd))
+        .withColumn("ph_micros", (F.col("__m") - F.col("__mmin")).cast("long"))
+    )
+    return walked.select(
+        "day",
+        "x",
+        "ph_micros",
+        (F.col("ph_micros").cast("double") / F.lit(1000000.0)).alias("ph"),
+        F.coalesce(
+            F.col("ph_micros") == F.max("ph_micros").over(w_all), F.lit(False)
+        ).alias("is_peak"),
+    )
+
+
+def holt_linear_smooth(
+    daily: DataFrame,
+    day_col: str = "day",
+    x_col: str = "x",
+) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing of an ordered
+    integer series — the first true forecasting recurrence in the
+    engine (seasonal_naive_backtest only replays history). alpha = 1/5
+    and beta = 1/10 are FIXED RATIONALS and the whole state evolves in
+    exact integer MILLIS of the input unit: the update
+    l_t = (x_t*1000 + 4*(l+b)) / 5, b_t = ((l_t - l_prev) + 9*b) / 10
+    uses round-half-up floor division ((2n + d) div 2d via nonneg mod),
+    so both engines walk bit-identical int64 state with NO float in the
+    loop. Returns exactly ONE row: (n_days, level_millis, trend_millis,
+    level, trend, forecast_next) — the floats are single correctly-
+    rounded int64 -> double casts divided by 1000.
+
+    Spark-first shape: the recurrence is inherently sequential, but the
+    series is the span-bounded day grid (the cusum discipline), so the
+    fold runs JVM-side as ONE ``F.aggregate`` over the array_sort'ed
+    collected grid — no Python, no driver loop, no row-at-a-time UDF;
+    the data-sized pass is whatever rollup produced ``daily``. The
+    DuckDB twin is a recursive CTE applying the identical integer
+    update. Exactness bound: |2*state| must stay below 2^53 for the
+    exact-division-through-double step — at cents input that is ~45
+    trillion per day, far above any benchmarked rollup; document before
+    feeding raw micro-units.
+
+    NULL observations are EXCLUDED up front (a day whose rollup is NULL
+    is a missing reading, not a zero) — this is also load-bearing for
+    correctness: ``F.aggregate`` coerces each merge result to the
+    non-nullable schema of ``init``, so a NULL leaking into the fold
+    state would silently decay to 0 instead of poisoning the output
+    (verified against Spark 4.1; the DuckDB twin filters identically).
+    """
+
+    def _rnd_div(n, d: int):
+        # round-half-up floor division on exact int64 columns: the
+        # intermediate (n - pmod) is exactly divisible by d, so the
+        # double-typed `/` is exact below 2^53 and the cast is lossless
+        num = n * F.lit(2) + F.lit(d)
+        dd = F.lit(2 * d)
+        return ((num - F.pmod(num, dd)) / dd).cast("long")
+
+    daily = daily.filter(F.col(x_col).isNotNull())
+    arr = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(day_col).alias("d"),
+                    F.col(x_col).cast("long").alias("x"),
+                )
+            )
+        ).alias("__a"),
+    )
+
+    def _step(acc, row):
+        xm = row["x"] * F.lit(1000)
+        first = acc["i"] == 0
+        lt = F.when(first, xm).otherwise(
+            _rnd_div(xm + F.lit(4) * (acc["l"] + acc["b"]), 5)
+        )
+        bt = F.when(first, F.lit(0).cast("long")).otherwise(
+            _rnd_div((lt - acc["l"]) + F.lit(9) * acc["b"], 10)
+        )
+        return F.struct(
+            (acc["i"] + F.lit(1)).cast("long").alias("i"),
+            lt.cast("long").alias("l"),
+            bt.cast("long").alias("b"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("i"),
+        F.lit(0).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    folded = arr.select(
+        "n_days", F.aggregate(F.col("__a"), init, _step).alias("__s")
+    )
+    has = F.col("n_days") > 0
+    lvl = F.col("__s")["l"]
+    trd = F.col("__s")["b"]
+    return folded.select(
+        "n_days",
+        F.when(has, lvl).alias("level_millis"),
+        F.when(has, trd).alias("trend_millis"),
+        F.when(has, lvl.cast("double") / F.lit(1000.0)).alias("level"),
+        F.when(has, trd.cast("double") / F.lit(1000.0)).alias("trend"),
+        F.when(has, (lvl + trd).cast("double") / F.lit(1000.0)).alias(
+            "forecast_next"
+        ),
+    )
