@@ -406,6 +406,15 @@ BENCH_QUERIES = [
     "customer_repeat_rate_nation",
     # wave 95 (r9)
     "neardup_ingest_gate",
+    # wave 96 (r9)
+    "kaplan_meier_conversion",
+    "logrank_ab_conversion",
+    # wave 97 (r9)
+    "lpa_token_communities",
+    "cramers_v_segment_nation",
+    # wave 98 (r9)
+    "page_hinkley_daily_revenue",
+    "holt_linear_daily_revenue",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in
