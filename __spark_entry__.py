@@ -1248,6 +1248,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE96_QUERIES,
         **_WAVE97_QUERIES,
         **_WAVE98_QUERIES,
+        **_WAVE99_QUERIES,
     }
 
 
@@ -1432,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE96_SQL,
         **_WAVE97_SQL,
         **_WAVE98_SQL,
+        **_WAVE99_SQL,
     }
 
 
@@ -15147,4 +15149,147 @@ _WAVE98_QUERIES = {
 _WAVE98_SQL = {
     "page_hinkley_daily_revenue": PAGE_HINKLEY_SQL,
     "holt_linear_daily_revenue": HOLT_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 99 (r9) — G-test of independence (likelihood-ratio complement to the
+# chi-square/Cramér's V family; micros-quantized o*ln(o/e) terms) and
+# common-neighbor link prediction on the token graph (Jaccard +
+# Adamic-Adar; neighbor-role degree cap makes the bucket join linear in
+# |E| — the IDF argument made structural).
+# --------------------------------------------------------------------------
+
+def g_test_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test: is document language independent of source crawl?
+    (operators/profiling.py g_test — the significance complement to
+    js_divergence_sources)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.profiling import g_test
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("lang"), F.col("source").alias("source")
+    )
+    return g_test(docs, "lang", "source")
+
+
+G_TEST_SQL = """
+WITH cells AS (
+  SELECT lang AS row_val, source AS col_val,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM documents GROUP BY 1, 2),
+rt AS (SELECT row_val, CAST(SUM(observed) AS BIGINT) AS rtot
+       FROM cells GROUP BY row_val),
+ct AS (SELECT col_val, CAST(SUM(observed) AS BIGINT) AS ctot
+       FROM cells GROUP BY col_val),
+tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT rt.row_val, ct.col_val, rt.rtot, ct.ctot, tot.n,
+         COALESCE(c.observed, 0) AS observed
+  FROM rt CROSS JOIN ct CROSS JOIN tot
+  LEFT JOIN cells c
+    ON c.row_val = rt.row_val AND c.col_val = ct.col_val),
+terms AS (
+  SELECT observed, row_val, col_val,
+         CASE WHEN observed > 0 THEN
+           CAST(round(2.0 * CAST(observed AS DOUBLE)
+                      * (ln(CAST(observed AS DOUBLE))
+                         - ln(CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE)
+                              / CAST(n AS DOUBLE)))
+                      * 1000000.0, 0) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS gm
+  FROM grid),
+agg AS (
+  SELECT CAST(COALESCE(SUM(observed), 0) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT row_val) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT col_val) AS BIGINT) AS n_cols,
+         CAST(SUM(gm) AS BIGINT) AS gm
+  FROM terms)
+SELECT n, n_rows, n_cols,
+       CAST(COALESCE((n_rows - 1) * (n_cols - 1), 0) AS BIGINT) AS df,
+       CASE WHEN n > 0 AND (n_rows - 1) * (n_cols - 1) > 0
+            THEN CAST(gm AS DOUBLE) / 1000000.0 END AS g_stat
+FROM agg
+"""
+
+
+def link_prediction_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard + Adamic-Adar link prediction over the token-bigram
+    graph (operators/graph.py jaccard_link_prediction); same edge
+    builder as kcore_token_graph."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array(
+                F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<array<string>>"))
+    edges = (
+        toked.select(F.explode(grams).alias("__e"))
+        .select(F.col("__e")[0].alias("s"), F.col("__e")[1].alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .distinct()
+    )
+    return jaccard_link_prediction(
+        edges, max_neighbor_degree=64, min_common=2
+    )
+
+
+LINK_PRED_SQL = """
+WITH tl AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+raw AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i])) AS src,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i + 1])) AS dst
+  FROM tl WHERE len(t) > 1),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst),
+deg AS MATERIALIZED (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)
+  GROUP BY v),
+adj AS (
+  SELECT a AS u, b AS x FROM e0 UNION ALL SELECT b AS u, a AS x FROM e0),
+cap AS MATERIALIZED (
+  SELECT adj.u, adj.x, d.deg AS du
+  FROM adj JOIN deg d ON adj.u = d.v WHERE d.deg BETWEEN 2 AND 64),
+pairs AS (
+  SELECT l.x AS va, r.x AS vb,
+         CAST(COUNT(*) AS BIGINT) AS common,
+         CAST(SUM(CAST(round(1000000.0 / ln(CAST(l.du AS DOUBLE)), 0)
+                       AS BIGINT)) AS BIGINT) AS aamu
+  FROM cap l JOIN cap r ON l.u = r.u AND l.x < r.x
+  GROUP BY l.x, r.x HAVING COUNT(*) >= 2)
+SELECT va AS vertex_a, vb AS vertex_b, common,
+       da.deg AS deg_a, db.deg AS deg_b,
+       CAST(common AS DOUBLE)
+         / CAST(da.deg + db.deg - common AS DOUBLE) AS jaccard,
+       CAST(aamu AS DOUBLE) / 1000000.0 AS adamic_adar
+FROM pairs
+JOIN deg da ON va = da.v
+JOIN deg db ON vb = db.v
+"""
+
+_WAVE99_QUERIES = {
+    "g_test_lang_source": g_test_lang_source,
+    "link_prediction_tokens": link_prediction_tokens,
+}
+_WAVE99_SQL = {
+    "g_test_lang_source": G_TEST_SQL,
+    "link_prediction_tokens": LINK_PRED_SQL,
 }

@@ -651,3 +651,108 @@ def label_propagation(
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_neighbor_degree: int = 64,
+    min_common: int = 2,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected simple graph:
+    for every non-adjacent-or-adjacent vertex pair sharing >=
+    ``min_common`` neighbors, the Jaccard coefficient
+    common / (deg_a + deg_b - common) and the Adamic-Adar score
+    sum(1/ln(deg_u)) over common neighbors u. Returns
+    (vertex_a, vertex_b, common, deg_a, deg_b, jaccard, adamic_adar).
+
+    Scale discipline: pair generation is the adjacency self-join keyed
+    on the shared neighbor, which is quadratic in that neighbor's
+    degree — so vertices with degree > ``max_neighbor_degree`` are
+    EXCLUDED from the neighbor role (they remain as endpoints). This is
+    the IDF argument made structural: a hub shared by everything
+    contributes ~zero Jaccard/Adamic-Adar evidence (its 1/ln(deg) term
+    is the smallest in the sum) but would dominate the join cost, the
+    same reason BM25 discounts stopwords. The cap bounds the bucket
+    join at O(D^2) rows per neighbor with D fixed, i.e. linear in |E|
+    overall. Wedge orientation (the triangle-census trick) is NOT
+    usable here: it counts each triangle once via its lowest-degree
+    corner, but common-neighbor counts need every wedge.
+
+    Exactness: common and degrees are exact integers; jaccard is one
+    float divide; each Adamic-Adar term 1/ln(deg_u) is one fixed IEEE
+    tree quantized to integer micros and summed in int64 (deg_u >= 2
+    always holds for a shared neighbor, so ln > 0).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = materialize(und, "ljp_edges_")
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    deg = materialize(deg, "ljp_deg_")
+    adj = und.select(
+        F.col("a").alias("u"), F.col("b").alias("x")
+    ).unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("x")))
+    # neighbor-role cap: only non-hub u generate candidate pairs; the
+    # deg >= 2 floor is both semantic (a degree-1 vertex can never be a
+    # SHARED neighbor) and load-bearing under ANSI mode (its Adamic-Adar
+    # term would be 1e6/ln(1) — a projected divide-by-zero even though
+    # the row could never join into a pair)
+    small = deg.filter(
+        (F.col("deg") >= 2)
+        & (F.col("deg") <= F.lit(int(max_neighbor_degree)))
+    )
+    adj_capped = adj.join(
+        small.select(F.col("v").alias("u"), F.col("deg").alias("__du")),
+        "u",
+    )
+    aa_term = F.round(
+        F.lit(1000000.0) / F.log(F.col("__du").cast("double")), 0
+    ).cast("long")
+    left = adj_capped.select("u", F.col("x").alias("va"), aa_term.alias("__aam"))
+    right = adj_capped.select("u", F.col("x").alias("vb"))
+    pairs = (
+        left.join(right, "u")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum("__aam").cast("long").alias("__aamu"),
+        )
+        .filter(F.col("common") >= F.lit(int(min_common)))
+    )
+    scored = (
+        pairs.join(
+            deg.select(F.col("v").alias("va"), F.col("deg").alias("deg_a")),
+            "va",
+        )
+        .join(
+            deg.select(F.col("v").alias("vb"), F.col("deg").alias("deg_b")),
+            "vb",
+        )
+    )
+    union = (
+        F.col("deg_a") + F.col("deg_b") - F.col("common")
+    ).cast("double")
+    return scored.select(
+        F.col("va").alias("vertex_a"),
+        F.col("vb").alias("vertex_b"),
+        "common",
+        "deg_a",
+        "deg_b",
+        (F.col("common").cast("double") / union).alias("jaccard"),
+        (F.col("__aamu").cast("double") / F.lit(1000000.0)).alias(
+            "adamic_adar"
+        ),
+    )

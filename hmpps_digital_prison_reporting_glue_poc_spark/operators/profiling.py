@@ -1070,3 +1070,55 @@ def cramers_v(
             ),
         ).alias("cramers_v"),
     )
+
+
+def g_test(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """G-test (likelihood-ratio) of independence for an RxC contingency
+    table — the information-theoretic complement to
+    :func:`contingency_chi2`: G = 2*sum(o*ln(o/e)) is additive under
+    table partitions and better behaved than Pearson when expected
+    counts are small. Returns exactly ONE row:
+    (n, n_rows, n_cols, df, g_stat).
+
+    Exactness: cells ride the driver-verified contingency_chi2 grid
+    (exact integer marginals, one float divide for e); each cell's
+    2*o*(ln(o) - ln(e)) is ONE fixed IEEE tree quantized to integer
+    micros and summed in int64 (zero-observed cells contribute exactly
+    0, the o*ln(o) -> 0 limit). Degenerate tables (single row or column
+    category: df = 0) keep the one-row contract with NULL g_stat.
+    """
+    cells = contingency_chi2(df, row_col, col_col)
+    term = F.when(
+        F.col("observed") > 0,
+        F.round(
+            F.lit(2.0)
+            * F.col("observed").cast("double")
+            * (
+                F.log(F.col("observed").cast("double"))
+                - F.log(F.col("expected"))
+            )
+            * F.lit(1000000.0),
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = cells.agg(
+        F.coalesce(F.sum("observed"), F.lit(0)).cast("long").alias("n"),
+        F.count_distinct(F.col("row_val")).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("col_val")).cast("long").alias("n_cols"),
+        F.sum(term).cast("long").alias("__gm"),
+    )
+    dfree = (F.col("n_rows") - F.lit(1)) * (F.col("n_cols") - F.lit(1))
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        F.coalesce(dfree, F.lit(0)).cast("long").alias("df"),
+        F.when(
+            (F.col("n") > 0) & (dfree > 0),
+            F.col("__gm").cast("double") / F.lit(1000000.0),
+        ).alias("g_stat"),
+    )
