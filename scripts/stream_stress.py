@@ -1277,6 +1277,62 @@ def run_neardup_family(spark) -> None:
     _summary(fam, secs, final_state_files=_dir_stats(store)[0])
 
 
+def run_pagehinkley_family(spark) -> None:
+    """Streaming Page-Hinkley monitor: 24 batches of purchase events over
+    an advancing-but-overlapping day window (late arrivals re-touch old
+    days). State is the per-day cents grid — growth must be bounded by
+    the DAY SPAN, not the batch count; per-batch time flat."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.pagehinkley_stream import (
+        ph_from_state,
+        stream_page_hinkley,
+    )
+
+    fam = "pagehinkley"
+    src_d, state, ckpt = _reset(f"{fam}/src", f"{fam}/state", f"{fam}/ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    secs = []
+    for b in range(N_BATCHES):
+        with open(os.path.join(src_d, f"b{b:03d}.json"), "w") as fh:
+            for i in range(ROWS_PER_BATCH):
+                day = (b + i) % 28 + 1
+                fh.write(
+                    json.dumps(
+                        {
+                            "ts": f"2025-04-{day:02d}T08:{i % 60:02d}:00",
+                            "event_type": (
+                                "purchase" if i % 3 != 2 else "view"
+                            ),
+                            "value": 1.0 + (b % 5) * 0.2 + (i % 7) * 0.1,
+                        }
+                    )
+                    + "\n"
+                )
+        t0 = time.time()
+        q = stream_page_hinkley(
+            spark, src_d, schema, state, ckpt, trigger_once=True,
+            compact_threshold=8,
+        )
+        q.awaitTermination()
+        apply_sec = time.time() - t0
+        t1 = time.time()
+        n_days = ph_from_state(spark, state).count()
+        read_sec = time.time() - t1
+        files, size = _dir_stats(state)
+        _emit(
+            fam, b, apply_sec,
+            read_sec=round(read_sec, 3), n_days=n_days,
+            state_files=files, state_kb=round(size / 1e3, 1),
+        )
+        secs.append(apply_sec + read_sec)
+    _summary(fam, secs, final_state_files=_dir_stats(state)[0])
+
+
 FAMILIES = {
     "pipeline-flat": lambda s: run_pipeline_family(s, partitioned=False),
     "pipeline-part": lambda s: run_pipeline_family(s, partitioned=True),
@@ -1298,6 +1354,7 @@ FAMILIES = {
     "gram": run_gram_family,
     "trend": run_trend_family,
     "neardup": run_neardup_family,
+    "pagehinkley": run_pagehinkley_family,
 }
 
 

@@ -407,9 +407,49 @@ class _NearDup(_Family):
         return [repr(corpus), repr(store)]
 
 
+class _PageHinkley(_Family):
+    name = "pagehinkley"
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def rows(self, b):
+        if b == 2:
+            return []
+        return [
+            {
+                "ts": f"2025-03-{(b * 2 + i) % 9 + 1:02d}T09:0{i % 6}:00",
+                "event_type": "purchase" if i % 3 != 2 else "view",
+                "value": 1.0 + b * 0.5 + (i % 4) * 0.25,
+            }
+            for i in range(10)
+        ]
+
+    def start(self, spark, src, state, ck, on_batch):
+        from hmpps_digital_prison_reporting_glue_poc_spark.streaming.pagehinkley_stream import (
+            stream_page_hinkley,
+        )
+
+        return stream_page_hinkley(
+            spark, src, self.schema, state, ck,
+            on_batch=on_batch, compact_threshold=2,
+        )
+
+    def read(self, spark, state):
+        from hmpps_digital_prison_reporting_glue_poc_spark.streaming.pagehinkley_stream import (
+            ph_from_state,
+        )
+
+        return sorted(map(repr, ph_from_state(spark, state).collect()))
+
+
 FAMILIES = [
     _KS(), _CMS(), _HLL(), _Quantile(), _Anomaly(), _IngestDedup(), _Gram(),
-    _Trend(), _NearDup(),
+    _Trend(), _NearDup(), _PageHinkley(),
 ]
 
 N_BATCHES = 4
