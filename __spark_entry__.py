@@ -1249,6 +1249,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE97_QUERIES,
         **_WAVE98_QUERIES,
         **_WAVE99_QUERIES,
+        **_WAVE101_QUERIES,
     }
 
 
@@ -1434,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE97_SQL,
         **_WAVE98_SQL,
         **_WAVE99_SQL,
+        **_WAVE101_SQL,
     }
 
 
@@ -15292,4 +15294,105 @@ _WAVE99_QUERIES = {
 _WAVE99_SQL = {
     "g_test_lang_source": G_TEST_SQL,
     "link_prediction_tokens": LINK_PRED_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 101 (r9) — Nelson-Aalen cumulative hazard (the additive companion to
+# the KM curve: conversion pressure accumulated by t) and Chao1/Good-Turing
+# vocabulary richness (how many types the corpus is missing; how much mass
+# the next token puts on unseen types).
+# --------------------------------------------------------------------------
+
+def nelson_aalen_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of time-to-first-purchase
+    (operators/behavior.py nelson_aalen_curve)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        nelson_aalen_curve,
+    )
+
+    return nelson_aalen_curve(_events(spark, sf_dir), target_type="purchase")
+
+
+NELSON_AALEN_SQL = """
+WITH days AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS d,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+  FROM events WHERE ts IS NOT NULL),
+per_user AS (
+  SELECT u, MIN(d) AS first_d, MAX(d) AS last_d,
+         MIN(CASE WHEN hit = 1 THEN d END) AS conv_d
+  FROM days GROUP BY u),
+flagged AS (
+  SELECT CAST(date_diff('day', first_d, COALESCE(conv_d, last_d))
+              AS BIGINT) AS t_day,
+         CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM per_user),
+grid AS (
+  SELECT t_day, CAST(SUM(e) AS BIGINT) AS d_event,
+         CAST(SUM(1 - e) AS BIGINT) AS c_censored
+  FROM flagged GROUP BY t_day),
+risk AS (
+  SELECT *, CAST(SUM(d_event + c_censored) OVER (ORDER BY t_day DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_risk
+  FROM grid),
+stepped AS (
+  SELECT *, CAST(round(CAST(d_event AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                       * 1000000.0, 0) AS BIGINT) AS h
+  FROM risk),
+walked AS (
+  SELECT t_day, n_risk, d_event, c_censored,
+         CAST(SUM(h) OVER (ORDER BY t_day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_hazard_micros
+  FROM stepped)
+SELECT t_day, n_risk, d_event, c_censored, cum_hazard_micros,
+       CAST(cum_hazard_micros AS DOUBLE) / 1000000.0 AS cum_hazard
+FROM walked WHERE d_event > 0
+"""
+
+
+def vocab_richness_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary richness + Good-Turing unseen mass over the
+    corpus token vocabulary (operators/textstats.py vocab_richness)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.textstats import vocab_richness
+
+    return vocab_richness(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+VOCAB_RICHNESS_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+    AS token
+  FROM documents),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY token),
+agg AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(COALESCE(SUM(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+           AS n_singletons,
+         CAST(COALESCE(SUM(CASE WHEN c = 2 THEN 1 END), 0) AS BIGINT)
+           AS n_doubletons
+  FROM counts)
+SELECT n_tokens, vocab, n_singletons, n_doubletons,
+       CASE WHEN vocab > 0 THEN
+         CAST(vocab AS DOUBLE)
+         + CAST(n_singletons AS DOUBLE)
+           * CAST(n_singletons - 1 AS DOUBLE)
+           / (2.0 * CAST(n_doubletons + 1 AS DOUBLE))
+       END AS chao1,
+       CASE WHEN n_tokens > 0 THEN
+         CAST(n_singletons AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       END AS unseen_mass
+FROM agg
+"""
+
+_WAVE101_QUERIES = {
+    "nelson_aalen_conversion": nelson_aalen_conversion,
+    "vocab_richness_docs": vocab_richness_docs,
+}
+_WAVE101_SQL = {
+    "nelson_aalen_conversion": NELSON_AALEN_SQL,
+    "vocab_richness_docs": VOCAB_RICHNESS_SQL,
 }

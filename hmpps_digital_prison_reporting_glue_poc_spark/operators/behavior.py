@@ -2767,3 +2767,91 @@ def holt_linear_smooth(
             "forecast_next"
         ),
     )
+
+
+def nelson_aalen_curve(
+    events: DataFrame,
+    target_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve for the same
+    time-to-first-``target_type`` model as :func:`kaplan_meier_curve`:
+    H(t) = sum_{t_i <= t} d_i / n_i. Where KM answers "what fraction
+    survives past t", Nelson-Aalen answers "how much conversion pressure
+    has accumulated by t" — additive, so it is the form rate
+    comparisons and piecewise-exponential fits consume. Returns one row
+    per event time: (t_day, n_risk, d_event, c_censored,
+    cum_hazard_micros, cum_hazard).
+
+    Exactness: each d/n increment is ONE fixed IEEE tree over exact
+    integer risk-set counts quantized to integer micros; the cumulative
+    hazard is an exact int64 running sum over the span-bounded duration
+    grid (``cum_hazard`` is the correctly-rounded int64 -> double cast
+    / 1e6). Unlike the KM product there is no zero-survival singularity
+    — d == n just contributes a full 1e6 micros step.
+
+    Scale shape: identical to the KM curve — one user-keyed shuffle,
+    then span-bounded grid windows; deliberately self-contained rather
+    than sharing a grid helper with KM (the round-8 kruskal refactor
+    break is the cautionary tale for helper extraction on
+    driver-pinned paths).
+    """
+    days = events.filter(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("__u"),
+        F.to_date(F.col(ts_col)).alias("__d"),
+        F.when(F.col(type_col) == target_type, 1).otherwise(0).alias("__hit"),
+    )
+    per_user = days.groupBy("__u").agg(
+        F.min("__d").alias("__first"),
+        F.max("__d").alias("__last"),
+        F.min(F.when(F.col("__hit") == 1, F.col("__d"))).alias("__conv"),
+    )
+    flagged = per_user.select(
+        F.datediff(
+            F.coalesce(F.col("__conv"), F.col("__last")), F.col("__first")
+        )
+        .cast("long")
+        .alias("t_day"),
+        F.when(F.col("__conv").isNotNull(), 1).otherwise(0).alias("__e"),
+    )
+    grid = flagged.groupBy("t_day").agg(
+        F.sum("__e").cast("long").alias("d_event"),
+        F.sum(F.lit(1) - F.col("__e")).cast("long").alias("c_censored"),
+    )
+    w_rev = Window.orderBy(F.col("t_day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.withColumn(
+        "n_risk",
+        F.sum(F.col("d_event") + F.col("c_censored"))
+        .over(w_rev)
+        .cast("long"),
+    )
+    w_fwd = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    step = F.round(
+        F.col("d_event").cast("double")
+        / F.col("n_risk").cast("double")
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    return (
+        risk.withColumn("__h", step)
+        .withColumn(
+            "cum_hazard_micros", F.sum("__h").over(w_fwd).cast("long")
+        )
+        .filter(F.col("d_event") > 0)
+        .select(
+            "t_day",
+            "n_risk",
+            "d_event",
+            "c_censored",
+            "cum_hazard_micros",
+            (
+                F.col("cum_hazard_micros").cast("double") / F.lit(1000000.0)
+            ).alias("cum_hazard"),
+        )
+    )

@@ -1088,3 +1088,62 @@ def doclen_lognormal_fit(
         F.when(F.col("n_docs") > 0, mu).alias("mu_log_len"),
         F.when(F.col("n_docs") > 1, F.sqrt(var)).alias("sigma_log_len"),
     )
+
+
+def vocab_richness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate + Good-Turing unseen mass over
+    the whitespace-token vocabulary — the two numbers a corpus-growth
+    plan actually consumes: how many types the corpus is still missing
+    (Chao1 lower bound via singleton/doubleton counts) and how much
+    probability mass the NEXT token draw puts on unseen types
+    (Good-Turing P0 = N1/N). Heaps'-law's sampling-theory complement.
+    Returns exactly ONE row: (n_tokens, vocab, n_singletons,
+    n_doubletons, chao1, unseen_mass).
+
+    Exactness: all five counts are exact integers from one token
+    groupBy; the bias-corrected Chao1 term N1*(N1-1)/(2*(N2+1)) — the
+    form that stays defined when no doubletons exist — and P0 are each
+    ONE fixed IEEE tree. Empty corpora keep the one-row contract with
+    zero counts and NULL estimates.
+
+    Scale shape: one map-side-combinable token count, then a count-of-
+    counts rollup over the (bounded) frequency domain — the token_zipf
+    discipline.
+    """
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    counts = toks.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    agg = counts.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.coalesce(F.sum(F.when(F.col("__c") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_singletons"),
+        F.coalesce(F.sum(F.when(F.col("__c") == 2, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_doubletons"),
+    )
+    n1 = F.col("n_singletons")
+    chao1 = F.col("vocab").cast("double") + (
+        n1.cast("double")
+        * (n1 - F.lit(1)).cast("double")
+        / (F.lit(2.0) * (F.col("n_doubletons") + F.lit(1)).cast("double"))
+    )
+    return agg.select(
+        "n_tokens",
+        "vocab",
+        "n_singletons",
+        "n_doubletons",
+        F.when(F.col("vocab") > 0, chao1).alias("chao1"),
+        F.when(
+            F.col("n_tokens") > 0,
+            n1.cast("double") / F.col("n_tokens").cast("double"),
+        ).alias("unseen_mass"),
+    )
