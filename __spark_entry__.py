@@ -1250,6 +1250,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE98_QUERIES,
         **_WAVE99_QUERIES,
         **_WAVE101_QUERIES,
+        **_WAVE102_QUERIES,
     }
 
 
@@ -1436,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE98_SQL,
         **_WAVE99_SQL,
         **_WAVE101_SQL,
+        **_WAVE102_SQL,
     }
 
 
@@ -15395,4 +15397,116 @@ _WAVE101_QUERIES = {
 _WAVE101_SQL = {
     "nelson_aalen_conversion": NELSON_AALEN_SQL,
     "vocab_richness_docs": VOCAB_RICHNESS_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 102 (r9) — Holt-Winters additive weekly smoothing of daily revenue:
+# level + trend + 7 calendar-dow seasonal slots, all in exact integer
+# millis (fixed rational alpha/beta/gamma, round-half-up floor division);
+# the Spark side is one JVM F.aggregate fold, the oracle a recursive CTE
+# walking bit-identical int64 state.
+# --------------------------------------------------------------------------
+
+def holt_winters_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters weekly-seasonal smoothing of exact-cents daily
+    purchase revenue (operators/behavior.py holt_winters_weekly)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        holt_winters_weekly,
+    )
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return holt_winters_weekly(daily, "day", "x")
+
+
+HOLT_WINTERS_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY CAST(ts AS DATE)),
+idx AS (
+  SELECT CAST(x AS BIGINT) * 1000 AS xm,
+         CAST((date_diff('day', DATE '1970-01-01', day) + 3) % 7
+              AS BIGINT) AS dow,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+  FROM daily WHERE x IS NOT NULL),
+st(k, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+  SELECT k, xm, CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM idx WHERE k = 1
+  UNION ALL
+  SELECT k, lt, bt,
+         CASE WHEN dow = 0 THEN snew ELSE ps0 END,
+         CASE WHEN dow = 1 THEN snew ELSE ps1 END,
+         CASE WHEN dow = 2 THEN snew ELSE ps2 END,
+         CASE WHEN dow = 3 THEN snew ELSE ps3 END,
+         CASE WHEN dow = 4 THEN snew ELSE ps4 END,
+         CASE WHEN dow = 5 THEN snew ELSE ps5 END,
+         CASE WHEN dow = 6 THEN snew ELSE ps6 END
+  FROM (
+    SELECT q2.*,
+           ((2 * ((lt - pl) + 9 * pb) + 10)
+            - ((((2 * ((lt - pl) + 9 * pb) + 10) % 20) + 20) % 20))
+           // 20 AS bt,
+           ((2 * ((xm - lt) + 9 * sprev) + 10)
+            - ((((2 * ((xm - lt) + 9 * sprev) + 10) % 20) + 20) % 20))
+           // 20 AS snew
+    FROM (
+      SELECT q1.*,
+             ((2 * ((xm - sprev) + 4 * (pl + pb)) + 5)
+              - ((((2 * ((xm - sprev) + 4 * (pl + pb)) + 5) % 10) + 10)
+                 % 10)) // 10 AS lt
+      FROM (
+        SELECT i.k, i.xm, i.dow,
+               s.l AS pl, s.b AS pb,
+               s.s0 AS ps0, s.s1 AS ps1, s.s2 AS ps2, s.s3 AS ps3,
+               s.s4 AS ps4, s.s5 AS ps5, s.s6 AS ps6,
+               CASE i.dow WHEN 0 THEN s.s0 WHEN 1 THEN s.s1
+                          WHEN 2 THEN s.s2 WHEN 3 THEN s.s3
+                          WHEN 4 THEN s.s4 WHEN 5 THEN s.s5
+                          ELSE s.s6 END AS sprev
+        FROM st s JOIN idx i ON i.k = s.k + 1
+      ) q1
+    ) q2
+  ) q3),
+fin AS (SELECT * FROM st WHERE k = (SELECT MAX(k) FROM st)),
+lastrow AS (SELECT dow FROM idx WHERE k = (SELECT MAX(k) FROM idx)),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM idx)
+SELECT cnt.n_days,
+       f.l AS level_millis,
+       f.b AS trend_millis,
+       CAST(GREATEST(f.s0, f.s1, f.s2, f.s3, f.s4, f.s5, f.s6)
+            - LEAST(f.s0, f.s1, f.s2, f.s3, f.s4, f.s5, f.s6)
+            AS BIGINT) AS season_amplitude_millis,
+       CAST(f.l AS DOUBLE) / 1000.0 AS level,
+       CAST(f.b AS DOUBLE) / 1000.0 AS trend,
+       CAST(f.l + f.b
+            + CASE (lr.dow + 1) % 7
+                WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2
+                WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5
+                ELSE f.s6 END
+            AS DOUBLE) / 1000.0 AS forecast_next
+FROM cnt
+LEFT JOIN fin f ON TRUE
+LEFT JOIN lastrow lr ON TRUE
+"""
+
+_WAVE102_QUERIES = {
+    "holt_winters_daily_revenue": holt_winters_daily_revenue,
+}
+_WAVE102_SQL = {
+    "holt_winters_daily_revenue": HOLT_WINTERS_SQL,
 }

@@ -2855,3 +2855,131 @@ def nelson_aalen_curve(
             ).alias("cum_hazard"),
         )
     )
+
+
+def holt_winters_weekly(
+    daily: DataFrame,
+    day_col: str = "day",
+    x_col: str = "x",
+) -> DataFrame:
+    """Holt-Winters ADDITIVE smoothing with a weekly season — the
+    seasonal extension of :func:`holt_linear_smooth` and the form a
+    daily-revenue forecast actually needs (dow is the dominant cycle in
+    event data; see dow_seasonality / activity_heatmap). alpha = 1/5,
+    beta = 1/10, gamma = 1/10 are FIXED RATIONALS and level, trend, and
+    the 7 seasonal slots all evolve in exact integer MILLIS with
+    round-half-up floor division — both engines walk bit-identical
+    int64 state, no float in the loop. Returns exactly ONE row:
+    (n_days, level_millis, trend_millis, season_amplitude_millis,
+    level, trend, forecast_next).
+
+    Seasonal slots are indexed by the CALENDAR day-of-week of each
+    observation ((epoch_day + 3) % 7, Monday = 0 — the
+    activity_heatmap convention), NOT by row position, so missing days
+    cannot shift the seasonal phase. Slots start at 0 and the first
+    observation initializes level = x (its seasonal update is then
+    exactly 0, so the uniform recurrence applies from row one).
+    ``forecast_next`` = level + trend + slot(dow of last day + 1).
+    NULL rollup days are excluded (missing readings, and the
+    F.aggregate non-nullable-init contract — see holt_linear_smooth).
+
+    Spark-first shape: ONE JVM-side ``F.aggregate`` over the
+    array_sort'ed span-bounded day grid; the DuckDB twin is a recursive
+    CTE over the identical integer update. Same 2^53 exactness bound as
+    holt_linear_smooth.
+    """
+
+    def _rnd_div(n, d: int):
+        num = n * F.lit(2) + F.lit(d)
+        dd = F.lit(2 * d)
+        return ((num - F.pmod(num, dd)) / dd).cast("long")
+
+    daily = daily.filter(F.col(x_col).isNotNull())
+    dow = (
+        (
+            F.datediff(F.col(day_col), F.lit("1970-01-01")) + F.lit(3)
+        )
+        % 7
+    ).cast("long")
+    arr = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(day_col).alias("d"),
+                    (F.col(x_col).cast("long") * F.lit(1000)).alias("xm"),
+                    dow.alias("dow"),
+                )
+            )
+        ).alias("__a"),
+    )
+
+    def _slot(acc, k: int):
+        return acc[f"s{k}"]
+
+    def _step(acc, row):
+        sprev = F.when(row["dow"] == 0, _slot(acc, 0))
+        for k in range(1, 7):
+            sprev = sprev.when(row["dow"] == k, _slot(acc, k))
+        first = acc["i"] == 0
+        lt = F.when(first, row["xm"]).otherwise(
+            _rnd_div(
+                (row["xm"] - sprev) + F.lit(4) * (acc["l"] + acc["b"]), 5
+            )
+        )
+        bt = F.when(first, F.lit(0).cast("long")).otherwise(
+            _rnd_div((lt - acc["l"]) + F.lit(9) * acc["b"], 10)
+        )
+        snew = _rnd_div((row["xm"] - lt) + F.lit(9) * sprev, 10)
+        fields = [
+            (acc["i"] + F.lit(1)).cast("long").alias("i"),
+            lt.cast("long").alias("l"),
+            bt.cast("long").alias("b"),
+        ]
+        for k in range(7):
+            fields.append(
+                F.when(row["dow"] == k, snew)
+                .otherwise(_slot(acc, k))
+                .cast("long")
+                .alias(f"s{k}")
+            )
+        return F.struct(*fields)
+
+    init_fields = [
+        F.lit(0).cast("long").alias("i"),
+        F.lit(0).cast("long").alias("l"),
+        F.lit(0).cast("long").alias("b"),
+    ] + [F.lit(0).cast("long").alias(f"s{k}") for k in range(7)]
+    folded = arr.select(
+        "n_days",
+        F.aggregate(F.col("__a"), F.struct(*init_fields), _step).alias(
+            "__s"
+        ),
+        # ANSI element_at(-1) throws on an empty array — guard the
+        # empty-grid case explicitly (fuzz empty/nulls seeds)
+        F.when(
+            F.size(F.col("__a")) > 0, F.element_at(F.col("__a"), -1)["dow"]
+        ).alias("__last_dow"),
+    )
+    has = F.col("n_days") > 0
+    lvl = F.col("__s")["l"]
+    trd = F.col("__s")["b"]
+    slots = [F.col("__s")[f"s{k}"] for k in range(7)]
+    next_dow = F.pmod(F.col("__last_dow") + F.lit(1), F.lit(7))
+    s_next = F.when(next_dow == 0, slots[0])
+    for k in range(1, 7):
+        s_next = s_next.when(next_dow == k, slots[k])
+    amplitude = F.greatest(*slots) - F.least(*slots)
+    return folded.select(
+        "n_days",
+        F.when(has, lvl).alias("level_millis"),
+        F.when(has, trd).alias("trend_millis"),
+        F.when(has, amplitude).cast("long").alias(
+            "season_amplitude_millis"
+        ),
+        F.when(has, lvl.cast("double") / F.lit(1000.0)).alias("level"),
+        F.when(has, trd.cast("double") / F.lit(1000.0)).alias("trend"),
+        F.when(
+            has, (lvl + trd + s_next).cast("double") / F.lit(1000.0)
+        ).alias("forecast_next"),
+    )
