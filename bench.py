@@ -415,6 +415,14 @@ BENCH_QUERIES = [
     # wave 98 (r9)
     "page_hinkley_daily_revenue",
     "holt_linear_daily_revenue",
+    # wave 99 (r9)
+    "g_test_lang_source",
+    "link_prediction_tokens",
+    # wave 101 (r9)
+    "nelson_aalen_conversion",
+    "vocab_richness_docs",
+    # wave 102 (r9)
+    "holt_winters_daily_revenue",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

@@ -127,6 +127,18 @@ FUZZ_QUERIES = [
     "revenue_lorenz_deciles",      # Lorenz curve deciles
     "winnow_doc_fingerprints",     # winnowing fingerprints
     "cdc_last_writer_wins",        # CDC ordered fold (reference A4)
+    # fourth sweep (r9 waves 96-102): survival, communities, recurrences
+    "kaplan_meier_conversion",     # KM curve (zero-survival tail)
+    "logrank_ab_conversion",       # hypergeometric E/V one-row contract
+    "lpa_token_communities",       # fixed-round label propagation
+    "cramers_v_segment_nation",    # micros chi2 rollup + degenerate df
+    "page_hinkley_daily_revenue",  # running-mean changepoint
+    "holt_linear_daily_revenue",   # integer-state recurrence vs rec. CTE
+    "g_test_lang_source",          # o*ln(o/e) with zero-cell limit
+    "link_prediction_tokens",      # neighbor-cap bucket join (deg>=2)
+    "nelson_aalen_conversion",     # additive hazard
+    "vocab_richness_docs",         # Chao1/Good-Turing one-row contract
+    "holt_winters_daily_revenue",  # 7-slot seasonal integer recurrence
 ]
 
 _VOCAB = (
