@@ -1251,6 +1251,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE99_QUERIES,
         **_WAVE101_QUERIES,
         **_WAVE102_QUERIES,
+        **_WAVE103_QUERIES,
     }
 
 
@@ -1438,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE99_SQL,
         **_WAVE101_SQL,
         **_WAVE102_SQL,
+        **_WAVE103_SQL,
     }
 
 
@@ -15509,4 +15511,88 @@ _WAVE102_QUERIES = {
 }
 _WAVE102_SQL = {
     "holt_winters_daily_revenue": HOLT_WINTERS_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 103 (r9) — matched/paired binary tests, a family previously absent:
+# McNemar (2 paired behaviors; only discordant users carry information) and
+# Cochran's Q (k matched treatments). Exact integer concordance cells, one
+# float divide each.
+# --------------------------------------------------------------------------
+
+def mcnemar_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test: per-user ever-clicked vs ever-purchased
+    (operators/evaluation.py mcnemar_paired)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import mcnemar_paired
+
+    return mcnemar_paired(
+        _events(spark, sf_dir), type_x="click", type_y="purchase"
+    )
+
+
+MCNEMAR_SQL = """
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(SUM(x * y), 0) AS BIGINT) AS n_both,
+         CAST(COALESCE(SUM(x * (1 - y)), 0) AS BIGINT) AS n_only_x,
+         CAST(COALESCE(SUM((1 - x) * y), 0) AS BIGINT) AS n_only_y,
+         CAST(COALESCE(SUM((1 - x) * (1 - y)), 0) AS BIGINT) AS n_neither
+  FROM flags)
+SELECT n_pairs, n_both, n_only_x, n_only_y, n_neither,
+       CASE WHEN n_only_x + n_only_y > 0 THEN
+         CAST(GREATEST(ABS(n_only_x - n_only_y) - 1, 0)
+              * GREATEST(ABS(n_only_x - n_only_y) - 1, 0) AS DOUBLE)
+         / CAST(n_only_x + n_only_y AS DOUBLE)
+       END AS mcnemar_chi2
+FROM agg
+"""
+
+
+def cochran_q_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across the view/click/purchase matched presence
+    flags (operators/evaluation.py cochran_q)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import cochran_q
+
+    return cochran_q(
+        _events(spark, sf_dir), types=["view", "click", "purchase"]
+    )
+
+
+COCHRAN_Q_SQL = """
+WITH flags AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f0,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f1,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f2
+  FROM events GROUP BY user_id),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(COALESCE(SUM(f0 + f1 + f2), 0) AS BIGINT) AS t_total,
+         CAST(COALESCE(SUM((f0 + f1 + f2) * (f0 + f1 + f2)), 0)
+              AS BIGINT) AS r2,
+         CAST(COALESCE(SUM(f0), 0) AS BIGINT) AS c0,
+         CAST(COALESCE(SUM(f1), 0) AS BIGINT) AS c1,
+         CAST(COALESCE(SUM(f2), 0) AS BIGINT) AS c2
+  FROM flags)
+SELECT n_users, CAST(3 AS BIGINT) AS k, t_total, CAST(2 AS BIGINT) AS df,
+       CASE WHEN 3 * t_total - r2 > 0 THEN
+         CAST(2 * (3 * (c0 * c0 + c1 * c1 + c2 * c2)
+                   - t_total * t_total) AS DOUBLE)
+         / CAST(3 * t_total - r2 AS DOUBLE)
+       END AS q_stat
+FROM agg
+"""
+
+_WAVE103_QUERIES = {
+    "mcnemar_click_purchase": mcnemar_click_purchase,
+    "cochran_q_events": cochran_q_events,
+}
+_WAVE103_SQL = {
+    "mcnemar_click_purchase": MCNEMAR_SQL,
+    "cochran_q_events": COCHRAN_Q_SQL,
 }

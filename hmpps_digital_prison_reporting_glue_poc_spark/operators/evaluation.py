@@ -1924,3 +1924,138 @@ def proportion_ci_by_group(
         F.greatest(center - half, F.lit(0.0)).alias("wilson_lo"),
         F.least(center + half, F.lit(1.0)).alias("wilson_hi"),
     )
+
+
+def mcnemar_paired(
+    events: DataFrame,
+    type_x: str = "click",
+    type_y: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """McNemar's test of marginal homogeneity for two PAIRED binaries —
+    per user, "did type_x ever happen" vs "did type_y ever happen". The
+    matched-design complement to the independent-sample chi2 family:
+    only the DISCORDANT pairs carry information (a user who did both or
+    neither says nothing about which behavior is more prevalent).
+    Returns exactly ONE row: (n_pairs, n_both, n_only_x, n_only_y,
+    n_neither, mcnemar_chi2) with the continuity-corrected statistic
+    (|b - c| - 1)^2 / (b + c), NULL when no discordant pairs exist.
+
+    Exactness: the 2x2 concordance cells are exact integers from one
+    user-keyed rollup; the statistic is one integer square over one
+    integer divide — a single float division total.
+    """
+    flags = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.max(F.when(F.col(type_col) == type_x, 1).otherwise(0)).alias(
+            "__x"
+        ),
+        F.max(F.when(F.col(type_col) == type_y, 1).otherwise(0)).alias(
+            "__y"
+        ),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.col("__x") * F.col("__y")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.coalesce(
+            F.sum(F.col("__x") * (F.lit(1) - F.col("__y"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_only_x"),
+        F.coalesce(
+            F.sum((F.lit(1) - F.col("__x")) * F.col("__y")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_only_y"),
+        F.coalesce(
+            F.sum((F.lit(1) - F.col("__x")) * (F.lit(1) - F.col("__y"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_neither"),
+    )
+    b, c = F.col("n_only_x"), F.col("n_only_y")
+    absdiff = F.abs(b - c)
+    corrected = F.greatest(absdiff - F.lit(1), F.lit(0))
+    return agg.select(
+        "n_pairs",
+        "n_both",
+        "n_only_x",
+        "n_only_y",
+        "n_neither",
+        F.when(
+            (b + c) > 0,
+            (corrected * corrected).cast("double")
+            / (b + c).cast("double"),
+        ).alias("mcnemar_chi2"),
+    )
+
+
+def cochran_q(
+    events: DataFrame,
+    types: list[str] | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cochran's Q test across k MATCHED binary treatments — per user,
+    the presence flags of k event types; Q asks whether the k behaviors
+    have equal prevalence given that the SAME users are measured on all
+    of them (the k-treatment generalization of McNemar). Returns
+    exactly ONE row: (n_users, k, t_total, df, q_stat).
+
+    Exactness: using column totals C_j, row totals R_i, and T = sum R_i,
+    Q = (k-1) * (k*sum(C_j^2) - T^2) / (k*T - sum(R_i^2)) — every term
+    is an exact int64 (squares of counts; promote to DECIMAL(38,0) past
+    ~3e9 users), and the statistic is ONE float division. Users whose
+    row is all-ones or all-zeros contribute nothing to either side
+    (standard Q behavior, kept implicit — the algebra cancels them).
+    NULL q_stat when the denominator is zero (every user uniform).
+
+    Scale shape: one user-keyed rollup with k conditional maxes, then a
+    one-row reduce; k is a fixed literal list.
+    """
+    types = types or ["view", "click", "purchase"]
+    k = len(types)
+    flag_cols = [
+        F.max(F.when(F.col(type_col) == t, 1).otherwise(0)).alias(
+            f"__f{i}"
+        )
+        for i, t in enumerate(types)
+    ]
+    flags = events.groupBy(F.col(user_col).alias("__u")).agg(*flag_cols)
+    row_sum = sum(
+        [F.col(f"__f{i}") for i in range(k)], F.lit(0)
+    ).cast("long")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.coalesce(F.sum(row_sum), F.lit(0)).cast("long").alias("t_total"),
+        F.coalesce(F.sum(row_sum * row_sum), F.lit(0))
+        .cast("long")
+        .alias("__r2"),
+    ]
+    for i in range(k):
+        aggs.append(
+            F.coalesce(F.sum(F.col(f"__f{i}")), F.lit(0))
+            .cast("long")
+            .alias(f"__c{i}")
+        )
+    agg = flags.agg(*aggs)
+    c2 = sum(
+        [F.col(f"__c{i}") * F.col(f"__c{i}") for i in range(k)], F.lit(0)
+    ).cast("long")
+    t = F.col("t_total")
+    num = (F.lit(k - 1) * (F.lit(k) * c2 - t * t)).cast("long")
+    den = (F.lit(k) * t - F.col("__r2")).cast("long")
+    return agg.select(
+        "n_users",
+        F.lit(k).cast("long").alias("k"),
+        "t_total",
+        F.lit(k - 1).cast("long").alias("df"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+            "q_stat"
+        ),
+    )
