@@ -1252,6 +1252,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE101_QUERIES,
         **_WAVE102_QUERIES,
         **_WAVE103_QUERIES,
+        **_WAVE104_QUERIES,
     }
 
 
@@ -1440,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE101_SQL,
         **_WAVE102_SQL,
         **_WAVE103_SQL,
+        **_WAVE104_SQL,
     }
 
 
@@ -15595,4 +15597,106 @@ _WAVE103_QUERIES = {
 _WAVE103_SQL = {
     "mcnemar_click_purchase": MCNEMAR_SQL,
     "cochran_q_events": COCHRAN_Q_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 104 (r9) — corpus lexical diagnostics: token burstiness (Fano factor
+# over per-doc counts, zeros included — the Church-style content-vs-function
+# word screen) and pairwise source vocabulary overlap (head-vocab Jaccard,
+# the lexical-identity complement to js_divergence_sources).
+# --------------------------------------------------------------------------
+
+def token_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor burstiness of the top-50 corpus tokens
+    (operators/textstats.py token_burstiness)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.textstats import token_burstiness
+
+    return token_burstiness(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", top_k=50
+    )
+
+
+BURSTINESS_SQL = """
+WITH per_doc AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS token
+    FROM documents)
+  GROUP BY doc_id, token),
+per_token AS (
+  SELECT token,
+         CAST(SUM(c) AS BIGINT) AS total_count,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM per_doc GROUP BY token),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY total_count DESC, token ASC)
+           AS rn
+  FROM per_token)
+SELECT token, total_count, n_docs_with,
+       CASE WHEN d > 0 AND total_count > 0 THEN
+         CAST(CAST(d AS HUGEINT) * q
+              - CAST(total_count AS HUGEINT) * total_count AS DOUBLE)
+         / CAST(CAST(d AS HUGEINT) * total_count AS DOUBLE)
+       END AS fano
+FROM ranked CROSS JOIN nd
+WHERE rn <= 50
+"""
+
+
+def source_vocab_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise top-100 vocabulary Jaccard between document sources
+    (operators/corpus.py source_vocab_overlap)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.corpus import source_vocab_overlap
+
+    return source_vocab_overlap(
+        _t(spark, sf_dir, "documents"), "source", "text", top_k=100
+    )
+
+
+VOCAB_OVERLAP_SQL = """
+WITH counts AS (
+  SELECT source AS s, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT source,
+           unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS token
+    FROM documents)
+  GROUP BY source, token),
+top AS (
+  SELECT s, token FROM (
+    SELECT s, token,
+           ROW_NUMBER() OVER (PARTITION BY s
+                              ORDER BY c DESC, token ASC) AS rn
+    FROM counts) WHERE rn <= 100),
+sizes AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS k FROM top GROUP BY s),
+inter AS (
+  SELECT a.s AS source_a, b.s AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM top a JOIN top b ON a.token = b.token AND a.s < b.s
+  GROUP BY a.s, b.s),
+pairs AS (
+  SELECT sa.s AS source_a, sb.s AS source_b, sa.k AS ka, sb.k AS kb,
+         COALESCE(i.overlap, 0) AS overlap
+  FROM sizes sa CROSS JOIN sizes sb
+  LEFT JOIN inter i ON i.source_a = sa.s AND i.source_b = sb.s
+  WHERE sa.s < sb.s)
+SELECT source_a, source_b, overlap,
+       CAST(ka + kb - overlap AS BIGINT) AS union_size,
+       CASE WHEN ka + kb - overlap > 0 THEN
+         CAST(overlap AS DOUBLE) / CAST(ka + kb - overlap AS DOUBLE)
+       END AS jaccard
+FROM pairs
+"""
+
+_WAVE104_QUERIES = {
+    "token_burstiness_top": token_burstiness_top,
+    "source_vocab_overlap_pairs": source_vocab_overlap_pairs,
+}
+_WAVE104_SQL = {
+    "token_burstiness_top": BURSTINESS_SQL,
+    "source_vocab_overlap_pairs": VOCAB_OVERLAP_SQL,
 }

@@ -1167,3 +1167,79 @@ def heaps_law_vocab_growth(
         "new_types",
         F.sum("new_types").over(w_cum).cast("long").alias("cum_types"),
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources: Jaccard of
+    each source's ``top_k`` tokens (by in-source count, lexicographic
+    tie-break) — the corpus-comparison table behind "are these two
+    crawls the same register?" decisions; js_divergence_sources
+    measures distributional distance over langs, this measures lexical
+    identity over the head vocabulary. Returns one row per unordered
+    source pair: (source_a, source_b, overlap, union_size, jaccard).
+
+    Exactness: per-source top-k sets are deterministic rank windows;
+    overlap/union are exact integers from one token equi-join; jaccard
+    is ONE float divide. The pair join is keyed on the token, so cost
+    is O(sources_per_token^2) per shared token with top-k bounding
+    every source's contribution at k rows — sources x k is the whole
+    join input, never the corpus.
+    """
+    from pyspark.sql import Window
+    from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
+
+    counts = (
+        df.select(
+            F.col(source_col).alias("__s"),
+            F.explode(tokens(F.col(text_col))).alias("__t"),
+        )
+        .groupBy("__s", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy("__s").orderBy(
+        F.col("__c").desc(), F.col("__t").asc()
+    )
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(top_k)))
+        .select("__s", "__t")
+    )
+    sizes = top.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__k")
+    )
+    a = top.select(F.col("__s").alias("source_a"), "__t")
+    b = top.select(F.col("__s").alias("source_b"), "__t")
+    inter = (
+        a.join(b, "__t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    pairs = (
+        sizes.select(F.col("__s").alias("source_a"), F.col("__k").alias("__ka"))
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("__s").alias("source_b"), F.col("__k").alias("__kb")
+                )
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(inter, ["source_a", "source_b"], "left")
+        .withColumn("overlap", F.coalesce(F.col("overlap"), F.lit(0)))
+    )
+    union = (F.col("__ka") + F.col("__kb") - F.col("overlap")).cast("long")
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "overlap",
+        union.alias("union_size"),
+        F.when(
+            union > 0, F.col("overlap").cast("double") / union.cast("double")
+        ).alias("jaccard"),
+    )

@@ -1147,3 +1147,68 @@ def vocab_richness(
             n1.cast("double") / F.col("n_tokens").cast("double"),
         ).alias("unseen_mass"),
     )
+
+
+def token_burstiness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Fano factor (variance/mean of the per-document count, zeros
+    included) for the ``top_k`` corpus tokens — the Church-style
+    burstiness diagnostic: function words arrive ~Poisson (Fano near
+    1), content/topical words are bursty (Fano >> 1), and boilerplate
+    repeated verbatim in few docs is the extreme tail. The signal a
+    stopword-list builder or a topical-token screen reads directly.
+    Returns ``top_k`` rows ordered by total count:
+    (token, total_count, n_docs_with, fano).
+
+    Exactness: with D = total docs, T = sum of per-doc counts, and
+    Q = sum of squared per-doc counts (zero docs contribute 0 to both),
+    the population Fano factor is (D*Q - T^2) / (D*T) — exact integer
+    numerator/denominator at DECIMAL(38,0) (D*Q overflows int64 past
+    ~1e9 docs x large Q) and ONE float division. Ties on total count
+    break lexicographically; both engines rank identically.
+
+    Scale shape: one (token, doc) count rollup, one token rollup, a
+    top-k over the vocabulary — the token_zipf discipline; D is a
+    broadcast 1-row aggregate.
+    """
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("__d"),
+            F.explode(tokens(F.col(text_col))).alias("__t"),
+        )
+        .groupBy("__t", "__d")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    per_token = per_doc.groupBy("__t").agg(
+        F.sum("__c").cast("long").alias("total_count"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_with"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__q"),
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("__nd"))
+    w = Window.orderBy(
+        F.col("total_count").desc(), F.col("__t").asc()
+    )
+    top = (
+        per_token.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(top_k)))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    num = (
+        F.col("__nd").cast("decimal(38,0)") * F.col("__q")
+        - F.col("total_count").cast("decimal(38,0)")
+        * F.col("total_count")
+    )
+    den = F.col("__nd").cast("decimal(38,0)") * F.col("total_count")
+    return top.select(
+        F.col("__t").alias("token"),
+        "total_count",
+        "n_docs_with",
+        F.when(
+            (F.col("__nd") > 0) & (F.col("total_count") > 0),
+            num.cast("double") / den.cast("double"),
+        ).alias("fano"),
+    )
