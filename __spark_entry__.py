@@ -1253,6 +1253,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE102_QUERIES,
         **_WAVE103_QUERIES,
         **_WAVE104_QUERIES,
+        **_WAVE105_QUERIES,
     }
 
 
@@ -1442,6 +1443,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE102_SQL,
         **_WAVE103_SQL,
         **_WAVE104_SQL,
+        **_WAVE105_SQL,
     }
 
 
@@ -15699,4 +15701,124 @@ _WAVE104_QUERIES = {
 _WAVE104_SQL = {
     "token_burstiness_top": BURSTINESS_SQL,
     "source_vocab_overlap_pairs": VOCAB_OVERLAP_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 105 (r9) — Wilcoxon signed-rank: the continuous matched-design
+# sibling of wave 103's McNemar/Cochran-Q. Pairs = per-user purchase cents
+# in the first vs second half of the corpus window; |d| midranked on the
+# shared kruskal grid (doubled ranks), tie-corrected scaled moments exact
+# int64.
+# --------------------------------------------------------------------------
+
+def wilcoxon_user_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank of per-user purchase spend, first half vs
+    second half of the corpus day span (operators/evaluation.py
+    wilcoxon_signed_rank)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        wilcoxon_signed_rank,
+    )
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("__u"),
+            F.to_date(F.col("ts")).alias("__d"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+    )
+    span = ev.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    ).select(
+        F.date_add(
+            F.col("__lo"),
+            F.floor(
+                F.datediff(F.col("__hi"), F.col("__lo")) / F.lit(2)
+            ).cast("int"),
+        ).alias("__mid")
+    )
+    diffs = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("__u")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__d") > F.col("__mid"), F.col("__cents"))
+                    ),
+                    F.lit(0),
+                )
+                - F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__d") <= F.col("__mid"), F.col("__cents")
+                        )
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("d")
+        )
+    )
+    return wilcoxon_signed_rank(diffs, "d")
+
+
+WILCOXON_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS d,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+span AS (
+  SELECT MIN(d) + CAST(floor(date_diff('day', MIN(d), MAX(d)) / 2)
+                       AS INTEGER) AS mid
+  FROM ev),
+diffs AS (
+  SELECT u,
+         CAST(COALESCE(SUM(CASE WHEN d > mid THEN cents END), 0)
+              - COALESCE(SUM(CASE WHEN d <= mid THEN cents END), 0)
+              AS BIGINT) AS dd
+  FROM ev CROSS JOIN span GROUP BY u),
+nz AS (
+  SELECT ABS(dd) AS v,
+         CASE WHEN dd > 0 THEN 'pos' ELSE 'neg' END AS g
+  FROM diffs WHERE dd <> 0),
+gv AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS ngv FROM nz GROUP BY v, g),
+pv AS (SELECT v, CAST(SUM(ngv) AS BIGINT) AS nv FROM gv GROUP BY v),
+r AS (
+  SELECT v,
+         CAST(2 * COALESCE(SUM(nv) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + nv + 1 AS BIGINT) AS two_mid
+  FROM pv),
+pg AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN g = 'pos'
+                                THEN ngv * two_mid END), 0) AS BIGINT)
+           AS w_plus_x2
+  FROM gv JOIN r USING (v)),
+tot AS (SELECT CAST(COALESCE(SUM(nv), 0) AS BIGINT) AS n FROM pv),
+ties AS (SELECT CAST(COALESCE(SUM(nv * nv * nv - nv), 0) AS BIGINT) AS t
+         FROM pv),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM diffs),
+asm AS (
+  SELECT n_pairs, n, w_plus_x2, t,
+         CAST(2 * w_plus_x2 - n * (n + 1) AS BIGINT) AS num_x4,
+         CAST(2 * n * (n + 1) * (2 * n + 1) - t AS BIGINT) AS var_x48
+  FROM np CROSS JOIN pg CROSS JOIN tot CROSS JOIN ties)
+SELECT n_pairs, n AS n_nonzero, w_plus_x2, t AS tie_term,
+       CASE WHEN n > 0 AND var_x48 > 0 THEN
+         (CAST(num_x4 AS DOUBLE) / 4.0)
+         / sqrt(CAST(var_x48 AS DOUBLE) / 48.0)
+       END AS z_wilcoxon
+FROM asm
+"""
+
+_WAVE105_QUERIES = {
+    "wilcoxon_user_halves": wilcoxon_user_halves,
+}
+_WAVE105_SQL = {
+    "wilcoxon_user_halves": WILCOXON_SQL,
 }

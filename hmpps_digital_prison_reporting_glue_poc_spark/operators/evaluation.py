@@ -2059,3 +2059,72 @@ def cochran_q(
             "q_stat"
         ),
     )
+
+
+def wilcoxon_signed_rank(
+    diffs: DataFrame,
+    diff_col: str = "d",
+    bucket_width: int = 1_000,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over PAIRED integer differences — the
+    continuous matched-design sibling of :func:`mcnemar_paired` (two
+    measurements on the SAME unit; is the median difference zero?).
+    Zero differences are dropped (standard Wilcoxon), |d| is midranked
+    with the shared :func:`_rank_group_sums` grid (sign as the group
+    key), and the normal approximation carries the standard tie
+    correction. Returns exactly ONE row: (n_pairs, n_nonzero,
+    w_plus_x2, tie_term, z_wilcoxon).
+
+    Exactness: w_plus_x2 is the DOUBLED positive-rank sum (midranks are
+    half-integral under ties, doubling keeps int64 exact — the Spearman
+    convention); with n nonzero pairs and T = sum(t^3 - t) the scaled
+    moments 4*mean = n(n+1) and 48*var = 2n(n+1)(2n+1) - T are exact
+    int64, so z = (num_x4 / 4) / sqrt(var_x48 / 48) with
+    num_x4 = 2*w_plus_x2... see below — ONE fixed IEEE tree. NULL z
+    when every pair ties at zero or the variance degenerates (all |d|
+    equal in one tie group).
+
+    Scale shape: the rank grid is value-bucketed (the kruskal_wallis
+    discipline); diff magnitudes are the only shuffled key.
+    """
+    d = F.col(diff_col).cast("long")
+    nz = diffs.filter(d != 0).select(
+        F.abs(d).alias("__v"),
+        F.when(d > 0, F.lit("pos")).otherwise(F.lit("neg")).alias("__g"),
+    )
+    pg, tot, ties = _rank_group_sums(nz, "__v", "__g", bucket_width)
+    wide = pg.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__g") == "pos", F.col("__sg"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("w_plus_x2"),
+    )
+    n_pairs = diffs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    tot2 = tot.select(F.coalesce(F.col("n"), F.lit(0)).alias("__n"))
+    joined = (
+        n_pairs.crossJoin(F.broadcast(wide))
+        .crossJoin(F.broadcast(tot2))
+        .crossJoin(F.broadcast(ties))
+    )
+    n = F.col("__n")
+    t_term = F.coalesce(F.col("__t"), F.lit(0)).cast("long")
+    # 4*W+ - n(n+1) = 2*w_plus_x2 - n(n+1)  (W+ = w_plus_x2 / 2)
+    num_x4 = (F.lit(2) * F.col("w_plus_x2") - n * (n + F.lit(1))).cast(
+        "long"
+    )
+    var_x48 = (
+        F.lit(2) * n * (n + F.lit(1)) * (F.lit(2) * n + F.lit(1)) - t_term
+    ).cast("long")
+    z = (num_x4.cast("double") / F.lit(4.0)) / F.sqrt(
+        var_x48.cast("double") / F.lit(48.0)
+    )
+    return joined.select(
+        "n_pairs",
+        n.alias("n_nonzero"),
+        "w_plus_x2",
+        t_term.alias("tie_term"),
+        F.when((n > 0) & (var_x48 > 0), z).alias("z_wilcoxon"),
+    )
