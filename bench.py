@@ -423,6 +423,14 @@ BENCH_QUERIES = [
     "vocab_richness_docs",
     # wave 102 (r9)
     "holt_winters_daily_revenue",
+    # wave 103 (r9)
+    "mcnemar_click_purchase",
+    "cochran_q_events",
+    # wave 104 (r9)
+    "token_burstiness_top",
+    "source_vocab_overlap_pairs",
+    # wave 105 (r9)
+    "wilcoxon_user_halves",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

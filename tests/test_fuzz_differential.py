@@ -139,6 +139,11 @@ FUZZ_QUERIES = [
     "nelson_aalen_conversion",     # additive hazard
     "vocab_richness_docs",         # Chao1/Good-Turing one-row contract
     "holt_winters_daily_revenue",  # 7-slot seasonal integer recurrence
+    "mcnemar_click_purchase",      # paired-binary concordance cells
+    "cochran_q_events",            # k matched treatments, all-integer Q
+    "token_burstiness_top",        # Fano factor with zero-doc inclusion
+    "source_vocab_overlap_pairs",  # rank-window head-vocab Jaccard
+    "wilcoxon_user_halves",        # signed-rank midranks + tie term
 ]
 
 _VOCAB = (
