@@ -1254,6 +1254,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE103_QUERIES,
         **_WAVE104_QUERIES,
         **_WAVE105_QUERIES,
+        **_WAVE106_QUERIES,
     }
 
 
@@ -1444,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE103_SQL,
         **_WAVE104_SQL,
         **_WAVE105_SQL,
+        **_WAVE106_SQL,
     }
 
 
@@ -15821,4 +15823,94 @@ _WAVE105_QUERIES = {
 }
 _WAVE105_SQL = {
     "wilcoxon_user_halves": WILCOXON_SQL,
+}
+
+# --------------------------------------------------------------------------
+# Wave 106 (r9) — Friedman test: the k-treatment rank member of the matched
+# family (binary: McNemar/Cochran-Q; two continuous: Wilcoxon; k
+# continuous: Friedman). New module operators/matched.py by post-freeze
+# policy. Blocks = users with all three event types; measurements = total
+# cents per type.
+# --------------------------------------------------------------------------
+
+def friedman_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do view/click/purchase carry systematically
+    different per-user total values? (operators/matched.py
+    friedman_test over complete user blocks)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.matched import friedman_test
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("__u"),
+        F.col("event_type").alias("__t"),
+        F.round(F.col("value").cast("double") * 100, 0)
+        .cast("long")
+        .alias("__cents"),
+    )
+    blocks = ev.groupBy("__u").agg(
+        F.sum(F.when(F.col("__t") == "view", F.col("__cents"))).alias(
+            "v_view"
+        ),
+        F.sum(F.when(F.col("__t") == "click", F.col("__cents"))).alias(
+            "v_click"
+        ),
+        F.sum(
+            F.when(F.col("__t") == "purchase", F.col("__cents"))
+        ).alias("v_purchase"),
+    )
+    return friedman_test(blocks, ["v_view", "v_click", "v_purchase"])
+
+
+FRIEDMAN_SQL = """
+WITH blocks AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END) AS a,
+         SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END) AS b,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END) AS c
+  FROM events GROUP BY user_id),
+complete AS (
+  SELECT * FROM blocks
+  WHERE a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL),
+ranked AS (
+  SELECT
+    CAST(2 * ((CASE WHEN b < a THEN 1 ELSE 0 END)
+              + (CASE WHEN c < a THEN 1 ELSE 0 END))
+         + (CASE WHEN b = a THEN 1 ELSE 0 END)
+         + (CASE WHEN c = a THEN 1 ELSE 0 END) + 2 AS BIGINT) AS s0,
+    CAST(2 * ((CASE WHEN a < b THEN 1 ELSE 0 END)
+              + (CASE WHEN c < b THEN 1 ELSE 0 END))
+         + (CASE WHEN a = b THEN 1 ELSE 0 END)
+         + (CASE WHEN c = b THEN 1 ELSE 0 END) + 2 AS BIGINT) AS s1,
+    CAST(2 * ((CASE WHEN a < c THEN 1 ELSE 0 END)
+              + (CASE WHEN b < c THEN 1 ELSE 0 END))
+         + (CASE WHEN a = c THEN 1 ELSE 0 END)
+         + (CASE WHEN b = c THEN 1 ELSE 0 END) + 2 AS BIGINT) AS s2
+  FROM complete),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(COALESCE(SUM(s0 * s0 + s1 * s1 + s2 * s2), 0) AS BIGINT)
+           AS sq,
+         CAST(COALESCE(SUM(s0), 0) AS BIGINT) AS s_x2_0,
+         CAST(COALESCE(SUM(s1), 0) AS BIGINT) AS s_x2_1,
+         CAST(COALESCE(SUM(s2), 0) AS BIGINT) AS s_x2_2
+  FROM ranked)
+SELECT n_blocks, CAST(3 AS BIGINT) AS k, CAST(2 AS BIGINT) AS df,
+       CASE WHEN sq - n_blocks * 48 > 0 THEN
+         CAST(2 * ((s_x2_0 - n_blocks * 4) * (s_x2_0 - n_blocks * 4)
+                   + (s_x2_1 - n_blocks * 4) * (s_x2_1 - n_blocks * 4)
+                   + (s_x2_2 - n_blocks * 4) * (s_x2_2 - n_blocks * 4))
+              AS DOUBLE)
+         / CAST(sq - n_blocks * 48 AS DOUBLE)
+       END AS q_stat,
+       s_x2_0, s_x2_1, s_x2_2
+FROM agg
+"""
+
+_WAVE106_QUERIES = {
+    "friedman_user_spend": friedman_user_spend,
+}
+_WAVE106_SQL = {
+    "friedman_user_spend": FRIEDMAN_SQL,
 }

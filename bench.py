@@ -431,6 +431,8 @@ BENCH_QUERIES = [
     "source_vocab_overlap_pairs",
     # wave 105 (r9)
     "wilcoxon_user_halves",
+    # wave 106 (r9)
+    "friedman_user_spend",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

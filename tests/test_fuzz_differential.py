@@ -144,6 +144,7 @@ FUZZ_QUERIES = [
     "token_burstiness_top",        # Fano factor with zero-doc inclusion
     "source_vocab_overlap_pairs",  # rank-window head-vocab Jaccard
     "wilcoxon_user_halves",        # signed-rank midranks + tie term
+    "friedman_user_spend",         # within-block midranks, integer Q
 ]
 
 _VOCAB = (
