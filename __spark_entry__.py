@@ -15043,6 +15043,10 @@ def page_hinkley_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         _events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
+        # NULL ts would enter the day grid as a NULL day, where ordered
+        # walks diverge (Spark NULLS FIRST vs DuckDB NULLS LAST) — the
+        # same guard kaplan_meier/nelson_aalen carry (r9 ADVICE).
+        .filter(F.col("ts").isNotNull())
         .select(
             F.to_date(F.col("ts")).alias("day"),
             F.round(F.col("value").cast("double") * 100, 0)
@@ -15059,7 +15063,7 @@ PAGE_HINKLEY_SQL = """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
   GROUP BY CAST(ts AS DATE)),
 pref AS (
   SELECT day, x,
@@ -15105,6 +15109,10 @@ def holt_linear_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         _events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
+        # NULL ts would enter the day grid as a NULL day, where ordered
+        # walks diverge (Spark NULLS FIRST vs DuckDB NULLS LAST) — the
+        # same guard kaplan_meier/nelson_aalen carry (r9 ADVICE).
+        .filter(F.col("ts").isNotNull())
         .select(
             F.to_date(F.col("ts")).alias("day"),
             F.round(F.col("value").cast("double") * 100, 0)
@@ -15121,7 +15129,7 @@ HOLT_SQL = """
 WITH RECURSIVE daily AS (
   SELECT CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
   GROUP BY CAST(ts AS DATE)),
 idx AS (
   -- NULL rollups are missing readings, not zeros (and the Spark fold
@@ -15425,6 +15433,10 @@ def holt_winters_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         _events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
+        # NULL ts would enter the day grid as a NULL day, where ordered
+        # walks diverge (Spark NULLS FIRST vs DuckDB NULLS LAST) — the
+        # same guard kaplan_meier/nelson_aalen carry (r9 ADVICE).
+        .filter(F.col("ts").isNotNull())
         .select(
             F.to_date(F.col("ts")).alias("day"),
             F.round(F.col("value").cast("double") * 100, 0)
@@ -15441,11 +15453,11 @@ HOLT_WINTERS_SQL = """
 WITH RECURSIVE daily AS (
   SELECT CAST(ts AS DATE) AS day,
          CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
   GROUP BY CAST(ts AS DATE)),
 idx AS (
   SELECT CAST(x AS BIGINT) * 1000 AS xm,
-         CAST((date_diff('day', DATE '1970-01-01', day) + 3) % 7
+         CAST((((date_diff('day', DATE '1970-01-01', day) + 3) % 7) + 7) % 7
               AS BIGINT) AS dow,
          CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
   FROM daily WHERE x IS NOT NULL),

@@ -2895,11 +2895,13 @@ def holt_winters_weekly(
         return ((num - F.pmod(num, dd)) / dd).cast("long")
 
     daily = daily.filter(F.col(x_col).isNotNull())
-    dow = (
-        (
-            F.datediff(F.col(day_col), F.lit("1970-01-01")) + F.lit(3)
-        )
-        % 7
+    # pmod, not sign-following %: a pre-1970 day would otherwise yield a
+    # negative dow that falls through the slot when-chain to NULL, which
+    # the non-nullable F.aggregate init silently decays to 0 while the
+    # SQL twin's CASE ELSE keeps walking finite state (r9 ADVICE).
+    dow = F.pmod(
+        F.datediff(F.col(day_col), F.lit("1970-01-01")) + F.lit(3),
+        F.lit(7),
     ).cast("long")
     arr = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),

@@ -620,13 +620,31 @@ def label_propagation(
     edge-sized data, lineage cut by materializing the (vertex-sized)
     label table between rounds. Label tables never grow beyond the
     vertex set; the neighbor list is static and reused every round.
+
+    Input edges are canonicalized here (least/greatest orientation,
+    self-loops dropped, distinct) — the same discipline as
+    ``jaccard_link_prediction`` — so duplicate or both-orientation
+    input rows cannot double-count neighbor labels and silently shift
+    the vote relative to the unrolled SQL twin (r9 ADVICE).
     """
     from pyspark.sql import Window
 
-    nbrs = edges.select(
-        F.col(a_col).alias("v"), F.col(b_col).alias("u")
+    und = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # materialized once: the static neighbor list is re-joined every
+    # round, and without the cut the canonicalization distinct would be
+    # recomputed per round through the lineage
+    und = materialize(und, "lpa_edges_")
+    nbrs = und.select(
+        F.col("a").alias("v"), F.col("b").alias("u")
     ).unionAll(
-        edges.select(F.col(b_col).alias("v"), F.col(a_col).alias("u"))
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
     )
     labels = (
         nbrs.select("v").distinct().select("v", F.col("v").alias("lab"))

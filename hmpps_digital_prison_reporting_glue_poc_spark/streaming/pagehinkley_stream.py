@@ -47,6 +47,11 @@ def _batch_daily(
 ) -> DataFrame:
     return (
         df.filter(F.col(type_col) == target_type)
+        # NULL ts would land a NULL day in the state grid, where the
+        # ordered PH walk's NULL placement diverges across engines
+        # (Spark NULLS FIRST vs DuckDB NULLS LAST) — same guard as the
+        # survival operators (r9 ADVICE).
+        .filter(F.col(ts_col).isNotNull())
         .select(
             F.to_date(F.col(ts_col)).alias("day"),
             F.round(F.col(value_col).cast("double") * 100, 0)

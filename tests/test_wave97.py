@@ -96,3 +96,34 @@ def test_cramers_v_degenerate_single_column(spark, tmp_path):
     assert (row.n, row.n_rows, row.n_cols) == (2, 2, 1)
     assert row.chi2 == pytest.approx(0.0, abs=1e-9)
     assert row.cramers_v is None
+
+
+def test_lpa_canonicalizes_dirty_edges(spark):
+    """r9 ADVICE regression: label_propagation is a public API and must
+    canonicalize its own input — duplicate rows, both orientations, and
+    self-loops must not double-count neighbor labels."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.graph import label_propagation
+
+    clean = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y")],
+        "a string, b string",
+    )
+    dirty = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"), ("a", "b"),  # dup + reverse
+            ("b", "c"), ("a", "c"), ("c", "a"),
+            ("x", "y"), ("y", "x"), ("y", "y"),  # self-loop
+        ],
+        "a string, b string",
+    )
+    want = {
+        r.community: r.n_members
+        for r in label_propagation(clean, rounds=4).collect()
+    }
+    got = {
+        r.community: r.n_members
+        for r in label_propagation(dirty, rounds=4).collect()
+    }
+    # the x-y pair is the classic synchronous-LPA oscillator: after an
+    # even round count each vertex holds its own label again
+    assert got == want == {"a": 3, "x": 1, "y": 1}
