@@ -972,7 +972,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #            hmpps_digital_prison_reporting_glue_poc_spark/fingerprint.py —
 #            generalizing the hand-maintained _R0x_CHANGED lists after the
 #            round-8 kruskal_wallis helper-refactor break proved hand
-#            lists miss things. _R09_CHANGED below remains as a belt-and-
+#            lists miss things. _R10_CHANGED below remains as a belt-and-
 #            braces floor: tests assert the generated set covers it.
 #   tier 1 — never driver-checked (brand-new this round), or checked but
 #            RED at its latest row (must re-check after the fix).
@@ -986,39 +986,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # sets this replaces are in git history (r8: __spark_entry__.py@7fb7ec3).
 # --------------------------------------------------------------------------
 
-# Queries whose PLAN or ORACLE changed during round 9, kept as the hand
-# floor under the generated dirty set (advice fixes: decimal-safe
-# brunner_munzel square, hill one-NULL-row small-vocab guard + oracle twin,
-# exact count_distinct width decision).
-_R09_CHANGED: set = {
-    "brunner_munzel_qty_by_status",
-    "hill_token_tail_alpha",
-    "rank_dependence_qty_price",
-    # r9 fuzz-harness fixes — every query whose output CONTRACT changed
-    # (empty-input one-row guards, single-row-group / empty-side NULL
-    # guards, NULL-value sample exclusion, never-NULL is_peak):
-    "kruskal_wallis_qty_by_flag",
-    "stats_summary",
-    "cusum_daily_revenue",
-    "ks_value_drift",
-    "theil_sen_daily_revenue",
-    "auc_value_purchase",
-    # fuzz sweep 3 (empty-input grouping-set mirror, computed map oracle,
-    # never-NULL has_k, n_rows coalesce, explicit NULL-spend exclusion)
-    "rollup_lineitem",
-    "cube_lineitem",
-    "grouping_sets_orders",
-    "map_functions",
-    "profile_lineitem",
-    "revenue_lorenz_deciles",
-    # NOTE: the full-registry sweep (scripts/fuzz_sweep.py) fixed ~25 more
-    # queries' degenerate-input guards (empty corpora, all-NULL measures,
-    # zero variance). Those are deliberately NOT floored here: every guard
-    # is invisible at driver scale (full sf0.001 + sf0.01 parity re-run
-    # green after the fixes), and flooring all of them would push the
-    # 30-query r2-era staleness tail out of the ~50-slot r9 driver window
-    # — the round's primary correctness objective (r8 verdict task 1).
-}
+# Queries whose PLAN or ORACLE changed THIS round with a changed output
+# contract, kept as the hand floor under the generated dirty set. Empty
+# for round 10: the r9-advice fixes (holt-winters pmod dow, NULL-ts
+# guards, LPA edge canonicalization) are invisible at driver scale
+# (testdata has no pre-1970 days / NULL ts, and the registry LPA wrapper
+# already canonicalized), and the whole registry was re-certified at the
+# r10 baseline --write point by a full sf0.01 oracle-parity run
+# (334 passed) — so the rotation budget goes to draining the r2/r3
+# staleness tail (r9 verdict task 2) instead of re-flooding tier 0.
+# The r9 floor this replaces is in git history (__spark_entry__.py@e4ab11d).
+_R10_CHANGED: set = set()
 
 
 def _latest_driver_rounds() -> dict[str, int]:
@@ -1072,11 +1050,11 @@ def _dirty_rotation_set() -> set:
         )
 
         entry_mod = _sys.modules[__name__]
-        return _R09_CHANGED | _fp.dirty_queries(
+        return _R10_CHANGED | _fp.dirty_queries(
             _all_queries(), oracle_sql(), entry_mod
         )
     except Exception:  # pragma: no cover - defensive driver-contract guard
-        return set(_R09_CHANGED)
+        return set(_R10_CHANGED)
 
 
 _DIRTY_CACHE: list = []  # one-shot memo: fingerprinting is ~0.5s
@@ -1261,7 +1239,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the full registry, rotation-ordered — (0) dirty
     (fingerprint changed since last green driver check, incl. the
-    _R09_CHANGED hand floor), (1) never-checked-green, then oldest green
+    _R10_CHANGED hand floor), (1) never-checked-green, then oldest green
     driver row first. Name tie-break keeps the order deterministic."""
     all_q = _all_queries()
     if not _DIRTY_CACHE:

@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-to-right fold of elementwise products, in double."""
+    """Left-to-right fold of elementwise products, in double.
+
+    Caller contract: equal-length arrays with non-NULL elements —
+    zip_with NULL-pads the shorter side, and the fold's non-nullable
+    init would silently decay that NULL state to 0.0.
+    """
+    # fold-state: caller contract above; non-nullable double init
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -23,6 +29,8 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def l2_norm(a: Column) -> Column:
+    # fold-state: non-NULL elements per dot()'s caller contract;
+    # non-nullable double init
     return F.sqrt(
         F.aggregate(
             a,

@@ -2752,7 +2752,10 @@ def holt_linear_smooth(
         F.lit(0).cast("long").alias("b"),
     )
     folded = arr.select(
-        "n_days", F.aggregate(F.col("__a"), init, _step).alias("__s")
+        "n_days",
+        # fold-state: NULL x rows filtered upstream, every _step branch
+        # is a total long expression; non-nullable init safe
+        F.aggregate(F.col("__a"), init, _step).alias("__s"),
     )
     has = F.col("n_days") > 0
     lvl = F.col("__s")["l"]
@@ -2954,6 +2957,8 @@ def holt_winters_weekly(
     ] + [F.lit(0).cast("long").alias(f"s{k}") for k in range(7)]
     folded = arr.select(
         "n_days",
+        # fold-state: NULL x filtered upstream and the pmod dow keeps the
+        # slot when-chain total (r9 ADVICE); non-nullable init safe
         F.aggregate(F.col("__a"), F.struct(*init_fields), _step).alias(
             "__s"
         ),

@@ -1119,6 +1119,7 @@ def content_defined_chunks(
         n >= w,
         F.filter(
             F.sequence(F.lit(w), n),
+            # fold-state: _u32_expr hashes are non-NULL; non-nullable init safe
             lambda i: F.aggregate(
                 F.slice(hs, i - (w - 1), w),
                 F.lit(0).cast("long"),

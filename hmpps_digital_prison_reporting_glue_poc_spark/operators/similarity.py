@@ -92,6 +92,8 @@ def cosine_topk(
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # fold-state: zip_with over equal-dim non-NULL vectors; non-nullable
+        # double init safe (a length mismatch would NULL-pad and decay to 0)
         .withColumn("score", cosine(F.col("__cvec"), F.col("__qvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -315,6 +317,8 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "score",
+            # fold-state: zip_with over equal-dim non-NULL vectors;
+            # non-nullable double init safe
             F.aggregate(
                 F.zip_with(
                     F.col("__vec"), F.col("__qvec"), lambda x, y: x * y
@@ -422,6 +426,8 @@ def hyperplane_lsh_pairs(
         F.col(id_col).alias("id_b"), to_dbl(F.col(vec_col)).alias("__vb")
     )
     rescored = cand.join(va, "id_a").join(vb, "id_b")
+    # fold-state: equal-dim non-NULL corpus vectors; non-nullable double
+    # init safe for the dot and both norm folds below
     score = F.aggregate(
         F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
         F.lit(0.0),
@@ -572,6 +578,7 @@ def hyperplane_lsh_pairs_md5(
     qa = q.select(F.col("vid").alias("id_a"), F.col("qv").alias("__qa"))
     qb = q.select(F.col("vid").alias("id_b"), F.col("qv").alias("__qb"))
 
+    # fold-state: quantized int64 arrays are non-NULL; non-nullable init safe
     def long_sum(arr: F.Column) -> F.Column:
         return F.aggregate(
             arr, F.lit(0).cast("long"), lambda acc, x: acc + x
@@ -1172,6 +1179,8 @@ def int8_quant_stats(
     return base.select(
         F.col(id_col),
         (amax.cast("double") / F.lit(1000000.0)).alias("amax"),
+        # fold-state: __q terms come from F.transform over non-NULL
+        # quantized arrays; non-nullable long init safe (both folds)
         F.aggregate(
             terms,
             F.lit(0).cast("long"),
@@ -1255,6 +1264,8 @@ def matryoshka_prefix_norms(
     )
     sq = F.transform(qv, lambda q: q * q)
 
+    # fold-state: floor-quantized int64 elements are non-NULL;
+    # non-nullable init safe
     def norm_of(arr, k=None):
         sliced = F.slice(arr, 1, k) if k else arr
         return F.aggregate(

@@ -44,6 +44,8 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        # fold-state: non-nullable long init is safe — elements are split()
+        # tokens (never NULL), so the fold can never see NULL state
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
         ).alias("sum_token_len"),
@@ -331,6 +333,7 @@ def gopher_rules(
     n = F.size(toks)
     n_safe = F.greatest(n, F.lit(1)).cast("double")
     mean_len = (
+        # fold-state: split() tokens are never NULL; non-nullable init safe
         F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
         .cast("double")
         / n_safe
