@@ -40,7 +40,10 @@ def anomaly_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import live_state
 
     daily = (
-        live_state(spark, state_path)
+        live_state(
+            spark, state_path,
+            schema="day date, n_events long, __batch_id long",
+        )
         .groupBy("day")
         .agg(F.sum("n_events").cast("long").alias("n_events"))
     )
@@ -103,6 +106,11 @@ def stream_daily_anomaly(
             .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
             .withColumn("__batch_id", F.lit(batch_id).cast("long"))
         )
+        # the target-type filter can empty a non-empty batch; writing an
+        # empty first delta leaves a file-less state dir that parquet
+        # schema inference rejects (r10 stream fuzz)
+        if delta.isEmpty():
+            return
         (
             delta.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

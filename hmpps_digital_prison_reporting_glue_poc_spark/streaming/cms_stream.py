@@ -124,7 +124,10 @@ def read_cms_estimate(
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import live_state
 
     cells = (
-        live_state(spark, cells_path)
+        live_state(
+            spark, cells_path,
+            schema="d int, col long, cell long, __batch_id long",
+        )
         .groupBy("d", "col")
         .agg(F.sum("cell").cast("long").alias("cell"))
     )

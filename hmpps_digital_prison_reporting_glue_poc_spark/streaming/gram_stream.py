@@ -126,7 +126,10 @@ def read_stream_gram(spark, gram_path: str):
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import live_state
 
     return (
-        live_state(spark, gram_path)
+        live_state(
+            spark, gram_path,
+            schema="i long, j long, s long, __batch_id long",
+        )
         .groupBy("i", "j")
         .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("g"))
     )

@@ -145,11 +145,19 @@ def read_hll_estimate(spark, registers_path: str, m_registers: int = 256):
     """Estimate from the stored register table (latest merged state =
     max over every batch partition), using the batch operator's exact
     integer-denominator formula."""
-    regs = (
-        spark.read.parquet(registers_path)
-        .groupBy("j")
-        .agg(F.max("M").alias("M"))
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import (
+        _partition_ids,
     )
+
+    if _partition_ids(spark, registers_path):
+        regs_src = spark.read.parquet(registers_path)
+    else:
+        # no batch ever wrote (r10 stream fuzz): the batch twin's
+        # empty-input contract — all registers absent
+        regs_src = spark.createDataFrame(
+            [], "j long, M int, __batch_id long"
+        )
+    regs = regs_src.groupBy("j").agg(F.max("M").alias("M"))
     agg = regs.agg(
         F.sum(F.expr("CAST(shiftleft(1, 25 - M) AS BIGINT)")).alias(
             "S_present"

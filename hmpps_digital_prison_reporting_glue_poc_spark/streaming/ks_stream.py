@@ -49,6 +49,10 @@ def _batch_counts(df: DataFrame, side_col: str, value_col: str, scale: int) -> D
             .cast("long")
             .alias("__qv"),
         )
+        # NULL values carry no distribution information and a NULL grid
+        # key falls out of the bucket-offset equi-join — same filter as
+        # the batch twin ks_two_sample (r10 stream fuzz)
+        .filter(F.col("__qv").isNotNull())
         .groupBy("__qv")
         .agg(
             F.sum(F.when(~F.col("__r"), 1).otherwise(0)).cast("long").alias("c1"),
@@ -68,7 +72,10 @@ def ks_from_state(
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import live_state
 
     counts = (
-        live_state(spark, state_path)
+        live_state(
+            spark, state_path,
+            schema="__qv long, c1 long, c2 long, __batch_id long",
+        )
         .groupBy("__qv")
         .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
     )
@@ -112,13 +119,21 @@ def ks_from_state(
         F.col("n_left").cast("decimal(19,0)")
         * F.col("n_right").cast("decimal(19,0)")
     ).cast("double")
+    # KS is undefined when either sample is empty — unguarded, the final
+    # divide is n1*n2 = 0 and ANSI Spark raises DIVIDE_BY_ZERO; the batch
+    # twin ks_two_sample NULLs both stats (r9 fuzz harness), the stream
+    # read must match (r10 stream fuzz).
+    valid = (F.col("n_left") > 0) & (F.col("n_right") > 0)
     return agg.select(
         "n_left",
         "n_right",
-        (F.col("__best.__d").cast("double") / denom).alias("ks_d"),
-        ((-F.col("__best.__nq")).cast("double") / F.lit(float(scale))).alias(
-            "ks_at_value"
+        F.when(valid, F.col("__best.__d").cast("double") / denom).alias(
+            "ks_d"
         ),
+        F.when(
+            valid,
+            (-F.col("__best.__nq")).cast("double") / F.lit(float(scale)),
+        ).alias("ks_at_value"),
     )
 
 
@@ -156,6 +171,11 @@ def stream_ks_drift(
         delta = _batch_counts(batch_df, side_col, value_col, scale).withColumn(
             "__batch_id", F.lit(batch_id).cast("long")
         )
+        # the NULL-value filter can empty a non-empty batch; writing an
+        # empty first delta leaves a file-less state dir that parquet
+        # schema inference rejects (r10 stream fuzz)
+        if delta.isEmpty():
+            return
         # Dynamic overwrite MUST be a writer-level option here: foreachBatch
         # hands over a CLONED SparkSession, so setting the session conf on
         # the outer session silently does nothing and mode("overwrite")

@@ -70,7 +70,9 @@ def ph_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import live_state
 
     daily = (
-        live_state(spark, state_path)
+        live_state(
+            spark, state_path, schema="day date, x long, __batch_id long"
+        )
         .groupBy("day")
         .agg(F.sum("x").cast("long").alias("x"))
     )
@@ -108,6 +110,11 @@ def stream_page_hinkley(
         delta = _batch_daily(
             batch_df, ts_col, type_col, value_col, target_type
         ).withColumn("__batch_id", F.lit(batch_id).cast("long"))
+        # the target-type / NULL-ts filters can empty a non-empty batch;
+        # writing an empty first delta leaves a file-less state dir that
+        # parquet schema inference rejects (r10 stream fuzz)
+        if delta.isEmpty():
+            return
         (
             delta.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

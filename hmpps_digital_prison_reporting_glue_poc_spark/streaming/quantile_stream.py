@@ -91,5 +91,10 @@ def quantiles_from_state(
     operator over everything that has streamed through (count merge is
     associative; pinned by the batch/stream parity pytest)."""
     return grid_quantiles(
-        live_state(spark, state_path), quantiles, scale=scale
+        live_state(
+            spark, state_path,
+            schema="__qv long, n long, __batch_id long",
+        ),
+        quantiles,
+        scale=scale,
     )

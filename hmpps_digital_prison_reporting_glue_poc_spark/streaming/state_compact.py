@@ -56,10 +56,20 @@ def _partition_ids(spark: SparkSession, state_path: str) -> list[int]:
     return ids
 
 
-def live_state(spark: SparkSession, state_path: str) -> DataFrame:
+def live_state(
+    spark: SparkSession, state_path: str, schema: str | None = None
+) -> DataFrame:
     """The logically-live state rows: newest base partition (if any) plus
     every delta above its coverage. The id scan is a directory listing —
-    metadata-scale, no data read."""
+    metadata-scale, no data read.
+
+    ``schema``: when given, a missing or partition-less state path (no
+    batch ever wrote — e.g. every micro-batch so far was empty after the
+    stream's input filter) returns an EMPTY frame of that schema instead
+    of failing parquet schema inference — so every ``*_from_state`` read
+    degrades to its batch twin's empty-input contract (r10 stream fuzz)."""
+    if schema is not None and not _partition_ids(spark, state_path):
+        return spark.createDataFrame([], schema)
     df = spark.read.parquet(state_path)
     ids = _partition_ids(spark, state_path)
     bases = [i for i in ids if i < 0]

@@ -55,7 +55,10 @@ def trend_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import live_state
 
     per = (
-        live_state(spark, state_path)
+        live_state(
+            spark, state_path,
+            schema="__s long, n long, r long, __batch_id long",
+        )
         .groupBy("__s")
         .agg(F.sum("n").cast("long").alias("n"), F.sum("r").cast("long").alias("r"))
     )

@@ -266,13 +266,19 @@ class _IngestDedup(_Family):
 
         corpus = sorted(
             r.doc_id
-            for r in live_state(spark, os.path.join(state, "corpus"))
+            for r in live_state(
+                spark, os.path.join(state, "corpus"),
+                schema="doc_id long, text string, __batch_id long",
+            )
             .select("doc_id")
             .collect()
         )
         store = sorted(
             (r.doc_id, r.fingerprint)
-            for r in live_state(spark, os.path.join(state, "store"))
+            for r in live_state(
+                spark, os.path.join(state, "store"),
+                schema="doc_id long, fingerprint string, __batch_id long",
+            )
             .select("doc_id", "fingerprint")
             .collect()
         )
@@ -394,13 +400,20 @@ class _NearDup(_Family):
 
         corpus = sorted(
             r.doc_id
-            for r in live_state(spark, os.path.join(state, "corpus"))
+            for r in live_state(
+                spark, os.path.join(state, "corpus"),
+                schema="doc_id long, text string, __batch_id long",
+            )
             .select("doc_id")
             .collect()
         )
         store = sorted(
             (r.doc_id, r.band_idx, r.band_key)
-            for r in live_state(spark, os.path.join(state, "store"))
+            for r in live_state(
+                spark, os.path.join(state, "store"),
+                schema="doc_id long, band_idx int, band_key string,"
+                " __batch_id long",
+            )
             .select("doc_id", "band_idx", "band_key")
             .collect()
         )
