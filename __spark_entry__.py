@@ -1233,6 +1233,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE104_QUERIES,
         **_WAVE105_QUERIES,
         **_WAVE106_QUERIES,
+        **_WAVE107_QUERIES,
     }
 
 
@@ -1424,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE104_SQL,
         **_WAVE105_SQL,
         **_WAVE106_SQL,
+        **_WAVE107_SQL,
     }
 
 
@@ -15903,4 +15905,140 @@ _WAVE106_QUERIES = {
 }
 _WAVE106_SQL = {
     "friedman_user_spend": FRIEDMAN_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 107 (r10) — distribution-distance drift functionals: the integral
+# complements of ks_value_drift over the same before/after-2024-01-20
+# split. One shared exact cent-grid ECDF pass (operators/drift.py);
+# Wasserstein-1 (earth-mover, value units), two-sample Cramer-von Mises
+# (pooled-mass-weighted squared discrepancy), and energy distance (which
+# collapses to the Cramer distance 2*integral (F1-F2)^2 dx in 1-D — the
+# O(n^2) definition becomes one grid pass). All-integer cores in
+# DECIMAL(38,0)/HUGEINT; one final IEEE divide on each engine.
+# --------------------------------------------------------------------------
+
+def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact W1 (earth-mover) distance between event values before and
+    after 2024-01-20 (operators/drift.py wasserstein_1)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import wasserstein_1
+
+    ev = _events(spark, sf_dir)
+    return wasserstein_1(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+def cvm_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Cramer-von Mises statistic on the same split
+    (operators/drift.py cvm_two_sample)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import cvm_two_sample
+
+    ev = _events(spark, sf_dir)
+    return cvm_two_sample(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+def energy_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact energy (Cramer) distance on the same split
+    (operators/drift.py energy_distance)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import energy_distance
+
+    ev = _events(spark, sf_dir)
+    return energy_distance(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+_DRIFT_GRID_SQL = """
+WITH q AS (
+  SELECT (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY qv),
+grid AS (
+  SELECT qv, c1, c2,
+         SUM(c1) OVER (ORDER BY qv) AS f1,
+         SUM(c2) OVER (ORDER BY qv) AS f2,
+         COALESCE(LEAD(qv) OVER (ORDER BY qv) - qv, 0) AS gap
+  FROM counts),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts)
+"""
+
+WASSERSTEIN_SQL = _DRIFT_GRID_SQL + """
+, agg AS (
+  SELECT SUM(CAST(abs(f1 * n2 - f2 * n1) AS HUGEINT) * CAST(gap AS HUGEINT))
+           AS s,
+         MAX(n1) AS n_left, MAX(n2) AS n_right
+  FROM grid CROSS JOIN tot)
+SELECT n_left, n_right,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(s AS DOUBLE)
+                 / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE) * 100.0)
+            END AS w1
+FROM agg
+"""
+
+CVM_SQL = _DRIFT_GRID_SQL + """
+, agg AS (
+  SELECT SUM(CAST(c1 + c2 AS HUGEINT)
+             * CAST(f1 * n2 - f2 * n1 AS HUGEINT)
+             * CAST(f1 * n2 - f2 * n1 AS HUGEINT)) AS s,
+         MAX(n1) AS n_left, MAX(n2) AS n_right
+  FROM grid CROSS JOIN tot)
+SELECT n_left, n_right,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(s AS DOUBLE)
+                 / (CAST(n_left + n_right AS DOUBLE)
+                    * CAST(n_left + n_right AS DOUBLE)
+                    * CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))
+            END AS cvm_t
+FROM agg
+"""
+
+ENERGY_SQL = _DRIFT_GRID_SQL + """
+, agg AS (
+  SELECT SUM(CAST(f1 * n2 - f2 * n1 AS HUGEINT)
+             * CAST(f1 * n2 - f2 * n1 AS HUGEINT)
+             * CAST(gap AS HUGEINT)) AS s,
+         MAX(n1) AS n_left, MAX(n2) AS n_right
+  FROM grid CROSS JOIN tot)
+SELECT n_left, n_right,
+       CASE WHEN n_left > 0 AND n_right > 0
+            -- parenthesized as (n1*n2)*(n1*n2) to match the Spark
+            -- side's nn*nn association: the product exceeds 2^53, so a
+            -- different multiply order could round differently (1 ulp)
+            THEN 2.0 * CAST(s AS DOUBLE)
+                 / ((CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))
+                    * (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))
+                    * 100.0)
+            END AS energy_d
+FROM agg
+"""
+
+_WAVE107_QUERIES = {
+    "wasserstein_value_drift": wasserstein_value_drift,
+    "cvm_value_drift": cvm_value_drift,
+    "energy_value_drift": energy_value_drift,
+}
+_WAVE107_SQL = {
+    "wasserstein_value_drift": WASSERSTEIN_SQL,
+    "cvm_value_drift": CVM_SQL,
+    "energy_value_drift": ENERGY_SQL,
 }

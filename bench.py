@@ -433,6 +433,10 @@ BENCH_QUERIES = [
     "wilcoxon_user_halves",
     # wave 106 (r9)
     "friedman_user_spend",
+    # wave 107 (r10): grid-ECDF distance functionals
+    "wasserstein_value_drift",
+    "cvm_value_drift",
+    "energy_value_drift",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

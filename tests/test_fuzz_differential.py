@@ -145,6 +145,10 @@ FUZZ_QUERIES = [
     "source_vocab_overlap_pairs",  # rank-window head-vocab Jaccard
     "wilcoxon_user_halves",        # signed-rank midranks + tie term
     "friedman_user_spend",         # within-block midranks, integer Q
+    # fifth sweep (r10 wave 107): grid-ECDF distance functionals
+    "wasserstein_value_drift",     # exact earth-mover via |d|*gap
+    "cvm_value_drift",             # pooled-mass-weighted (F1-F2)^2
+    "energy_value_drift",          # Cramer distance 2*int (F1-F2)^2 dx
 ]
 
 _VOCAB = (
