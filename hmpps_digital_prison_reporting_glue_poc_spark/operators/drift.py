@@ -18,7 +18,8 @@ shifts; W1 is the retraining-cost proxy):
   2 * integral (F1 - F2)^2 dx (derivation in the docstring) — EXACT
   (sum of d^2 * gap in DECIMAL(38,0)).
 
-All three share one grid pass (``_ecdf_grid``): quantize to the integer
+All three share one grid pass (``_ecdf_counts`` + ``_grid_from_counts``):
+quantize to the integer
 cent grid, one per-value count rollup, the two-level bucketed ECDF
 accumulation from ``ks_two_sample`` (every window bounded at 1024 GRID
 POINTS by construction — the 10x stress discipline), and a bucket-level
@@ -45,14 +46,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _ecdf_grid(
+def _ecdf_counts(
     df: DataFrame, side, value_col: str, scale: int
-) -> tuple[DataFrame, DataFrame]:
-    """Shared grid pass: returns (grid, tot) where grid has one row per
-    distinct quantized value — (qv, c1, c2, f1, f2, gap) with exact
-    long cumulative counts and the gap to the next grid point (0 at the
-    maximum, where F1 - F2 = 0 makes the term vanish anyway) — and tot
-    is the one-row (n1, n2) totals frame."""
+) -> DataFrame:
+    """Quantize + per-value (__qv, c1, c2) counts — the mergeable state
+    the grid builds on (and exactly the ks_stream state schema)."""
     side_col: Column = F.col(side) if isinstance(side, str) else side
     # NULL values carry no distribution information (ks_two_sample's r9
     # fuzz guard): filter before the grid so both engines see the same
@@ -67,6 +65,18 @@ def _ecdf_grid(
         F.sum(F.when(~F.col("__r"), 1).otherwise(0)).cast("long").alias("c1"),
         F.sum(F.when(F.col("__r"), 1).otherwise(0)).cast("long").alias("c2"),
     )
+    return counts
+
+
+def _grid_from_counts(counts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """ECDF grid from a pre-aggregated (__qv, c1, c2) count table —
+    ALSO the entry point for the streaming twins (the ks_stream state
+    IS this table, so the W1/CvM/energy reads over the live stream
+    state reuse this code verbatim). Returns (grid, tot) where grid has
+    one row per distinct quantized value — (qv, c1, c2, f1, f2, gap)
+    with exact long cumulative counts and the gap to the next grid
+    point (0 at the maximum, where F1 - F2 = 0 makes the term vanish
+    anyway) — and tot is the one-row (n1, n2) totals frame."""
     # Two-level ECDF accumulation (the ks_two_sample skew discipline): a
     # bare global-order window is ONE task for the whole grid; bucketing
     # on floor(qv/1024) bounds every in-bucket window at 1024 grid
@@ -160,7 +170,15 @@ def wasserstein_1(
     Integer core: per grid point |f1*n2 - f2*n1| * gap summed in
     DECIMAL(38,0); W1 = sum / (n1*n2*scale). One row:
     (n_left, n_right, w1) — w1 NULL when either side is empty."""
-    grid, tot = _ecdf_grid(df, side, value_col, scale)
+    return w1_from_counts(
+        _ecdf_counts(df, side, value_col, scale), scale=scale
+    )
+
+
+def w1_from_counts(counts: DataFrame, scale: int = 100) -> DataFrame:
+    """W1 over a pre-aggregated (__qv, c1, c2) count table — shared by
+    the batch operator and the ks_stream state read (streaming twin)."""
+    grid, tot = _grid_from_counts(counts)
     d = F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
     # fold-free: |d| <= n1*n2 fits long; the product with gap goes to
     # DECIMAL(38,0) before summing
@@ -187,7 +205,13 @@ def cvm_two_sample(
     Integer core: d = f1*n2 - f2*n1 (long), pooled-count * d^2 summed
     in DECIMAL(38,0); T = sum / (N^2 * n1 * n2). One row:
     (n_left, n_right, cvm_t) — NULL when either side is empty."""
-    grid, tot = _ecdf_grid(df, side, value_col, scale)
+    return cvm_from_counts(_ecdf_counts(df, side, value_col, scale))
+
+
+def cvm_from_counts(counts: DataFrame) -> DataFrame:
+    """CvM over a pre-aggregated (__qv, c1, c2) count table — shared by
+    the batch operator and the ks_stream state read (streaming twin)."""
+    grid, tot = _grid_from_counts(counts)
     d = (F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).cast(
         "decimal(19,0)"
     )
@@ -218,7 +242,18 @@ def energy_distance(
     Integer core: d^2 * gap summed in DECIMAL(38,0);
     D = 2 * sum / ((n1*n2)^2 * scale). One row:
     (n_left, n_right, energy_d) — NULL when either side is empty."""
-    grid, tot = _ecdf_grid(df, side, value_col, scale)
+    return energy_from_counts(
+        _ecdf_counts(df, side, value_col, scale), scale=scale
+    )
+
+
+def energy_from_counts(
+    counts: DataFrame, scale: int = 100
+) -> DataFrame:
+    """Energy distance over a pre-aggregated (__qv, c1, c2) count table
+    — shared by the batch operator and the ks_stream state read
+    (streaming twin)."""
+    grid, tot = _grid_from_counts(counts)
     d = (F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).cast(
         "decimal(19,0)"
     )

@@ -137,6 +137,57 @@ def ks_from_state(
     )
 
 
+def _counts_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The merged live (__qv, c1, c2) count table — the shared input of
+    the KS read above and the W1/CvM/energy reads below."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import live_state
+
+    return (
+        live_state(
+            spark, state_path,
+            schema="__qv long, c1 long, c2 long, __batch_id long",
+        )
+        .groupBy("__qv")
+        .agg(
+            F.sum("c1").cast("long").alias("c1"),
+            F.sum("c2").cast("long").alias("c2"),
+        )
+    )
+
+
+def w1_from_state(
+    spark: SparkSession, state_path: str, scale: int = 100
+) -> DataFrame:
+    """Exact Wasserstein-1 drift from the merged state — the same count
+    grid the KS read uses feeds ``drift.w1_from_counts``, so one stream
+    store serves all four drift functionals (counts are associative:
+    the merged state is bit-identical to batch-quantizing everything
+    that has streamed through)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import w1_from_counts
+
+    return w1_from_counts(_counts_from_state(spark, state_path), scale=scale)
+
+
+def cvm_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Two-sample Cramer-von Mises from the merged state (see
+    ``w1_from_state``)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import cvm_from_counts
+
+    return cvm_from_counts(_counts_from_state(spark, state_path))
+
+
+def energy_from_state(
+    spark: SparkSession, state_path: str, scale: int = 100
+) -> DataFrame:
+    """Energy (Cramer) distance from the merged state (see
+    ``w1_from_state``)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import energy_from_counts
+
+    return energy_from_counts(
+        _counts_from_state(spark, state_path), scale=scale
+    )
+
+
 def stream_ks_drift(
     spark: SparkSession,
     source_path: str,
