@@ -16032,13 +16032,65 @@ SELECT n_left, n_right,
 FROM agg
 """
 
+def w1_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact W1 drift across the 2024-01-20 split
+    (operators/drift.py wasserstein_by_group) — the "drift per tenant"
+    table: one grid pass, windows partitioned (group, bucket), groups
+    parallelize across tasks."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import wasserstein_by_group
+
+    ev = _events(spark, sf_dir)
+    return wasserstein_by_group(
+        ev,
+        "event_type",
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+W1_BY_TYPE_SQL = """
+WITH q AS (
+  SELECT event_type AS g, (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT g, qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY g, qv),
+grid AS (
+  SELECT g, qv,
+         SUM(c1) OVER (PARTITION BY g ORDER BY qv) AS f1,
+         SUM(c2) OVER (PARTITION BY g ORDER BY qv) AS f2,
+         COALESCE(LEAD(qv) OVER (PARTITION BY g ORDER BY qv) - qv, 0) AS gap
+  FROM counts),
+tot AS (SELECT g, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts GROUP BY g),
+agg AS (
+  SELECT grid.g,
+         SUM(CAST(abs(f1 * n2 - f2 * n1) AS HUGEINT) * CAST(gap AS HUGEINT))
+           AS s,
+         MAX(n1) AS n_left, MAX(n2) AS n_right
+  FROM grid JOIN tot ON grid.g IS NOT DISTINCT FROM tot.g
+  GROUP BY grid.g)
+SELECT g AS event_type, n_left, n_right,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(s AS DOUBLE)
+                 / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE) * 100.0)
+            END AS w1
+FROM agg
+"""
+
 _WAVE107_QUERIES = {
     "wasserstein_value_drift": wasserstein_value_drift,
+    "w1_drift_by_type": w1_drift_by_type,
     "cvm_value_drift": cvm_value_drift,
     "energy_value_drift": energy_value_drift,
 }
 _WAVE107_SQL = {
     "wasserstein_value_drift": WASSERSTEIN_SQL,
+    "w1_drift_by_type": W1_BY_TYPE_SQL,
     "cvm_value_drift": CVM_SQL,
     "energy_value_drift": ENERGY_SQL,
 }

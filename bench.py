@@ -437,6 +437,7 @@ BENCH_QUERIES = [
     "wasserstein_value_drift",
     "cvm_value_drift",
     "energy_value_drift",
+    "w1_drift_by_type",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

@@ -261,3 +261,122 @@ def energy_from_counts(
     nn = F.col("n_left").cast("double") * F.col("n_right").cast("double")
     denom = nn * nn * F.lit(float(scale)) / F.lit(2.0)
     return _finish(grid, tot, term, "energy_d", denom)
+
+
+def wasserstein_by_group(
+    df: DataFrame,
+    group_col: str,
+    side,
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group exact W1 drift — the production "drift per tenant"
+    table: one Wasserstein-1 distance per ``group_col`` value between
+    the two populations, in ONE pass over the data (no per-group
+    driver loop; every window and rollup just gains the group key).
+
+    Scale shape: the grid is (group, distinct-cent)-sized; the ECDF
+    windows partition on (group, bucket) so the 1024-grid-point bound
+    holds PER GROUP and groups parallelize across tasks — adding
+    groups adds parallelism, not depth. Group totals join back on the
+    group key (shuffle bounded by group count x grid). NULL group keys
+    are kept as their own group (a real tenant-id-missing population)
+    via null-safe grouping.
+
+    Returns one row per group present in the (NULL-value-filtered)
+    input: (group, n_left, n_right, w1) — w1 NULL where either side of
+    THAT group is empty, ordered by nothing (callers sort).
+    """
+    side_col: Column = F.col(side) if isinstance(side, str) else side
+    q = df.select(
+        F.col(group_col).alias("g"),
+        side_col.cast("boolean").alias("__r"),
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv"),
+    ).filter(F.col("__qv").isNotNull())
+    counts = q.groupBy("g", "__qv").agg(
+        F.sum(F.when(~F.col("__r"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("__r"), 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    keyed = counts.withColumn(
+        "__bk", F.floor(F.col("__qv") / F.lit(1024)).cast("long")
+    )
+    bsums = keyed.groupBy("g", "__bk").agg(
+        F.sum("c1").alias("__b1"),
+        F.sum("c2").alias("__b2"),
+        F.min("__qv").alias("__bmin"),
+    )
+    w_boff = (
+        Window.partitionBy("g")
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_bnext = Window.partitionBy("g").orderBy("__bk")
+    boffs = bsums.select(
+        "g",
+        "__bk",
+        F.coalesce(F.sum("__b1").over(w_boff), F.lit(0)).alias("__o1"),
+        F.coalesce(F.sum("__b2").over(w_boff), F.lit(0)).alias("__o2"),
+        F.lead("__bmin").over(w_bnext).alias("__nextb"),
+    )
+    w_in = (
+        Window.partitionBy("g", "__bk")
+        .orderBy("__qv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("g", "__bk").orderBy("__qv")
+    # null-safe joins: Spark's name-list join is EqualTo, which would
+    # silently drop the NULL group the docstring promises to keep
+    boffs_r = boffs.withColumnRenamed("g", "__gb")
+    grid = (
+        keyed.join(
+            boffs_r,
+            keyed["g"].eqNullSafe(boffs_r["__gb"])
+            & (keyed["__bk"] == boffs_r["__bk"]),
+        )
+        .drop(boffs_r["__bk"])
+        .drop("__gb")
+        .select(
+            "g",
+            "__qv",
+            (F.sum("c1").over(w_in) + F.col("__o1")).cast("long").alias("f1"),
+            (F.sum("c2").over(w_in) + F.col("__o2")).cast("long").alias("f2"),
+            F.coalesce(
+                F.lead("__qv").over(w_lead), F.col("__nextb")
+            ).alias("__next"),
+        )
+        .withColumn(
+            "gap",
+            F.coalesce(F.col("__next") - F.col("__qv"), F.lit(0)).cast(
+                "long"
+            ),
+        )
+    )
+    tot = counts.groupBy("g").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+    term = F.abs(d).cast("decimal(19,0)") * F.col("gap").cast("decimal(19,0)")
+    tot_r = tot.withColumnRenamed("g", "__gt")
+    joined = grid.join(tot_r, grid["g"].eqNullSafe(tot_r["__gt"])).drop(
+        "__gt"
+    )
+    agg = joined.groupBy("g").agg(
+        F.sum(term).alias("__s"),
+        F.max("n1").alias("n_left"),
+        F.max("n2").alias("n_right"),
+    )
+    valid = (F.col("n_left") > 0) & (F.col("n_right") > 0)
+    denom = (
+        F.col("n_left").cast("double")
+        * F.col("n_right").cast("double")
+        * F.lit(float(scale))
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_left",
+        "n_right",
+        F.when(valid, F.col("__s").cast("double") / denom).alias("w1"),
+    )

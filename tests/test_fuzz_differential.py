@@ -149,6 +149,7 @@ FUZZ_QUERIES = [
     "wasserstein_value_drift",     # exact earth-mover via |d|*gap
     "cvm_value_drift",             # pooled-mass-weighted (F1-F2)^2
     "energy_value_drift",          # Cramer distance 2*int (F1-F2)^2 dx
+    "w1_drift_by_type",            # per-group W1, null-safe group joins
 ]
 
 _VOCAB = (

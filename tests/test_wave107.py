@@ -90,3 +90,43 @@ def test_w1_matches_mean_shift(spark, tmp_path):
     )
     w = entry_mod.queries()["wasserstein_value_drift"](spark, sf).collect()[0]
     assert w.w1 == pytest.approx(0.5)
+
+
+def test_w1_by_group_golden_null_group_and_empty_side(spark, tmp_path):
+    """wasserstein_by_group: per-group grid, NULL group kept (null-safe
+    joins), per-group empty-side NULL."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import wasserstein_by_group
+
+    ts_b = datetime.datetime(2024, 1, 5, 12)
+    ts_a = datetime.datetime(2024, 2, 5, 12)
+    rows = [
+        # group A: the unit-shift golden -> w1 = 1.0
+        (0, ts_b, 1, "A", 1.0, "{}"),
+        (1, ts_b, 1, "A", 2.0, "{}"),
+        (2, ts_a, 1, "A", 2.0, "{}"),
+        (3, ts_a, 1, "A", 3.0, "{}"),
+        # group B: right side empty -> NULL
+        (4, ts_b, 1, "B", 5.0, "{}"),
+        # NULL group: 0.0 -> 1.0 shift -> w1 = 1.0
+        (5, ts_b, 1, None, 0.0, "{}"),
+        (6, ts_a, 1, None, 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import pyspark.sql.functions as SF
+
+    out = {
+        r.event_type: (r.n_left, r.n_right, r.w1)
+        for r in wasserstein_by_group(
+            df,
+            "event_type",
+            SF.col("ts") >= SF.lit("2024-01-20").cast("timestamp"),
+            "value",
+        ).collect()
+    }
+    assert out["A"] == (2, 2, pytest.approx(1.0))
+    assert out["B"] == (1, 0, None)
+    assert out[None] == (1, 1, pytest.approx(1.0))
