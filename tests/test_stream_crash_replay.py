@@ -98,9 +98,19 @@ class _KS(_Family):
         )
 
     def read(self, spark, state):
-        from hmpps_digital_prison_reporting_glue_poc_spark.streaming.ks_stream import ks_from_state
+        # all four drift functionals read the same store (r10): the
+        # crash/fuzz comparison covers every one of them
+        from hmpps_digital_prison_reporting_glue_poc_spark.streaming.ks_stream import (
+            cvm_from_state,
+            energy_from_state,
+            ks_from_state,
+            w1_from_state,
+        )
 
-        return sorted(map(repr, ks_from_state(spark, state).collect()))
+        out = []
+        for fn in (ks_from_state, w1_from_state, cvm_from_state, energy_from_state):
+            out.extend(sorted(map(repr, fn(spark, state).collect())))
+        return out
 
 
 class _CMS(_Family):
