@@ -1234,6 +1234,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE105_QUERIES,
         **_WAVE106_QUERIES,
         **_WAVE107_QUERIES,
+        **_WAVE108_QUERIES,
     }
 
 
@@ -1426,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE105_SQL,
         **_WAVE106_SQL,
         **_WAVE107_SQL,
+        **_WAVE108_SQL,
     }
 
 
@@ -16093,4 +16095,89 @@ _WAVE107_SQL = {
     "w1_drift_by_type": W1_BY_TYPE_SQL,
     "cvm_value_drift": CVM_SQL,
     "energy_value_drift": ENERGY_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 108 (r10) — embedding-space drift: polynomial-kernel MMD^2 by exact
+# moment factorization (operators/mmd.py). The O(n^2) pairwise kernel sum
+# collapses to one (n, S, G) moment pass per side — sum_{x,y}(x.y) =
+# S_A.S_B and sum_{x,y}(x.y)^2 = sum_ij G_A*G_B — so the joint-vector
+# drift statistic costs one Arrow gram pass, no pairwise join anywhere.
+# --------------------------------------------------------------------------
+
+def mmd2_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-kernel MMD^2 between embeddings with label < 5 and the
+    rest (operators/mmd.py mmd2_quadratic)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.mmd import mmd2_quadratic
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmd2_quadratic(emb, F.col("label") < 5, "embedding")
+
+
+MMD2_SQL = """
+WITH dd AS (
+  SELECT COALESCE((SELECT len(embedding) FROM embeddings LIMIT 1), 0) AS d),
+v AS (
+  SELECT vec_id, (label < 5) AS r, embedding
+  FROM embeddings, dd
+  WHERE (label < 5) IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = dd.d),
+ex AS (
+  -- zipped unnests: embedding element with its 0-based index
+  SELECT vec_id, r,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS q
+  FROM v),
+n AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY r),
+s AS (SELECT r, i, CAST(SUM(q) AS HUGEINT) AS s FROM ex GROUP BY r, i),
+g AS (
+  SELECT a.r, a.i AS i, b.i AS j,
+         SUM(CAST(a.q AS HUGEINT) * b.q) AS g
+  FROM ex a JOIN ex b
+    ON a.vec_id = b.vec_id AND a.r = b.r AND a.i <= b.i
+  GROUP BY a.r, a.i, b.i),
+consts AS (
+  SELECT CAST(d AS DOUBLE) * 1000000.0 * 1000000.0 AS d1 FROM dd),
+terms AS (
+  SELECT
+    COALESCE((SELECT n FROM n WHERE NOT r), 0) AS n_left,
+    COALESCE((SELECT n FROM n WHERE r), 0) AS n_right,
+    (SELECT SUM((CASE WHEN i <> j THEN 2 ELSE 1 END) * g * g)
+     FROM g WHERE NOT r) AS gg_aa,
+    (SELECT SUM((CASE WHEN i <> j THEN 2 ELSE 1 END) * g * g)
+     FROM g WHERE r) AS gg_bb,
+    (SELECT SUM((CASE WHEN ga.i <> ga.j THEN 2 ELSE 1 END) * ga.g * gb.g)
+     FROM g ga JOIN g gb ON ga.i = gb.i AND ga.j = gb.j
+     WHERE NOT ga.r AND gb.r) AS gg_ab,
+    (SELECT SUM(s * s) FROM s WHERE NOT r) AS ss_aa,
+    (SELECT SUM(s * s) FROM s WHERE r) AS ss_bb,
+    (SELECT SUM(sa.s * sb.s) FROM s sa JOIN s sb ON sa.i = sb.i
+     WHERE NOT sa.r AND sb.r) AS ss_ab,
+    d1
+  FROM consts)
+SELECT n_left, n_right,
+       CASE WHEN n_left > 0 AND n_right > 0 THEN
+         ((CAST(gg_aa AS DOUBLE) / (d1 * d1)
+           + 2.0 * (CAST(ss_aa AS DOUBLE) / d1)
+           + CAST(n_left AS DOUBLE) * CAST(n_left AS DOUBLE))
+          / (CAST(n_left AS DOUBLE) * CAST(n_left AS DOUBLE))
+          + (CAST(gg_bb AS DOUBLE) / (d1 * d1)
+             + 2.0 * (CAST(ss_bb AS DOUBLE) / d1)
+             + CAST(n_right AS DOUBLE) * CAST(n_right AS DOUBLE))
+            / (CAST(n_right AS DOUBLE) * CAST(n_right AS DOUBLE)))
+         - 2.0 * ((CAST(gg_ab AS DOUBLE) / (d1 * d1)
+                   + 2.0 * (CAST(ss_ab AS DOUBLE) / d1)
+                   + CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))
+                  / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)))
+       END AS mmd2
+FROM terms
+"""
+
+_WAVE108_QUERIES = {
+    "mmd2_embedding_drift": mmd2_embedding_drift,
+}
+_WAVE108_SQL = {
+    "mmd2_embedding_drift": MMD2_SQL,
 }

@@ -438,6 +438,8 @@ BENCH_QUERIES = [
     "cvm_value_drift",
     "energy_value_drift",
     "w1_drift_by_type",
+    # wave 108 (r10): moment-factorized embedding-space MMD^2
+    "mmd2_embedding_drift",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

@@ -150,6 +150,7 @@ FUZZ_QUERIES = [
     "cvm_value_drift",             # pooled-mass-weighted (F1-F2)^2
     "energy_value_drift",          # Cramer distance 2*int (F1-F2)^2 dx
     "w1_drift_by_type",            # per-group W1, null-safe group joins
+    "mmd2_embedding_drift",        # moment-factorized quadratic MMD^2
 ]
 
 _VOCAB = (
