@@ -113,9 +113,18 @@ def mmd2_quadratic(
             rows["s"].extend(G[r][iu].astype("int64"))
         yield pd.DataFrame(rows)
 
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
     partials = base.mapInPandas(kernel, schema="r int, i long, j long, s long")
-    moments = partials.groupBy("r", "i", "j").agg(
-        F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+    # materialized: the d^2-sized moment table feeds SIX consumers
+    # (two counts, three pair sums, the final row) — without the cut the
+    # data-sized Arrow gram pass would recompute per consumer (caught by
+    # the r10 10x stress: six identical ~1.2s stages)
+    moments = materialize(
+        partials.groupBy("r", "i", "j").agg(
+            F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+        ),
+        "mmd_moments_",
     )
 
     def _side(r: int, alias: str) -> DataFrame:
