@@ -65,7 +65,14 @@ def _ecdf_counts(
         F.sum(F.when(~F.col("__r"), 1).otherwise(0)).cast("long").alias("c1"),
         F.sum(F.when(F.col("__r"), 1).otherwise(0)).cast("long").alias("c2"),
     )
-    return counts
+    # materialized: the count rollup feeds THREE consumers (bucket sums,
+    # the grid join, totals) whose differing column pruning defeats
+    # Spark's ReusedExchange — un-cut, the FACT TABLE is scanned three
+    # times (r10 plan audit: 3x "Scan parquet", 0 ReusedExchange). The
+    # rollup is value-domain-bounded, so the cut is metadata-scale.
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    return materialize(counts, "ecdf_counts_")
 
 
 def _grid_from_counts(counts: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -295,9 +302,20 @@ def wasserstein_by_group(
         .cast("long")
         .alias("__qv"),
     ).filter(F.col("__qv").isNotNull())
-    counts = q.groupBy("g", "__qv").agg(
-        F.sum(F.when(~F.col("__r"), 1).otherwise(0)).cast("long").alias("c1"),
-        F.sum(F.when(F.col("__r"), 1).otherwise(0)).cast("long").alias("c2"),
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # materialized for the same three-consumer / broken-reuse reason as
+    # _ecdf_counts; (group x grid)-bounded
+    counts = materialize(
+        q.groupBy("g", "__qv").agg(
+            F.sum(F.when(~F.col("__r"), 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("__r"), 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        ),
+        "ecdf_gcounts_",
     )
     keyed = counts.withColumn(
         "__bk", F.floor(F.col("__qv") / F.lit(1024)).cast("long")
