@@ -933,6 +933,8 @@ def value_decile_transition(
         .cast("long")
         .alias("__qv")
     )
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize_if_large
+
     base = events.filter(F.col(type_col) == target_type).select(
         F.col(user_col).alias("user"),
         F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).alias(
@@ -940,6 +942,8 @@ def value_decile_transition(
         ),
         qv,
     )
+    # event-sized frame, two consumers (span + per_up): size-gated cut
+    base = materialize_if_large(base, "vdt_base_")
     span = base.agg(
         F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
     )
@@ -952,6 +956,8 @@ def value_decile_transition(
         # as a NULL that drops out of the bucket join (r9 fuzz sweep)
         .agg(F.coalesce(F.sum("__qv"), F.lit(0)).cast("long").alias("cents"))
     )
+    # user x period frame feeding the bucket/offset/total chain
+    per_up = materialize_if_large(per_up, "vdt_perup_")
     # Exact per-period rank: range-bucket on cents, rank in-bucket, add
     # per-(period, bucket) cumulative offsets (a tiny rollup: windows on
     # it are bounded by n_periods x n_buckets by construction).
@@ -1033,6 +1039,10 @@ def daily_anomaly_robust_z(
         .groupBy(F.to_date(F.col(ts_col)).alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # day-grid cut: bounded rollup, multiple consumers (r10 plan audit)
+    daily = materialize(daily, "robustz_daily_")
     med = daily.agg(
         F.percentile(F.col("n_events").cast("double"), F.lit(0.5)).alias(
             "__med"
@@ -1086,8 +1096,13 @@ def cusum_changepoint(
     """
     from pyspark.sql import Window
 
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
     d, x = F.col(day_col), F.col(value_col).cast("long")
-    base = daily.select(d.alias("day"), x.alias("x"))
+    # materialized: the span-bounded day grid feeds multiple
+    # consumers whose broadcast cross joins would otherwise re-derive
+    # the caller's event rollup per consumer (r10 plan audit)
+    base = materialize(daily.select(d.alias("day"), x.alias("x")), "cusum_base_")
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     pref = base.select(
         "day",
@@ -1161,7 +1176,12 @@ def mann_kendall_trend(
     from pyspark.sql import Window  # noqa: F401  (parallel import style)
 
     d, x = F.col(day_col), F.col(value_col).cast("long")
-    base = daily.select(d.alias("__d"), x.alias("__x"))
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # day-grid cut: bounded rollup, multiple consumers (r10 plan audit)
+    base = materialize(
+        daily.select(d.alias("__d"), x.alias("__x")), "mk_base_"
+    )
     a = base.select(F.col("__d").alias("__da"), F.col("__x").alias("__xa"))
     b = base.select(F.col("__d").alias("__db"), F.col("__x").alias("__xb"))
     s = (
@@ -1240,7 +1260,12 @@ def acf_daily(
     """
     d = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
     x = F.col(value_col).cast("long")
-    base = daily.select(d.alias("__d"), x.alias("__x"))
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # day-grid cut: bounded rollup, multiple consumers (r10 plan audit)
+    base = materialize(
+        daily.select(d.alias("__d"), x.alias("__x")), "acf_base_"
+    )
     totals = base.agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum("__x").cast("long").alias("__s"),
@@ -1313,7 +1338,13 @@ def ccf_daily(
     def _centered(df: DataFrame, tag: str) -> DataFrame:
         d = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
         x = F.col(value_col).cast("long")
-        base = df.select(d.alias(f"__d{tag}"), x.alias("__v"))
+        from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+        # day-grid cut: bounded rollup, multiple consumers (r10 plan audit)
+        base = materialize(
+            df.select(d.alias(f"__d{tag}"), x.alias("__v")),
+            f"ccf_base_{tag}_",
+        )
         tot = base.agg(
             F.count(F.lit(1)).cast("long").alias("__n"),
             F.sum("__v").cast("long").alias("__s"),
@@ -1394,6 +1425,10 @@ def cohort_ltv_curve(
     sizes = first.groupBy("__cohort").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize_if_large
+
+    # user-sized rollup re-derived per consumer without a cut
+    first = materialize_if_large(first, "ltv_first_")
     enriched = events.join(first, on=user_col)
     offset = (
         F.datediff(F.date_trunc(period, F.col(ts_col)), F.col("__cohort"))
@@ -1466,6 +1501,11 @@ def attribution_linear(
         )
         events = events.join(F.broadcast(over), user_col, "left_anti")
     us = F.unix_micros(F.col(ts_col))
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize_if_large
+
+    # event-sized frame feeding the conversion + touch branches: gated
+    # cut (r10 plan audit measured 12 fact scans un-cut)
+    events = materialize_if_large(events, "attr_events_")
     base = events.select(
         F.col(user_col).alias("__u"),
         F.col(type_col).alias("__c"),
@@ -1560,17 +1600,28 @@ def markov_stationary(
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
     outs = pairs.groupBy("__from").agg(F.sum("__c").cast("long").alias("__ci"))
-    edges = pairs.join(F.broadcast(outs), "__from").select(
-        "__from",
-        "__to",
-        (F.col("__c").cast("double") / F.col("__ci").cast("double")).alias(
-            "__p"
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # materialized: edges (K^2-bounded) and states (K-bounded) are
+    # re-joined every power iteration — un-cut, each of the 8 rounds
+    # re-derived them through the FULL event lineage (r10 plan audit:
+    # 56 fact scans in one plan). One cut each -> the iterations join
+    # tiny stored tables and the facts are scanned once.
+    edges = materialize(
+        pairs.join(F.broadcast(outs), "__from").select(
+            "__from",
+            "__to",
+            (
+                F.col("__c").cast("double") / F.col("__ci").cast("double")
+            ).alias("__p"),
         ),
+        "markov_edges_",
     )
-    states = (
+    states = materialize(
         edges.select(F.col("__from").alias("__s"))
         .unionAll(edges.select(F.col("__to").alias("__s")))
-        .distinct()
+        .distinct(),
+        "markov_states_",
     )
     k_row = states.agg(F.count(F.lit(1)).cast("long").alias("__k"))
     rank = states.crossJoin(F.broadcast(k_row)).select(
@@ -1627,7 +1678,12 @@ def theil_sen_trend(
 
     d = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
     x = F.col(value_col).cast("long")
-    base = daily.select(d.alias("__d"), x.alias("__x"))
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # day-grid cut: bounded rollup, multiple consumers (r10 plan audit)
+    base = materialize(
+        daily.select(d.alias("__d"), x.alias("__x")), "ts_base_"
+    )
     a = base.select(F.col("__d").alias("__da"), F.col("__x").alias("__xa"))
     b = base.select(F.col("__d").alias("__db"), F.col("__x").alias("__xb"))
     pairs = a.join(F.broadcast(b), F.col("__da") < F.col("__db")).select(
@@ -1796,9 +1852,22 @@ def _range_rank(
     """Exact global 1-based rank under the total order (value, id)
     WITHOUT a table-spanning window — the numeric-range variant of
     corpus.global_sort_rank: range-bucket the value, rank in-bucket in
-    parallel, add the broadcast cumulative bucket offset."""
+    parallel, add the broadcast cumulative bucket offset.
+
+    The input feeds two consumers (the in-bucket window and the bucket
+    counts), and chained rank calls compound that fan-out (r10 plan
+    audit: rfm's three chained ranks re-scanned the fact lineage 32x).
+    A SIZE-GATED cut bounds it: above materialize_if_large's threshold
+    the input is stored once (at corpus scale the cut saves the
+    re-scans; at test scale inline recompute stays faster — the r7
+    copurchase A/B)."""
     from pyspark.sql import Window
 
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize_if_large,
+    )
+
+    df = materialize_if_large(df, f"rr_{rank_col.strip('_')}_")
     b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
     staged = df.withColumn("__rb", b)
     counts = staged.groupBy("__rb").agg(F.count(F.lit(1)).alias("__bn"))
@@ -1976,7 +2045,13 @@ def daily_peaks(
     """
     d = F.datediff(F.col(day_col), F.lit("1970-01-01")).cast("long")
     x = F.col(value_col).cast("long")
-    base = daily.select(F.col(day_col), d.alias("__d"), x.alias("__x"))
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # day-grid cut: bounded rollup, multiple consumers (r10 plan audit)
+    base = materialize(
+        daily.select(F.col(day_col), d.alias("__d"), x.alias("__x")),
+        "peaks_base_",
+    )
     prev = base.select(
         (F.col("__d") + 1).alias("__d"), F.col("__x").alias("prev_x")
     )
@@ -2032,7 +2107,11 @@ def lorenz_deciles(
     # SQL twin's row_number KEEPS it — the engines must agree on the
     # population, not rely on join accidents (r9 fuzz, "nulls" seed).
     ).filter(F.col("__a").isNotNull())
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize_if_large
+
     ranked = _range_rank(staged, "__a", "__u", bucket_width, "__r")
+    # unit-sized frame, two consumers: size-gated cut (r10 plan audit)
+    ranked = materialize_if_large(ranked, "lorenz_ranked_")
     n_row = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum("__a").cast("long").alias("__total"),
@@ -2098,6 +2177,10 @@ def deseasonalized_anomalies(
             ).cast("long"),
         )
     )
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # day-grid cut: bounded rollup, multiple consumers (r10 plan audit)
+    daily = materialize(daily, "deseason_daily_")
     dow_med = daily.groupBy("dow").agg(
         F.percentile(F.col("n_events").cast("double"), F.lit(0.5)).alias(
             "dow_median"
@@ -2274,6 +2357,10 @@ def runs_test_daily(
         .groupBy("__day")
         .agg(F.sum("__cents").cast("long").alias("__x"))
     )
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # day-grid cut: bounded rollup, multiple consumers (r10 plan audit)
+    daily = materialize(daily, "runs_daily_")
     w_ord = Window.orderBy(F.col("__x").asc(), F.col("__day").asc())
     ranked = daily.withColumn("__rn", F.row_number().over(w_ord))
     n_row = daily.agg(F.count(F.lit(1)).cast("long").alias("__n"))

@@ -277,11 +277,19 @@ def token_zipf(
 
     Returns (token, n_occurrences, freq_rank, cum_share).
     """
-    counts = (
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize_if_large,
+    )
+
+    counts = materialize_if_large(
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences")),
+        "zipf_counts_",
     )
+    # vocabulary-sized rollup, multiple consumers: size-gated cut (r10
+    # plan audit — un-cut, each consumer re-tokenized the corpus)
+
     sub = F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("int")
     keyed = counts.withColumn("__sub", sub)
     subcnt = keyed.groupBy("n_occurrences", "__sub").agg(
@@ -699,11 +707,19 @@ def token_gini_concentration(
     any scale (rank*f <= |V| * corpus_tokens overflows int64 at corpus
     scale). Single-row output.
     """
-    counts = (
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize_if_large,
+    )
+
+    counts = materialize_if_large(
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        .agg(F.count(F.lit(1)).alias("freq")),
+        "gini_counts_",
     )
+    # vocabulary-sized rollup, multiple consumers: size-gated cut (r10
+    # plan audit — un-cut, each consumer re-tokenized the corpus)
+
     sub = F.conv(F.substring(F.md5(F.col("token")), 1, 4), 16, 10).cast("int")
     keyed = counts.withColumn("__sub", sub)
     subcnt = keyed.groupBy("freq", "__sub").agg(F.count(F.lit(1)).alias("__n"))
@@ -1121,9 +1137,19 @@ def heaps_law_vocab_growth(
     from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import _range_rank
 
-    toked = df.select(
-        F.col(id_col).cast("long").alias("__id"),
-        tokens(F.col(text_col)).alias("__toks"),
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize_if_large,
+    )
+
+    # the tokenized corpus feeds BOTH the per-doc size path and the
+    # first-occurrence explode — un-cut, each re-tokenizes the corpus
+    # through the fact lineage (r10 plan audit: 9 scans); size-gated
+    toked = materialize_if_large(
+        df.select(
+            F.col(id_col).cast("long").alias("__id"),
+            tokens(F.col(text_col)).alias("__toks"),
+        ),
+        "heaps_toked_",
     )
     per_doc = toked.select(
         "__id", F.size("__toks").cast("long").alias("__nt")
@@ -1137,8 +1163,11 @@ def heaps_law_vocab_growth(
         )
         / F.col("__n")
     ).cast("long")
-    doc_b = ranked.crossJoin(F.broadcast(n_row)).select(
-        "__id", "__nt", bucket.alias("bucket")
+    doc_b = materialize_if_large(
+        ranked.crossJoin(F.broadcast(n_row)).select(
+            "__id", "__nt", bucket.alias("bucket")
+        ),
+        "heaps_docb_",
     )
     vol = doc_b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

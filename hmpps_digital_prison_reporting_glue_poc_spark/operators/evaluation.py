@@ -311,6 +311,13 @@ def decile_lift(
             "__b", F.floor(F.col("__s") / F.lit(bucket_width)).cast("long")
         )
     )
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize_if_large,
+    )
+
+    # event-sized scored frame, two consumers (bucket counts + the
+    # offset join): size-gated cut (r10 plan audit)
+    rows = materialize_if_large(rows, "declift_rows_")
     counts = rows.groupBy("__b").agg(F.count(F.lit(1)).alias("__bn"))
     w_off = Window.orderBy(F.col("__b").desc()).rowsBetween(
         Window.unboundedPreceding, -1
@@ -794,6 +801,12 @@ def kendall_tau_groups(
         .groupBy("__g", "__x", "__y")
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"))
     )
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # grid cut: the (group, x, y) cell rollup is value-grid bounded and
+    # feeds both self-join sides plus the three tie rollups — un-cut,
+    # five re-derivations of the fact lineage (r10 plan audit)
+    cells = materialize(cells, "kendall_cells_")
     a = cells.select(
         F.col("__g").alias("__ga"),
         F.col("__x").alias("__xa"),
@@ -910,7 +923,15 @@ def isotonic_fit_bins(
     b = F.col(bin_col)
     n = F.col(n_col).cast("long")
     y = F.col(pos_col).cast("long")
-    base = bins.select(b.alias("__b"), n.alias("__n"), y.alias("__y"))
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # bin-grid cut: the caller's bin rollup feeds prefix/lo/hi/interval
+    # consumers — un-cut, 8 re-derivations of the fact lineage (r10
+    # plan audit); the bin table is bounded by construction
+    base = materialize(
+        bins.select(b.alias("__b"), n.alias("__n"), y.alias("__y")),
+        "iso_base_",
+    )
     w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
     pref = base.select(
         "__b",
@@ -1536,6 +1557,13 @@ def _rank_group_sums(
         .groupBy("__v", "__g")
         .agg(F.count(F.lit(1)).cast("long").alias("__ngv"))
     )
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # grid cut: the (value, group) rollup is value-domain x K bounded
+    # and feeds the per-value rollup, the midrank join, and the group
+    # sums — un-cut, each consumer re-derived it through the full fact
+    # lineage (r10 plan audit: 10 fact scans in kruskal/dunn)
+    vals = materialize(vals, "rankgrid_vals_")
     pv = vals.groupBy("__v").agg(F.sum("__ngv").cast("long").alias("__nv"))
     bucketed = pv.withColumn(
         "__b", F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
@@ -1765,6 +1793,11 @@ def brunner_munzel(
     gv = staged.groupBy("__v", "__side").agg(
         F.count(F.lit(1)).cast("long").alias("__ngv")
     )
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # grid cut: the (value, side) rollup feeds the global + within-group
+    # midrank paths and the cell join (r10 plan audit: 5 fact scans)
+    gv = materialize(gv, "bm_gv_")
     pv = gv.groupBy("__v").agg(F.sum("__ngv").cast("long").alias("__nv"))
     b = F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
 
@@ -2087,6 +2120,13 @@ def wilcoxon_signed_rank(
     Scale shape: the rank grid is value-bucketed (the kruskal_wallis
     discipline); diff magnitudes are the only shuffled key.
     """
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize_if_large,
+    )
+
+    # unit-sized paired-diff frame, two consumers (the rank grid + the
+    # n_pairs count): size-gated cut (r10 plan audit)
+    diffs = materialize_if_large(diffs, "wilcoxon_diffs_")
     d = F.col(diff_col).cast("long")
     nz = diffs.filter(d != 0).select(
         F.abs(d).alias("__v"),

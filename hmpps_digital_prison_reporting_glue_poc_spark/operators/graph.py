@@ -412,10 +412,17 @@ def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # edge/degree cuts: und feeds the vertex rollup AND both join sides,
+    # deg feeds both endpoint lookups and the vertex count — un-cut, the
+    # caller's edge-building lineage re-derived 13x (r10 plan audit)
+    und = materialize(und, "assort_und_")
     verts = und.select(F.col("a").alias("v")).unionAll(
         und.select(F.col("b").alias("v"))
     )
-    deg = verts.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = materialize(
+        verts.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d")),
+        "assort_deg_",
+    )
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("__dx"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("__dy"))
     oriented = (

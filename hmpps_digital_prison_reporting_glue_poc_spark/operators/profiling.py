@@ -496,6 +496,13 @@ def contingency_chi2(
         .groupBy("row_val", "col_val")
         .agg(F.count(F.lit(1)).cast("long").alias("observed"))
     )
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # grid cut: the contingency cells are (rows x cols)-bounded and feed
+    # the row/col/total rollups plus the expected-grid join — un-cut,
+    # every chi2/cramers/g_test consumer re-derived the fact lineage per
+    # rollup (r10 plan audit: 4 scans each)
+    cells = materialize(cells, "chi2_cells_")
     row_tot = cells.groupBy("row_val").agg(
         F.sum("observed").cast("long").alias("__rt")
     )

@@ -163,10 +163,23 @@ def bm25_scores(
     Scores are rounded to 6 dp: ln() differs in the last ulp across libm
     implementations, and the rounding makes results engine-portable.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize_if_large,
     )
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+
+    # size-gated cuts: the exploded term table feeds the doclen and tf
+    # paths, and doclen feeds the stats scalar + the score join — un-cut
+    # each consumer re-tokenizes the corpus (r10 plan audit: 4 scans)
+    toks = materialize_if_large(
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        ),
+        "bm25_toks_",
+    )
+    doclen = materialize_if_large(
+        toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl")),
+        "bm25_doclen_",
+    )
     stats = doclen.agg(
         F.count(F.lit(1)).alias("__n_docs"),
         (F.sum("__dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
@@ -716,7 +729,15 @@ def bigram_lift_top(
             ).otherwise(F.array()),
         ).alias("bi")
     ).select(F.col("bi.x").alias("x"), F.col("bi.y").alias("y"))
-    counts = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize_if_large,
+    )
+
+    # bigram-vocab rollup feeding margins + total + scores: gated cut
+    counts = materialize_if_large(
+        pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy")),
+        "bilift_counts_",
+    )
     lefts = counts.groupBy("x").agg(F.sum("c_xy").alias("left_x"))
     rights = counts.groupBy("y").agg(F.sum("c_xy").alias("right_y"))
     total = counts.agg(F.sum("c_xy").alias("n_bi"))

@@ -120,6 +120,17 @@ def _funnels_base_rows(jnode) -> bool:
     if name in _REDUCER_NODES or name == "BroadcastExchangeExec":
         return False
     if name in _BASE_SCAN_NODES:
+        # a scan of an operators/materialize.py lineage-cut dir is a
+        # stored ROLLUP, not base-table rows: the producing plan crossed
+        # its reducer before the write (r10 — the scan-audit cuts moved
+        # day grids/midrank grids behind temp-parquet scans). Membership
+        # is exact via the materializer's live-dir registry.
+        from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import _live
+
+        if _live:
+            scan_str = jnode.toString()
+            if any(path in scan_str for path in _live.values()):
+                return False
         return True
     children = jnode.children()
     for i in range(children.size()):
