@@ -972,7 +972,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #            hmpps_digital_prison_reporting_glue_poc_spark/fingerprint.py —
 #            generalizing the hand-maintained _R0x_CHANGED lists after the
 #            round-8 kruskal_wallis helper-refactor break proved hand
-#            lists miss things. _R10_CHANGED below remains as a belt-and-
+#            lists miss things. _R11_CHANGED below remains as a belt-and-
 #            braces floor: tests assert the generated set covers it.
 #   tier 1 — never driver-checked (brand-new this round), or checked but
 #            RED at its latest row (must re-check after the fix).
@@ -986,17 +986,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # sets this replaces are in git history (r8: __spark_entry__.py@7fb7ec3).
 # --------------------------------------------------------------------------
 
-# Queries whose PLAN or ORACLE changed THIS round with a changed output
-# contract, kept as the hand floor under the generated dirty set. Empty
-# for round 10: the r9-advice fixes (holt-winters pmod dow, NULL-ts
-# guards, LPA edge canonicalization) are invisible at driver scale
-# (testdata has no pre-1970 days / NULL ts, and the registry LPA wrapper
-# already canonicalized), and the whole registry was re-certified at the
-# r10 baseline --write point by a full sf0.01 oracle-parity run
-# (334 passed) — so the rotation budget goes to draining the r2/r3
-# staleness tail (r9 verdict task 2) instead of re-flooding tier 0.
-# The r9 floor this replaces is in git history (__spark_entry__.py@e4ab11d).
-_R10_CHANGED: set = set()
+# Queries whose PLAN or ORACLE changed THIS round, kept as the hand
+# floor under the generated dirty set. Round 11: ks_value_drift gained
+# the counts-rollup materialization (the audit's known triple-fact-scan,
+# r10 verdict task 1) and mmd2_embedding_drift switched to the
+# deterministic max-length dimension probe on BOTH engines (r10 advice)
+# — the only two whose executed plan / oracle text materially moved.
+# Everything else the behavior.py/drift.py edits transitively dirty was
+# re-certified by a full sf0.01 oracle-parity run at the r11 QUERY_FP
+# --write point, so the remaining rotation budget drains the r3-era
+# staleness tail (r10 verdict task 2).
+# The r10 floor this replaces is in git history.
+_R11_CHANGED: set = {"ks_value_drift", "mmd2_embedding_drift"}
 
 
 def _latest_driver_rounds() -> dict[str, int]:
@@ -1038,10 +1039,21 @@ def _latest_driver_rounds() -> dict[str, int]:
 _LATEST_DRIVER_ROUND = _latest_driver_rounds()
 
 
+# Set to the repr of the exception whenever _dirty_rotation_set's
+# defensive fallback fires; None in a healthy session. Tests assert it
+# stays None so a fingerprinting failure (import error, malformed
+# QUERY_FP.json) can never SILENTLY degrade the rotation to the hand
+# floor alone (r10 advice: with an empty floor that silent fallback
+# would front-load nothing at all).
+_DIRTY_SET_ERROR: str | None = None
+
+
 def _dirty_rotation_set() -> set:
     """Generated tier-0 set: fingerprint-dirty queries plus the hand
     floor. Never raises — a harness bug here must not break the driver
-    contract, so any failure degrades to the hand list alone."""
+    contract — but any failure is recorded in _DIRTY_SET_ERROR and
+    printed to stderr before degrading to the hand list alone."""
+    global _DIRTY_SET_ERROR
     try:
         import sys as _sys
 
@@ -1050,11 +1062,22 @@ def _dirty_rotation_set() -> set:
         )
 
         entry_mod = _sys.modules[__name__]
-        return _R10_CHANGED | _fp.dirty_queries(
+        return _R11_CHANGED | _fp.dirty_queries(
             _all_queries(), oracle_sql(), entry_mod
         )
-    except Exception:  # pragma: no cover - defensive driver-contract guard
-        return set(_R10_CHANGED)
+    except Exception as exc:  # defensive driver-contract guard
+        import sys as _sys
+        import traceback as _tb
+
+        _DIRTY_SET_ERROR = repr(exc)
+        print(
+            "DIRTY_ROTATION_SET_ERROR: fingerprinting failed, rotation "
+            f"degrades to the hand floor alone: {exc!r}",
+            file=_sys.stderr,
+            flush=True,
+        )
+        _tb.print_exc(file=_sys.stderr)
+        return set(_R11_CHANGED)
 
 
 _DIRTY_CACHE: list = []  # one-shot memo: fingerprinting is ~0.5s
@@ -1241,7 +1264,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the full registry, rotation-ordered — (0) dirty
     (fingerprint changed since last green driver check, incl. the
-    _R10_CHANGED hand floor), (1) never-checked-green, then oldest green
+    _R11_CHANGED hand floor), (1) never-checked-green, then oldest green
     driver row first. Name tie-break keeps the order deterministic."""
     all_q = _all_queries()
     if not _DIRTY_CACHE:
@@ -16117,7 +16140,11 @@ def mmd2_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MMD2_SQL = """
 WITH dd AS (
-  SELECT COALESCE((SELECT len(embedding) FROM embeddings LIMIT 1), 0) AS d),
+  -- deterministic probe dim: the MAX vector length over non-NULL
+  -- vectors, matching the Spark side (a LIMIT 1 probe is order-
+  -- dependent and can diverge on heterogeneous-dim tables)
+  SELECT COALESCE((SELECT max(len(embedding)) FROM embeddings
+                   WHERE embedding IS NOT NULL), 0) AS d),
 v AS (
   SELECT vec_id, (label < 5) AS r, embedding
   FROM embeddings, dd

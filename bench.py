@@ -826,6 +826,14 @@ def main() -> None:
         print("BENCH_UNPINNED: " + json.dumps(sorted(unpinned)), flush=True)
     print("BENCH_RATIOS: " + json.dumps(dict(sorted(ratios.items()))), flush=True)
     noise["n_drift"] = len(drifted)
+    # The drifted NAMES must survive into the committed artifact: the
+    # driver keeps only the tail of stdout and the BENCH_DRIFT report
+    # line above precedes FULL_TIMINGS/LOAD_SAMPLES, so r10's artifact
+    # said "n_drift: 1" without being able to say WHICH query (r10
+    # verdict task 4). Bounded: worst-first, capped at 20 names.
+    noise["drift"] = sorted(
+        drifted, key=lambda n: -drifted[n]["x"]
+    )[:20]
     noise["run_inflation"] = round(median_infl, 2)
     # --- uniform-regression watch (r8 verdict task 3) -------------------
     cross_pinned = 0.0

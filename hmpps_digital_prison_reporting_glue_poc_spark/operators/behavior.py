@@ -292,6 +292,16 @@ def ks_two_sample(
         F.sum(F.when(~F.col("__r"), 1).otherwise(0)).cast("long").alias("c1"),
         F.sum(F.when(F.col("__r"), 1).otherwise(0)).cast("long").alias("c2"),
     )
+    # materialized: the count rollup feeds THREE consumers (bucket sums,
+    # the cumulative join, totals) whose differing column pruning defeats
+    # Spark's ReusedExchange — un-cut, the FACT TABLE is scanned three
+    # times (r10 plan audit; the fix was proven bit-exact on the sibling
+    # drift family in operators/drift.py, applied here in r11 once the
+    # rotation could absorb the behavior-wide fingerprint change). The
+    # rollup is value-domain-bounded, so the cut is metadata-scale.
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    counts = materialize(counts, "ks_counts_")
     # Two-level ECDF accumulation: a bare ``sum over (order by qv)`` is ONE
     # task for the whole distinct-value table (the 10x stress read a 42.8x
     # task skew on it). Bucket on floor(qv/1024) — order-consistent, floor

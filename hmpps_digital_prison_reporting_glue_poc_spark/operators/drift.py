@@ -47,10 +47,16 @@ from pyspark.sql import functions as F
 
 
 def _ecdf_counts(
-    df: DataFrame, side, value_col: str, scale: int
+    df: DataFrame, side, value_col: str, scale: int, prefix: str
 ) -> DataFrame:
     """Quantize + per-value (__qv, c1, c2) counts — the mergeable state
-    the grid builds on (and exactly the ks_stream state schema)."""
+    the grid builds on (and exactly the ks_stream state schema).
+    ``prefix`` is the per-STATISTIC materialize prefix: materialize()
+    reaps the previous dir for a prefix, so a shared prefix across the
+    three functionals would let interleaved query construction (build
+    W1's frame, build CvM's, then collect W1) read a deleted path — the
+    r10 advice hazard. One prefix per statistic keeps the reap strictly
+    within one operator's lifecycle."""
     side_col: Column = F.col(side) if isinstance(side, str) else side
     # NULL values carry no distribution information (ks_two_sample's r9
     # fuzz guard): filter before the grid so both engines see the same
@@ -72,7 +78,7 @@ def _ecdf_counts(
     # rollup is value-domain-bounded, so the cut is metadata-scale.
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
 
-    return materialize(counts, "ecdf_counts_")
+    return materialize(counts, prefix)
 
 
 def _grid_from_counts(counts: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -178,7 +184,8 @@ def wasserstein_1(
     DECIMAL(38,0); W1 = sum / (n1*n2*scale). One row:
     (n_left, n_right, w1) — w1 NULL when either side is empty."""
     return w1_from_counts(
-        _ecdf_counts(df, side, value_col, scale), scale=scale
+        _ecdf_counts(df, side, value_col, scale, "ecdf_counts_w1_"),
+        scale=scale,
     )
 
 
@@ -212,7 +219,9 @@ def cvm_two_sample(
     Integer core: d = f1*n2 - f2*n1 (long), pooled-count * d^2 summed
     in DECIMAL(38,0); T = sum / (N^2 * n1 * n2). One row:
     (n_left, n_right, cvm_t) — NULL when either side is empty."""
-    return cvm_from_counts(_ecdf_counts(df, side, value_col, scale))
+    return cvm_from_counts(
+        _ecdf_counts(df, side, value_col, scale, "ecdf_counts_cvm_")
+    )
 
 
 def cvm_from_counts(counts: DataFrame) -> DataFrame:
@@ -250,7 +259,8 @@ def energy_distance(
     D = 2 * sum / ((n1*n2)^2 * scale). One row:
     (n_left, n_right, energy_d) — NULL when either side is empty."""
     return energy_from_counts(
-        _ecdf_counts(df, side, value_col, scale), scale=scale
+        _ecdf_counts(df, side, value_col, scale, "ecdf_counts_energy_"),
+        scale=scale,
     )
 
 

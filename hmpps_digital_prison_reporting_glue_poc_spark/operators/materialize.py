@@ -27,11 +27,76 @@ from pyspark.sql import DataFrame
 # actions have completed and its reader is dead.
 _live: dict[str, str] = {}
 
+# Dirs whose STORED rows are row-reducer-bounded (the producing logical
+# plan crossed an Aggregate/limit on every path from an unbounded leaf) —
+# the only dirs plans/fingerprint.py may treat as "a stored ROLLUP, not
+# base-table rows". Recorded automatically at write time by the same
+# reducer-walk the fingerprint applies to inline plans (r11, from the
+# r10 advice: a blanket any-materialized-dir exemption let
+# input-cardinality cuts — attr_events_, bm25_toks_, vdt_base_ … —
+# silently pass the FORBIDDEN n_*_on_base guards).
+_reduced: set[str] = set()
+
+# Logical row-reducers: rows past one of these are bounded by group
+# count / the limit, not input cardinality — the logical-plan mirror of
+# fingerprint._REDUCER_NODES (Distinct/Deduplicate plan as Aggregate
+# but are listed for robustness).
+_LOGICAL_REDUCERS = {
+    "Aggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "Distinct",
+    "Deduplicate",
+}
+
+# Plan-time-fixed leaves: a driver-literal relation's size is known at
+# plan time, never input-scale.
+_BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation"}
+
+
+def _unreduced_base_reachable(jnode) -> bool:
+    """True when an input-cardinality leaf is reachable from ``jnode``
+    without crossing a row-reducer — i.e. the frame's rows are bounded
+    by base-table size, not by an aggregation's group count. Walks the
+    OPTIMIZED LOGICAL plan (AQE-free, available pre-execution). A leaf
+    scanning an already-reduced materialized dir is itself reduced
+    (chained cuts keep their provenance)."""
+    name = jnode.getClass().getSimpleName()
+    if name in _LOGICAL_REDUCERS:
+        return False
+    if name in _BOUNDED_LEAVES:
+        return False
+    children = jnode.children()
+    n = children.size()
+    if n == 0:
+        if _reduced:
+            try:
+                paths = (
+                    jnode.relation().location().rootPaths().mkString(",")
+                )
+                if any(p in paths for p in _reduced):
+                    return False
+            except Exception:  # non-file leaf (LogicalRDD, ...) = base
+                pass
+        return True
+    return any(
+        _unreduced_base_reachable(children.apply(i)) for i in range(n)
+    )
+
+
+def is_reduced_path(scan_str: str) -> bool:
+    """Whether ``scan_str`` (a physical scan node's toString, which
+    carries the file location) reads a materialized dir recorded as
+    row-reducer-bounded. The fingerprint's base-row provenance walk
+    exempts exactly these — and nothing else materialize() wrote."""
+    return any(path in scan_str for path in _reduced)
+
 
 def _reap_all() -> None:
     for path in _live.values():
         shutil.rmtree(path, ignore_errors=True)
     _live.clear()
+    _reduced.clear()
 
 
 atexit.register(_reap_all)
@@ -42,12 +107,18 @@ def materialize(df: DataFrame, prefix: str) -> DataFrame:
     it. The previous dir for the same prefix is removed (lazily-held
     readers over it belong to already-finished queries); whatever remains
     is removed at interpreter exit."""
+    reduced = not _unreduced_base_reachable(
+        df._jdf.queryExecution().optimizedPlan()
+    )
     path = tempfile.mkdtemp(prefix=prefix)
     df.write.mode("overwrite").parquet(path)
     previous = _live.get(prefix)
     if previous is not None:
         shutil.rmtree(previous, ignore_errors=True)
+        _reduced.discard(previous)
     _live[prefix] = path
+    if reduced:
+        _reduced.add(path)
     return df.sparkSession.read.parquet(path)
 
 

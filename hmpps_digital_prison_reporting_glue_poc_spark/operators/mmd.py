@@ -30,13 +30,19 @@ Exactness bound: gram cells reach n * (scale*|x|_max)^2 and the
 GG cross terms their square — DECIMAL(38,0)-exact to ~40k vectors per
 side at scale=1e6 (unit-scale embeddings). Beyond that pass a smaller
 ``scale`` (1e3 extends the exact regime by 1e12); overflow is LOUD
-(ANSI decimal), never a silent wrap. Per-partition int64 partials
-carry the pca_top_component caller contract (~1e6 rows/partition).
+everywhere: the post-shuffle sums are ANSI decimal, and the
+per-partition int64 partials carry an explicit runtime guard in the
+Arrow kernel (rows-per-partition x max|q|^2 must stay under 2^62, else
+OverflowError names the remedy) — numpy's += would otherwise WRAP
+silently on non-unit-scale embeddings or over-large partitions (r10
+advice).
 
 Empty/degenerate contract: one row (n_left, n_right, mmd2); mmd2 NULL
 when either side is empty; rows with NULL side, NULL vector, or a
-dimension != the table's probe dimension are excluded (the fuzz
-degenerate-input discipline), mirrored by the SQL twin.
+dimension != the table's probe dimension (deterministically the MAX
+vector length over non-NULL vectors, identical on both engines) are
+excluded (the fuzz degenerate-input discipline), mirrored by the SQL
+twin.
 """
 
 from __future__ import annotations
@@ -53,10 +59,16 @@ def mmd2_quadratic(
 ) -> DataFrame:
     import pandas as pd
 
-    from hmpps_digital_prison_reporting_glue_poc_spark.operators.similarity import _peek_dim
-
     side_col: Column = F.col(side) if isinstance(side, str) else side
-    d = _peek_dim(df, vec_col)
+    # Deterministic probe dimension: max(size(vec)) over non-NULL
+    # vectors — .first()-style probes are partition-order-dependent, so
+    # on a heterogeneous-dim table the two engines could probe different
+    # dims and filter DIFFERENT row sets (r10 advice). A one-row global
+    # agg is metadata-scale and both engines compute the identical value
+    # (the SQL twin uses max(len(embedding))).
+    d = df.filter(F.col(vec_col).isNotNull()).agg(
+        F.max(F.size(vec_col))
+    ).first()[0]
     spark = df.sparkSession
     if d is None:
         # empty table: the one-row contract without a kernel pass
@@ -79,6 +91,7 @@ def mmd2_quadratic(
              1: np.zeros((d, d), dtype=np.int64)}
         S = {0: np.zeros(d, dtype=np.int64), 1: np.zeros(d, dtype=np.int64)}
         N = {0: 0, 1: 0}
+        qmax = {0: 0, 1: 0}
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -94,9 +107,22 @@ def mmd2_quadratic(
                         for v in sub["__v"]
                     ]
                 )
+                N[r] += len(sub)
+                qmax[r] = max(qmax[r], int(np.abs(mat).max(initial=0)))
+                # int64 += wraps SILENTLY in numpy — guard BEFORE the
+                # accumulate: every gram cell is bounded by
+                # rows-so-far * qmax^2, so this bound exceeding 2^62
+                # is the loud trip-wire the module contract promises
+                # (non-unit-scale embeddings / over-large partitions).
+                if N[r] * qmax[r] * qmax[r] >= (1 << 62):
+                    raise OverflowError(
+                        "mmd2_quadratic int64 gram partial would "
+                        f"overflow: {N[r]} rows x max|q|={qmax[r]} in "
+                        "one partition; pass a smaller `scale` or "
+                        "repartition to smaller partitions"
+                    )
                 G[r] += mat.T @ mat
                 S[r] += mat.sum(axis=0)
-                N[r] += len(sub)
         rows = {"r": [], "i": [], "j": [], "s": []}
         iu = np.triu_indices(d)
         for r in (0, 1):

@@ -120,17 +120,22 @@ def _funnels_base_rows(jnode) -> bool:
     if name in _REDUCER_NODES or name == "BroadcastExchangeExec":
         return False
     if name in _BASE_SCAN_NODES:
-        # a scan of an operators/materialize.py lineage-cut dir is a
-        # stored ROLLUP, not base-table rows: the producing plan crossed
-        # its reducer before the write (r10 — the scan-audit cuts moved
+        # a scan of an operators/materialize.py lineage-cut dir whose
+        # STORED rows crossed a row-reducer before the write is a stored
+        # ROLLUP, not base-table rows (r10 — the scan-audit cuts moved
         # day grids/midrank grids behind temp-parquet scans). Membership
-        # is exact via the materializer's live-dir registry.
-        from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import _live
+        # is per-path via the materializer's _reduced registry, recorded
+        # at write time by the logical mirror of this very walk — an
+        # input-cardinality cut (materialize_if_large on a projection /
+        # explode, e.g. attr_events_, bm25_toks_) is NOT exempt, so a
+        # funnel fed through its scan still trips the FORBIDDEN guards
+        # (r11, from the r10 advice).
+        from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+            is_reduced_path,
+        )
 
-        if _live:
-            scan_str = jnode.toString()
-            if any(path in scan_str for path in _live.values()):
-                return False
+        if is_reduced_path(jnode.toString()):
+            return False
         return True
     children = jnode.children()
     for i in range(children.size()):

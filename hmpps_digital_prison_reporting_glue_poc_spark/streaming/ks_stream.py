@@ -79,6 +79,12 @@ def ks_from_state(
         .groupBy("__qv")
         .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
     )
+    # materialized for the same three-consumer reason as the batch twin
+    # (r11): the merged rollup feeds bucket sums, the cumulative join and
+    # totals — un-cut, the state store is re-scanned per consumer.
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    counts = materialize(counts, "ks_state_counts_")
     keyed = counts.withColumn(
         "__bk", F.floor(F.col("__qv") / F.lit(1024)).cast("long")
     )
@@ -137,12 +143,15 @@ def ks_from_state(
     )
 
 
-def _counts_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+def _counts_from_state(
+    spark: SparkSession, state_path: str, prefix: str
+) -> DataFrame:
     """The merged live (__qv, c1, c2) count table — the shared input of
     the KS read above and the W1/CvM/energy reads below."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import live_state
 
-    return (
+    merged = (
         live_state(
             spark, state_path,
             schema="__qv long, c1 long, c2 long, __batch_id long",
@@ -153,6 +162,11 @@ def _counts_from_state(spark: SparkSession, state_path: str) -> DataFrame:
             F.sum("c2").cast("long").alias("c2"),
         )
     )
+    # materialized (r11): _grid_from_counts + totals consume this three
+    # times; the cut keeps the state store single-scan per read. The
+    # prefix is per-statistic so interleaved construction of two reads
+    # cannot reap a live reader's dir (r10 advice on the batch twins).
+    return materialize(merged, prefix)
 
 
 def w1_from_state(
@@ -165,7 +179,10 @@ def w1_from_state(
     that has streamed through)."""
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import w1_from_counts
 
-    return w1_from_counts(_counts_from_state(spark, state_path), scale=scale)
+    return w1_from_counts(
+        _counts_from_state(spark, state_path, "w1_state_counts_"),
+        scale=scale,
+    )
 
 
 def cvm_from_state(spark: SparkSession, state_path: str) -> DataFrame:
@@ -173,7 +190,9 @@ def cvm_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     ``w1_from_state``)."""
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import cvm_from_counts
 
-    return cvm_from_counts(_counts_from_state(spark, state_path))
+    return cvm_from_counts(
+        _counts_from_state(spark, state_path, "cvm_state_counts_")
+    )
 
 
 def energy_from_state(
@@ -184,7 +203,8 @@ def energy_from_state(
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import energy_from_counts
 
     return energy_from_counts(
-        _counts_from_state(spark, state_path), scale=scale
+        _counts_from_state(spark, state_path, "energy_state_counts_"),
+        scale=scale,
     )
 
 
