@@ -211,6 +211,7 @@ def neardup_against_store(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_k: int = 3,
+    broadcast_incoming: bool = False,
 ) -> DataFrame:
     """NEAR-dup gate for continuous ingest — the MinHash-LSH twin of
     ``dedup_against_store`` (which gates on exact content fingerprints).
@@ -232,10 +233,23 @@ def neardup_against_store(
     store copy).
 
     Cost shape at 100 TB: one shingle->minhash aggregation over the
-    batch, one window over the batch's band buckets, one broadcast-or-
-    shuffle semi-join against the store's band partitions. Returns the
-    surviving (id, band_idx, band_key) rows; callers append these to the
-    store and the matching documents to the corpus.
+    batch, one window over the batch's band buckets, one store probe.
+    Returns the surviving (id, band_idx, band_key) rows; callers append
+    these to the store and the matching documents to the corpus.
+
+    ``broadcast_incoming`` (the streaming-ingest shape, r10 verdict
+    task 6): a ``bands left_semi store`` join can only broadcast its
+    BUILD side — the store — so at corpus scale Spark falls back to a
+    shuffle join and RE-SHUFFLES THE WHOLE STORE on every micro-batch
+    (the store-growth term the r9 series measured at α=0.13/decade).
+    Inverted, the probe broadcasts the batch's band table (bounded by
+    micro-batch size x bands, small by construction) and STREAMS the
+    store through a BroadcastHashJoin: zero store-side Exchange, zero
+    store-side sort — the per-batch store term is one partition-local
+    scan, and the only shuffle is the partial-agg distinct over matched
+    ids (batch-bounded by map-side combine even when a boilerplate band
+    key matches millions of store rows). Keep False for the bulk batch
+    operator where ``incoming`` may itself be corpus-sized.
     """
     bands = _materialize(
         doc_band_table(
@@ -243,15 +257,26 @@ def neardup_against_store(
         ),
         "neardup_bands_",
     )
-    hit_store = (
-        bands.join(
-            store_bands.select("band_idx", "band_key"),
-            on=["band_idx", "band_key"],
-            how="left_semi",
+    if broadcast_incoming:
+        hit_store = (
+            store_bands.select("band_idx", "band_key")
+            .join(
+                F.broadcast(bands.select(id_col, "band_idx", "band_key")),
+                on=["band_idx", "band_key"],
+            )
+            .select(id_col)
+            .distinct()
         )
-        .select(id_col)
-        .distinct()
-    )
+    else:
+        hit_store = (
+            bands.join(
+                store_bands.select("band_idx", "band_key"),
+                on=["band_idx", "band_key"],
+                how="left_semi",
+            )
+            .select(id_col)
+            .distinct()
+        )
     w = Window.partitionBy("band_idx", "band_key")
     beaten = (
         bands.withColumn("__min_id", F.min(id_col).over(w))

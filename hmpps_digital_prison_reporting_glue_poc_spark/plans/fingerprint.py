@@ -134,7 +134,13 @@ def _funnels_base_rows(jnode) -> bool:
             is_reduced_path,
         )
 
-        if is_reduced_path(jnode.toString()):
+        # toString truncates long locations (maxMetadataStringLength);
+        # prefer the untruncated root paths off the file relation
+        try:
+            loc = jnode.relation().location().rootPaths().mkString(",")
+        except Exception:
+            loc = jnode.toString()
+        if is_reduced_path(loc):
             return False
         return True
     children = jnode.children()
@@ -206,3 +212,48 @@ def compare_to_pin(
                 f"{f}: {pin.get(f, 0)} pinned -> {fp.get(f, 0)} now"
             )
     return problems
+
+
+# Base tables of the test fixture — the fact/dim parquet files whose scan
+# multiplicity the SCAN_PINS.json contract tracks (r10 verdict task 3:
+# the one-off scripts/scan_audit.py report, promoted to a pinned gate).
+BASE_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def base_scan_counts(
+    df: DataFrame, tables: list[str] | None = None
+) -> dict[str, int]:
+    """Count physical SCAN NODES per base table in ``df``'s executed
+    plan — the per-plan multiplicity the r10 fact-scan audit measured by
+    string-counting. A frame feeding N consumers without a lineage cut
+    re-runs its producer N times: milliseconds at test scale, N-1 wasted
+    FULL TABLE SCANS at 100 TB. Node-granular (one count per scan
+    operator whose location matches ``<table>.parquet``), so a long
+    multi-line scan node cannot overcount. Scans of materialized temp
+    dirs never match a base-table name and are therefore free."""
+    counts: dict[str, int] = {}
+    root = df._jdf.queryExecution().executedPlan()
+    for node in _walk(root):
+        if node.getClass().getSimpleName() not in _BASE_SCAN_NODES:
+            continue
+        s = node.toString()
+        for t in tables or BASE_TABLES:
+            if f"{t}.parquet" in s:
+                counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+def scan_counts_query(
+    spark: SparkSession, fn, sf_dir: str
+) -> dict[str, int]:
+    """Scan counts for one queries() callable with AQE pinned off, same
+    determinism contract as ``fingerprint_query``."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return base_scan_counts(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)

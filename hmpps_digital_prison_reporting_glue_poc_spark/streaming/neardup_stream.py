@@ -6,10 +6,15 @@ boilerplate-shifted copies) at the gate. This is the streaming twin of
 ``dedup.neardup_against_store``: the persistent state is the accepted
 corpus's LSH BAND table — (doc_id, band_idx, band_key), a handful of rows
 per accepted document — and each micro-batch costs one shingle→minhash
-aggregation over the batch plus one equi-join against the store's band
-partitions. No all-pairs comparison anywhere; at 100 TB the band store is
-a parquet table linear in the accepted corpus, living in storage rather
-than executor memory.
+aggregation over the batch plus one INVERTED probe join against the
+store: the batch's band table (bounded by trigger size) broadcasts and
+the store streams through a BroadcastHashJoin, so the store is never
+shuffled or sorted per batch — its per-batch cost is one partition-local
+scan (r10 verdict task 6; the direct ``bands left_semi store`` shape
+could only broadcast the STORE side, falling back to re-shuffling the
+whole store every batch at corpus scale). No all-pairs comparison
+anywhere; at 100 TB the band store is a parquet table linear in the
+accepted corpus, living in storage rather than executor memory.
 
 Storage discipline is the ``bloom_stream``/``dedup_stream`` contract:
 both sinks are written as ``__batch_id`` partitions with dynamic
@@ -91,6 +96,12 @@ def stream_neardup_ingest(
             num_hashes=num_hashes,
             rows_per_band=rows_per_band,
             shingle_k=shingle_k,
+            # the micro-batch's band table is bounded by trigger size:
+            # broadcast it and STREAM the store through the probe join —
+            # zero store-side Exchange/sort per batch, vs re-shuffling
+            # the whole accepted-corpus store every batch (r10 verdict
+            # task 6; plan asserted in tests/test_stream_neardup.py)
+            broadcast_incoming=True,
         ).persist()  # two sinks consume it; compute the gate once
         try:
             survivors = batch_df.join(

@@ -117,7 +117,9 @@ def _measure_batch(spark, store_path: str, sink_dir: str) -> float:
     t0 = time.time()
     store = live_state(spark, store_path).drop("__batch_id")
     kept = neardup_against_store(
-        batch_df, store, id_col="doc_id", text_col="text", **BAND_KW
+        batch_df, store, id_col="doc_id", text_col="text",
+        broadcast_incoming=True,  # the stream's inverted probe (r11)
+        **BAND_KW
     ).persist()
     try:
         survivors = batch_df.join(kept.select("doc_id").distinct(), on="doc_id")

@@ -208,3 +208,90 @@ def test_store_grows_only_by_survivor_bands(spark, tmp_path):
         srows.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     assert all(r.n <= n_bands for r in per_doc)  # distinct band keys per doc
+
+
+def test_broadcast_probe_parity_with_default_path(spark):
+    """The inverted (broadcast-batch, stream-store) probe must keep the
+    survivor set bit-identical to the direct semi-join path — only the
+    physical strategy differs (r10 verdict task 6)."""
+    rows = [(1, BASE), (2, VAR1), (10, OTHER), (11, OTHER2), (12, VAR2)]
+    store = doc_band_table(
+        _df(spark, [(100, OTHER), (101, VAR2)]), "doc_id", "text"
+    ).select("doc_id", "band_idx", "band_key")
+    a = sorted(
+        tuple(r)
+        for r in neardup_against_store(_df(spark, rows), store).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in neardup_against_store(
+            _df(spark, rows), store, broadcast_incoming=True
+        ).collect()
+    )
+    assert a == b
+    assert a  # non-degenerate: at least one survivor
+
+
+def test_broadcast_probe_never_shuffles_the_store(spark, tmp_path):
+    """The 100 TB contract of the ingest gate: store-CARDINALITY rows
+    must never enter an Exchange — between the store's scan and the
+    first row-reducer (the partial-agg distinct over matched ids, which
+    is batch-bounded by map-side combine) there must be no shuffle. The
+    direct semi-join shape re-shuffles the raw store every micro-batch
+    at corpus scale (only its BUILD side — the store — is
+    broadcastable), which is exactly what the inverted probe removes."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.plans.fingerprint import (
+        _REDUCER_NODES,
+        _walk,
+    )
+
+    store_dir = str(tmp_path / "band_store")
+    doc_band_table(
+        _df(spark, [(100, OTHER), (101, VAR2)]), "doc_id", "text"
+    ).select("doc_id", "band_idx", "band_key").write.parquet(store_dir)
+    store = spark.read.parquet(store_dir)
+    rows = [(1, BASE), (2, VAR1), (10, OTHER)]
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        kept = neardup_against_store(
+            _df(spark, rows), store, broadcast_incoming=True
+        )
+        root = kept._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    def is_store_scan(jnode) -> bool:
+        # toString TRUNCATES long locations (pytest tmp paths) — read the
+        # untruncated root paths off the relation instead
+        if jnode.getClass().getSimpleName() != "FileSourceScanExec":
+            return False
+        try:
+            paths = jnode.relation().location().rootPaths().mkString(",")
+        except Exception:
+            return False
+        return "band_store" in paths
+
+    def store_rows_unreduced(jnode) -> bool:
+        """Store scan reachable without crossing a row-reducer — i.e.
+        this subtree's output is store-cardinality."""
+        name = jnode.getClass().getSimpleName()
+        if name in _REDUCER_NODES or name == "BroadcastExchangeExec":
+            return False
+        if is_store_scan(jnode):
+            return True
+        ch = jnode.children()
+        return any(
+            store_rows_unreduced(ch.apply(i)) for i in range(ch.size())
+        )
+
+    assert any(
+        is_store_scan(n) for n in _walk(root)
+    ), "fixture must actually scan the store"
+    for node in _walk(root):
+        if node.getClass().getSimpleName() == "ShuffleExchangeExec":
+            assert not store_rows_unreduced(node.child()), (
+                "store-cardinality rows enter a ShuffleExchange: the "
+                "probe join re-shuffles the band store per micro-batch"
+            )
