@@ -1258,6 +1258,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE106_QUERIES,
         **_WAVE107_QUERIES,
         **_WAVE108_QUERIES,
+        **_WAVE109_QUERIES,
     }
 
 
@@ -1451,6 +1452,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE106_SQL,
         **_WAVE107_SQL,
         **_WAVE108_SQL,
+        **_WAVE109_SQL,
     }
 
 
@@ -16207,4 +16209,132 @@ _WAVE108_QUERIES = {
 }
 _WAVE108_SQL = {
     "mmd2_embedding_drift": MMD2_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 109 (r11) — completing the drift-test family: two-sample
+# Anderson-Darling A2_akN (the TAIL-sensitive omnibus test — KS sees the
+# worst single ECDF gap, CvM the average, AD up-weights discrepancies by
+# 1/(B_a(N-B_a)) so tail drift, the classic silent model-killer, counts
+# hardest) and the per-group KS drift table (the supremum complement of
+# w1_drift_by_type). Both all-integer over the shared cent grid; AD's
+# per-grid-point quotients are fixed-point quantized at 1e-6 by EXACT
+# floor division (identical on both engines: decimal (a - a%b)/b here —
+# Spark's `div` silently wraps through BIGINT — and HUGEINT // in the
+# twin).
+# --------------------------------------------------------------------------
+
+def ad_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling A2_akN between event values before
+    and after 2024-01-20 (operators/drift.py
+    anderson_darling_two_sample)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import (
+        anderson_darling_two_sample,
+    )
+
+    ev = _events(spark, sf_dir)
+    return anderson_darling_two_sample(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+AD_SQL = _DRIFT_GRID_SQL + """
+, terms AS (
+  SELECT CAST(c1 + c2 AS HUGEINT) AS h,
+         CAST(2 * (f1 + f2) - (c1 + c2) AS HUGEINT) AS b2,
+         CAST(2 * f1 - c1 AS HUGEINT) AS m21,
+         CAST(2 * f2 - c2 AS HUGEINT) AS m22,
+         CAST(n1 AS HUGEINT) AS n1, CAST(n2 AS HUGEINT) AS n2,
+         CAST(n1 + n2 AS HUGEINT) AS nn
+  FROM grid CROSS JOIN tot),
+scaled AS (
+  SELECT n1, n2,
+    CASE WHEN b2 * (2 * nn - b2) - nn * h > 0 THEN
+      (h * (nn * m21 - n1 * b2) * (nn * m21 - n1 * b2) * 1000000)
+        // (b2 * (2 * nn - b2) - nn * h)
+    ELSE 0 END AS t1,
+    CASE WHEN b2 * (2 * nn - b2) - nn * h > 0 THEN
+      (h * (nn * m22 - n2 * b2) * (nn * m22 - n2 * b2) * 1000000)
+        // (b2 * (2 * nn - b2) - nn * h)
+    ELSE 0 END AS t2
+  FROM terms),
+agg AS (
+  SELECT SUM(t1) AS s1, SUM(t2) AS s2,
+         CAST(MAX(n1) AS BIGINT) AS n_left,
+         CAST(MAX(n2) AS BIGINT) AS n_right
+  FROM scaled)
+SELECT n_left, n_right,
+       CASE WHEN n_left > 0 AND n_right > 0 THEN
+         ((CAST(n_left + n_right AS DOUBLE) - 1.0)
+          / (CAST(n_left + n_right AS DOUBLE)
+             * CAST(n_left + n_right AS DOUBLE))
+          * (CAST(s1 AS DOUBLE) / CAST(n_left AS DOUBLE)
+             + CAST(s2 AS DOUBLE) / CAST(n_right AS DOUBLE)))
+         / 1000000.0
+       END AS ad_a2
+FROM agg
+"""
+
+
+def ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact two-sample KS across the 2024-01-20 split
+    (operators/drift.py ks_by_group) — the supremum complement of
+    w1_drift_by_type's per-tenant drift table: one grid pass, windows
+    partitioned (group, bucket), groups parallelize across tasks."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import ks_by_group
+
+    ev = _events(spark, sf_dir)
+    return ks_by_group(
+        ev,
+        "event_type",
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+KS_BY_TYPE_SQL = """
+WITH q AS (
+  SELECT event_type AS g, (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT g, qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY g, qv),
+cum AS (
+  SELECT g, qv,
+         SUM(c1) OVER (PARTITION BY g ORDER BY qv) AS f1,
+         SUM(c2) OVER (PARTITION BY g ORDER BY qv) AS f2
+  FROM counts),
+tot AS (SELECT g, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts GROUP BY g),
+scored AS (
+  SELECT cum.g, qv, abs(f1 * n2 - f2 * n1) AS d
+  FROM cum JOIN tot ON cum.g IS NOT DISTINCT FROM tot.g),
+best AS (
+  SELECT g, MAX(struct_pack(d := d, nq := -qv)) AS s
+  FROM scored GROUP BY g)
+SELECT best.g AS event_type, tot.n1 AS n_left, tot.n2 AS n_right,
+       CASE WHEN tot.n1 > 0 AND tot.n2 > 0
+            THEN CAST(best.s.d AS DOUBLE) / CAST(tot.n1 * tot.n2 AS DOUBLE)
+            END AS ks_d,
+       CASE WHEN tot.n1 > 0 AND tot.n2 > 0
+            THEN CAST(-best.s.nq AS DOUBLE) / CAST(100 AS DOUBLE)
+            END AS ks_at_value
+FROM best JOIN tot ON best.g IS NOT DISTINCT FROM tot.g
+"""
+
+_WAVE109_QUERIES = {
+    "ad_value_drift": ad_value_drift,
+    "ks_drift_by_type": ks_drift_by_type,
+}
+_WAVE109_SQL = {
+    "ad_value_drift": AD_SQL,
+    "ks_drift_by_type": KS_BY_TYPE_SQL,
 }

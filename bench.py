@@ -440,6 +440,9 @@ BENCH_QUERIES = [
     "w1_drift_by_type",
     # wave 108 (r10): moment-factorized embedding-space MMD^2
     "mmd2_embedding_drift",
+    # wave 109 (r11): tail-sensitive AD + per-group KS
+    "ad_value_drift",
+    "ks_drift_by_type",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

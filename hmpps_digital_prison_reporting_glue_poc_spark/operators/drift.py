@@ -408,3 +408,223 @@ def wasserstein_by_group(
         "n_right",
         F.when(valid, F.col("__s").cast("double") / denom).alias("w1"),
     )
+
+
+def anderson_darling_two_sample(
+    df: DataFrame, side, value_col: str = "value", scale: int = 100
+) -> DataFrame:
+    """Two-sample Anderson-Darling statistic A2_akN (Scholz-Stephens
+    1987, the tie-adjusted midrank form scipy's ``anderson_ksamp``
+    uses) between the value distributions of two row populations — the
+    TAIL-SENSITIVE omnibus drift test completing the family: KS sees
+    the worst single gap, CvM the mass-weighted average gap, AD weights
+    each pooled observation's squared ECDF discrepancy by
+    1 / (B_a * (N - B_a)) so departures in the distribution TAILS —
+    where B_a(N-B_a) is small — count hardest. Tail drift is the
+    classic silent killer of trained models (outlier regimes appear
+    before the bulk moves), and it is exactly what W1/CvM/KS discount.
+
+    Integer core (grid form): with h = pooled count per grid point,
+    B = pooled inclusive cumulative, and the midrank adjustments kept
+    INTEGRAL by doubling (m2_i = 2*F_i - c_i = 2*M_ai,
+    b2 = 2*B - h = 2*B_a):
+
+        A2 = (N-1)/N^2 * sum_i (1/n_i) sum_j
+             h_j * (N*m2_ij - n_i*b2_j)^2 / D4_j,
+        D4_j = b2_j*(2N - b2_j) - N*h_j   (= 4*(B_a(N-B_a) - N*h/4))
+
+    Every factor is exact DECIMAL(38,0); each per-grid-point quotient
+    is fixed-point quantized at 1e-6 by EXACT floor division
+    (numerator and D4 both non-negative, so truncation == floor on
+    both engines: Spark via the (a - a%b)/b decimal identity — the
+    built-in ``div`` silently wraps through BIGINT — and DuckDB via
+    HUGEINT ``//``), making the statistic deterministic and
+    bit-identical across engines; the only free IEEE ops are the fixed
+    final scalar tree. Degenerate grid points with D4 = 0 (a single
+    pooled distinct value) contribute 0.
+
+    Exactness bound: the largest scaled term is
+    h * (2*N^2)^2 * 1e6 <= 4e31 at N ~ 1e5 — DECIMAL(38,0)/HUGEINT-
+    exact through the 10x ladder rung (N ~ 1e6 -> ~4e36); overflow
+    beyond is LOUD (ANSI decimal), the drift-family regime contract.
+
+    One row: (n_left, n_right, ad_a2) — NULL when either side is
+    empty, mirroring the sibling functionals.
+    """
+    return ad_from_counts(
+        _ecdf_counts(df, side, value_col, scale, "ecdf_counts_ad_")
+    )
+
+
+def ad_from_counts(counts: DataFrame) -> DataFrame:
+    """A2_akN over a pre-aggregated (__qv, c1, c2) count table — shared
+    by the batch operator and the ks_stream state read (streaming
+    twin), like the sibling ``*_from_counts`` entry points."""
+    grid, tot = _grid_from_counts(counts)
+    joined = grid.crossJoin(F.broadcast(tot))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    h = F.col("c1") + F.col("c2")
+    big_n = F.col("n1") + F.col("n2")
+    b2 = dec(2 * (F.col("f1") + F.col("f2")) - h)
+    d4 = b2 * dec(2 * big_n - (2 * (F.col("f1") + F.col("f2")) - h)) - dec(
+        big_n
+    ) * dec(h)
+
+    def scaled_term(m2, n_i) -> Column:
+        u = dec(big_n) * dec(m2) - dec(n_i) * b2
+        num = dec(h) * u * u * F.lit(1_000_000).cast("decimal(38,0)")
+        # exact floor division: num, d4 >= 0 here, and Spark's `div`
+        # is NOT usable (it wraps through BIGINT) — (a - a%b)/b is
+        # exact and representable (quotient << 10^32)
+        return F.when(
+            d4 > 0, ((num - (num % d4)) / d4).cast("decimal(38,0)")
+        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+
+    agg = joined.agg(
+        F.sum(scaled_term(2 * F.col("f1") - F.col("c1"), F.col("n1"))).alias(
+            "__t1"
+        ),
+        F.sum(scaled_term(2 * F.col("f2") - F.col("c2"), F.col("n2"))).alias(
+            "__t2"
+        ),
+        F.max("n1").alias("n_left"),
+        F.max("n2").alias("n_right"),
+    )
+    valid = (F.col("n_left") > 0) & (F.col("n_right") > 0)
+    nn = (F.col("n_left") + F.col("n_right")).cast("double")
+    a2 = (
+        (nn - F.lit(1.0))
+        / (nn * nn)
+        * (
+            F.col("__t1").cast("double") / F.col("n_left").cast("double")
+            + F.col("__t2").cast("double") / F.col("n_right").cast("double")
+        )
+        / F.lit(1_000_000.0)
+    )
+    return agg.select(
+        "n_left", "n_right", F.when(valid, a2).alias("ad_a2")
+    )
+
+
+def ks_by_group(
+    df: DataFrame,
+    group_col: str,
+    side,
+    value_col: str = "value",
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group exact two-sample KS — the supremum complement of
+    ``wasserstein_by_group``'s per-tenant drift table: one KS statistic
+    per ``group_col`` value between the two populations, in ONE pass
+    (no per-group driver loop; every window and rollup just gains the
+    group key, so groups add parallelism, not depth).
+
+    Same integer core as ``behavior.ks_two_sample``: the supremum
+    D = max |F1 - F2| is located by the integer cross-product argmax
+    max |f1*n2 - f2*n1| per group (DECIMAL-exact; ties resolve to the
+    smallest value via the struct arg-max), and the only float op is
+    one final divide by n1*n2 per group. The ECDF windows partition on
+    (group, bucket) so the 1024-grid-point bound holds PER GROUP. NULL
+    group keys are kept as their own group via null-safe joins.
+
+    Returns one row per group present in the (NULL-value-filtered)
+    input: (group, n_left, n_right, ks_d, ks_at_value) — the stats
+    NULL where either side of THAT group is empty.
+    """
+    side_col: Column = F.col(side) if isinstance(side, str) else side
+    q = df.select(
+        F.col(group_col).alias("g"),
+        side_col.cast("boolean").alias("__r"),
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv"),
+    ).filter(F.col("__qv").isNotNull())
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # materialized for the same three-consumer / broken-reuse reason as
+    # the sibling functionals; (group x grid)-bounded
+    counts = materialize(
+        q.groupBy("g", "__qv").agg(
+            F.sum(F.when(~F.col("__r"), 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("__r"), 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        ),
+        "ks_gcounts_",
+    )
+    keyed = counts.withColumn(
+        "__bk", F.floor(F.col("__qv") / F.lit(1024)).cast("long")
+    )
+    bsums = keyed.groupBy("g", "__bk").agg(
+        F.sum("c1").alias("__b1"), F.sum("c2").alias("__b2")
+    )
+    w_boff = (
+        Window.partitionBy("g")
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boffs = bsums.select(
+        "g",
+        "__bk",
+        F.coalesce(F.sum("__b1").over(w_boff), F.lit(0)).alias("__o1"),
+        F.coalesce(F.sum("__b2").over(w_boff), F.lit(0)).alias("__o2"),
+    )
+    w_in = (
+        Window.partitionBy("g", "__bk")
+        .orderBy("__qv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # null-safe joins keep the NULL group (a real tenant-id-missing
+    # population), as in wasserstein_by_group
+    boffs_r = boffs.withColumnRenamed("g", "__gb")
+    cum = (
+        keyed.join(
+            boffs_r,
+            keyed["g"].eqNullSafe(boffs_r["__gb"])
+            & (keyed["__bk"] == boffs_r["__bk"]),
+        )
+        .drop(boffs_r["__bk"])
+        .drop("__gb")
+        .select(
+            "g",
+            "__qv",
+            (F.sum("c1").over(w_in) + F.col("__o1")).alias("f1"),
+            (F.sum("c2").over(w_in) + F.col("__o2")).alias("f2"),
+        )
+    )
+    tot = counts.groupBy("g").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    tot_r = tot.withColumnRenamed("g", "__gt")
+    joined = cum.join(tot_r, cum["g"].eqNullSafe(tot_r["__gt"])).drop("__gt")
+    d = F.abs(
+        F.col("f1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("f2").cast("decimal(38,0)") * F.col("n1")
+    )
+    agg = joined.groupBy("g").agg(
+        F.max(
+            F.struct(d.alias("__d"), (-F.col("__qv")).alias("__nq"))
+        ).alias("__best"),
+        F.max("n1").alias("n_left"),
+        F.max("n2").alias("n_right"),
+    )
+    valid = (F.col("n_left") > 0) & (F.col("n_right") > 0)
+    denom = (
+        F.col("n_left").cast("decimal(19,0)")
+        * F.col("n_right").cast("decimal(19,0)")
+    ).cast("double")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_left",
+        "n_right",
+        F.when(valid, F.col("__best.__d").cast("double") / denom).alias(
+            "ks_d"
+        ),
+        F.when(
+            valid,
+            (-F.col("__best.__nq")).cast("double") / F.lit(float(scale)),
+        ).alias("ks_at_value"),
+    )

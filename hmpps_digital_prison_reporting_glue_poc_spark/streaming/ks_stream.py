@@ -208,6 +208,17 @@ def energy_from_state(
     )
 
 
+def ad_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Two-sample Anderson-Darling A2_akN from the merged state (see
+    ``w1_from_state``) — the wave-109 tail-sensitive read over the same
+    store; one stream store now serves all five drift functionals."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import ad_from_counts
+
+    return ad_from_counts(
+        _counts_from_state(spark, state_path, "ad_state_counts_")
+    )
+
+
 def stream_ks_drift(
     spark: SparkSession,
     source_path: str,

@@ -38,6 +38,22 @@ def test_total_covers_all_queries_even_when_truncated():
         assert all(round(timings[q], 2) <= kept_min for q in dropped)
 
 
+def test_drift_names_survive_into_contract_line():
+    """r10 verdict task 4: the committed artifact must NAME its drifted
+    queries — BENCH_r10.json said n_drift: 1 and could not say which
+    (the BENCH_DRIFT report line falls outside the driver's 2000-char
+    tail capture). The names ride the noise dict into the final line,
+    bounded, without blowing the tail window."""
+    noise = {
+        "n_drift": 20,
+        "drift": [f"some_quite_long_query_name_{i:02d}" for i in range(20)],
+    }
+    line = bench.format_bench_line(_fake_timings(200), sf=0.1, noise=noise)
+    assert len(line) <= bench.MAX_LINE_CHARS < 2000
+    parsed = json.loads(line)
+    assert parsed["drift"] == noise["drift"]
+
+
 def test_bench_query_list_is_resolvable():
     import __spark_entry__ as entry_mod
 

@@ -41,11 +41,13 @@ def _drive(spark, tmp_path, batches):
 
 def test_drift_reads_match_batch_operators(spark, tmp_path):
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import (
+        anderson_darling_two_sample,
         cvm_two_sample,
         energy_distance,
         wasserstein_1,
     )
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.ks_stream import (
+        ad_from_state,
         cvm_from_state,
         energy_from_state,
         w1_from_state,
@@ -65,6 +67,7 @@ def test_drift_reads_match_batch_operators(spark, tmp_path):
         (w1_from_state, wasserstein_1),
         (cvm_from_state, cvm_two_sample),
         (energy_from_state, energy_distance),
+        (ad_from_state, anderson_darling_two_sample),
     ):
         streamed = read_fn(spark, state).collect()
         batch = batch_fn(union, "is_right", "value", scale=100).collect()

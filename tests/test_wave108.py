@@ -52,16 +52,41 @@ def test_mmd2_empty_side_and_empty_table(spark):
 
 
 def test_mmd2_excludes_null_and_misdimensioned(spark):
+    """The probe dimension is deterministically the MAX vector length
+    over non-NULL vectors (r11, from the r10 advice — a .first() probe
+    was partition-order-dependent and the two engines could filter
+    DIFFERENT row sets on heterogeneous-dim tables). Here max dim = 2:
+    NULL (id 3) and the dim-1 stragglers (ids 4, 6) are excluded; both
+    sides keep exactly their dim-2 rows."""
     df = spark.createDataFrame(
         [
             (1, [1.0, 0.0], 1), (2, [0.5, 0.5], 7),
-            (3, None, 1), (4, [1.0], 7), (5, [1.0, 0.0, 0.0], 1),
+            (3, None, 1), (4, [1.0], 7), (6, [0.5], 1),
         ],
         "vec_id long, embedding array<float>, label long",
     )
     r = mmd2_quadratic(df, F.col("label") < 5, "embedding").collect()[0]
     assert (r.n_left, r.n_right) == (1, 1)
     assert r.mmd2 == pytest.approx(0.6875)
+
+
+def test_mmd2_probe_dim_is_max_not_first(spark):
+    """Order-independence of the probe: a longer vector anywhere in the
+    table defines the dimension, regardless of which row an engine
+    happens to read first."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1),            # dim 2 — excluded under max=3
+            (2, [1.0, 0.0, 0.0], 7),       # dim 3, right
+            (3, [0.0, 1.0, 0.0], 1),       # dim 3, left
+        ],
+        "vec_id long, embedding array<float>, label long",
+    )
+    r = mmd2_quadratic(df, F.col("label") < 5, "embedding").collect()[0]
+    assert (r.n_left, r.n_right) == (1, 1)
+    # orthogonal unit vectors: K(x,x)=K(y,y)=(1/3+1)^2, K(x,y)=1
+    # MMD^2 = 2*(16/9) - 2*1 = 14/9
+    assert r.mmd2 == pytest.approx(14.0 / 9.0)
 
 
 def test_mmd2_registry_runs(spark, tmp_path):
