@@ -1259,6 +1259,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE107_QUERIES,
         **_WAVE108_QUERIES,
         **_WAVE109_QUERIES,
+        **_WAVE110_QUERIES,
+        **_WAVE111_QUERIES,
     }
 
 
@@ -1453,6 +1455,8 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE107_SQL,
         **_WAVE108_SQL,
         **_WAVE109_SQL,
+        **_WAVE110_SQL,
+        **_WAVE111_SQL,
     }
 
 
@@ -16337,4 +16341,224 @@ _WAVE109_QUERIES = {
 _WAVE109_SQL = {
     "ad_value_drift": AD_SQL,
     "ks_drift_by_type": KS_BY_TYPE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 110 (r11) — spread & center drift per group: Brown-Forsythe
+# variance-drift terms (robust Levene on |x - group MEDIAN|; mean-shift
+# tests are blind to a population whose center holds while its spread
+# explodes) and Mood's median test (pooled-median split chi-square, the
+# nonparametric center screen valid under wild non-normality). Both emit
+# per-GROUP term rows with fixed per-row IEEE trees over exact integer
+# cores (the psi_bands / contingency_chi2 order-independence convention);
+# the consumer sums terms into the F / chi-square statistic.
+# --------------------------------------------------------------------------
+
+def brown_forsythe_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type Brown-Forsythe variance-drift terms over event
+    values (operators/evaluation.py brown_forsythe_terms)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        brown_forsythe_terms,
+    )
+
+    ev = _events(spark, sf_dir)
+    return brown_forsythe_terms(ev, "event_type", "value", scale=100)
+
+
+BROWN_FORSYTHE_SQL = """
+WITH q AS (
+  SELECT event_type AS g,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT g, qv, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM q WHERE qv IS NOT NULL GROUP BY g, qv),
+cum AS (
+  SELECT g, qv, SUM(cnt) OVER (PARTITION BY g ORDER BY qv) AS f
+  FROM counts),
+tot AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY g),
+med AS (
+  SELECT cum.g,
+         MIN(CASE WHEN f >= (n + 1) // 2 THEN qv END)
+       + MIN(CASE WHEN f >= n // 2 + 1 THEN qv END) AS med2
+  FROM cum JOIN tot ON cum.g IS NOT DISTINCT FROM tot.g
+  GROUP BY cum.g),
+gstats AS (
+  SELECT counts.g,
+         SUM(CAST(cnt AS HUGEINT) * abs(2 * qv - med2)) AS s1,
+         SUM(CAST(cnt AS HUGEINT) * abs(2 * qv - med2)
+             * abs(2 * qv - med2)) AS s2,
+         CAST(SUM(cnt) AS BIGINT) AS n
+  FROM counts JOIN med ON counts.g IS NOT DISTINCT FROM med.g
+  GROUP BY counts.g),
+gl AS (SELECT SUM(s1) AS a, CAST(SUM(n) AS BIGINT) AS nn FROM gstats)
+SELECT g AS event_type, n,
+       CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 200.0) AS z_mean,
+       CAST(n AS DOUBLE)
+         * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 200.0)
+            - CAST(a AS DOUBLE) / (CAST(nn AS DOUBLE) * 200.0))
+         * (CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 200.0)
+            - CAST(a AS DOUBLE) / (CAST(nn AS DOUBLE) * 200.0))
+         AS between_term,
+       (CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / (200.0 * 200.0) AS within_ss
+FROM gstats CROSS JOIN gl
+"""
+
+
+def median_test_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type Mood's-median-test terms over event values
+    (operators/evaluation.py median_test_terms)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        median_test_terms,
+    )
+
+    ev = _events(spark, sf_dir)
+    return median_test_terms(ev, "event_type", "value", scale=100)
+
+
+MEDIAN_TEST_SQL = """
+WITH q AS (
+  SELECT event_type AS g,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT g, qv, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM q WHERE qv IS NOT NULL GROUP BY g, qv),
+pooled AS (SELECT qv, SUM(cnt) AS pc FROM counts GROUP BY qv),
+cum AS (SELECT qv, SUM(pc) OVER (ORDER BY qv) AS f FROM pooled),
+nnt AS (SELECT CAST(SUM(pc) AS BIGINT) AS tnn FROM pooled),
+med AS (
+  SELECT MIN(CASE WHEN f >= (tnn + 1) // 2 THEN qv END)
+       + MIN(CASE WHEN f >= tnn // 2 + 1 THEN qv END) AS med2
+  FROM cum CROSS JOIN nnt),
+gstats AS (
+  SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN 2 * qv > med2 THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_above
+  FROM counts CROSS JOIN med GROUP BY g),
+gl AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n_above) AS BIGINT) AS ta
+  FROM gstats)
+SELECT g AS event_type, n, n_above,
+       CAST(n AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(tn AS DOUBLE)
+         AS expected_above,
+       CASE WHEN ta > 0 AND tn - ta > 0 AND n > 0 THEN
+         CAST((CAST(tn AS HUGEINT) * n_above - CAST(n AS HUGEINT) * ta)
+              * (CAST(tn AS HUGEINT) * n_above - CAST(n AS HUGEINT) * ta)
+              AS DOUBLE)
+           / (CAST(tn AS DOUBLE) * CAST(n AS DOUBLE) * CAST(ta AS DOUBLE))
+         + CAST((CAST(tn AS HUGEINT) * (n - n_above)
+                 - CAST(n AS HUGEINT) * (tn - ta))
+                * (CAST(tn AS HUGEINT) * (n - n_above)
+                   - CAST(n AS HUGEINT) * (tn - ta)) AS DOUBLE)
+           / (CAST(tn AS DOUBLE) * CAST(n AS DOUBLE)
+              * CAST(tn - ta AS DOUBLE))
+       END AS chi2_term
+FROM gstats CROSS JOIN gl
+"""
+
+_WAVE110_QUERIES = {
+    "brown_forsythe_value_by_type": brown_forsythe_value_by_type,
+    "median_test_value_by_type": median_test_value_by_type,
+}
+_WAVE110_SQL = {
+    "brown_forsythe_value_by_type": BROWN_FORSYTHE_SQL,
+    "median_test_value_by_type": MEDIAN_TEST_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 111 (r11) — Pettitt rank-based changepoint: the nonparametric
+# "did the level change, and WHEN" scan over daily revenue. CUSUM's
+# mean-shift peak is outlier-fragile; Pettitt's K = max_t |U_t| is a
+# Mann-Whitney scan, exact-integer via the midrank identity
+# U_t = sum_{i<=t} 2R_i - t(n+1) (doubled midranks min_rn + max_rn per
+# tie group), so the changepoint location is an integer argmax with
+# earliest-day tie-break; the only float is the one-expression
+# approximate significance, rounded to 6 dp (exp() is libm-dependent).
+# --------------------------------------------------------------------------
+
+def pettitt_change_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint scan over daily purchase revenue
+    (operators/behavior.py pettitt_changepoint)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.behavior import (
+        pettitt_changepoint,
+    )
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        # a day whose every value is NULL would carry x = NULL into the
+        # rank ordering, where the engines DISAGREE (Spark sorts NULLS
+        # FIRST ascending, DuckDB NULLS LAST) — filter like the drift
+        # family so both engines rank the same series
+        .filter(F.col("__cents").isNotNull())
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return pettitt_changepoint(daily, "day", "x")
+
+
+PETTITT_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events
+  WHERE event_type = 'purchase'
+    AND CAST(round(value * 100, 0) AS BIGINT) IS NOT NULL
+  GROUP BY CAST(ts AS DATE)),
+rn AS (
+  SELECT day, x,
+         CAST(ROW_NUMBER() OVER (ORDER BY x, day) AS BIGINT) AS rnum
+  FROM daily),
+r2 AS (
+  SELECT day,
+         MIN(rnum) OVER (PARTITION BY x)
+       + MAX(rnum) OVER (PARTITION BY x) AS dr
+  FROM rn),
+pref AS (
+  SELECT day,
+         CAST(SUM(dr) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pr2,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+  FROM r2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+scored AS (
+  SELECT day, k, pr2 - k * (n + 1) AS u
+  FROM pref CROSS JOIN tot WHERE k < n),
+best AS (
+  SELECT MAX(struct_pack(k := ABS(u), nk := -k, day := day, u := u)) AS s
+  FROM scored)
+SELECT n AS n_days, best.s.k AS k_stat, best.s.u AS u_at_change,
+       best.s.day AS change_day,
+       CASE WHEN best.s.k IS NOT NULL THEN
+         ROUND(LEAST(
+           2.0 * EXP(-6.0 * CAST(best.s.k AS DOUBLE)
+                     * CAST(best.s.k AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(n AS DOUBLE)
+                        + CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+           1.0), 6)
+       END AS p_approx
+FROM best CROSS JOIN tot
+"""
+
+_WAVE111_QUERIES = {
+    "pettitt_change_daily": pettitt_change_daily,
+}
+_WAVE111_SQL = {
+    "pettitt_change_daily": PETTITT_SQL,
 }

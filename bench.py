@@ -443,6 +443,10 @@ BENCH_QUERIES = [
     # wave 109 (r11): tail-sensitive AD + per-group KS
     "ad_value_drift",
     "ks_drift_by_type",
+    # waves 110-111 (r11): spread/center drift terms + rank changepoint
+    "brown_forsythe_value_by_type",
+    "median_test_value_by_type",
+    "pettitt_change_daily",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

@@ -3087,3 +3087,101 @@ def holt_winters_weekly(
             has, (lvl + trd + s_next).cast("double") / F.lit(1000.0)
         ).alias("forecast_next"),
     )
+
+
+def pettitt_changepoint(
+    daily: DataFrame,
+    day_col: str = "day",
+    value_col: str = "x",
+) -> DataFrame:
+    """Pettitt rank-based changepoint test over a day-grain metric
+    series (wave 111) — the NONPARAMETRIC complement of
+    ``cusum_changepoint``: CUSUM's mean-shift peak is only optimal-ish
+    under roughly constant variance and no heavy tails, while Pettitt's
+    statistic is a Mann-Whitney scan — K = max_t |U_t| with
+    U_t = sum_{i<=t, j>t} sign(x_i - x_j) — so a single outlier day
+    cannot fake (or hide) a shift. The standard retrospective
+    "did the level change, and WHEN" test for metric series.
+
+    Exact integer core: the O(n^2) pairwise definition collapses via
+    the midrank identity U_t = sum_{i<=t} 2R_i - t(n+1) (verified under
+    ties), with the DOUBLED midrank 2R_i = min_rn + max_rn over each
+    tie group of the value ordering — all integers, so K and its argmax
+    location are exact; the only float is the one-expression
+    approximate significance p ~ 2*exp(-6K^2/(n^3+n^2)). Everything
+    runs on the span-bounded day rollup (the cusum/mann_kendall
+    argument): windows over a bounded materialized AGGREGATE, never
+    base rows. Ties in the argmax resolve to the EARLIEST day via the
+    integer struct max on (-k).
+
+    Returns one row: (n_days, k_stat, u_at_change, change_day,
+    p_approx) — NULLs (with n_days kept) when the series has fewer
+    than 2 days, where a changepoint is undefined.
+    """
+    from pyspark.sql import Window
+
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    d, x = F.col(day_col), F.col(value_col).cast("long")
+    # day-grid cut: bounded rollup, multiple consumers (rank windows,
+    # totals) — the r10 plan-audit discipline
+    base = materialize(
+        daily.select(d.alias("day"), x.alias("x")), "pettitt_base_"
+    )
+    # doubled midranks: row_number over the (x, day) order is exact and
+    # deterministic; each value-tie group's doubled midrank is
+    # min_rn + max_rn (= 2 * average rank, integral by construction)
+    w_rn = Window.orderBy("x", "day")
+    rn = base.select(
+        "day", "x", F.row_number().over(w_rn).cast("long").alias("__rn")
+    )
+    w_x = Window.partitionBy("x")
+    r2 = rn.select(
+        "day",
+        (F.min("__rn").over(w_x) + F.max("__rn").over(w_x)).alias("__r2"),
+    )
+    w_day = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pref = r2.select(
+        "day",
+        F.sum("__r2").over(w_day).alias("__pr2"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("__k"),
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # t ranges over 1..n-1: U_n is identically 0 (sum of doubled
+    # midranks is n(n+1)), and a split AFTER the last day is no split
+    scored = pref.crossJoin(F.broadcast(tot)).filter(
+        F.col("__k") < F.col("__n")
+    )
+    u = F.col("__pr2") - F.col("__k") * (F.col("__n") + 1)
+    agg = scored.agg(
+        F.max(
+            F.struct(
+                F.abs(u).alias("k"),
+                (-F.col("__k")).alias("nk"),
+                F.col("day").alias("day"),
+                u.alias("u"),
+            )
+        ).alias("__best"),
+        F.max("__n").alias("__n"),
+    )
+    n_all = tot.select(F.col("__n").alias("n_days"))
+    out = n_all.crossJoin(F.broadcast(agg.drop("__n")))
+    nd = F.col("n_days").cast("double")
+    p = F.lit(2.0) * F.exp(
+        F.lit(-6.0)
+        * F.col("__best.k").cast("double")
+        * F.col("__best.k").cast("double")
+        / (nd * nd * nd + nd * nd)
+    )
+    return out.select(
+        "n_days",
+        F.col("__best.k").alias("k_stat"),
+        F.col("__best.u").alias("u_at_change"),
+        F.col("__best.day").alias("change_day"),
+        # exp() is libm-dependent across engines — round to 6 dp (the
+        # source_language_entropy ln-portability convention)
+        F.when(
+            F.col("__best.k").isNotNull(),
+            F.round(F.least(p, F.lit(1.0)), 6),
+        ).alias("p_approx"),
+    )

@@ -2168,3 +2168,247 @@ def wilcoxon_signed_rank(
         t_term.alias("tie_term"),
         F.when((n > 0) & (var_x48 > 0), z).alias("z_wilcoxon"),
     )
+
+
+def brown_forsythe_terms(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Brown-Forsythe variance-drift terms (wave 110) — the
+    robust Levene variant: Z_ij = |x_ij - median_i| per observation,
+    then the one-way-ANOVA F on the Z values. Mean-shift tests
+    (KS/W1/t) are blind to a population whose CENTER holds while its
+    SPREAD explodes — the regime-change signature (fee experiments,
+    mixed traffic, sensor degradation) this screens for, robust to
+    heavy tails because the center is the exact MEDIAN, not the mean.
+
+    Exact integer core: values quantize to the integer ``scale`` grid;
+    the per-group median comes from the cumulative count grid and is
+    kept INTEGRAL by doubling (med2 = qv_lo + qv_hi — lower/upper
+    middle, so even-n averaging never leaves the integers); per-row
+    deviations z2 = |2*qv - med2| roll up to exact S1 = sum(cnt*z2),
+    S2 = sum(cnt*z2^2) in DECIMAL(38,0). Every emitted float is a
+    FIXED per-row scalar tree over those integers (one row per group;
+    no cross-row float sum anywhere — the psi_bands / contingency_chi2
+    order-independence convention), so both engines emit identical
+    doubles. ECDF windows use the (group, 1024-point bucket) two-level
+    pattern; the count grid is (group x value-domain)-bounded and
+    materialized once for its three consumers (cumulative grid, group
+    totals, deviation rollup).
+
+    Returns one row per group: (group, n, z_mean, between_term,
+    within_ss), in VALUE units. The consumer-side statistic is
+    W = (N-k)/(k-1) * sum(between_term) / sum(within_ss), F(k-1, N-k)
+    under equal spreads.
+    """
+    q = df.select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv"),
+    ).filter(F.col("__qv").isNotNull())
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    counts = materialize(
+        q.groupBy("g", "__qv").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        ),
+        "bf_counts_",
+    )
+    # per-group cumulative over the grid — (g, bucket) two-level windows
+    keyed = counts.withColumn(
+        "__bk", F.floor(F.col("__qv") / F.lit(1024)).cast("long")
+    )
+    bsums = keyed.groupBy("g", "__bk").agg(F.sum("cnt").alias("__b"))
+    w_boff = (
+        Window.partitionBy("g")
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boffs = bsums.select(
+        "g",
+        "__bk",
+        F.coalesce(F.sum("__b").over(w_boff), F.lit(0)).alias("__o"),
+    )
+    w_in = (
+        Window.partitionBy("g", "__bk")
+        .orderBy("__qv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boffs_r = boffs.withColumnRenamed("g", "__gb")
+    cum = (
+        keyed.join(
+            boffs_r,
+            keyed["g"].eqNullSafe(boffs_r["__gb"])
+            & (keyed["__bk"] == boffs_r["__bk"]),
+        )
+        .drop(boffs_r["__bk"])
+        .drop("__gb")
+        .select(
+            "g",
+            "__qv",
+            (F.sum("cnt").over(w_in) + F.col("__o")).alias("f"),
+        )
+    )
+    tot = counts.groupBy("g").agg(F.sum("cnt").cast("long").alias("n"))
+    tot_r = tot.withColumnRenamed("g", "__gt")
+    ranked = cum.join(tot_r, cum["g"].eqNullSafe(tot_r["__gt"])).drop("__gt")
+    # doubled exact median: lower middle at rank (n+1)//2, upper middle
+    # at rank n//2 + 1 (equal when n is odd)
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor(F.col("n") / 2) + 1
+    med = ranked.groupBy("g").agg(
+        F.min(F.when(F.col("f") >= lo, F.col("__qv"))).alias("__qlo"),
+        F.min(F.when(F.col("f") >= hi, F.col("__qv"))).alias("__qhi"),
+    )
+    med_r = med.select(
+        F.col("g").alias("__gm"),
+        (F.col("__qlo") + F.col("__qhi")).alias("med2"),
+    )
+    dev = counts.join(
+        med_r, counts["g"].eqNullSafe(med_r["__gm"])
+    ).drop("__gm")
+    z2 = F.abs(2 * F.col("__qv") - F.col("med2"))
+    gstats = dev.groupBy("g").agg(
+        F.sum(F.col("cnt").cast("decimal(38,0)") * z2).alias("s1"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * z2 * z2
+        ).alias("s2"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    glob = gstats.agg(
+        F.sum("s1").alias("__a"),
+        F.sum("n").cast("long").alias("__nn"),
+    )
+    out = gstats.crossJoin(F.broadcast(glob))
+    sc2 = F.lit(float(2 * scale))
+    zbar_g = F.col("s1").cast("double") / (F.col("n").cast("double") * sc2)
+    zbar = F.col("__a").cast("double") / (F.col("__nn").cast("double") * sc2)
+    dmean = zbar_g - zbar
+    between = F.col("n").cast("double") * dmean * dmean
+    within = (
+        F.col("s2").cast("double")
+        - (F.col("s1") * F.col("s1")).cast("double")
+        / F.col("n").cast("double")
+    ) / (sc2 * sc2)
+    return out.select(
+        F.col("g").alias(group_col),
+        "n",
+        zbar_g.alias("z_mean"),
+        between.alias("between_term"),
+        within.alias("within_ss"),
+    )
+
+
+def median_test_terms(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Mood's-median-test terms (wave 110): split every
+    observation at the POOLED exact median, count above vs at-or-below
+    per group, and emit each group's two chi-square cell terms — the
+    nonparametric "did this tenant's center move" screen that stays
+    valid under wild non-normality where ANOVA's assumptions die.
+
+    Exact core: pooled doubled median from the global cumulative grid
+    (the ks_two_sample 1024-point bucketed windows); per-group above /
+    at-or-below counts are exact longs; each group's chi2_term is the
+    two-cell sum (N*o - n_g*T)^2 / (N*n_g*T) computed as a FIXED
+    per-row scalar tree over exact DECIMAL(38,0) numerators (the
+    contingency_chi2 convention — one float division per cell, no
+    cross-row float sums). Consumer sums chi2_term against
+    chi-square(k-1).
+
+    Returns one row per group: (group, n, n_above, expected_above,
+    chi2_term) — chi2_term NULL when a margin is empty (all pooled
+    values at or below the median, or an empty side), where the test
+    is undefined.
+    """
+    q = df.select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv"),
+    ).filter(F.col("__qv").isNotNull())
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    counts = materialize(
+        q.groupBy("g", "__qv").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        ),
+        "mt_counts_",
+    )
+    # pooled cumulative grid (group-free) for the global median
+    pooled = counts.groupBy("__qv").agg(F.sum("cnt").alias("pc"))
+    keyed = pooled.withColumn(
+        "__bk", F.floor(F.col("__qv") / F.lit(1024)).cast("long")
+    )
+    bsums = keyed.groupBy("__bk").agg(F.sum("pc").alias("__b"))
+    w_boff = Window.orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boffs = bsums.select(
+        "__bk",
+        F.coalesce(F.sum("__b").over(w_boff), F.lit(0)).alias("__o"),
+    )
+    w_in = Window.partitionBy("__bk").orderBy("__qv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = keyed.join(F.broadcast(boffs), "__bk").select(
+        "__qv", (F.sum("pc").over(w_in) + F.col("__o")).alias("f")
+    )
+    nn = pooled.agg(F.sum("pc").cast("long").alias("__nn"))
+    lo = F.floor((F.col("__nn") + 1) / 2)
+    hi = F.floor(F.col("__nn") / 2) + 1
+    med = cum.crossJoin(F.broadcast(nn)).agg(
+        (
+            F.min(F.when(F.col("f") >= lo, F.col("__qv")))
+            + F.min(F.when(F.col("f") >= hi, F.col("__qv")))
+        ).alias("med2")
+    )
+    split = counts.crossJoin(F.broadcast(med))
+    above = F.when(2 * F.col("__qv") > F.col("med2"), F.col("cnt")).otherwise(
+        F.lit(0)
+    )
+    gstats = split.groupBy("g").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(above).cast("long").alias("n_above"),
+    )
+    glob = gstats.agg(
+        F.sum("n").cast("long").alias("__tn"),
+        F.sum("n_above").cast("long").alias("__ta"),
+    )
+    out = gstats.crossJoin(F.broadcast(glob))
+    t_b = F.col("__tn") - F.col("__ta")  # pooled at-or-below margin
+    o_b = F.col("n") - F.col("n_above")
+
+    def cell(o, t) -> F.Column:
+        num = (
+            F.col("__tn").cast("decimal(38,0)") * o
+            - F.col("n").cast("decimal(38,0)") * t
+        )
+        return (num * num).cast("double") / (
+            F.col("__tn").cast("double")
+            * F.col("n").cast("double")
+            * t.cast("double")
+        )
+
+    valid = (F.col("__ta") > 0) & (t_b > 0) & (F.col("n") > 0)
+    expected_above = (
+        F.col("n").cast("double")
+        * F.col("__ta").cast("double")
+        / F.col("__tn").cast("double")
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "n",
+        "n_above",
+        expected_above.alias("expected_above"),
+        F.when(
+            valid, cell(F.col("n_above"), F.col("__ta")) + cell(o_b, t_b)
+        ).alias("chi2_term"),
+    )

@@ -151,9 +151,13 @@ FUZZ_QUERIES = [
     "energy_value_drift",          # Cramer distance 2*int (F1-F2)^2 dx
     "w1_drift_by_type",            # per-group W1, null-safe group joins
     "mmd2_embedding_drift",        # moment-factorized quadratic MMD^2
-    # sixth sweep (r11 wave 109): tail drift + per-group supremum
+    # sixth sweep (r11 waves 109-111): tail/spread/center drift +
+    # rank changepoint
     "ad_value_drift",              # A2_akN, exact floor-div micro-units
     "ks_drift_by_type",            # per-group KS, null-safe group joins
+    "brown_forsythe_value_by_type",  # |x - median| ANOVA terms
+    "median_test_value_by_type",   # pooled-median split chi2 terms
+    "pettitt_change_daily",        # midrank changepoint scan
 ]
 
 _VOCAB = (
