@@ -1261,6 +1261,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE109_QUERIES,
         **_WAVE110_QUERIES,
         **_WAVE111_QUERIES,
+        **_WAVE112_QUERIES,
+        **_WAVE113_QUERIES,
+        **_WAVE114_QUERIES,
     }
 
 
@@ -1457,6 +1460,9 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE109_SQL,
         **_WAVE110_SQL,
         **_WAVE111_SQL,
+        **_WAVE112_SQL,
+        **_WAVE113_SQL,
+        **_WAVE114_SQL,
     }
 
 
@@ -16561,4 +16567,562 @@ _WAVE111_QUERIES = {
 }
 _WAVE111_SQL = {
     "pettitt_change_daily": PETTITT_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 112 (r11) — drift-functional completions over the shared cent grid:
+# Kuiper V (the two-sided supremum KS misses on symmetric/tail drift),
+# density-space TV + squared Hellinger (histogram bin-by-bin distances a
+# CDF functional can understate when mass SWAPS between distant bins), and
+# coordinate-sliced per-dimension W1 over the embedding table (the
+# marginal-drift screen that reuses wasserstein_by_group with dim as the
+# group key — one grid pass for all 8 audited dimensions, no per-dim loop).
+# --------------------------------------------------------------------------
+
+def kuiper_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kuiper V = D+ + D- on the 2024-01-20 split
+    (operators/drift.py kuiper_two_sample)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import kuiper_two_sample
+
+    ev = _events(spark, sf_dir)
+    return kuiper_two_sample(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+KUIPER_SQL = """
+WITH q AS (
+  SELECT (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY qv),
+grid AS (
+  SELECT qv,
+         SUM(c1) OVER (ORDER BY qv) AS f1,
+         SUM(c2) OVER (ORDER BY qv) AS f2
+  FROM counts),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts),
+agg AS (
+  SELECT MAX(f1 * n2 - f2 * n1) AS dp, MAX(f2 * n1 - f1 * n2) AS dm,
+         MAX(n1) AS n_left, MAX(n2) AS n_right
+  FROM grid CROSS JOIN tot)
+SELECT n_left, n_right,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(dp AS DOUBLE)
+                 / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))
+            END AS d_plus,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(dm AS DOUBLE)
+                 / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))
+            END AS d_minus,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(dp + dm AS DOUBLE)
+                 / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))
+            END AS kuiper_v
+FROM agg
+"""
+
+
+def hellinger_tv_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-space TV distance (exact) + squared Hellinger (6 dp)
+    on the 2024-01-20 split (operators/drift.py
+    hellinger_tv_two_sample)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import (
+        hellinger_tv_two_sample,
+    )
+
+    ev = _events(spark, sf_dir)
+    return hellinger_tv_two_sample(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+HELLINGER_TV_SQL = """
+WITH q AS (
+  SELECT (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY qv),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts),
+agg AS (
+  SELECT SUM(CAST(abs(c1 * n2 - c2 * n1) AS HUGEINT)) AS tv,
+         SUM(sqrt(CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS bc,
+         MAX(n1) AS n_left, MAX(n2) AS n_right
+  FROM counts CROSS JOIN tot)
+SELECT n_left, n_right,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(tv AS DOUBLE)
+                 / (2.0 * CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE))
+            END AS tv_d,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN ROUND(1.0 - bc / sqrt(CAST(n_left AS DOUBLE)
+                                       * CAST(n_right AS DOUBLE)), 6)
+            END AS hellinger_h2
+FROM agg
+"""
+
+
+def sliced_w1_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinate-sliced per-dimension exact W1 between embeddings with
+    label < 5 and the rest, dims 1..8 — the marginal-drift screen for
+    embedding stores: MMD^2 (wave 108) scores JOINT drift but cannot
+    say WHICH coordinates moved; the per-dimension W1 table localizes
+    it. One posexplode + ONE wasserstein_by_group pass — dim is just
+    the group key, so all 8 slices share the grid pass and the windows
+    stay (dim, bucket)-bounded; adding dims adds parallelism, not
+    depth. Values quantize at scale 10000 (unit-scale float32
+    embeddings -> ~1e4-point grid per dim)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import (
+        wasserstein_by_group,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    sliced = emb.select(
+        F.col("label"),
+        F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias(
+            "__pos", "__x"
+        ),
+    ).select(
+        (F.col("__pos") + 1).cast("int").alias("dim"),
+        F.col("label"),
+        F.col("__x").alias("x"),
+    )
+    out = wasserstein_by_group(
+        sliced, "dim", F.col("label") < 5, "x", scale=10000
+    )
+    return out.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_left",
+        "n_right",
+        "w1",
+    )
+
+
+SLICED_W1_SQL = """
+WITH sliced AS (
+  SELECT CAST(d.range AS INT) AS dim, label,
+         embedding[CAST(d.range AS INT)] AS x
+  FROM embeddings CROSS JOIN range(1, 9) d
+  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+q AS (
+  SELECT dim, (label < 5) AS r,
+         CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) AS qv
+  FROM sliced),
+counts AS (
+  SELECT dim, qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY dim, qv),
+grid AS (
+  SELECT dim, qv,
+         SUM(c1) OVER (PARTITION BY dim ORDER BY qv) AS f1,
+         SUM(c2) OVER (PARTITION BY dim ORDER BY qv) AS f2,
+         COALESCE(LEAD(qv) OVER (PARTITION BY dim ORDER BY qv) - qv, 0)
+           AS gap
+  FROM counts),
+tot AS (SELECT dim, CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts GROUP BY dim),
+agg AS (
+  SELECT grid.dim,
+         SUM(CAST(abs(f1 * n2 - f2 * n1) AS HUGEINT) * CAST(gap AS HUGEINT))
+           AS s,
+         MAX(n1) AS n_left, MAX(n2) AS n_right
+  FROM grid JOIN tot ON grid.dim = tot.dim
+  GROUP BY grid.dim)
+SELECT dim, n_left, n_right,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(s AS DOUBLE)
+                 / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                    * 10000.0)
+            END AS w1
+FROM agg
+"""
+
+_WAVE112_QUERIES = {
+    "kuiper_value_drift": kuiper_value_drift,
+    "hellinger_tv_value_drift": hellinger_tv_value_drift,
+    "sliced_w1_embedding_drift": sliced_w1_embedding_drift,
+}
+_WAVE112_SQL = {
+    "kuiper_value_drift": KUIPER_SQL,
+    "hellinger_tv_value_drift": HELLINGER_TV_SQL,
+    "sliced_w1_embedding_drift": SLICED_W1_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 113 (r11) — rank-statistic completions (operators/rankstats.py):
+# Mood's squared-rank SCALE test (the rank-based complement of wave 110's
+# Brown-Forsythe), the Jonckheere-Terpstra ordered-alternative trend test
+# (dose-response across ordered groups, collapsed onto the dense
+# group x grid cumulative table — never a data-sized pair join), and
+# Goodman-Kruskal gamma + both Somers' D (the tie-policy family members
+# of Kendall tau-b, derived from the SAME exact C/D/tie table with zero
+# extra scans).
+# --------------------------------------------------------------------------
+
+def mood_scale_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's squared-rank scale test on the 2024-01-20 split
+    (operators/rankstats.py mood_scale_two_sample)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.rankstats import (
+        mood_scale_two_sample,
+    )
+
+    ev = _events(spark, sf_dir)
+    return mood_scale_two_sample(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+MOOD_SCALE_SQL = """
+WITH q AS (
+  SELECT (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY qv),
+grid AS (
+  SELECT qv, c1, c2,
+         SUM(c1) OVER (ORDER BY qv) AS f1,
+         SUM(c2) OVER (ORDER BY qv) AS f2
+  FROM counts),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts),
+agg AS (
+  SELECT SUM(CAST(c1 AS HUGEINT)
+             * (2 * (f1 + f2) - (c1 + c2) - (n1 + n2))
+             * (2 * (f1 + f2) - (c1 + c2) - (n1 + n2))) AS t4,
+         SUM(CAST(c1 + c2 AS HUGEINT)
+             * (2 * (f1 + f2) - (c1 + c2) - (n1 + n2))
+             * (2 * (f1 + f2) - (c1 + c2) - (n1 + n2))) AS s4,
+         MAX(n1) AS n_left, MAX(n2) AS n_right
+  FROM grid CROSS JOIN tot)
+SELECT n_left, n_right,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(t4 AS DOUBLE) / 4.0 END AS mood_t,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(n_left * s4 AS DOUBLE)
+                 / (4.0 * CAST(n_left + n_right AS DOUBLE))
+            END AS expected_t
+FROM agg
+"""
+
+
+def jonckheere_price_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered trend of order totals across the
+    order-status ordering F < O < P (operators/rankstats.py
+    jonckheere_terpstra)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.rankstats import (
+        jonckheere_terpstra,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    return jonckheere_terpstra(od, "o_orderstatus", "o_totalprice", scale=100)
+
+
+JONCKHEERE_SQL = """
+WITH q AS (
+  SELECT o_orderstatus AS g,
+         CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL
+    AND CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT)
+        IS NOT NULL),
+counts AS (
+  SELECT g, qv, CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY g, qv),
+dense AS (
+  SELECT gs.g, pts.qv, COALESCE(counts.c, 0) AS c
+  FROM (SELECT DISTINCT g FROM counts) gs
+  CROSS JOIN (SELECT DISTINCT qv FROM counts) pts
+  LEFT JOIN counts ON counts.g = gs.g AND counts.qv = pts.qv),
+cum AS (
+  SELECT g, qv, c, SUM(c) OVER (PARTITION BY g ORDER BY qv) AS fcum
+  FROM dense),
+jt AS (
+  SELECT COALESCE(SUM(CAST(b.c AS HUGEINT) * (2 * a.fcum - a.c)), 0)
+           AS jt2
+  FROM cum a JOIN cum b ON a.qv = b.qv AND a.g < b.g),
+gtot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY g),
+tots AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS ssq
+  FROM gtot)
+SELECT n_total, n_groups,
+       CASE WHEN n_groups >= 2
+            THEN CAST(jt2 AS DOUBLE) / 2.0 END AS jt_u,
+       CASE WHEN n_groups >= 2
+            THEN CAST(CAST(n_total AS HUGEINT) * CAST(n_total AS HUGEINT)
+                      - ssq AS DOUBLE) / 4.0
+            END AS expected_jt
+FROM jt CROSS JOIN tots
+"""
+
+
+def gamma_somers_qty_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-returnflag Goodman-Kruskal gamma + both Somers' D between
+    quantity and discount percent (operators/rankstats.py
+    gamma_somers_groups) — the tie-policy family members of
+    kendall_qty_discount, from the same exact C/D/tie table."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.rankstats import (
+        gamma_somers_groups,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+    )
+    out = gamma_somers_groups(li, "l_returnflag", "qty", "disc_pct")
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        "gamma",
+        "somers_d_yx",
+        "somers_d_xy",
+    )
+
+
+GAMMA_SOMERS_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS grp,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem),
+cells AS (
+  SELECT grp, x, y, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM base GROUP BY grp, x, y),
+cd AS (
+  SELECT a.grp,
+         COALESCE(SUM(CASE WHEN a.y < b.y THEN a.n * b.n END), 0)
+           AS concordant,
+         COALESCE(SUM(CASE WHEN a.y > b.y THEN a.n * b.n END), 0)
+           AS discordant
+  FROM cells a JOIN cells b ON a.grp = b.grp AND a.x < b.x
+  GROUP BY a.grp),
+tot AS (SELECT grp, SUM(n) AS nt FROM cells GROUP BY grp),
+xt AS (
+  SELECT grp, SUM(m * (m - 1) / 2) AS x_tie_pairs
+  FROM (SELECT grp, x, SUM(n) AS m FROM cells GROUP BY grp, x)
+  GROUP BY grp),
+yt AS (
+  SELECT grp, SUM(m * (m - 1) / 2) AS y_tie_pairs
+  FROM (SELECT grp, y, SUM(n) AS m FROM cells GROUP BY grp, y)
+  GROUP BY grp),
+j AS (
+  SELECT t.grp, t.nt,
+         t.nt * (t.nt - 1) / 2 AS n_pairs,
+         COALESCE(cd.concordant, 0) AS c,
+         COALESCE(cd.discordant, 0) AS d,
+         xt.x_tie_pairs, yt.y_tie_pairs
+  FROM tot t
+  JOIN xt ON xt.grp = t.grp
+  JOIN yt ON yt.grp = t.grp
+  LEFT JOIN cd ON cd.grp = t.grp)
+SELECT grp AS l_returnflag,
+       CAST(nt AS BIGINT) AS n,
+       CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       CASE WHEN (c + d) > 0
+            THEN CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE)
+            END AS gamma,
+       CASE WHEN (n_pairs - x_tie_pairs) > 0
+            THEN CAST(c - d AS DOUBLE)
+                 / CAST(n_pairs - x_tie_pairs AS DOUBLE)
+            END AS somers_d_yx,
+       CASE WHEN (n_pairs - y_tie_pairs) > 0
+            THEN CAST(c - d AS DOUBLE)
+                 / CAST(n_pairs - y_tie_pairs AS DOUBLE)
+            END AS somers_d_xy
+FROM j
+"""
+
+_WAVE113_QUERIES = {
+    "mood_scale_value_drift": mood_scale_value_drift,
+    "jonckheere_price_by_status": jonckheere_price_by_status,
+    "gamma_somers_qty_discount": gamma_somers_qty_discount,
+}
+_WAVE113_SQL = {
+    "mood_scale_value_drift": MOOD_SCALE_SQL,
+    "jonckheere_price_by_status": JONCKHEERE_SQL,
+    "gamma_somers_qty_discount": GAMMA_SOMERS_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 114 (r11) — time-series residual diagnostics (operators/tsdiag.py):
+# cumulative Ljung-Box / Box-Pierce portmanteau whiteness statistics over
+# the exact-integer ACF, and the Durbin-Watson lag-1 statistic with both
+# sums exact in DECIMAL(38,0). The "is there structure left" closers for
+# the forecasting family (acf/holt/holt-winters/page-hinkley).
+# --------------------------------------------------------------------------
+
+def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative Ljung-Box + Box-Pierce statistics, lags 1..7, over
+    daily purchase revenue (operators/tsdiag.py ljung_box_daily).
+    Statistics rounded to 6 dp: the per-lag rho doubles are exact-
+    integer ratios (engine-identical), but the cumulative float sums
+    may associate differently inside the two engines' window
+    aggregators — the bm25/entropy portability convention."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.tsdiag import ljung_box_daily
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    out = ljung_box_daily(daily, "day", "x", max_lag=7)
+    return out.select(
+        "h",
+        "n_days",
+        F.round(F.col("lb_stat"), 6).alias("lb_stat"),
+        F.round(F.col("bp_stat"), 6).alias("bp_stat"),
+    )
+
+
+LJUNG_BOX_SQL = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s FROM daily),
+centered AS (
+  SELECT d, CAST(n * x - s AS HUGEINT) AS c FROM daily, tot),
+den AS (SELECT SUM(c * c) AS dd FROM centered),
+lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+num AS (
+  SELECT l.lag, SUM(a.c * b.c) AS nn
+  FROM centered a
+  CROSS JOIN lags l
+  JOIN centered b ON b.d = a.d + l.lag
+  GROUP BY l.lag),
+rho AS (
+  SELECT l.lag, t.n,
+         CASE WHEN den.dd > 0 AND num.nn IS NOT NULL
+              THEN CAST(num.nn AS DOUBLE) / CAST(den.dd AS DOUBLE)
+         END AS acf
+  FROM lags l LEFT JOIN num ON num.lag = l.lag
+  CROSS JOIN den CROSS JOIN tot t),
+terms AS (
+  SELECT lag, n,
+         (acf IS NOT NULL AND n > lag) AS ok,
+         CASE WHEN acf IS NOT NULL AND n > lag
+              THEN acf * acf / CAST(n - lag AS DOUBLE) END AS lb_term,
+         CASE WHEN acf IS NOT NULL AND n > lag
+              THEN acf * acf END AS bp_term
+  FROM rho),
+cum AS (
+  SELECT lag AS h, n AS n_days,
+         SUM(lb_term) OVER (ORDER BY lag) AS lb_sum,
+         SUM(bp_term) OVER (ORDER BY lag) AS bp_sum,
+         MAX(CASE WHEN NOT ok THEN 1 ELSE 0 END) OVER (ORDER BY lag)
+           AS bad
+  FROM terms)
+SELECT h, n_days,
+       CASE WHEN bad = 0
+            THEN ROUND(CAST(n_days AS DOUBLE)
+                       * (CAST(n_days AS DOUBLE) + 2.0) * lb_sum, 6)
+            END AS lb_stat,
+       CASE WHEN bad = 0
+            THEN ROUND(CAST(n_days AS DOUBLE) * bp_sum, 6)
+            END AS bp_stat
+FROM cum
+"""
+
+
+def durbin_watson_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Durbin-Watson lag-1 statistic of mean-centered daily purchase
+    revenue (operators/tsdiag.py durbin_watson_daily)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.tsdiag import (
+        durbin_watson_daily,
+    )
+
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.round(F.col("value").cast("double") * 100, 0)
+            .cast("long")
+            .alias("__cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return durbin_watson_daily(daily, "day", "x")
+
+
+DURBIN_WATSON_SQL = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s FROM daily),
+centered AS (
+  SELECT d, CAST(n * x - s AS HUGEINT) AS c FROM daily, tot),
+den AS (SELECT SUM(c * c) AS dd FROM centered),
+num AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         SUM((b.c - a.c) * (b.c - a.c)) AS nn
+  FROM centered a JOIN centered b ON b.d = a.d + 1)
+SELECT t.n AS n_days,
+       COALESCE(num.n_pairs, 0) AS n_pairs,
+       CASE WHEN den.dd > 0 AND num.n_pairs > 0
+            THEN CAST(num.nn AS DOUBLE) / CAST(den.dd AS DOUBLE)
+            END AS dw
+FROM tot t CROSS JOIN den CROSS JOIN num
+"""
+
+_WAVE114_QUERIES = {
+    "ljung_box_daily_revenue": ljung_box_daily_revenue,
+    "durbin_watson_daily_revenue": durbin_watson_daily_revenue,
+}
+_WAVE114_SQL = {
+    "ljung_box_daily_revenue": LJUNG_BOX_SQL,
+    "durbin_watson_daily_revenue": DURBIN_WATSON_SQL,
 }

@@ -447,6 +447,17 @@ BENCH_QUERIES = [
     "brown_forsythe_value_by_type",
     "median_test_value_by_type",
     "pettitt_change_daily",
+    # wave 112 (r11): Kuiper V, density-space TV/Hellinger, sliced W1
+    "kuiper_value_drift",
+    "hellinger_tv_value_drift",
+    "sliced_w1_embedding_drift",
+    # wave 113 (r11): rank-statistic completions
+    "mood_scale_value_drift",
+    "jonckheere_price_by_status",
+    "gamma_somers_qty_discount",
+    # wave 114 (r11): portmanteau whiteness + Durbin-Watson
+    "ljung_box_daily_revenue",
+    "durbin_watson_daily_revenue",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

@@ -628,3 +628,113 @@ def ks_by_group(
             (-F.col("__best.__nq")).cast("double") / F.lit(float(scale)),
         ).alias("ks_at_value"),
     )
+
+
+def kuiper_two_sample(
+    df: DataFrame, side, value_col: str = "value", scale: int = 100
+) -> DataFrame:
+    """Exact two-sample Kuiper statistic V = D+ + D- where
+    D+ = sup(F1 - F2) and D- = sup(F2 - F1) — the cyclic-safe,
+    tail-sensitive sibling of KS. KS's single supremum under-weights
+    shifts that push mass in BOTH directions (e.g. a variance change
+    moves F1 above F2 on one side of the center and below on the
+    other); Kuiper adds the two one-sided suprema so symmetric tail
+    drift scores fully. It is also invariant to cyclic shifts, the
+    standard choice for periodic domains (hour-of-day, day-of-week).
+
+    Integer core: d = f1*n2 - f2*n1 (long) over the shared cent grid;
+    D+ = max(d), D- = max(-d), both exact (the grid's last point has
+    d = 0, so each supremum is >= 0 without clamping);
+    V = (max(d) + max(-d)) / (n1*n2). The only float op is the final
+    divide. Returns ONE row: (n_left, n_right, d_plus, d_minus,
+    kuiper_v) — NULLs when either side is empty, mirroring
+    ``behavior.ks_two_sample``'s r9 guard."""
+    return kuiper_from_counts(
+        _ecdf_counts(df, side, value_col, scale, "ecdf_counts_kuiper_")
+    )
+
+
+def kuiper_from_counts(counts: DataFrame) -> DataFrame:
+    """Kuiper over a pre-aggregated (__qv, c1, c2) count table — shared
+    by the batch operator and the ks_stream state read (streaming
+    twin), like the other *_from_counts entry points."""
+    grid, tot = _grid_from_counts(counts)
+    joined = grid.crossJoin(F.broadcast(tot))
+    d = F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+    agg = joined.agg(
+        F.max(d).alias("__dp"),
+        F.max(-d).alias("__dm"),
+        F.max("n1").alias("n_left"),
+        F.max("n2").alias("n_right"),
+    )
+    valid = (F.col("n_left") > 0) & (F.col("n_right") > 0)
+    denom = (
+        F.col("n_left").cast("decimal(19,0)")
+        * F.col("n_right").cast("decimal(19,0)")
+    ).cast("double")
+    return agg.select(
+        "n_left",
+        "n_right",
+        F.when(valid, F.col("__dp").cast("double") / denom).alias("d_plus"),
+        F.when(valid, F.col("__dm").cast("double") / denom).alias("d_minus"),
+        F.when(
+            valid,
+            (F.col("__dp") + F.col("__dm")).cast("double") / denom,
+        ).alias("kuiper_v"),
+    )
+
+
+def hellinger_tv_two_sample(
+    df: DataFrame, side, value_col: str = "value", scale: int = 100
+) -> DataFrame:
+    """Histogram-space total-variation distance and squared Hellinger
+    distance between the two value distributions over the shared cent
+    grid — the DENSITY-space complements of the ECDF functionals (W1
+    integrates the CDF gap; TV/Hellinger compare the histograms bin by
+    bin, so a mass SWAP between two distant bins that leaves the CDF
+    gap small still scores):
+
+    - ``tv_d`` = (1/2) * sum_v |c1/n1 - c2/n2| — EXACT: the integer
+      core |c1*n2 - c2*n1| sums in DECIMAL(38,0) with ONE final divide
+      by 2*n1*n2 (same discipline as W1).
+    - ``hellinger_h2`` = 1 - sum_v sqrt((c1/n1)*(c2/n2)), the squared
+      Hellinger distance via the Bhattacharyya affinity. sqrt is
+      irrational so this term is IEEE-double; each per-bin term is
+      computed as sqrt(c1*c2)/sqrt(n1*n2) and the sum is rounded to
+      6 dp — the bm25/entropy portability convention (libm last-ulp +
+      summation-order noise live far below 1e-6).
+
+    Returns ONE row: (n_left, n_right, tv_d, hellinger_h2) — NULLs
+    when either side is empty."""
+    counts = _ecdf_counts(df, side, value_col, scale, "ecdf_counts_htv_")
+    tot = counts.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    joined = counts.crossJoin(F.broadcast(tot))
+    tv_term = F.abs(
+        F.col("c1").cast("decimal(19,0)") * F.col("n2")
+        - F.col("c2").cast("decimal(19,0)") * F.col("n1")
+    )
+    bc_term = F.sqrt(
+        F.col("c1").cast("double") * F.col("c2").cast("double")
+    )
+    agg = joined.agg(
+        F.sum(tv_term).alias("__tv"),
+        F.sum(bc_term).alias("__bc"),
+        F.max("n1").alias("n_left"),
+        F.max("n2").alias("n_right"),
+    )
+    valid = (F.col("n_left") > 0) & (F.col("n_right") > 0)
+    nn = F.col("n_left").cast("double") * F.col("n_right").cast("double")
+    return agg.select(
+        "n_left",
+        "n_right",
+        F.when(valid, F.col("__tv").cast("double") / (2.0 * nn)).alias(
+            "tv_d"
+        ),
+        F.when(
+            valid,
+            F.round(F.lit(1.0) - F.col("__bc") / F.sqrt(nn), 6),
+        ).alias("hellinger_h2"),
+    )

@@ -1,0 +1,277 @@
+"""Rank-statistic completions over the exact cent grid (round 11,
+wave 113) — the ordered-alternative and scale-shift complements of the
+repo's location tests (Mann-Whitney/Kruskal via midranks, wave 94+) and
+ECDF drift functionals (``operators/drift.py``):
+
+- ``mood_scale_two_sample``: Mood's squared-rank SCALE test. Kruskal/
+  Wilcoxon ask "did the center move"; Mood asks "did the SPREAD move" —
+  the rank-based complement of Brown-Forsythe (which works on |x - med|
+  deviations). T = sum over left-side observations of
+  (r_i - (N+1)/2)^2 with pooled midranks; under H0 the left sample's
+  squared rank deviations should look like a random n1-subset of the
+  pooled ones, so E[T] = n1/N * S with S the pooled sum (the tie-exact
+  form). EXACT: doubled midranks m = 2P - p + 1 are integers, so
+  4*T = sum c1*(m - N - 1)^2 sums in DECIMAL(38,0); the only float ops
+  are the two final divides.
+
+- ``jonckheere_terpstra``: the ordered-alternative trend test across K
+  ordered groups (dose-response: "does the value distribution shift
+  monotonically as the group level rises"). JT = sum over ordered group
+  pairs i<j of U_ij (Mann-Whitney counts with the standard 1/2 tie
+  credit). The O(n^2) pair count collapses onto the (group x pooled
+  grid) DENSE cumulative table: 2*U_ij = sum_v c_j(v) * (2*F_i(v) -
+  c_i(v)) — every pair counted exactly once, ties doubled to stay
+  integer — so the whole statistic is one grid pass plus a grid-sized
+  K^2-fan self-join, never a data-sized join (the kendall_tau_groups
+  anti-quadratic move). EXACT in DECIMAL(38,0); JT = sum / 2.
+
+No counterpart exists in the reference (a 1.4k-LoC Glue CDC pipeline,
+``/root/reference/src``, has no statistics code); built per the
+round-11 brief's "text/data analysis at scale" mandate.
+
+Scale shape: all state is value-domain-bounded (distinct quantized
+cents x groups), never corpus-sized; windows are (group, 1024-point
+bucket)-bounded by construction; totals broadcast back as one-row (or
+K-row) frames. The count rollups are materialized (lineage cut) because
+they feed 3+ consumers whose differing column pruning defeats
+ReusedExchange — the r10 plan-audit discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import (
+    _ecdf_counts,
+    _grid_from_counts,
+)
+
+
+def mood_scale_two_sample(
+    df: DataFrame, side, value_col: str = "value", scale: int = 100
+) -> DataFrame:
+    """Mood's squared-rank scale test between the value distributions
+    of two row populations (``side`` false = left, true = right).
+
+    Returns ONE row: (n_left, n_right, mood_t, expected_t) —
+    mood_t = sum over LEFT observations of (r_i - (N+1)/2)^2 with
+    pooled midranks, expected_t = n1/N * pooled sum (tie-exact H0
+    mean). Both NULL when either side is empty (the r9 fuzz-guard
+    convention). A mood_t far above expected_t means the left sample
+    concentrates in the rank EXTREMES (wider spread); far below means
+    it concentrates near the pooled median (narrower)."""
+    counts = _ecdf_counts(df, side, value_col, scale, "ecdf_counts_mood_")
+    grid, tot = _grid_from_counts(counts)
+    joined = grid.crossJoin(F.broadcast(tot))
+    n_tot = F.col("n1") + F.col("n2")
+    # doubled midrank m = 2P - p + 1 (P pooled cumulative, p pooled
+    # count at the grid point) -> m - (N+1) = 2P - p - N, an integer
+    dev = (
+        F.lit(2) * (F.col("f1") + F.col("f2"))
+        - (F.col("c1") + F.col("c2"))
+        - n_tot
+    ).cast("decimal(19,0)")
+    t4_term = F.col("c1").cast("decimal(19,0)") * dev * dev
+    s4_term = (F.col("c1") + F.col("c2")).cast("decimal(19,0)") * dev * dev
+    agg = joined.agg(
+        F.sum(t4_term).alias("__t4"),
+        F.sum(s4_term).alias("__s4"),
+        F.max("n1").alias("n_left"),
+        F.max("n2").alias("n_right"),
+    )
+    valid = (F.col("n_left") > 0) & (F.col("n_right") > 0)
+    nn = (F.col("n_left") + F.col("n_right")).cast("double")
+    return agg.select(
+        "n_left",
+        "n_right",
+        F.when(valid, F.col("__t4").cast("double") / F.lit(4.0)).alias(
+            "mood_t"
+        ),
+        F.when(
+            valid,
+            (F.col("n_left").cast("decimal(19,0)") * F.col("__s4"))
+            .cast("double")
+            / (F.lit(4.0) * nn),
+        ).alias("expected_t"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend statistic across
+    the natural ordering of ``group_col`` values.
+
+    Caller contract: ``group_col`` is a LOW-CARDINALITY ordinal (the
+    kendall_tau_groups contract) whose natural sort order IS the tested
+    ordering; NULL groups are dropped (no defined order position), NULL
+    values are dropped (no distribution information — the r9 fuzz
+    convention).
+
+    Returns ONE row: (n_total, n_groups, jt_u, expected_jt) — jt_u the
+    tie-credited Mann-Whitney sum over ordered group pairs, expected_jt
+    its exact H0 mean (N^2 - sum n_g^2) / 4. jt_u >> expected_jt means
+    values RISE with the group ordering; << means they fall; both NULL
+    when fewer than 2 groups survive the filters."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    q = df.select(
+        g.alias("__g"),
+        F.round(F.col(value_col).cast("double") * scale, 0)
+        .cast("long")
+        .alias("__qv"),
+    ).filter(F.col("__qv").isNotNull() & F.col("__g").isNotNull())
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize,
+    )
+
+    # (group x grid)-bounded rollup feeding 4 consumers (the pooled
+    # grid, the dense frame, group totals, the pair join) — cut once
+    counts = materialize(
+        q.groupBy("__g", "__qv").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        ),
+        "jt_counts_",
+    )
+    # dense (group x pooled-grid) frame: F_i(v) must be evaluable at
+    # EVERY pooled grid point, not just group i's own value points —
+    # groups are bounded (caller contract) so the cross join is a
+    # broadcast fan, grid-sized x K
+    groups = counts.select("__g").distinct()
+    gridpts = counts.select("__qv").distinct()
+    dense = (
+        groups.crossJoin(gridpts)
+        .join(counts, ["__g", "__qv"], "left")
+        .select(
+            "__g",
+            "__qv",
+            F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    # two-level bucketed per-group cumulative (the drift-family skew
+    # discipline: every window (group, 1024-point bucket)-bounded)
+    keyed = dense.withColumn(
+        "__bk", F.floor(F.col("__qv") / F.lit(1024)).cast("long")
+    )
+    bsums = keyed.groupBy("__g", "__bk").agg(F.sum("c").alias("__b"))
+    w_boff = (
+        Window.partitionBy("__g")
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boffs = bsums.select(
+        "__g",
+        "__bk",
+        F.coalesce(F.sum("__b").over(w_boff), F.lit(0)).alias("__o"),
+    )
+    w_in = (
+        Window.partitionBy("__g", "__bk")
+        .orderBy("__qv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = keyed.join(F.broadcast(boffs), ["__g", "__bk"]).select(
+        "__g",
+        "__qv",
+        "c",
+        (F.sum("c").over(w_in) + F.col("__o")).cast("long").alias("fcum"),
+    )
+    a = cum.select(
+        F.col("__g").alias("__gi"),
+        F.col("__qv").alias("__qa"),
+        F.col("c").alias("__ci"),
+        F.col("fcum").alias("__fi"),
+    )
+    b = cum.select(
+        F.col("__g").alias("__gj"),
+        F.col("__qv").alias("__qb"),
+        F.col("c").alias("__cj"),
+    )
+    # ordered group pairs i<j aligned on the grid point: 2*U_ij =
+    # sum_v c_j(v) * (2*F_i(v) - c_i(v)) — strictly-less pairs twice,
+    # tied pairs once (the standard 1/2 tie credit, doubled)
+    pairs = a.join(
+        b,
+        (F.col("__qa") == F.col("__qb"))
+        & (F.col("__gi") < F.col("__gj")),
+    )
+    jt2 = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.col("__cj").cast("decimal(38,0)")
+                * (F.lit(2) * F.col("__fi") - F.col("__ci")).cast(
+                    "decimal(38,0)"
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__jt2")
+    )
+    gtot = counts.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
+    tots = gtot.agg(
+        F.sum("__n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(
+            F.col("__n").cast("decimal(19,0)")
+            * F.col("__n").cast("decimal(19,0)")
+        ).alias("__ssq"),
+    )
+    out = jt2.crossJoin(F.broadcast(tots))
+    valid = F.col("n_groups") >= 2
+    nsq = (
+        F.col("n_total").cast("decimal(19,0)")
+        * F.col("n_total").cast("decimal(19,0)")
+    )
+    return out.select(
+        "n_total",
+        "n_groups",
+        F.when(valid, F.col("__jt2").cast("double") / F.lit(2.0)).alias(
+            "jt_u"
+        ),
+        F.when(
+            valid, (nsq - F.col("__ssq")).cast("double") / F.lit(4.0)
+        ).alias("expected_jt"),
+    )
+
+
+def gamma_somers_groups(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Goodman-Kruskal gamma and both Somers' D asymmetric
+    rank associations between two bounded-cardinality ordinals — the
+    tie-policy-differentiated family members of Kendall tau-b (same
+    concordant/discordant core, different tie denominators):
+
+    - gamma = (C - D) / (C + D): ignores ALL ties — the association
+      among pairs that actually ordered themselves.
+    - somers_d_yx = (C - D) / (n_pairs - x_tie_pairs): penalizes ties
+      on the DEPENDENT y only — "how well does x predict y's order".
+    - somers_d_xy: the transpose.
+
+    One kendall_tau_groups pass (operators/evaluation.py) supplies the
+    exact DECIMAL C/D/tie table; the three statistics are single final
+    float expressions over it — no extra scan, no extra shuffle.
+    NULL where the respective denominator is 0."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.evaluation import (
+        kendall_tau_groups,
+    )
+
+    k = kendall_tau_groups(df, group_col, x_col, y_col)
+    c, d = F.col("concordant"), F.col("discordant")
+    cd = (c - d).cast("double")
+    den_g = (c + d).cast("double")
+    den_yx = (F.col("n_pairs") - F.col("x_tie_pairs")).cast("double")
+    den_xy = (F.col("n_pairs") - F.col("y_tie_pairs")).cast("double")
+    return k.select(
+        F.col(group_col),
+        "n",
+        "concordant",
+        "discordant",
+        F.when(den_g > 0, cd / den_g).alias("gamma"),
+        F.when(den_yx > 0, cd / den_yx).alias("somers_d_yx"),
+        F.when(den_xy > 0, cd / den_xy).alias("somers_d_xy"),
+    )
