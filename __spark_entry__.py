@@ -1264,6 +1264,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE112_QUERIES,
         **_WAVE113_QUERIES,
         **_WAVE114_QUERIES,
+        **_WAVE115_QUERIES,
     }
 
 
@@ -1463,6 +1464,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE112_SQL,
         **_WAVE113_SQL,
         **_WAVE114_SQL,
+        **_WAVE115_SQL,
     }
 
 
@@ -17125,4 +17127,148 @@ _WAVE114_QUERIES = {
 _WAVE114_SQL = {
     "ljung_box_daily_revenue": LJUNG_BOX_SQL,
     "durbin_watson_daily_revenue": DURBIN_WATSON_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 115 (r11) — effect size + joint location-scale (operators/
+# rankstats.py): Cliff's delta (the outlier-immune "how BIG is the shift"
+# companion every rank test here needs — exact pair counts from the cent
+# grid, never an O(n^2) join) and Cucconi's joint location-scale test
+# (center shift AND spread change in one statistic, squared midranks +
+# contrary squared midranks, the classical one-shot alternative to
+# running Wilcoxon + Mood separately).
+# --------------------------------------------------------------------------
+
+def cliffs_delta_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size on the 2024-01-20 split
+    (operators/rankstats.py cliffs_delta_two_sample)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.rankstats import (
+        cliffs_delta_two_sample,
+    )
+
+    ev = _events(spark, sf_dir)
+    return cliffs_delta_two_sample(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+CLIFFS_DELTA_SQL = """
+WITH q AS (
+  SELECT (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY qv),
+grid AS (
+  SELECT qv, c1, c2,
+         SUM(c2) OVER (ORDER BY qv) AS f2
+  FROM counts),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts),
+agg AS (
+  SELECT SUM(CAST(c1 AS HUGEINT) * (f2 - c2)) AS gt,
+         SUM(CAST(c1 AS HUGEINT) * (n2 - f2)) AS lt,
+         MAX(n1) AS n_left, MAX(n2) AS n_right
+  FROM grid CROSS JOIN tot)
+SELECT n_left, n_right,
+       CAST(gt AS BIGINT) AS pair_gt,
+       CAST(lt AS BIGINT) AS pair_lt,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(gt - lt AS DOUBLE)
+                 / CAST(CAST(n_left AS HUGEINT) * n_right AS DOUBLE)
+            END AS cliffs_delta
+FROM agg
+"""
+
+
+def cucconi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cucconi joint location-scale test on the 2024-01-20 split
+    (operators/rankstats.py cucconi_two_sample)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.rankstats import (
+        cucconi_two_sample,
+    )
+
+    ev = _events(spark, sf_dir)
+    return cucconi_two_sample(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+CUCCONI_SQL = """
+WITH q AS (
+  SELECT (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY qv),
+grid AS (
+  SELECT qv, c1, c2,
+         SUM(c1) OVER (ORDER BY qv) AS f1,
+         SUM(c2) OVER (ORDER BY qv) AS f2
+  FROM counts),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts),
+agg AS (
+  SELECT SUM(CAST(c2 AS HUGEINT)
+             * (2 * (f1 + f2) - (c1 + c2) + 1)
+             * (2 * (f1 + f2) - (c1 + c2) + 1)) AS r2x4,
+         SUM(CAST(c2 AS HUGEINT)
+             * (2 * (n1 + n2 + 1) - (2 * (f1 + f2) - (c1 + c2) + 1))
+             * (2 * (n1 + n2 + 1) - (2 * (f1 + f2) - (c1 + c2) + 1)))
+           AS s2x4,
+         MAX(n1) AS n_left, MAX(n2) AS n_right
+  FROM grid CROSS JOIN tot),
+-- the fixed scalar IEEE tail, mirrored token-for-token against the
+-- Spark operator (same op order, so no rounding is needed)
+doubles AS (
+  SELECT r2x4, s2x4, n_left, n_right,
+         CAST(n_left AS DOUBLE) AS n1d,
+         CAST(n_right AS DOUBLE) AS n2d,
+         CAST(n_left AS DOUBLE) + CAST(n_right AS DOUBLE) AS nd
+  FROM agg),
+uv AS (
+  SELECT n_left, n_right,
+         (6.0 * (CAST(r2x4 AS DOUBLE) / 4.0)
+          - n2d * (nd + 1.0) * (2.0 * nd + 1.0))
+           / sqrt(n1d * n2d * (nd + 1.0) * (2.0 * nd + 1.0)
+                  * (8.0 * nd + 11.0) / 5.0) AS u,
+         (6.0 * (CAST(s2x4 AS DOUBLE) / 4.0)
+          - n2d * (nd + 1.0) * (2.0 * nd + 1.0))
+           / sqrt(n1d * n2d * (nd + 1.0) * (2.0 * nd + 1.0)
+                  * (8.0 * nd + 11.0) / 5.0) AS v,
+         2.0 * (nd * nd - 4.0)
+           / ((2.0 * nd + 1.0) * (8.0 * nd + 11.0)) - 1.0 AS rho
+  FROM doubles)
+SELECT n_left, n_right,
+       CASE WHEN n_left > 0 AND n_right > 0 AND n_left + n_right >= 3
+            THEN u END AS u_stat,
+       CASE WHEN n_left > 0 AND n_right > 0 AND n_left + n_right >= 3
+            THEN v END AS v_stat,
+       CASE WHEN n_left > 0 AND n_right > 0 AND n_left + n_right >= 3
+            THEN (u * u + v * v - 2.0 * rho * u * v)
+                 / (2.0 * (1.0 - rho * rho))
+            END AS cucconi_c
+FROM uv
+"""
+
+_WAVE115_QUERIES = {
+    "cliffs_delta_value_drift": cliffs_delta_value_drift,
+    "cucconi_value_drift": cucconi_value_drift,
+}
+_WAVE115_SQL = {
+    "cliffs_delta_value_drift": CLIFFS_DELTA_SQL,
+    "cucconi_value_drift": CUCCONI_SQL,
 }

@@ -458,6 +458,9 @@ BENCH_QUERIES = [
     # wave 114 (r11): portmanteau whiteness + Durbin-Watson
     "ljung_box_daily_revenue",
     "durbin_watson_daily_revenue",
+    # wave 115 (r11): Cliff's delta effect size + Cucconi location-scale
+    "cliffs_delta_value_drift",
+    "cucconi_value_drift",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

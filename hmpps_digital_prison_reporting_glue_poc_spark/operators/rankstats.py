@@ -275,3 +275,127 @@ def gamma_somers_groups(
         F.when(den_yx > 0, cd / den_yx).alias("somers_d_yx"),
         F.when(den_xy > 0, cd / den_xy).alias("somers_d_xy"),
     )
+
+
+def cliffs_delta_two_sample(
+    df: DataFrame, side, value_col: str = "value", scale: int = 100
+) -> DataFrame:
+    """Cliff's delta ordinal EFFECT SIZE between the two value
+    populations — the "how big is the shift" companion every
+    significance test here (KS/Mood/Mann-Whitney) needs: delta =
+    (#{x_left > x_right} - #{x_left < x_right}) / (n1*n2), in [-1, 1],
+    0 when the distributions overlap symmetrically, +/-1 on complete
+    separation. Unlike a mean difference it is outlier-immune and
+    unit-free, the standard report beside a rank test.
+
+    The O(n^2) pair counts collapse onto the shared cent grid:
+    #{x1 > x2} = sum_v c1(v) * (F2(v) - c2(v)) and
+    #{x1 < x2} = sum_v c1(v) * (n2 - F2(v)) — both EXACT in
+    DECIMAL(38,0); delta is ONE final divide. Also returns the
+    rank-biserial r (identical value by the Kerby identity — kept as
+    the doubled-check column pair_gt/pair_lt instead of duplicating).
+    One row: (n_left, n_right, pair_gt, pair_lt, cliffs_delta) —
+    NULLs when either side is empty."""
+    counts = _ecdf_counts(df, side, value_col, scale, "ecdf_counts_cliffs_")
+    grid, tot = _grid_from_counts(counts)
+    joined = grid.crossJoin(F.broadcast(tot))
+    gt = F.col("c1").cast("decimal(19,0)") * (
+        F.col("f2") - F.col("c2")
+    ).cast("decimal(19,0)")
+    lt = F.col("c1").cast("decimal(19,0)") * (
+        F.col("n2") - F.col("f2")
+    ).cast("decimal(19,0)")
+    agg = joined.agg(
+        F.sum(gt).alias("__gt"),
+        F.sum(lt).alias("__lt"),
+        F.max("n1").alias("n_left"),
+        F.max("n2").alias("n_right"),
+    )
+    valid = (F.col("n_left") > 0) & (F.col("n_right") > 0)
+    nn = (
+        F.col("n_left").cast("decimal(19,0)")
+        * F.col("n_right").cast("decimal(19,0)")
+    ).cast("double")
+    return agg.select(
+        "n_left",
+        "n_right",
+        F.col("__gt").cast("long").alias("pair_gt"),
+        F.col("__lt").cast("long").alias("pair_lt"),
+        F.when(
+            valid,
+            (F.col("__gt") - F.col("__lt")).cast("double") / nn,
+        ).alias("cliffs_delta"),
+    )
+
+
+def cucconi_two_sample(
+    df: DataFrame, side, value_col: str = "value", scale: int = 100
+) -> DataFrame:
+    """Cucconi's joint LOCATION-SCALE two-sample test — one statistic
+    that reacts to a center shift AND a spread change together (the
+    classical alternative to running Wilcoxon + Mood side by side,
+    strictly older than and often more powerful than Lepage):
+
+        U = (6*sum R_i^2    - n2(N+1)(2N+1)) / sd
+        V = (6*sum (N+1-R)^2 - n2(N+1)(2N+1)) / sd
+        sd = sqrt(n1 n2 (N+1)(2N+1)(8N+11)/5)
+        rho = 2(N^2-4)/((2N+1)(8N+11)) - 1
+        C = (U^2 + V^2 - 2 rho U V) / (2 (1 - rho^2))
+
+    with R the pooled midranks of the RIGHT sample. Exactness: doubled
+    midranks m = 2P - p + 1 are integers, so 4*sum R^2 = sum c2*m^2
+    and 4*sum (N+1-R)^2 = sum c2*(2(N+1)-m)^2 sum exactly in
+    DECIMAL(38,0); the fixed scalar IEEE tail (a dozen ops from exact
+    integers) is mirrored token-for-token in the DuckDB twin, the
+    mmd2_quadratic convention — no float enters before it, so no
+    rounding is needed.
+
+    One row: (n_left, n_right, u_stat, v_stat, cucconi_c) — NULLs when
+    either side is empty or N < 3 (rho's denominator needs it)."""
+    counts = _ecdf_counts(df, side, value_col, scale, "ecdf_counts_cucconi_")
+    grid, tot = _grid_from_counts(counts)
+    joined = grid.crossJoin(F.broadcast(tot))
+    n_tot = (F.col("n1") + F.col("n2")).cast("decimal(19,0)")
+    # doubled midrank of the grid point in the POOLED sample
+    m = (
+        F.lit(2) * (F.col("f1") + F.col("f2"))
+        - (F.col("c1") + F.col("c2"))
+        + F.lit(1)
+    ).cast("decimal(19,0)")
+    m_contra = F.lit(2).cast("decimal(19,0)") * (n_tot + 1) - m
+    agg = joined.agg(
+        F.sum(F.col("c2").cast("decimal(38,0)") * m * m).alias("__r2x4"),
+        F.sum(
+            F.col("c2").cast("decimal(38,0)") * m_contra * m_contra
+        ).alias("__s2x4"),
+        F.max("n1").alias("n_left"),
+        F.max("n2").alias("n_right"),
+    )
+    n1d = F.col("n_left").cast("double")
+    n2d = F.col("n_right").cast("double")
+    nd = n1d + n2d
+    # fixed scalar tail — mirror token-for-token in the SQL twin
+    sd = F.sqrt(
+        n1d * n2d * (nd + 1.0) * (2.0 * nd + 1.0) * (8.0 * nd + 11.0)
+        / 5.0
+    )
+    u = (
+        6.0 * (F.col("__r2x4").cast("double") / 4.0)
+        - n2d * (nd + 1.0) * (2.0 * nd + 1.0)
+    ) / sd
+    v = (
+        6.0 * (F.col("__s2x4").cast("double") / 4.0)
+        - n2d * (nd + 1.0) * (2.0 * nd + 1.0)
+    ) / sd
+    rho = 2.0 * (nd * nd - 4.0) / ((2.0 * nd + 1.0) * (8.0 * nd + 11.0)) - 1.0
+    c = (u * u + v * v - 2.0 * rho * u * v) / (2.0 * (1.0 - rho * rho))
+    valid = (F.col("n_left") > 0) & (F.col("n_right") > 0) & (
+        (F.col("n_left") + F.col("n_right")) >= 3
+    )
+    return agg.select(
+        "n_left",
+        "n_right",
+        F.when(valid, u).alias("u_stat"),
+        F.when(valid, v).alias("v_stat"),
+        F.when(valid, c).alias("cucconi_c"),
+    )
