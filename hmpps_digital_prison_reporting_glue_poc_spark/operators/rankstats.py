@@ -61,7 +61,15 @@ def mood_scale_two_sample(
     convention). A mood_t far above expected_t means the left sample
     concentrates in the rank EXTREMES (wider spread); far below means
     it concentrates near the pooled median (narrower)."""
-    counts = _ecdf_counts(df, side, value_col, scale, "ecdf_counts_mood_")
+    return mood_from_counts(
+        _ecdf_counts(df, side, value_col, scale, "ecdf_counts_mood_")
+    )
+
+
+def mood_from_counts(counts: DataFrame) -> DataFrame:
+    """Mood's scale test over a pre-aggregated (__qv, c1, c2) count
+    table — shared by the batch operator and the ks_stream state read
+    (streaming twin), like the drift family's *_from_counts."""
     grid, tot = _grid_from_counts(counts)
     joined = grid.crossJoin(F.broadcast(tot))
     n_tot = F.col("n1") + F.col("n2")
@@ -296,7 +304,14 @@ def cliffs_delta_two_sample(
     the doubled-check column pair_gt/pair_lt instead of duplicating).
     One row: (n_left, n_right, pair_gt, pair_lt, cliffs_delta) —
     NULLs when either side is empty."""
-    counts = _ecdf_counts(df, side, value_col, scale, "ecdf_counts_cliffs_")
+    return cliffs_from_counts(
+        _ecdf_counts(df, side, value_col, scale, "ecdf_counts_cliffs_")
+    )
+
+
+def cliffs_from_counts(counts: DataFrame) -> DataFrame:
+    """Cliff's delta over a pre-aggregated (__qv, c1, c2) count table —
+    shared by the batch operator and the ks_stream state read."""
     grid, tot = _grid_from_counts(counts)
     joined = grid.crossJoin(F.broadcast(tot))
     gt = F.col("c1").cast("decimal(19,0)") * (
@@ -352,7 +367,14 @@ def cucconi_two_sample(
 
     One row: (n_left, n_right, u_stat, v_stat, cucconi_c) — NULLs when
     either side is empty or N < 3 (rho's denominator needs it)."""
-    counts = _ecdf_counts(df, side, value_col, scale, "ecdf_counts_cucconi_")
+    return cucconi_from_counts(
+        _ecdf_counts(df, side, value_col, scale, "ecdf_counts_cucconi_")
+    )
+
+
+def cucconi_from_counts(counts: DataFrame) -> DataFrame:
+    """Cucconi over a pre-aggregated (__qv, c1, c2) count table —
+    shared by the batch operator and the ks_stream state read."""
     grid, tot = _grid_from_counts(counts)
     joined = grid.crossJoin(F.broadcast(tot))
     n_tot = (F.col("n1") + F.col("n2")).cast("decimal(19,0)")

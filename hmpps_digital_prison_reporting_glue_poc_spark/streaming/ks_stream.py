@@ -291,3 +291,56 @@ def stream_ks_drift(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def kuiper_from_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Kuiper V = D+ + D- from the merged state (see
+    ``w1_from_state``) — the r11 wave-112 statistic over the SAME
+    store, so one stream serves all nine grid functionals."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import kuiper_from_counts
+
+    return kuiper_from_counts(
+        _counts_from_state(spark, state_path, "kuiper_state_counts_")
+    )
+
+
+def mood_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Mood's squared-rank scale test from the merged state (see
+    ``w1_from_state``)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.rankstats import (
+        mood_from_counts,
+    )
+
+    return mood_from_counts(
+        _counts_from_state(spark, state_path, "mood_state_counts_")
+    )
+
+
+def cliffs_from_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Cliff's delta effect size from the merged state (see
+    ``w1_from_state``)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.rankstats import (
+        cliffs_from_counts,
+    )
+
+    return cliffs_from_counts(
+        _counts_from_state(spark, state_path, "cliffs_state_counts_")
+    )
+
+
+def cucconi_from_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Cucconi joint location-scale test from the merged state (see
+    ``w1_from_state``)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.rankstats import (
+        cucconi_from_counts,
+    )
+
+    return cucconi_from_counts(
+        _counts_from_state(spark, state_path, "cucconi_state_counts_")
+    )
