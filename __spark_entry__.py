@@ -1265,6 +1265,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE113_QUERIES,
         **_WAVE114_QUERIES,
         **_WAVE115_QUERIES,
+        **_WAVE116_QUERIES,
     }
 
 
@@ -1465,6 +1466,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE113_SQL,
         **_WAVE114_SQL,
         **_WAVE115_SQL,
+        **_WAVE116_SQL,
     }
 
 
@@ -17271,4 +17273,218 @@ _WAVE115_QUERIES = {
 _WAVE115_SQL = {
     "cliffs_delta_value_drift": CLIFFS_DELTA_SQL,
     "cucconi_value_drift": CUCCONI_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 116 (r11) — moment-family completions: partial correlation
+# (x,y controlling for z — "is the qty-price association real or just
+# discount policy", the confounder screen regr_corr cannot give) and
+# Lin's concordance correlation (AGREEMENT between the order-header
+# total and the lineitem-derived total — the data-quality reconciliation
+# number: Pearson r scores linearity, CCC also punishes bias and scale
+# shift). Both from exact DECIMAL power sums cast once to double, the
+# regr_corr_lineitem convention (never the engines' own corr()).
+# --------------------------------------------------------------------------
+
+def partial_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag partial correlation of quantity and extended
+    price CONTROLLING for discount, from one exact power-sum pass:
+    r_xy.z = (r_xy - r_xz*r_yz) / sqrt((1-r_xz^2)(1-r_yz^2))."""
+    li = _t(spark, sf_dir, "lineitem")
+    xc = (_dec("l_quantity") * 100).cast("decimal(38,0)")
+    yc = (_dec("l_extendedprice") * 100).cast("decimal(38,0)")
+    zc = (_dec("l_discount") * 100).cast("decimal(38,0)")
+    cents = li.select(
+        "l_returnflag", xc.alias("xc"), yc.alias("yc"), zc.alias("zc")
+    )
+    sums = cents.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xc").cast("double").alias("sx"),
+        F.sum("yc").cast("double").alias("sy"),
+        F.sum("zc").cast("double").alias("sz"),
+        F.sum(F.col("xc") * F.col("yc")).cast("double").alias("sxy"),
+        F.sum(F.col("xc") * F.col("zc")).cast("double").alias("sxz"),
+        F.sum(F.col("yc") * F.col("zc")).cast("double").alias("syz"),
+        F.sum(F.col("xc") * F.col("xc")).cast("double").alias("sx2"),
+        F.sum(F.col("yc") * F.col("yc")).cast("double").alias("sy2"),
+        F.sum(F.col("zc") * F.col("zc")).cast("double").alias("sz2"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = n * F.col("sy2") - F.col("sy") * F.col("sy")
+    vz = n * F.col("sz2") - F.col("sz") * F.col("sz")
+    # each pairwise r is GUARDED before anything touches it: the ANSI
+    # divide-by-zero hides inside the PREDICATE of the partial's guard
+    # otherwise (denom2 contains rxz — evaluating the condition raises
+    # before the CASE can protect; r11 golden-test catch). A NULL r
+    # propagates to a NULL predicate, which CASE treats as false.
+    rxy = F.when(
+        (vx > 0) & (vy > 0),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(vx * vy),
+    )
+    rxz = F.when(
+        (vx > 0) & (vz > 0),
+        (n * F.col("sxz") - F.col("sx") * F.col("sz")) / F.sqrt(vx * vz),
+    )
+    ryz = F.when(
+        (vy > 0) & (vz > 0),
+        (n * F.col("syz") - F.col("sy") * F.col("sz")) / F.sqrt(vy * vz),
+    )
+    denom2 = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    return sums.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        rxy.alias("r_xy"),
+        rxz.alias("r_xz"),
+        ryz.alias("r_yz"),
+        F.when(
+            denom2 > 0, (rxy - rxz * ryz) / F.sqrt(denom2)
+        ).alias("partial_r_xy_z"),
+    )
+
+
+PARTIAL_CORR_SQL = """
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT) AS xc,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT)
+           AS yc,
+         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS HUGEINT) AS zc
+  FROM lineitem),
+sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(xc) AS DOUBLE) AS sx,
+         CAST(SUM(yc) AS DOUBLE) AS sy,
+         CAST(SUM(zc) AS DOUBLE) AS sz,
+         CAST(SUM(xc * yc) AS DOUBLE) AS sxy,
+         CAST(SUM(xc * zc) AS DOUBLE) AS sxz,
+         CAST(SUM(yc * zc) AS DOUBLE) AS syz,
+         CAST(SUM(xc * xc) AS DOUBLE) AS sx2,
+         CAST(SUM(yc * yc) AS DOUBLE) AS sy2,
+         CAST(SUM(zc * zc) AS DOUBLE) AS sz2
+  FROM cents GROUP BY l_returnflag),
+r AS (
+  -- mirror the Spark operator: each pairwise r is guarded to NULL on a
+  -- degenerate margin FIRST, so the partial's predicate sees NULL (not
+  -- a divide-by-zero) and CASE treats it as false
+  SELECT l_returnflag, n,
+         CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+              THEN (n * sxy - sx * sy)
+                   / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+              END AS rxy,
+         CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sz2 - sz * sz) > 0
+              THEN (n * sxz - sx * sz)
+                   / sqrt((n * sx2 - sx * sx) * (n * sz2 - sz * sz))
+              END AS rxz,
+         CASE WHEN (n * sy2 - sy * sy) > 0 AND (n * sz2 - sz * sz) > 0
+              THEN (n * syz - sy * sz)
+                   / sqrt((n * sy2 - sy * sy) * (n * sz2 - sz * sz))
+              END AS ryz
+  FROM sums)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       rxy AS r_xy,
+       rxz AS r_xz,
+       ryz AS r_yz,
+       CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+            THEN (rxy - rxz * ryz)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+            END AS partial_r_xy_z
+FROM r
+"""
+
+
+def ccc_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation between the order-header total
+    (o_totalprice) and the lineitem-derived total sum(charge) per
+    order — the reconciliation AGREEMENT statistic: Pearson r only
+    scores linearity, CCC = 2*cov / (var_x + var_y + (mean gap)^2)
+    also punishes additive bias and scale drift, so a ledger that is
+    'correlated but systematically off' scores below 1. Exact decimal
+    micros end to end (the _charge() products are exact DECIMAL, so
+    no float enters before the closed-form tail); the groupBy and the
+    join share the order key, one co-keyed shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    derived = (
+        li.select(
+            F.col("l_orderkey").alias("okey"),
+            (_charge() * 1000000).cast("decimal(38,0)").alias("__mic"),
+        )
+        .groupBy("okey")
+        .agg(F.sum("__mic").alias("yv"))
+    )
+    header = od.select(
+        F.col("o_orderkey").alias("okey"),
+        (_dec("o_totalprice") * 1000000).cast("decimal(38,0)").alias("xv"),
+    )
+    pairs = header.join(derived, "okey")
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xv").cast("double").alias("sx"),
+        F.sum("yv").cast("double").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("double").alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("double").alias("sx2"),
+        F.sum(F.col("yv") * F.col("yv")).cast("double").alias("sy2"),
+    )
+    n = F.col("n")
+    cov2 = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx2 = n * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy2 = n * F.col("sy2") - F.col("sy") * F.col("sy")
+    gap2 = (F.col("sx") - F.col("sy")) * (F.col("sx") - F.col("sy"))
+    den_r = F.sqrt(vx2 * vy2)
+    den_c = vx2 + vy2 + gap2
+    return sums.select(
+        n.cast("long").alias("n_orders"),
+        F.when((vx2 > 0) & (vy2 > 0), cov2 / den_r).alias("pearson_r"),
+        F.when(den_c > 0, 2.0 * cov2 / den_c).alias("lin_ccc"),
+    )
+
+
+CCC_ORDER_SQL = """
+WITH derived AS (
+  SELECT l_orderkey AS okey,
+         SUM(CAST((CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(12,2))
+                      - CAST(l_discount AS DECIMAL(12,2)))
+                   * (CAST(1 AS DECIMAL(12,2))
+                      + CAST(l_tax AS DECIMAL(12,2)))) * 1000000
+              AS HUGEINT)) AS yv
+  FROM lineitem GROUP BY l_orderkey),
+pairs AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS HUGEINT)
+           AS xv,
+         yv
+  FROM orders JOIN derived ON o_orderkey = okey),
+sums AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(xv) AS DOUBLE) AS sx,
+         CAST(SUM(yv) AS DOUBLE) AS sy,
+         CAST(SUM(xv * yv) AS DOUBLE) AS sxy,
+         CAST(SUM(xv * xv) AS DOUBLE) AS sx2,
+         CAST(SUM(yv * yv) AS DOUBLE) AS sy2
+  FROM pairs)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+            END AS pearson_r,
+       CASE WHEN (n * sx2 - sx * sx) + (n * sy2 - sy * sy)
+                 + (sx - sy) * (sx - sy) > 0
+            THEN 2.0 * (n * sxy - sx * sy)
+                 / ((n * sx2 - sx * sx) + (n * sy2 - sy * sy)
+                    + (sx - sy) * (sx - sy))
+            END AS lin_ccc
+FROM sums
+"""
+
+_WAVE116_QUERIES = {
+    "partial_corr_lineitem": partial_corr_lineitem,
+    "ccc_order_totals": ccc_order_totals,
+}
+_WAVE116_SQL = {
+    "partial_corr_lineitem": PARTIAL_CORR_SQL,
+    "ccc_order_totals": CCC_ORDER_SQL,
 }

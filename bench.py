@@ -461,6 +461,9 @@ BENCH_QUERIES = [
     # wave 115 (r11): Cliff's delta effect size + Cucconi location-scale
     "cliffs_delta_value_drift",
     "cucconi_value_drift",
+    # wave 116 (r11): partial correlation + Lin's CCC reconciliation
+    "partial_corr_lineitem",
+    "ccc_order_totals",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in
