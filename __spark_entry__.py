@@ -1266,6 +1266,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE114_QUERIES,
         **_WAVE115_QUERIES,
         **_WAVE116_QUERIES,
+        **_WAVE117_QUERIES,
     }
 
 
@@ -1467,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE114_SQL,
         **_WAVE115_SQL,
         **_WAVE116_SQL,
+        **_WAVE117_SQL,
     }
 
 
@@ -17487,4 +17489,148 @@ _WAVE116_QUERIES = {
 _WAVE116_SQL = {
     "partial_corr_lineitem": PARTIAL_CORR_SQL,
     "ccc_order_totals": CCC_ORDER_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 117 (r11) — quantile-level drift localization (operators/
+# quantshift.py): the shift function at the nine deciles (WHICH quantiles
+# moved — a location shift moves all nine equally, a scale change fans
+# the tails, a tail contamination moves q90 alone) and exact 10%-trimmed
+# means per side (the robust location-drift number one outlier batch
+# cannot move), both pure integer probes of the shared cent grid.
+# --------------------------------------------------------------------------
+
+def decile_shift_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift function at the nine deciles on the 2024-01-20 split
+    (operators/quantshift.py decile_shift)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.quantshift import decile_shift
+
+    ev = _events(spark, sf_dir)
+    return decile_shift(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+DECILE_SHIFT_SQL = """
+WITH q AS (
+  SELECT (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY qv),
+grid AS (
+  SELECT qv,
+         SUM(c1) OVER (ORDER BY qv) AS f1,
+         SUM(c2) OVER (ORDER BY qv) AS f2
+  FROM counts),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts),
+ks AS (SELECT CAST(range AS BIGINT) AS decile FROM range(1, 10)),
+agg AS (
+  SELECT decile,
+         MIN(CASE WHEN f1 * 10 >= (decile * n1 + 9)
+                                  - (decile * n1 + 9) % 10
+                  THEN qv END) AS q1v,
+         MIN(CASE WHEN f2 * 10 >= (decile * n2 + 9)
+                                  - (decile * n2 + 9) % 10
+                  THEN qv END) AS q2v,
+         MAX(n1) AS n1, MAX(n2) AS n2
+  FROM grid CROSS JOIN tot CROSS JOIN ks
+  GROUP BY decile)
+SELECT decile,
+       CASE WHEN n1 > 0 THEN CAST(q1v AS DOUBLE) / 100.0 END AS q_left,
+       CASE WHEN n2 > 0 THEN CAST(q2v AS DOUBLE) / 100.0 END AS q_right,
+       (CASE WHEN n2 > 0 THEN CAST(q2v AS DOUBLE) / 100.0 END)
+       - (CASE WHEN n1 > 0 THEN CAST(q1v AS DOUBLE) / 100.0 END) AS shift
+FROM agg
+"""
+
+
+def trimmed_mean_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed means per side on the 2024-01-20 split
+    (operators/quantshift.py trimmed_mean_two_sample)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.quantshift import (
+        trimmed_mean_two_sample,
+    )
+
+    ev = _events(spark, sf_dir)
+    return trimmed_mean_two_sample(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+        trim_pct=10,
+    )
+
+
+TRIMMED_MEAN_SQL = """
+WITH q AS (
+  SELECT (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY qv),
+grid AS (
+  SELECT qv, c1, c2,
+         SUM(c1) OVER (ORDER BY qv) AS f1,
+         SUM(c2) OVER (ORDER BY qv) AS f2
+  FROM counts),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+         CAST((SUM(c1) * 10 - (SUM(c1) * 10) % 100) / 100 AS BIGINT)
+           AS t1,
+         CAST((SUM(c2) * 10 - (SUM(c2) * 10) % 100) / 100 AS BIGINT)
+           AS t2
+  FROM counts),
+agg AS (
+  SELECT SUM(CAST(qv AS HUGEINT) * c1) AS s1,
+         SUM(CAST(qv AS HUGEINT) * c2) AS s2,
+         SUM(CAST(qv AS HUGEINT)
+             * GREATEST(0, LEAST(c1, t1 - (f1 - c1)))) AS l1,
+         SUM(CAST(qv AS HUGEINT)
+             * GREATEST(0, LEAST(c1, t1 - (n1 - f1)))) AS h1,
+         SUM(CAST(qv AS HUGEINT)
+             * GREATEST(0, LEAST(c2, t2 - (f2 - c2)))) AS l2,
+         SUM(CAST(qv AS HUGEINT)
+             * GREATEST(0, LEAST(c2, t2 - (n2 - f2)))) AS h2,
+         MAX(n1) AS n_left, MAX(n2) AS n_right,
+         MAX(t1) AS trim_left, MAX(t2) AS trim_right
+  FROM grid CROSS JOIN tot)
+SELECT n_left, n_right, trim_left, trim_right,
+       CASE WHEN n_left > 0 AND n_left - 2 * trim_left > 0
+            THEN CAST(s1 - l1 - h1 AS DOUBLE)
+                 / CAST(n_left - 2 * trim_left AS DOUBLE) / 100.0
+            END AS tmean_left,
+       CASE WHEN n_right > 0 AND n_right - 2 * trim_right > 0
+            THEN CAST(s2 - l2 - h2 AS DOUBLE)
+                 / CAST(n_right - 2 * trim_right AS DOUBLE) / 100.0
+            END AS tmean_right,
+       (CASE WHEN n_right > 0 AND n_right - 2 * trim_right > 0
+             THEN CAST(s2 - l2 - h2 AS DOUBLE)
+                  / CAST(n_right - 2 * trim_right AS DOUBLE) / 100.0
+             END)
+       - (CASE WHEN n_left > 0 AND n_left - 2 * trim_left > 0
+               THEN CAST(s1 - l1 - h1 AS DOUBLE)
+                    / CAST(n_left - 2 * trim_left AS DOUBLE) / 100.0
+               END) AS tmean_shift
+FROM agg
+"""
+
+_WAVE117_QUERIES = {
+    "decile_shift_value_drift": decile_shift_value_drift,
+    "trimmed_mean_value_drift": trimmed_mean_value_drift,
+}
+_WAVE117_SQL = {
+    "decile_shift_value_drift": DECILE_SHIFT_SQL,
+    "trimmed_mean_value_drift": TRIMMED_MEAN_SQL,
 }

@@ -464,6 +464,9 @@ BENCH_QUERIES = [
     # wave 116 (r11): partial correlation + Lin's CCC reconciliation
     "partial_corr_lineitem",
     "ccc_order_totals",
+    # wave 117 (r11): decile shift function + exact trimmed means
+    "decile_shift_value_drift",
+    "trimmed_mean_value_drift",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in
