@@ -1267,6 +1267,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE115_QUERIES,
         **_WAVE116_QUERIES,
         **_WAVE117_QUERIES,
+        **_WAVE118_QUERIES,
     }
 
 
@@ -1469,6 +1470,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE115_SQL,
         **_WAVE116_SQL,
         **_WAVE117_SQL,
+        **_WAVE118_SQL,
     }
 
 
@@ -17633,4 +17635,117 @@ _WAVE117_QUERIES = {
 _WAVE117_SQL = {
     "decile_shift_value_drift": DECILE_SHIFT_SQL,
     "trimmed_mean_value_drift": TRIMMED_MEAN_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 118 (r11) — HITS hubs & authorities over the token bigram graph
+# (operators/hits.py): the second eigenvector-style centrality beside
+# token_pagerank, separating "pointed to by good hubs" (authority) from
+# "points at good authorities" (hub). Fixed 2 weighted iterations with
+# L1 normalization; the 9-dp round + DECIMAL(38,9) order-free sum recipe
+# keeps both engines bit-identical, and the DuckDB twin unrolls the same
+# iterations as CTEs.
+# --------------------------------------------------------------------------
+
+def hits_token_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authorities/hubs over documents' bigram graph
+    (operators/hits.py token_hits), top 30 by (authority desc, token)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.hits import token_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_hits(docs, "doc_id", "text", n_iter=2, top_k=30)
+
+
+HITS_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tl
+  FROM documents),
+bg AS (
+  SELECT tl[i] AS src, tl[i + 1] AS dst
+  FROM toks, UNNEST(generate_series(1, len(tl) - 1)) AS u(i)
+  WHERE len(tl) >= 2),
+e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM bg GROUP BY src, dst),
+nodes AS (SELECT src AS token FROM e UNION SELECT dst FROM e),
+vq AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM nodes),
+s0 AS (
+  SELECT token, ROUND(CAST(1.0 AS DOUBLE) / v, 9) AS authority,
+         ROUND(CAST(1.0 AS DOUBLE) / v, 9) AS hub
+  FROM nodes, vq),
+a1raw AS (
+  SELECT n.token,
+         COALESCE(x.raw, CAST(0 AS DECIMAL(38,9))) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT dst AS token,
+           SUM(CAST(ROUND(s.hub * CAST(w AS DOUBLE), 9)
+                    AS DECIMAL(38,9))) AS raw
+    FROM e JOIN s0 s ON s.token = e.src GROUP BY dst) x
+  USING (token)),
+a1tot AS (SELECT SUM(raw) AS tot FROM a1raw),
+a1 AS (
+  SELECT token,
+         CASE WHEN tot > 0
+              THEN ROUND(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+              ELSE 0.0 END AS authority
+  FROM a1raw, a1tot),
+h1raw AS (
+  SELECT n.token,
+         COALESCE(x.raw, CAST(0 AS DECIMAL(38,9))) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT src AS token,
+           SUM(CAST(ROUND(a.authority * CAST(w AS DOUBLE), 9)
+                    AS DECIMAL(38,9))) AS raw
+    FROM e JOIN a1 a ON a.token = e.dst GROUP BY src) x
+  USING (token)),
+h1tot AS (SELECT SUM(raw) AS tot FROM h1raw),
+h1 AS (
+  SELECT token,
+         CASE WHEN tot > 0
+              THEN ROUND(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+              ELSE 0.0 END AS hub
+  FROM h1raw, h1tot),
+a2raw AS (
+  SELECT n.token,
+         COALESCE(x.raw, CAST(0 AS DECIMAL(38,9))) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT dst AS token,
+           SUM(CAST(ROUND(s.hub * CAST(w AS DOUBLE), 9)
+                    AS DECIMAL(38,9))) AS raw
+    FROM e JOIN h1 s ON s.token = e.src GROUP BY dst) x
+  USING (token)),
+a2tot AS (SELECT SUM(raw) AS tot FROM a2raw),
+a2 AS (
+  SELECT token,
+         CASE WHEN tot > 0
+              THEN ROUND(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+              ELSE 0.0 END AS authority
+  FROM a2raw, a2tot),
+h2raw AS (
+  SELECT n.token,
+         COALESCE(x.raw, CAST(0 AS DECIMAL(38,9))) AS raw
+  FROM nodes n LEFT JOIN (
+    SELECT src AS token,
+           SUM(CAST(ROUND(a.authority * CAST(w AS DOUBLE), 9)
+                    AS DECIMAL(38,9))) AS raw
+    FROM e JOIN a2 a ON a.token = e.dst GROUP BY src) x
+  USING (token)),
+h2tot AS (SELECT SUM(raw) AS tot FROM h2raw),
+h2 AS (
+  SELECT token,
+         CASE WHEN tot > 0
+              THEN ROUND(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+              ELSE 0.0 END AS hub
+  FROM h2raw, h2tot)
+SELECT a2.token, a2.authority, h2.hub
+FROM a2 JOIN h2 USING (token)
+ORDER BY a2.authority DESC, a2.token ASC
+LIMIT 30
+"""
+
+_WAVE118_QUERIES = {
+    "hits_token_graph": hits_token_graph,
+}
+_WAVE118_SQL = {
+    "hits_token_graph": HITS_SQL,
 }

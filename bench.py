@@ -467,6 +467,8 @@ BENCH_QUERIES = [
     # wave 117 (r11): decile shift function + exact trimmed means
     "decile_shift_value_drift",
     "trimmed_mean_value_drift",
+    # wave 118 (r11): HITS hubs & authorities over the bigram graph
+    "hits_token_graph",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in
