@@ -1268,6 +1268,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE116_QUERIES,
         **_WAVE117_QUERIES,
         **_WAVE118_QUERIES,
+        **_WAVE119_QUERIES,
     }
 
 
@@ -1471,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE116_SQL,
         **_WAVE117_SQL,
         **_WAVE118_SQL,
+        **_WAVE119_SQL,
     }
 
 
@@ -17748,4 +17750,247 @@ _WAVE118_QUERIES = {
 }
 _WAVE118_SQL = {
     "hits_token_graph": HITS_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 119 (r11) — association-direction + dominance-direction closers:
+# Theil's U uncertainty coefficients (the ASYMMETRIC normalized mutual
+# information g_test cannot give: U(lang|source) "how predictable is
+# language FROM source" vs its transpose — they differ whenever the
+# contingency table is rectangular) and the first-order stochastic
+# dominance audit over the value grid (does one side's CDF sit above the
+# other EVERYWHERE — the ordering guarantee a mean or median comparison
+# silently assumes). Integer cores: the g_test micro-quantized-log
+# convention for U; pure grid sign counts for dominance.
+# --------------------------------------------------------------------------
+
+def theils_u_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficients between document language and
+    source: U(lang|source) = MI / H(lang) and the transpose. Per-cell
+    log terms quantize to integer micros and sum order-free (the g_test
+    portability convention); the two Us are single final divides."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    # contingency rollup feeds four consumers (row totals, col totals,
+    # grand total, MI terms) — cut once, cells are category-bounded
+    cells = materialize(cells, "theils_cells_")
+    rt = cells.groupBy("lang").agg(F.sum("obs").cast("long").alias("rtot"))
+    ct = cells.groupBy("source").agg(
+        F.sum("obs").cast("long").alias("ctot")
+    )
+    tot = cells.agg(F.sum("obs").cast("long").alias("n"))
+    mi_cells = (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = F.round(
+        F.col("obs").cast("double")
+        * (
+            F.log(
+                F.col("obs").cast("double") * F.col("n").cast("double")
+            )
+            - F.log(
+                F.col("rtot").cast("double") * F.col("ctot").cast("double")
+            )
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    mi = mi_cells.agg(F.sum(mi_term).alias("__mi"))
+    h_term_r = F.round(
+        -F.col("rtot").cast("double")
+        * (
+            F.log(F.col("rtot").cast("double"))
+            - F.log(F.col("n").cast("double"))
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    h_lang = rt.crossJoin(F.broadcast(tot)).agg(
+        F.sum(h_term_r).alias("__hl")
+    )
+    h_term_c = F.round(
+        -F.col("ctot").cast("double")
+        * (
+            F.log(F.col("ctot").cast("double"))
+            - F.log(F.col("n").cast("double"))
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    h_src = ct.crossJoin(F.broadcast(tot)).agg(
+        F.sum(h_term_c).alias("__hs")
+    )
+    out = (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(h_lang))
+        .crossJoin(F.broadcast(h_src))
+    )
+    nd = F.col("n").cast("double")
+    return out.select(
+        F.col("n"),
+        (F.col("__mi").cast("double") / 1000000.0 / nd).alias("mi_nats"),
+        F.when(
+            F.col("__hl") > 0,
+            F.col("__mi").cast("double") / F.col("__hl").cast("double"),
+        ).alias("u_lang_given_source"),
+        F.when(
+            F.col("__hs") > 0,
+            F.col("__mi").cast("double") / F.col("__hs").cast("double"),
+        ).alias("u_source_given_lang"),
+    )
+
+
+THEILS_U_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS rtot
+       FROM cells GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS ctot
+       FROM cells GROUP BY source),
+tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT SUM(CAST(round(CAST(obs AS DOUBLE)
+                        * (ln(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE))
+                           - ln(CAST(rtot AS DOUBLE)
+                                * CAST(ctot AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT)) AS mi6
+  FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+  CROSS JOIN tot),
+hl AS (
+  SELECT SUM(CAST(round(-CAST(rtot AS DOUBLE)
+                        * (ln(CAST(rtot AS DOUBLE))
+                           - ln(CAST(n AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT)) AS hl6
+  FROM rt CROSS JOIN tot),
+hs AS (
+  SELECT SUM(CAST(round(-CAST(ctot AS DOUBLE)
+                        * (ln(CAST(ctot AS DOUBLE))
+                           - ln(CAST(n AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT)) AS hs6
+  FROM ct CROSS JOIN tot)
+SELECT n,
+       CAST(mi6 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mi_nats,
+       CASE WHEN hl6 > 0
+            THEN CAST(mi6 AS DOUBLE) / CAST(hl6 AS DOUBLE)
+            END AS u_lang_given_source,
+       CASE WHEN hs6 > 0
+            THEN CAST(mi6 AS DOUBLE) / CAST(hs6 AS DOUBLE)
+            END AS u_source_given_lang
+FROM tot CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs
+"""
+
+
+def dominance_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order stochastic dominance audit on the 2024-01-20 split:
+    at how many grid points does each side's ECDF sit strictly above,
+    and does either dominate EVERYWHERE (the ordering guarantee mean /
+    median comparisons silently assume). Pure integer sign counts of
+    d = f1*n2 - f2*n1 over the shared cent grid."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import (
+        _ecdf_counts,
+        _grid_from_counts,
+    )
+
+    ev = _events(spark, sf_dir)
+    counts = _ecdf_counts(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        100,
+        "ecdf_counts_dom_",
+    )
+    grid, tot = _grid_from_counts(counts)
+    joined = grid.crossJoin(F.broadcast(tot))
+    d = F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+    # every aggregate coalesces to 0 on an EMPTY grid (sum/max over
+    # nothing is NULL, which would NULL the boolean AND-chains below —
+    # the fuzz empty/nulls seeds)
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_grid"),
+        F.coalesce(F.sum(F.when(d > 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("pts_left_above"),
+        F.coalesce(F.sum(F.when(d < 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("pts_right_above"),
+        F.coalesce(F.max("n1"), F.lit(0)).cast("long").alias("n_left"),
+        F.coalesce(F.max("n2"), F.lit(0)).cast("long").alias("n_right"),
+    )
+    # dominance flags are plain FALSE (never NULL) when a side is empty
+    # — "no evidence of dominance"; the fuzz harness forbids NULL
+    # booleans (pandas object-dtype hash hazard), and the degenerate
+    # case stays visible through n_left/n_right
+    valid = (F.col("n_left") > 0) & (F.col("n_right") > 0)
+    return agg.select(
+        "n_grid",
+        "n_left",
+        "n_right",
+        "pts_left_above",
+        "pts_right_above",
+        # left's CDF never below right's, and strictly above somewhere:
+        # the RIGHT side first-order dominates (bigger values)
+        (
+            valid
+            & (F.col("pts_right_above") == 0)
+            & (F.col("pts_left_above") > 0)
+        ).alias("right_fosd"),
+        (
+            valid
+            & (F.col("pts_left_above") == 0)
+            & (F.col("pts_right_above") > 0)
+        ).alias("left_fosd"),
+    )
+
+
+DOMINANCE_SQL = """
+WITH q AS (
+  SELECT (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY qv),
+grid AS (
+  SELECT qv,
+         SUM(c1) OVER (ORDER BY qv) AS f1,
+         SUM(c2) OVER (ORDER BY qv) AS f2
+  FROM counts),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_grid,
+         CAST(COALESCE(SUM(CASE WHEN f1 * n2 - f2 * n1 > 0
+                                THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS pts_left_above,
+         CAST(COALESCE(SUM(CASE WHEN f1 * n2 - f2 * n1 < 0
+                                THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS pts_right_above,
+         CAST(COALESCE(MAX(n1), 0) AS BIGINT) AS n_left,
+         CAST(COALESCE(MAX(n2), 0) AS BIGINT) AS n_right
+  FROM grid CROSS JOIN tot)
+SELECT n_grid, n_left, n_right, pts_left_above, pts_right_above,
+       (n_left > 0 AND n_right > 0
+        AND pts_right_above = 0 AND pts_left_above > 0) AS right_fosd,
+       (n_left > 0 AND n_right > 0
+        AND pts_left_above = 0 AND pts_right_above > 0) AS left_fosd
+FROM agg
+"""
+
+_WAVE119_QUERIES = {
+    "theils_u_lang_source": theils_u_lang_source,
+    "dominance_value_drift": dominance_value_drift,
+}
+_WAVE119_SQL = {
+    "theils_u_lang_source": THEILS_U_SQL,
+    "dominance_value_drift": DOMINANCE_SQL,
 }

@@ -469,6 +469,9 @@ BENCH_QUERIES = [
     "trimmed_mean_value_drift",
     # wave 118 (r11): HITS hubs & authorities over the bigram graph
     "hits_token_graph",
+    # wave 119 (r11): Theil's U coefficients + FOSD dominance audit
+    "theils_u_lang_source",
+    "dominance_value_drift",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in
