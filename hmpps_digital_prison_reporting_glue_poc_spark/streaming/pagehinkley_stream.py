@@ -139,3 +139,45 @@ def stream_page_hinkley(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _daily_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merged per-day cents series from the live state — the shared
+    input for every day-grain read over this store (deltas are
+    associative, so the merge is bit-identical to a one-pass rollup
+    of everything streamed)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.streaming.state_compact import live_state
+
+    return (
+        live_state(
+            spark, state_path, schema="day date, x long, __batch_id long"
+        )
+        .groupBy("day")
+        .agg(F.sum("x").cast("long").alias("x"))
+    )
+
+
+def ljung_box_from_state(
+    spark: SparkSession, state_path: str, max_lag: int = 7
+) -> DataFrame:
+    """Cumulative Ljung-Box / Box-Pierce over the merged live state —
+    the r11 wave-114 diagnostics on the SAME day-grain store the
+    Page-Hinkley monitor maintains, so one stream serves the whole
+    trend-diagnostics family."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.tsdiag import ljung_box_daily
+
+    return ljung_box_daily(
+        _daily_from_state(spark, state_path), "day", "x", max_lag=max_lag
+    )
+
+
+def durbin_watson_from_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Durbin-Watson over the merged live state (see
+    ``ljung_box_from_state``)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.tsdiag import (
+        durbin_watson_daily,
+    )
+
+    return durbin_watson_daily(_daily_from_state(spark, state_path), "day", "x")
