@@ -1269,6 +1269,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_WAVE117_QUERIES,
         **_WAVE118_QUERIES,
         **_WAVE119_QUERIES,
+        **_WAVE120_QUERIES,
+        **_WAVE121_QUERIES,
+        **_WAVE122_QUERIES,
     }
 
 
@@ -1473,6 +1476,9 @@ def oracle_sql() -> dict[str, str]:
         **_WAVE117_SQL,
         **_WAVE118_SQL,
         **_WAVE119_SQL,
+        **_WAVE120_SQL,
+        **_WAVE121_SQL,
+        **_WAVE122_SQL,
     }
 
 
@@ -17993,4 +17999,574 @@ _WAVE119_QUERIES = {
 _WAVE119_SQL = {
     "theils_u_lang_source": THEILS_U_SQL,
     "dominance_value_drift": DOMINANCE_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 120 (r11) — dependence-measure completions (operators/
+# dependence.py): Hoeffding's D (consistent against ANY dependence, not
+# just the monotone kind kendall/spearman see — exact 16-scaled integer
+# cores over the dense 50x11 bivariate grid), Blomqvist's beta (the
+# quadrant correlation around exact type-1 medians — the maximally
+# outlier-immune dependence screen), and Goodman-Kruskal lambda (the
+# directional categorical PRE measure beside the symmetric Cramér's V
+# and entropy-based Theil's U).
+# --------------------------------------------------------------------------
+
+def hoeffding_d_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoeffding's D independence test between lineitem quantity and
+    discount percent (operators/dependence.py hoeffding_d): the O(n^2)
+    bivariate rank statistic collapsed onto the dense 50x11 grid."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.dependence import (
+        hoeffding_d,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+    )
+    return hoeffding_d(li, "qty", "disc_pct")
+
+
+HOEFFDING_D_SQL = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY x, y),
+xs AS (SELECT DISTINCT x FROM cells),
+ys AS (SELECT DISTINCT y FROM cells),
+dense AS (
+  SELECT xs.x, ys.y, COALESCE(cl.c, 0) AS c
+  FROM xs CROSS JOIN ys
+  LEFT JOIN cells cl ON cl.x = xs.x AND cl.y = ys.y),
+cum AS (
+  SELECT x, y, c,
+         COALESCE(SUM(c) OVER (PARTITION BY x ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS el,
+         COALESCE(SUM(c) OVER (PARTITION BY y ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS le
+  FROM dense),
+cum2 AS (
+  SELECT x, y, c, el, le,
+         COALESCE(SUM(el) OVER (PARTITION BY y ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ll
+  FROM cum
+  QUALIFY c > 0),
+margx AS (
+  SELECT x, 2 * (SUM(SUM(c)) OVER (ORDER BY x) - SUM(c)) + SUM(c) + 1
+           AS r2
+  FROM cells GROUP BY x),
+margy AS (
+  SELECT y, 2 * (SUM(SUM(c)) OVER (ORDER BY y) - SUM(c)) + SUM(c) + 1
+           AS s2
+  FROM cells GROUP BY y),
+pts AS (
+  SELECT d.c,
+         4 * d.ll + 2 * d.el + 2 * d.le + d.c - 1 AS q4,
+         mx.r2, my.s2
+  FROM cum2 d
+  JOIN margx mx ON mx.x = d.x
+  JOIN margy my ON my.y = d.y),
+agg AS (
+  SELECT SUM(CAST(c AS HUGEINT) * q4 * (q4 - 4)) AS hd1,
+         SUM(CAST(c AS HUGEINT) * (r2 - 2) * (r2 - 4)
+             * (s2 - 2) * (s2 - 4)) AS hd2,
+         SUM(CAST(c AS HUGEINT) * (r2 - 4) * (s2 - 4) * q4) AS hd3,
+         COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n_total
+  FROM pts)
+SELECT n_total,
+       CASE WHEN n_total >= 5
+            THEN CAST(hd1 AS DOUBLE) / 16.0 END AS d1_16x,
+       CASE WHEN n_total >= 5
+            THEN CAST(hd2 AS DOUBLE) / 16.0 END AS d2_16x,
+       CASE WHEN n_total >= 5
+            THEN CAST(hd3 AS DOUBLE) / 16.0 END AS d3_16x,
+       CASE WHEN n_total >= 5
+            THEN 30.0 * ((CAST(n_total AS DOUBLE) - 2.0)
+                         * (CAST(n_total AS DOUBLE) - 3.0)
+                         * (CAST(hd1 AS DOUBLE) / 16.0)
+                         + (CAST(hd2 AS DOUBLE) / 16.0)
+                         - 2.0 * (CAST(n_total AS DOUBLE) - 2.0)
+                           * (CAST(hd3 AS DOUBLE) / 16.0))
+                 / (CAST(n_total AS DOUBLE)
+                    * (CAST(n_total AS DOUBLE) - 1.0)
+                    * (CAST(n_total AS DOUBLE) - 2.0)
+                    * (CAST(n_total AS DOUBLE) - 3.0)
+                    * (CAST(n_total AS DOUBLE) - 4.0))
+            END AS hoeffding_d
+FROM agg
+"""
+
+
+def blomqvist_beta_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blomqvist's medial correlation between lineitem quantity and
+    price cents (operators/dependence.py blomqvist_beta): quadrant
+    signs around exact type-1 lower medians."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.dependence import (
+        blomqvist_beta,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return blomqvist_beta(li, "qty", "cents")
+
+
+BLOMQVIST_SQL = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY x, y),
+tot AS (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n_total FROM cells),
+medx AS (
+  SELECT MIN(x) AS med_x FROM (
+    SELECT x, SUM(SUM(c)) OVER (ORDER BY x) AS f FROM cells GROUP BY x),
+    tot
+  WHERE f >= (n_total + 1) // 2),
+medy AS (
+  SELECT MIN(y) AS med_y FROM (
+    SELECT y, SUM(SUM(c)) OVER (ORDER BY y) AS f FROM cells GROUP BY y),
+    tot
+  WHERE f >= (n_total + 1) // 2),
+agg AS (
+  SELECT COALESCE(CAST(SUM(CASE WHEN (x > med_x AND y > med_y)
+                                  OR (x < med_x AND y < med_y)
+                                THEN c END) AS BIGINT), 0) AS n_conc,
+         COALESCE(CAST(SUM(CASE WHEN (x > med_x AND y < med_y)
+                                  OR (x < med_x AND y > med_y)
+                                THEN c END) AS BIGINT), 0) AS n_disc,
+         MAX(med_x) AS med_x, MAX(med_y) AS med_y
+  FROM cells CROSS JOIN medx CROSS JOIN medy)
+SELECT t.n_total, a.med_x, a.med_y, a.n_conc, a.n_disc,
+       CASE WHEN a.n_conc + a.n_disc > 0
+            THEN CAST(a.n_conc - a.n_disc AS DOUBLE)
+                 / CAST(a.n_conc + a.n_disc AS DOUBLE)
+            END AS beta
+FROM agg a CROSS JOIN tot t
+"""
+
+
+def gk_lambda_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal lambda between document language and source
+    (operators/dependence.py gk_lambda): how much better the modal
+    guess of one category gets knowing the other."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.dependence import (
+        gk_lambda,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "source")
+    return gk_lambda(docs, "lang", "source")
+
+
+GK_LAMBDA_SQL = """
+WITH base AS (
+  SELECT lang AS x, source AS y FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL),
+cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY x, y),
+rowmax AS (
+  SELECT COALESCE(CAST(SUM(m) AS BIGINT), 0) AS sum_rowmax
+  FROM (SELECT MAX(c) AS m FROM cells GROUP BY x)),
+colmax AS (
+  SELECT COALESCE(CAST(SUM(m) AS BIGINT), 0) AS sum_colmax
+  FROM (SELECT MAX(c) AS m FROM cells GROUP BY y)),
+rowmarg AS (
+  SELECT COALESCE(CAST(MAX(s) AS BIGINT), 0) AS max_row_margin
+  FROM (SELECT SUM(c) AS s FROM cells GROUP BY x)),
+colmarg AS (
+  SELECT COALESCE(CAST(MAX(s) AS BIGINT), 0) AS max_col_margin
+  FROM (SELECT SUM(c) AS s FROM cells GROUP BY y)),
+tot AS (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n_total FROM cells)
+SELECT n_total, sum_rowmax, sum_colmax, max_row_margin, max_col_margin,
+       CASE WHEN n_total - max_col_margin > 0
+            THEN CAST(sum_rowmax - max_col_margin AS DOUBLE)
+                 / CAST(n_total - max_col_margin AS DOUBLE)
+            END AS lambda_y_x,
+       CASE WHEN n_total - max_row_margin > 0
+            THEN CAST(sum_colmax - max_row_margin AS DOUBLE)
+                 / CAST(n_total - max_row_margin AS DOUBLE)
+            END AS lambda_x_y,
+       CASE WHEN (n_total - max_col_margin) + (n_total - max_row_margin)
+                 > 0
+            THEN CAST(sum_rowmax + sum_colmax - max_col_margin
+                      - max_row_margin AS DOUBLE)
+                 / CAST((n_total - max_col_margin)
+                        + (n_total - max_row_margin) AS DOUBLE)
+            END AS lambda_sym
+FROM tot CROSS JOIN rowmax CROSS JOIN colmax
+CROSS JOIN rowmarg CROSS JOIN colmarg
+"""
+
+_WAVE120_QUERIES = {
+    "hoeffding_d_qty_discount": hoeffding_d_qty_discount,
+    "blomqvist_beta_qty_price": blomqvist_beta_qty_price,
+    "gk_lambda_lang_source": gk_lambda_lang_source,
+}
+_WAVE120_SQL = {
+    "hoeffding_d_qty_discount": HOEFFDING_D_SQL,
+    "blomqvist_beta_qty_price": BLOMQVIST_SQL,
+    "gk_lambda_lang_source": GK_LAMBDA_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 121 (r11) — shift/scale estimation completions (operators/
+# rankstats.py, operators/dependence.py): Ansari-Bradley (the
+# center-out rank-score scale test beside Mood's squared-rank form,
+# with a *_from_counts entry reading the same ks_stream state schema),
+# the Hodges-Lehmann two-sample shift estimator (the robust "how far
+# did it move" companion to the Wilcoxon machinery — exact lower median
+# of all n1*n2 pairwise differences, collapsed onto the grid x grid
+# difference distribution), and Chatterjee's xi (the 2020 dependence
+# coefficient that detects non-monotone functional dependence,
+# deterministic-tiebreak variant collapsed to the grid boundary walk).
+# --------------------------------------------------------------------------
+
+def ansari_bradley_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test on the 2024-01-20 split
+    (operators/rankstats.py ansari_bradley_two_sample)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.rankstats import (
+        ansari_bradley_two_sample,
+    )
+
+    ev = _events(spark, sf_dir)
+    return ansari_bradley_two_sample(
+        ev,
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp"),
+        "value",
+        scale=100,
+    )
+
+
+ANSARI_SQL = """
+WITH q AS (
+  SELECT (ts >= TIMESTAMP '2024-01-20') AS r,
+         CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS qv
+  FROM events),
+counts AS (
+  SELECT qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY qv),
+grid AS (
+  SELECT qv, c1, c2,
+         SUM(c1) OVER (ORDER BY qv) AS f1,
+         SUM(c2) OVER (ORDER BY qv) AS f2
+  FROM counts),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+        FROM counts),
+agg AS (
+  SELECT SUM(CAST(c1 AS HUGEINT)
+             * LEAST(2 * (f1 + f2) - (c1 + c2) + 1,
+                     2 * (n1 + n2 + 1)
+                     - (2 * (f1 + f2) - (c1 + c2) + 1))) AS ab2,
+         SUM(CAST(c1 + c2 AS HUGEINT)
+             * LEAST(2 * (f1 + f2) - (c1 + c2) + 1,
+                     2 * (n1 + n2 + 1)
+                     - (2 * (f1 + f2) - (c1 + c2) + 1))) AS s2,
+         MAX(n1) AS n_left, MAX(n2) AS n_right
+  FROM grid CROSS JOIN tot)
+SELECT n_left, n_right,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(ab2 AS DOUBLE) / 2.0 END AS ab_stat,
+       CASE WHEN n_left > 0 AND n_right > 0
+            THEN CAST(CAST(n_left AS HUGEINT) * s2 AS DOUBLE)
+                 / (2.0 * CAST(n_left + n_right AS DOUBLE))
+            END AS expected_ab
+FROM agg
+"""
+
+
+def hodges_lehmann_qty_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift estimate of lineitem quantity between open
+    and finished linestatus populations (operators/rankstats.py
+    hodges_lehmann_shift): exact lower median of all pairwise
+    differences over the 50x50 quantity difference grid."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.rankstats import (
+        hodges_lehmann_shift,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hodges_lehmann_shift(
+        li, F.col("l_linestatus") == F.lit("O"), "l_quantity", scale=1
+    )
+
+
+HODGES_LEHMANN_SQL = """
+WITH q AS (
+  SELECT (l_linestatus = 'O') AS r,
+         CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1, 0) AS BIGINT) AS qv
+  FROM lineitem),
+counts AS (
+  SELECT qv,
+         CAST(SUM(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM q WHERE qv IS NOT NULL GROUP BY qv),
+a AS (SELECT qv AS va, c1 FROM counts WHERE c1 > 0),
+b AS (SELECT qv AS vb, c2 FROM counts WHERE c2 > 0),
+dist AS (
+  SELECT b.vb - a.va AS d,
+         SUM(CAST(a.c1 AS HUGEINT) * b.c2) AS w
+  FROM a CROSS JOIN b GROUP BY 1),
+cum AS (SELECT d, SUM(w) OVER (ORDER BY d) AS f FROM dist),
+tot AS (SELECT COALESCE(CAST(SUM(c1) AS BIGINT), 0) AS n_left,
+               COALESCE(CAST(SUM(c2) AS BIGINT), 0) AS n_right
+        FROM counts),
+med AS (
+  SELECT MIN(d) AS hl FROM cum CROSS JOIN tot
+  WHERE f >= (CAST(n_left AS HUGEINT) * n_right + 1) // 2)
+SELECT t.n_left, t.n_right,
+       CAST(CAST(t.n_left AS HUGEINT) * t.n_right AS BIGINT) AS n_pairs,
+       CASE WHEN t.n_left > 0 AND t.n_right > 0 THEN m.hl END AS hl_shift
+FROM tot t CROSS JOIN med m
+"""
+
+
+def chatterjee_xi_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's xi dependence coefficient from lineitem quantity to
+    discount percent (operators/dependence.py chatterjee_xi): the exact
+    EXPECTED statistic over the prescribed random tie-break, computed
+    on the 50x11 grid (block pair sums + boundary fans)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.dependence import (
+        chatterjee_xi,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+    )
+    return chatterjee_xi(li, "qty", "disc_pct")
+
+
+CHATTERJEE_XI_SQL = """
+WITH base AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+cells AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY x, y),
+margy AS (
+  SELECT y, CAST(SUM(SUM(c)) OVER (ORDER BY y) AS BIGINT) AS r
+  FROM cells GROUP BY y),
+ranked AS (
+  SELECT cl.x, cl.y, cl.c, m.r
+  FROM cells cl JOIN margy m ON m.y = cl.y),
+blocks AS (SELECT x, CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY x),
+s2in AS (
+  SELECT a.x, SUM(CAST(a.c AS HUGEINT) * b.c * ABS(a.r - b.r)) AS s2
+  FROM ranked a JOIN ranked b ON a.x = b.x AND a.y <> b.y
+  GROUP BY a.x),
+within AS (
+  SELECT COALESCE(CAST(SUM(
+           CASE WHEN s2 IS NOT NULL
+                THEN CAST(round(1000000.0 * CAST(s2 AS DOUBLE)
+                                / CAST(m AS DOUBLE), 0) AS BIGINT)
+                ELSE 0 END) AS BIGINT), 0) AS w
+  FROM blocks LEFT JOIN s2in USING (x)),
+nxt AS (
+  SELECT x, m AS mi,
+         LEAD(x) OVER (ORDER BY x) AS xn,
+         LEAD(m) OVER (ORDER BY x) AS mj
+  FROM blocks QUALIFY xn IS NOT NULL),
+sij AS (
+  SELECT n.x, n.mi, n.mj,
+         SUM(CAST(bi.c AS HUGEINT) * bj.c * ABS(bi.r - bj.r)) AS s
+  FROM nxt n
+  JOIN ranked bi ON bi.x = n.x
+  JOIN ranked bj ON bj.x = n.xn
+  GROUP BY n.x, n.mi, n.mj),
+boundary AS (
+  SELECT COALESCE(CAST(SUM(
+           CAST(round(1000000.0 * CAST(s AS DOUBLE)
+                      / (CAST(mi AS DOUBLE) * CAST(mj AS DOUBLE)), 0)
+                AS BIGINT)) AS BIGINT), 0) AS b
+  FROM sij),
+tot AS (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n_total FROM cells)
+SELECT n_total,
+       w + b AS exp_sum_micros,
+       CASE WHEN n_total >= 2
+            THEN 1.0 - 3.0 * (CAST(w + b AS DOUBLE) / 1000000.0)
+                 / CAST(CAST(n_total AS HUGEINT) * n_total - 1 AS DOUBLE)
+            END AS xi
+FROM tot CROSS JOIN within CROSS JOIN boundary
+"""
+
+_WAVE121_QUERIES = {
+    "ansari_bradley_value_drift": ansari_bradley_value_drift,
+    "hodges_lehmann_qty_shift": hodges_lehmann_qty_shift,
+    "chatterjee_xi_qty_discount": chatterjee_xi_qty_discount,
+}
+_WAVE121_SQL = {
+    "ansari_bradley_value_drift": ANSARI_SQL,
+    "hodges_lehmann_qty_shift": HODGES_LEHMANN_SQL,
+    "chatterjee_xi_qty_discount": CHATTERJEE_XI_SQL,
+}
+
+
+# --------------------------------------------------------------------------
+# Wave 122 (r11) — entity-level contribution inequality: the full index
+# family (exact-core Gini via doubled midranks on the spend grid,
+# micro-quantized-log Theil T / Theil L, Atkinson(1) = 1 - exp(-L))
+# over per-customer spend. token_gini_docs audits token concentration;
+# this audits ENTITY concentration — "how unequal are the customers'
+# corpus contributions" — the training-data-mixing question at account
+# grain. Integer cores: Gini's 2*sum(r_i*x_i) = sum c*x*m with doubled
+# midranks m = 2F - c + 1 is a pure DECIMAL(38,0) sum (ties exact); the
+# log sums quantize ln(x) to integer micros per DISTINCT value before
+# the exact integer multiply (the g_test/theils_u portability
+# convention — a last-ULP libm difference moves the rounded term by
+# ~1e-10 micros, unobservable), leaving a 3-op scalar tail mirrored
+# token-for-token.
+# --------------------------------------------------------------------------
+
+def spend_inequality_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini / Theil T / Theil L / Atkinson(1) over per-customer total
+    spend cents. One row: (n_customers, total_cents, gini, theil_t,
+    theil_l, atkinson_1) — indices NULL when no positive spend rows
+    exist."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+
+    orders = _t(spark, sf_dir, "orders")
+    spend = (
+        orders.filter(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("__x")
+        )
+        .filter(F.col("__x") > 0)
+    )
+    # distinct-spend value grid (customer-count-bounded, usually far
+    # smaller) feeding the cumulative, the log sums and totals — cut once
+    cells = materialize(
+        spend.groupBy("__x").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        "ineq_cells_",
+    )
+    # two-level bucketed cumulative for the doubled midranks (the drift
+    # family skew discipline)
+    keyed = cells.withColumn(
+        "__bk", F.floor(F.col("__x") / F.lit(1024)).cast("long")
+    )
+    bsums = keyed.groupBy("__bk").agg(F.sum("c").alias("__b"))
+    w_boff = Window.orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boffs = bsums.select(
+        "__bk",
+        F.coalesce(F.sum("__b").over(w_boff), F.lit(0)).alias("__o"),
+    )
+    w_in = (
+        Window.partitionBy("__bk")
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = keyed.join(F.broadcast(boffs), "__bk").select(
+        "__x",
+        "c",
+        (F.sum("c").over(w_in) + F.col("__o")).cast("long").alias("__f"),
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    # micro-quantized ln per DISTINCT value: round(1e6 * ln(x_cents))
+    lmic = F.round(
+        F.lit(1000000.0) * F.log(F.col("__x").cast("double")), 0
+    ).cast("long")
+    m = F.lit(2) * F.col("__f") - F.col("c") + F.lit(1)
+    agg = cum.agg(
+        F.coalesce(F.sum(d19(F.col("c")) * d19(F.col("__x"))), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("__s"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_customers"),
+        F.sum(d19(F.col("c")) * d19(F.col("__x")) * d19(m)).alias("__cxm"),
+        F.sum(d19(F.col("c")) * d19(F.col("__x")) * d19(lmic)).alias(
+            "__sxl"
+        ),
+        F.sum(d19(F.col("c")) * d19(lmic)).alias("__sl"),
+    )
+    nd = F.col("n_customers").cast("double")
+    sd = F.col("__s").cast("double")
+    valid = F.col("n_customers") > 0
+    # G = sum(c*x*m) / (n * S) - (n + 1) / n  (exact integer core)
+    gini = F.col("__cxm").cast("double") / (nd * sd) - (
+        nd + F.lit(1.0)
+    ) / nd
+    # T = SXL / (1e6 * S) - ln(S / n); L = ln(S / n) - SL / (1e6 * n)
+    ln_mu = F.log(sd / nd)
+    theil_t = F.col("__sxl").cast("double") / (F.lit(1000000.0) * sd) - ln_mu
+    theil_l = ln_mu - F.col("__sl").cast("double") / (F.lit(1000000.0) * nd)
+    return agg.select(
+        "n_customers",
+        F.col("__s").cast("long").alias("total_cents"),
+        F.when(valid, gini).alias("gini"),
+        F.when(valid, theil_t).alias("theil_t"),
+        F.when(valid, theil_l).alias("theil_l"),
+        F.when(valid, F.lit(1.0) - F.exp(-theil_l)).alias("atkinson_1"),
+    )
+
+
+SPEND_INEQUALITY_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY o_custkey
+  HAVING SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) > 0),
+cells AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM spend GROUP BY x),
+cum AS (
+  SELECT x, c, CAST(SUM(c) OVER (ORDER BY x) AS BIGINT) AS f,
+         CAST(round(1000000.0 * ln(CAST(x AS DOUBLE)), 0) AS BIGINT) AS l
+  FROM cells),
+agg AS (
+  SELECT COALESCE(CAST(SUM(CAST(c AS HUGEINT) * x) AS HUGEINT), 0) AS s,
+         COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n,
+         SUM(CAST(c AS HUGEINT) * x * (2 * f - c + 1)) AS cxm,
+         SUM(CAST(c AS HUGEINT) * x * l) AS sxl,
+         SUM(CAST(c AS HUGEINT) * l) AS sl
+  FROM cum)
+SELECT n AS n_customers,
+       CAST(s AS BIGINT) AS total_cents,
+       CASE WHEN n > 0
+            THEN CAST(cxm AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+            END AS gini,
+       CASE WHEN n > 0
+            THEN CAST(sxl AS DOUBLE) / (1000000.0 * CAST(s AS DOUBLE))
+                 - ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            END AS theil_t,
+       CASE WHEN n > 0
+            THEN ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 - CAST(sl AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))
+            END AS theil_l,
+       CASE WHEN n > 0
+            THEN 1.0 - exp(-(ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 - CAST(sl AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE))))
+            END AS atkinson_1
+FROM agg
+"""
+
+_WAVE122_QUERIES = {
+    "spend_inequality_customers": spend_inequality_customers,
+}
+_WAVE122_SQL = {
+    "spend_inequality_customers": SPEND_INEQUALITY_SQL,
 }

@@ -472,6 +472,16 @@ BENCH_QUERIES = [
     # wave 119 (r11): Theil's U coefficients + FOSD dominance audit
     "theils_u_lang_source",
     "dominance_value_drift",
+    # wave 120 (r11): Hoeffding's D, Blomqvist beta, Goodman-Kruskal lambda
+    "hoeffding_d_qty_discount",
+    "blomqvist_beta_qty_price",
+    "gk_lambda_lang_source",
+    # wave 121 (r11): Ansari-Bradley, Hodges-Lehmann, Chatterjee's xi
+    "ansari_bradley_value_drift",
+    "hodges_lehmann_qty_shift",
+    "chatterjee_xi_qty_discount",
+    # wave 122 (r11): customer-spend inequality index family
+    "spend_inequality_customers",
 ]
 
 # Deliberately NOT benched, with the reason on record. Everything in

@@ -421,3 +421,163 @@ def cucconi_from_counts(counts: DataFrame) -> DataFrame:
         F.when(valid, v).alias("v_stat"),
         F.when(valid, c).alias("cucconi_c"),
     )
+
+
+def ansari_bradley_two_sample(
+    df: DataFrame, side, value_col: str = "value", scale: int = 100
+) -> DataFrame:
+    """Ansari-Bradley scale test between the value distributions of two
+    row populations (wave 121) — the center-in/center-out rank score
+    complement of Mood's squared-rank test: scores a_i = min(r_i,
+    N+1-r_i) are LARGEST in the pooled middle, so a left sample whose
+    AB statistic falls below its H0 mean is WIDER than the right.
+
+    Returns ONE row: (n_left, n_right, ab_stat, expected_ab) — ab_stat
+    the left sample's score sum with midrank tie handling, expected_ab
+    the tie-exact H0 mean n1 * S / N (S the pooled score sum). EXACT:
+    doubled midranks m = 2P - p + 1 are integers, so the doubled score
+    t = min(m, 2(N+1) - m) sums in DECIMAL(38,0); the only float ops
+    are the two final divides. Both outputs NULL when either side is
+    empty (the r9 fuzz-guard convention)."""
+    return ansari_from_counts(
+        _ecdf_counts(df, side, value_col, scale, "ecdf_counts_ansari_")
+    )
+
+
+def ansari_from_counts(counts: DataFrame) -> DataFrame:
+    """Ansari-Bradley over a pre-aggregated (__qv, c1, c2) count table —
+    shared by the batch operator and any ks_stream state read (the
+    mood_from_counts streaming-twin pattern)."""
+    grid, tot = _grid_from_counts(counts)
+    joined = grid.crossJoin(F.broadcast(tot))
+    n_tot = F.col("n1") + F.col("n2")
+    # doubled midrank m = 2P - p + 1; doubled AB score
+    # t = min(m, 2(N+1) - m) = 2 * min(midrank, N+1-midrank), an integer
+    m = (
+        F.lit(2) * (F.col("f1") + F.col("f2"))
+        - (F.col("c1") + F.col("c2"))
+        + F.lit(1)
+    )
+    t = F.least(m, F.lit(2) * (n_tot + F.lit(1)) - m).cast("decimal(19,0)")
+    agg = joined.agg(
+        F.sum(F.col("c1").cast("decimal(19,0)") * t).alias("__ab2"),
+        F.sum((F.col("c1") + F.col("c2")).cast("decimal(19,0)") * t).alias(
+            "__s2"
+        ),
+        F.max("n1").alias("n_left"),
+        F.max("n2").alias("n_right"),
+    )
+    valid = (F.col("n_left") > 0) & (F.col("n_right") > 0)
+    nn = (F.col("n_left") + F.col("n_right")).cast("double")
+    return agg.select(
+        "n_left",
+        "n_right",
+        F.when(valid, F.col("__ab2").cast("double") / F.lit(2.0)).alias(
+            "ab_stat"
+        ),
+        F.when(
+            valid,
+            (F.col("n_left").cast("decimal(19,0)") * F.col("__s2"))
+            .cast("double")
+            / (F.lit(2.0) * nn),
+        ).alias("expected_ab"),
+    )
+
+
+def hodges_lehmann_shift(
+    df: DataFrame, side, value_col: str, scale: int = 1
+) -> DataFrame:
+    """Hodges-Lehmann two-sample shift estimator: the exact type-1
+    lower median of ALL n1*n2 pairwise differences (right - left) — the
+    robust "how far did the distribution move" companion to the
+    Wilcoxon/Mann-Whitney significance machinery (it estimates the
+    shift those tests detect, immune to outliers where a mean
+    difference is not).
+
+    Caller contract: ``value_col`` quantizes to a LOW-CARDINALITY
+    domain (the kendall_tau_groups contract) — the pairwise-difference
+    support is grid x grid, value-domain-bounded, never the O(n^2) data
+    pairs (weights c1*c2 carry the multiplicity exactly).
+
+    Returns ONE row: (n_left, n_right, n_pairs, hl_shift) — hl_shift in
+    quantized units (long), NULL when either side is empty."""
+    counts = _ecdf_counts(df, side, value_col, scale, "ecdf_counts_hl_")
+    a = counts.filter(F.col("c1") > 0).select(
+        F.col("__qv").alias("__va"), "c1"
+    )
+    b = counts.filter(F.col("c2") > 0).select(
+        F.col("__qv").alias("__vb"), "c2"
+    )
+    # grid x grid difference distribution with exact pair weights; the
+    # right grid is value-domain-bounded (caller contract) so the fan
+    # is a broadcast BNLJ, never a CartesianProduct over data
+    dist = (
+        a.crossJoin(F.broadcast(b))
+        .groupBy((F.col("__vb") - F.col("__va")).alias("__d"))
+        .agg(
+            F.sum(
+                F.col("c1").cast("decimal(19,0)")
+                * F.col("c2").cast("decimal(19,0)")
+            ).alias("__w")
+        )
+    )
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize,
+    )
+
+    # the difference grid feeds the cumulative AND the totals — cut once
+    dist = materialize(dist, "hl_diff_grid_")
+    # two-level bucketed cumulative over the difference grid (the drift
+    # family skew discipline: every window 1024-point-bounded)
+    keyed = dist.withColumn(
+        "__bk", F.floor(F.col("__d") / F.lit(1024)).cast("long")
+    )
+    bsums = keyed.groupBy("__bk").agg(F.sum("__w").alias("__b"))
+    w_boff = Window.orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boffs = bsums.select(
+        "__bk",
+        F.coalesce(
+            F.sum("__b").over(w_boff), F.lit(0).cast("decimal(38,0)")
+        ).alias("__o"),
+    )
+    w_in = (
+        Window.partitionBy("__bk")
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = keyed.join(F.broadcast(boffs), "__bk").select(
+        "__d", (F.sum("__w").over(w_in) + F.col("__o")).alias("__f")
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n_left"),
+        F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("n_right"),
+    )
+    # exact type-1 lower median: min{d : F(d) >= (n_pairs + 1) div 2}
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(
+            # (n_pairs + 1) div 2 in pure long arithmetic — decimal
+            # division would ROUND the .5 case instead of flooring it
+            F.col("__f")
+            >= F.expr("(n_left * n_right + 1) div 2").cast(
+                "decimal(38,0)"
+            )
+        )
+        .agg(F.min("__d").alias("hl_shift"))
+    )
+    return tot.crossJoin(F.broadcast(med)).select(
+        "n_left",
+        "n_right",
+        (
+            F.col("n_left").cast("decimal(19,0)")
+            * F.col("n_right").cast("decimal(19,0)")
+        )
+        .cast("long")
+        .alias("n_pairs"),
+        F.when(
+            (F.col("n_left") > 0) & (F.col("n_right") > 0),
+            F.col("hl_shift"),
+        ).alias("hl_shift"),
+    )

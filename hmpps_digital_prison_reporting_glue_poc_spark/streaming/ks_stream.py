@@ -344,3 +344,18 @@ def cucconi_from_state(
     return cucconi_from_counts(
         _counts_from_state(spark, state_path, "cucconi_state_counts_")
     )
+
+
+def ansari_from_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Ansari-Bradley scale test from the merged state (see
+    ``w1_from_state``) — the tenth grid functional served by the one
+    ks_stream store (r11 wave 121)."""
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.rankstats import (
+        ansari_from_counts,
+    )
+
+    return ansari_from_counts(
+        _counts_from_state(spark, state_path, "ansari_state_counts_")
+    )

@@ -1,6 +1,6 @@
-"""The Kuiper/Mood/Cliffs/Cucconi state reads over the ks_stream store
-(r11, waves 112/113/115): ONE stream store now serves all nine grid
-functionals. Bit-parity: stream rows through ``stream_ks_drift`` across
+"""The Kuiper/Mood/Cliffs/Cucconi/Ansari state reads over the ks_stream
+store (r11, waves 112/113/115/121): ONE stream store now serves all ten
+grid functionals. Bit-parity: stream rows through ``stream_ks_drift`` across
 3 micro-batches, then each ``*_from_state`` read must equal its batch
 operator on the union — counts are associative, so merged state == a
 one-pass quantization of everything streamed."""
@@ -42,11 +42,13 @@ def _drive(spark, tmp_path, batches):
 def test_rank_reads_match_batch_operators(spark, tmp_path):
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.drift import kuiper_two_sample
     from hmpps_digital_prison_reporting_glue_poc_spark.operators.rankstats import (
+        ansari_bradley_two_sample,
         cliffs_delta_two_sample,
         cucconi_two_sample,
         mood_scale_two_sample,
     )
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.ks_stream import (
+        ansari_from_state,
         cliffs_from_state,
         cucconi_from_state,
         kuiper_from_state,
@@ -68,6 +70,7 @@ def test_rank_reads_match_batch_operators(spark, tmp_path):
         (mood_from_state, mood_scale_two_sample),
         (cliffs_from_state, cliffs_delta_two_sample),
         (cucconi_from_state, cucconi_two_sample),
+        (ansari_from_state, ansari_bradley_two_sample),
     ):
         streamed = read_fn(spark, state).collect()
         batch = batch_fn(union, "is_right", "value", scale=100).collect()
@@ -80,6 +83,7 @@ def test_rank_reads_empty_state(spark, tmp_path):
     """No batch ever wrote: every read degrades to the one-row NULL
     contract via live_state's typed-empty path."""
     from hmpps_digital_prison_reporting_glue_poc_spark.streaming.ks_stream import (
+        ansari_from_state,
         cliffs_from_state,
         cucconi_from_state,
         kuiper_from_state,
@@ -92,6 +96,7 @@ def test_rank_reads_empty_state(spark, tmp_path):
         (mood_from_state, "mood_t"),
         (cliffs_from_state, "cliffs_delta"),
         (cucconi_from_state, "cucconi_c"),
+        (ansari_from_state, "ab_stat"),
     ):
         rows = fn(spark, state).collect()
         assert len(rows) == 1 and rows[0][col] is None, fn.__name__
