@@ -18365,11 +18365,11 @@ s2in AS (
   FROM ranked a JOIN ranked b ON a.x = b.x AND a.y <> b.y
   GROUP BY a.x),
 within AS (
-  SELECT COALESCE(CAST(SUM(
+  SELECT COALESCE(SUM(
            CASE WHEN s2 IS NOT NULL
                 THEN CAST(round(1000000.0 * CAST(s2 AS DOUBLE)
-                                / CAST(m AS DOUBLE), 0) AS BIGINT)
-                ELSE 0 END) AS BIGINT), 0) AS w
+                                / CAST(m AS DOUBLE), 0) AS HUGEINT)
+                ELSE CAST(0 AS HUGEINT) END), 0) AS w
   FROM blocks LEFT JOIN s2in USING (x)),
 nxt AS (
   SELECT x, m AS mi,
@@ -18391,7 +18391,7 @@ boundary AS (
   FROM sij),
 tot AS (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n_total FROM cells)
 SELECT n_total,
-       w + b AS exp_sum_micros,
+       CAST(w + b AS DOUBLE) AS exp_sum_micros,
        CASE WHEN n_total >= 2
             THEN 1.0 - 3.0 * (CAST(w + b AS DOUBLE) / 1000000.0)
                  / CAST(CAST(n_total AS HUGEINT) * n_total - 1 AS DOUBLE)

@@ -43,8 +43,17 @@ and its windows are grid-sized by construction. Count rollups are
 materialized (lineage cut) because they feed 3+ consumers whose
 differing column pruning defeats ReusedExchange — the r10 plan-audit
 discipline. Decimal overflow is LOUD (ANSI decimal), never a silent
-wrap; the 16*D2 core is ~16*n^4 per cell-sum, exact to n ~ 5e9 rows —
-beyond that the operator raises rather than degrade.
+wrap. Exact-regime bound (hoeffding_d only): the summed 16*D2 core is
+bounded by 256*n^5 — an inherent magnitude, since D2 itself is
+Theta(n^5) for real data — so DECIMAL(38,0) guarantees exactness to
+n ~ 1.3e7 rows PER EVALUATION (typical balanced grids reach further);
+the 100x scale-ladder rung (n = 6e7) demonstrated the loud
+ARITHMETIC_OVERFLOW raise at the boundary. Beyond it, stratify (the
+statistic is per-group anyway in practice: run hoeffding_d per tenant
+/ day / segment, each under the bound) or subsample — the same
+documented-regime convention as the exact quadratic dedup verifiers
+(BENCH_EXCLUDED) and mmd.py's int64 gram guard. blomqvist_beta /
+gk_lambda / chatterjee_xi carry no such bound (cores <= n^3).
 """
 
 from __future__ import annotations
@@ -459,12 +468,19 @@ def chatterjee_xi(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
                     * F.col("__s2").cast("double")
                     / F.col("__m").cast("double"),
                     0,
-                ).cast("long"),
+                ).cast("decimal(38,0)"),
             )
-            .otherwise(F.lit(0))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
             .alias("__t")
         )
-        .agg(F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("__w"))
+        # DECIMAL(38,0) accumulation: per-block micro terms reach
+        # ~1e6 * m * n and their sum overflows LONG two decades up —
+        # the 10x ladder rung caught exactly that (loud ANSI raise)
+        .agg(
+            F.coalesce(
+                F.sum("__t"), F.lit(0).cast("decimal(38,0)")
+            ).alias("__w")
+        )
     )
     # boundary pairs: one uniform row from each of two CONSECUTIVE
     # blocks in x order -> S_ij / (m_i * m_j)
@@ -502,9 +518,13 @@ def chatterjee_xi(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             / (F.col("__mi").cast("double") * F.col("__mj").cast("double")),
             0,
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("__t")
-    ).agg(F.coalesce(F.sum("__t"), F.lit(0)).cast("long").alias("__b"))
+    ).agg(
+        F.coalesce(F.sum("__t"), F.lit(0).cast("decimal(38,0)")).alias(
+            "__b"
+        )
+    )
     tot = cells.agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_total")
     )
@@ -513,7 +533,9 @@ def chatterjee_xi(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     denom = (nd * nd - F.lit(1).cast("decimal(19,0)")).cast("double")
     return one.select(
         "n_total",
-        (F.col("__w") + F.col("__b")).alias("exp_sum_micros"),
+        (F.col("__w") + F.col("__b")).cast("double").alias(
+            "exp_sum_micros"
+        ),
         F.when(
             F.col("n_total") >= 2,
             F.lit(1.0)
