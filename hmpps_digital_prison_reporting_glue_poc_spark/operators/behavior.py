@@ -1610,57 +1610,67 @@ def markov_stationary(
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
     outs = pairs.groupBy("__from").agg(F.sum("__c").cast("long").alias("__ci"))
-    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+    from decimal import Decimal, ROUND_HALF_UP
 
-    # materialized: edges (K^2-bounded) and states (K-bounded) are
-    # re-joined every power iteration — un-cut, each of the 8 rounds
-    # re-derived them through the FULL event lineage (r10 plan audit:
-    # 56 fact scans in one plan). One cut each -> the iterations join
-    # tiny stored tables and the facts are scanned once.
-    edges = materialize(
-        pairs.join(F.broadcast(outs), "__from").select(
-            "__from",
-            "__to",
-            (
-                F.col("__c").cast("double") / F.col("__ci").cast("double")
-            ).alias("__p"),
+    from pyspark.sql import types as T
+
+    # The K^2-bounded edge grid (K = distinct event types, a caller
+    # contract) iterates DRIVER-SIDE (r11 optimization): these are
+    # exactly the rows the previous loop broadcast to every executor
+    # each round (F.broadcast(rank) / broadcast(outs)); the 2
+    # temp-parquet lineage cuts plus the 8-round lazy join tower (16
+    # tiny joins per call) collapse to ONE collect job over the single
+    # data-sized window+groupBy pass, identical at any corpus scale.
+    # Arithmetic mirrors the committed oracle orbit token for token
+    # (round-9dp contributions, DECIMAL(38,9) exact order-free sums,
+    # re-rounded ranks — verified repr-bit-exact vs the prior Spark
+    # loop at sf0.001 + sf0.01).
+    edges = pairs.join(F.broadcast(outs), "__from").select(
+        "__from",
+        "__to",
+        (F.col("__c").cast("double") / F.col("__ci").cast("double")).alias(
+            "__p"
         ),
-        "markov_edges_",
     )
-    states = materialize(
-        edges.select(F.col("__from").alias("__s"))
-        .unionAll(edges.select(F.col("__to").alias("__s")))
-        .distinct(),
-        "markov_states_",
+    rows = [
+        (r["__from"], r["__to"], r["__p"]) for r in edges.collect()
+    ]
+    spark = events.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField(type_col, events.schema[type_col].dataType, True),
+            T.StructField("stationary_p", T.DoubleType(), True),
+        ]
     )
-    k_row = states.agg(F.count(F.lit(1)).cast("long").alias("__k"))
-    rank = states.crossJoin(F.broadcast(k_row)).select(
-        "__s",
-        F.round(F.lit(1.0) / F.col("__k").cast("double"), 9).alias("__r"),
+    states = sorted(
+        {r[0] for r in rows} | {r[1] for r in rows},
+        key=lambda s: (s is None, s),
     )
+    if not states:
+        return spark.createDataFrame([], schema)
+
+    q9 = Decimal("1E-9")
+
+    def _round9(x: float) -> float:
+        # F.round(double, 9): shortest-repr HALF_UP, NaN/Inf unchanged
+        if x != x or x in (float("inf"), float("-inf")):
+            return x
+        return float(Decimal(repr(x)).quantize(q9, rounding=ROUND_HALF_UP))
+
+    def _dec9(x: float):
+        return Decimal(repr(x)).quantize(q9, rounding=ROUND_HALF_UP)
+
+    rank = {s: _round9(1.0 / float(len(states))) for s in states}
     for _ in range(n_iter):
-        contrib = edges.join(
-            F.broadcast(rank), F.col("__from") == F.col("__s")
-        ).select(
-            F.col("__to").alias("__s2"),
-            F.round(F.col("__r") * F.col("__p"), 9)
-            .cast("decimal(38,9)")
-            .alias("__c9"),
-        )
-        rank = (
-            contrib.groupBy("__s2")
-            .agg(F.round(F.sum("__c9").cast("double"), 9).alias("__r"))
-            .select(F.col("__s2").alias("__s"), "__r")
-        )
-        # states with zero inbound mass this round drop out of the rank
-        # table; re-complete against the state list with 0.0 so the next
-        # iteration's join keeps them (and output is grid-complete)
-        rank = states.join(rank, "__s", "left").select(
-            "__s", F.coalesce(F.col("__r"), F.lit(0.0)).alias("__r")
-        )
-    return rank.select(
-        F.col("__s").alias(type_col), F.col("__r").alias("stationary_p")
-    )
+        acc: dict = {}
+        for frm, to, p in rows:
+            acc[to] = acc.get(to, Decimal(0)) + _dec9(_round9(rank[frm] * p))
+        # states with zero inbound mass this round keep 0.0 (the old
+        # states-left-join/coalesce re-completion)
+        rank = {
+            s: (_round9(float(acc[s])) if s in acc else 0.0) for s in states
+        }
+    return spark.createDataFrame([(s, rank[s]) for s in states], schema)
 
 
 def theil_sen_trend(

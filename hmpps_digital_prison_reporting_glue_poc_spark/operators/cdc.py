@@ -217,38 +217,100 @@ def _chain_fold(
     )
     out_cols = [f.name for f in out_schema.fields]
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        base_rows = pdf[pdf["__is_base"]]
-        events = pdf[~pdf["__is_base"]].sort_values(order_col, kind="mergesort")
-        state = base_rows.iloc[0] if len(base_rows) else None
-        action = ""
-        deleted = state is None
-        for _, event in events.iterrows():
-            prev = event["previous_hash"]
-            etype = event["event_type"]
-            if state is not None and not deleted:
-                # Event must chain onto the current state.
-                if prev is not None and prev != state["admin_hash"]:
-                    continue
-                if etype == "D":
-                    deleted, action = True, "D"
+    def _fold_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Fold >=1 COMPLETE key groups: rows are contiguous per key and
+        events are already (key, order_col)-sorted. Same per-key
+        semantics as the r1-r10 per-group fold; one output frame per
+        block instead of one per key."""
+        recs = pdf.to_dict("records")
+        out_rows = []
+        i, n = 0, len(recs)
+        while i < n:
+            key = tuple(recs[i][c] for c in pk)
+            j = i
+            state = None
+            # base row(s) sort first within the key (flag desc); the
+            # fold seeds from the first, ignoring duplicates like the
+            # old base_rows.iloc[0]
+            while (
+                j < n
+                and tuple(recs[j][c] for c in pk) == key
+                and recs[j]["__is_base"]
+            ):
+                if state is None:
+                    state = recs[j]
+                j += 1
+            action = ""
+            deleted = state is None
+            while j < n and tuple(recs[j][c] for c in pk) == key:
+                event = recs[j]
+                j += 1
+                prev = event["previous_hash"]
+                etype = event["event_type"]
+                if state is not None and not deleted:
+                    # Event must chain onto the current state.
+                    if prev is not None and prev != state["admin_hash"]:
+                        continue
+                    if etype == "D":
+                        deleted, action = True, "D"
+                    else:
+                        state, action = (
+                            event,
+                            ("U" if etype in ("U", "I") else action),
+                        )
+                        deleted = False
                 else:
-                    state, action = event, ("U" if etype in ("U", "I") else action)
-                    deleted = False
-            else:
-                # No live row: only an insert applies; an I after a D
-                # resurrects as U (dev/_read_delta_table.py:361-366).
-                if etype == "I":
-                    state = event
-                    action = "U" if action == "D" else "I"
-                    deleted = False
-        if state is None:
-            return pd.DataFrame(columns=out_cols)
-        row = {c: state[c] for c in out_cols if c != "__action"}
-        row["__action"] = "D" if deleted else (action or "U")
-        return pd.DataFrame([row], columns=out_cols)
+                    # No live row: only an insert applies; an I after a D
+                    # resurrects as U (dev/_read_delta_table.py:361-366).
+                    if etype == "I":
+                        state = event
+                        action = "U" if action == "D" else "I"
+                        deleted = False
+            i = j
+            if state is None:
+                continue
+            row = {c: state[c] for c in out_cols if c != "__action"}
+            row["__action"] = "D" if deleted else (action or "U")
+            out_rows.append(row)
+        return pd.DataFrame(out_rows, columns=out_cols)
 
-    return combined.groupBy(*pk).applyInPandas(fold, schema=out_schema)
+    def fold_partitions(batches):
+        """Whole-partition fold (r11 optimization, guide §4): the old
+        groupBy().applyInPandas paid one Arrow slice, one Python call
+        and one single-row pandas DataFrame PER KEY (~10k tiny groups at
+        bench scale — per-group overhead, not fold work, dominated).
+        Same exchange (hash by pk), same per-key order (order_col sort),
+        but the fold now runs once per Arrow batch; a key whose rows
+        span a batch boundary is carried into the next batch, so group
+        reassembly is exact regardless of Arrow batch size."""
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            # the last key's rows may continue in the next batch: hold
+            # back the contiguous tail belonging to the final key
+            mask = None
+            for c in pk:
+                v = pdf[c].iloc[-1]
+                mc = pdf[c].isna() if pd.isna(v) else (pdf[c] == v)
+                mask = mc if mask is None else (mask & mc)
+            carry = pdf[mask]
+            body = pdf[~mask]
+            if not body.empty:
+                yield _fold_block(body)
+        if carry is not None and not carry.empty:
+            yield _fold_block(carry)
+
+    # hash-partition by pk (the exchange groupBy().applyInPandas used),
+    # order each key's rows: base first, then events in order_col order
+    arranged = combined.repartition(*pk).sortWithinPartitions(
+        # nulls-last matches the old pandas sort_values default
+        *pk, F.col("__is_base").desc(), F.col(order_col).asc_nulls_last()
+    )
+    return arranged.mapInPandas(fold_partitions, schema=out_schema)
 
 
 def apply_to_curated(

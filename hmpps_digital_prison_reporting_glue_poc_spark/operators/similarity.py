@@ -1704,66 +1704,96 @@ def power_iteration_top(
     gram (``pca_top_component``) and the streaming incremental gram
     (``streaming/gram_stream.py``): input is the UPPER-TRIANGULAR exact
     gram (i <= j, DECIMAL(38,0) column ``g``); output is the same
-    (dim_idx, component, eigenvalue_q2) contract."""
-    gram = gram_u.unionAll(
-        gram_u.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "g"
-        )
-    )
+    (dim_idx, component, eigenvalue_q2) contract.
+
+    The iteration runs DRIVER-SIDE on the collected gram (r11
+    optimization). Boundedness: the gram is (d*(d+1)/2) rows — set by
+    the DECLARED embedding dimension (d=64 -> 2,080 rows), independent
+    of corpus size — and is exactly the table the previous
+    implementation already pulled through the driver as a per-round
+    broadcast. The Spark-side loop cost ~17 jobs per call (a
+    temp-parquet lineage-cut round-trip for the vector and eigenvalue
+    every one of the 8 iterations — without those cuts the compounding
+    lineage cost 78s of plan analysis at sf0.001); the driver-side loop
+    is ONE collect job plus a d-row local result, identical at any
+    corpus scale because the only data-sized pass (the gram itself)
+    stays distributed in the caller.
+
+    Exactness: mirrors the committed oracle orbit token for token —
+    contributions ``round(g_double * v, 9)`` summed as DECIMAL(38,9)
+    (exact integer-scaled addition, order-free), vector renormalized by
+    max|w| and re-rounded to 9dp, eigenvalue = floor(max|w_decimal|) as
+    long. ``Decimal(repr(x))`` is shortest-roundtrip like Java's
+    ``BigDecimal.valueOf(double)`` and ROUND_HALF_UP matches Spark's
+    Round / decimal-cast semantics, so the orbit is repr-bit-exact vs
+    the prior Spark loop (verified at sf0.001 + sf0.01) and vs the
+    DuckDB twin.
+    """
+    from decimal import Decimal, ROUND_FLOOR, ROUND_HALF_UP
+
     spark = gram_u.sparkSession
-    # materialize the gram ONCE and the 64-row vector each round: the
-    # iteration otherwise compounds the un-cut lineage into an
-    # exponentially deep plan (measured 78s of pure analysis at
-    # sf0.001; 3.5s after the cuts) — the token_pagerank lesson
-    gram = materialize(gram, prefix="pca_gram_")
-    dims = spark.range(0, d_probe).select(F.col("id").cast("long").alias("__d"))
-    vec = dims.select("__d", F.lit(1.0).alias("__v"))
+    q9 = Decimal("1E-9")
+
+    def _round9(x: float) -> float:
+        # F.round(double, 9) = BigDecimal.valueOf(x).setScale(9, HALF_UP)
+        # .doubleValue(); NaN/Inf pass through unchanged (Spark Round).
+        if x != x or x in (float("inf"), float("-inf")):
+            return x
+        return float(Decimal(repr(x)).quantize(q9, rounding=ROUND_HALF_UP))
+
+    def _dec9(x: float):
+        # cast(double as decimal(38,9)) — raises on non-finite, matching
+        # the session's ANSI decimal cast.
+        return Decimal(repr(x)).quantize(q9, rounding=ROUND_HALF_UP)
+
+    # ONE job: collect the bounded gram (metadata-scale; see docstring),
+    # mirroring the old plan's upper+lower triangle union.
+    by_dim: dict[int, list[tuple[int, float]]] = {}
+    for row in gram_u.select("i", "j", "g").collect():
+        i, j, g = int(row["i"]), int(row["j"]), float(row["g"])
+        by_dim.setdefault(j, []).append((i, g))
+        if i != j:
+            by_dim.setdefault(i, []).append((j, g))
+
+    vec = {d: 1.0 for d in range(d_probe)}
     lam = None
     for _ in range(n_iter):
-        w = (
-            gram.join(F.broadcast(vec), gram["i"] == vec["__d"])
-            .select(
-                F.col("j").alias("__d2"),
-                F.round(F.col("g").cast("double") * F.col("__v"), 9)
-                .cast("decimal(38,9)")
-                .alias("__c"),
+        wd: dict[int, object] = {}
+        for j, entries in by_dim.items():
+            s = Decimal(0)
+            for i, g in entries:
+                s += _dec9(_round9(g * vec[i]))
+            wd[j] = s
+        if wd:
+            w = {j: float(s) for j, s in wd.items()}
+            mx = max(abs(x) for x in w.values())
+            # eigenvalue from the EXACT decimal (floor -> long): the raw
+            # decimal holds ~23 significant digits, and decimal->double
+            # rounding differs between engines at the last ulp (measured
+            # .664 vs .662) — the normalization divide is ulp-insensitive
+            # (round(w/mx, 9) absorbs it) but the reported scalar is not
+            lam = int(
+                max(abs(s) for s in wd.values()).to_integral_value(
+                    rounding=ROUND_FLOOR
+                )
             )
-            .groupBy("__d2")
-            .agg(F.sum("__c").alias("__wd"))
-            .select("__d2", "__wd", F.col("__wd").cast("double").alias("__w"))
-        )
-        # eigenvalue from the EXACT decimal (floor -> long): the raw
-        # decimal holds ~23 significant digits, and decimal->double
-        # rounding differs between engines at the last ulp (measured
-        # .664 vs .662) — the normalization divide is ulp-insensitive
-        # (round(w/mx, 9) absorbs it) but the reported scalar is not
-        mx = w.agg(
-            F.max(F.abs(F.col("__w"))).alias("__mx"),
-            F.floor(F.max(F.abs(F.col("__wd"))))
-            .cast("long")
-            .alias("__lam"),
-        )
-        # materialize lam BEFORE replacing the vec dir: its plan reads
-        # the CURRENT round's w -> previous vec files, which the vec
-        # materialization below deletes
-        lam = materialize(mx, prefix="pca_lam_")
-        vec = (
-            w.crossJoin(F.broadcast(lam))
-            .select(
-                F.col("__d2").alias("__d"),
-                F.round(F.col("__w") / F.col("__mx"), 9).alias("__v"),
-            )
-        )
-        vec = materialize(
-            dims.join(vec, "__d", "left").select(
-                "__d", F.coalesce(F.col("__v"), F.lit(0.0)).alias("__v")
-            ),
-            prefix="pca_vec_",
-        )
-    return vec.crossJoin(F.broadcast(lam)).select(
-        F.col("__d").alias("dim_idx"),
-        F.col("__v").alias("component"),
-        F.col("__lam").alias("eigenvalue_q2"),
+            nxt: dict[int, float] = {}
+            for d in range(d_probe):
+                if d not in w:
+                    nxt[d] = 0.0
+                elif mx == 0.0:
+                    nxt[d] = float("nan")  # IEEE 0/0, as the Spark divide
+                else:
+                    nxt[d] = _round9(w[d] / mx)
+            vec = nxt
+        else:
+            # empty gram: the prior dims-left-join/coalesce path — all
+            # zero vector, NULL eigenvalue
+            lam = None
+            vec = {d: 0.0 for d in range(d_probe)}
+    return spark.createDataFrame(
+        [(d, vec[d], lam) for d in range(d_probe)],
+        schema="dim_idx long, component double, eigenvalue_q2 long",
     )
 
 
