@@ -578,6 +578,7 @@ def kcore_peel(
     """
     a, b = F.col(a_col), F.col(b_col)
     live = edges.select(a.alias("a"), b.alias("b"))
+    prev_edges = None
     for r in range(rounds):
         deg = (
             live.select(F.col("a").alias("v"))
@@ -592,6 +593,18 @@ def kcore_peel(
             .select("a", "b"),
             f"kcore_r{r}_",
         )
+        # Convergence early-exit (r11 optimization, guide §1.2): the
+        # edge set shrinks monotonically, so an unchanged edge COUNT
+        # means no edge was removed -> every remaining round is an
+        # exact no-op and the round-`rounds` output is already in hand.
+        # The count is a near-free parquet-footer job on the frame just
+        # materialized; on the bench bigram graphs the peel converges
+        # in 3-5 rounds, so this drops 3-5 full degree+semi-join+write
+        # rounds without changing a single output row.
+        n_edges = live.count()
+        if n_edges == prev_edges or n_edges == 0:
+            break
+        prev_edges = n_edges
     final_deg = (
         live.select(F.col("a").alias("vertex"))
         .unionAll(live.select(F.col("b").alias("vertex")))

@@ -158,3 +158,56 @@ def test_markov_stationary_empty(spark):
     out = markov_stationary(ev, n_iter=3)
     assert out.columns == ["event_type", "stationary_p"]
     assert out.count() == 0
+
+
+def test_simhash_pair_shapes_equivalent(spark):
+    # size-adaptive candidate generation: the per-chunk broadcast-join
+    # loop (bench-scale shape) and the single exploded-chunk self-join
+    # (corpus-scale shape) must emit the same pair set
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "alpha beta gamma delta zeta"),
+            (4, "totally different words here now"),
+            (5, "alpha beta gamma delta epsilon eta"),
+        ],
+        "doc_id long, text string",
+    )
+    sketches = dd.simhash(docs, "doc_id", "text", bits=64)
+    as_set = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"], r["hamming"]) for r in df.collect()
+    }
+    # collect each shape fully before building the next: materialize()
+    # allows one live reader per prefix (both calls store the sketch
+    # table under simhash_sketches_)
+    loop = as_set(
+        dd.simhash_near_dup_pairs(
+            sketches, "doc_id", max_hamming=3, bits=64, explode_join=False
+        )
+    )
+    exploded = as_set(
+        dd.simhash_near_dup_pairs(
+            sketches, "doc_id", max_hamming=3, bits=64, explode_join=True
+        )
+    )
+    assert loop == exploded
+    assert len(loop) > 0
+
+
+def test_kcore_early_exit_exact(spark):
+    # a triangle plus a pendant vertex: 2-core = the triangle, reached
+    # after one peel round; the early exit must return the identical
+    # (vertex, degree) rows the full 8 rounds produced
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    )
+    got = {
+        (r["vertex"], r["degree"])
+        for r in kcore_peel(edges, k=2, rounds=8).collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 2)}
