@@ -871,14 +871,50 @@ def rank_quintile_dependence(
     # caps rank parallelism at ~quotient tasks. Low-cardinality
     # dimensions switch to per-value cumulation (width 1) so the rank
     # stage parallelises over every distinct value.
-    if x_bucket_width is None:
-        x_bucket_width = _auto_rank_bucket_width(staged, "__x")
-    if y_bucket_width is None:
-        y_bucket_width = _auto_rank_bucket_width(staged, "__y")
+    #
+    # BOTH width probes and the row count come from ONE metadata agg
+    # over the staged frame (r11 optimization, guide §2.4): the
+    # previous shape ran two _auto_rank_bucket_width aggs PLUS a
+    # count agg whose crossJoin(broadcast) subtree re-executed the
+    # entire two-rank lineage — 3 of this query's 6 base-table scans
+    # (r10 scan audit). The decisions and the literal n are
+    # value-identical, so every downstream row is unchanged.
+    n_total: int | None = None
+    if x_bucket_width is None or y_bucket_width is None:
+        probe = staged.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.count_distinct(F.col("__x")).alias("__dx"),
+            F.min("__x").cast("long").alias("__lox"),
+            F.max("__x").cast("long").alias("__hix"),
+            F.count_distinct(F.col("__y")).alias("__dy"),
+            F.min("__y").cast("long").alias("__loy"),
+            F.max("__y").cast("long").alias("__hiy"),
+        ).collect()[0]
+        n_total = int(probe["__n"])
+
+        def _width(d, lo, hi) -> int:
+            # mirrors _auto_rank_bucket_width token for token
+            if d is None or lo is None:
+                return 1
+            if d <= 1024:
+                return 1
+            return max(1, (int(hi) - int(lo) + 1) // 256)
+
+        if x_bucket_width is None:
+            x_bucket_width = _width(
+                probe["__dx"], probe["__lox"], probe["__hix"]
+            )
+        if y_bucket_width is None:
+            y_bucket_width = _width(
+                probe["__dy"], probe["__loy"], probe["__hiy"]
+            )
     ranked = _range_rank(staged, "__x", "__id", x_bucket_width, "__rx")
     ranked = _range_rank(ranked, "__y", "__id", y_bucket_width, "__ry")
-    n_row = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    tiled = ranked.crossJoin(F.broadcast(n_row))
+    if n_total is not None:
+        tiled = ranked.withColumn("__n", F.lit(n_total).cast("long"))
+    else:
+        n_row = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        tiled = ranked.crossJoin(F.broadcast(n_row))
 
     def tile(rank_col):
         return (

@@ -144,88 +144,108 @@ def jonckheere_terpstra(
         ),
         "jt_counts_",
     )
-    # dense (group x pooled-grid) frame: F_i(v) must be evaluable at
-    # EVERY pooled grid point, not just group i's own value points —
-    # groups are bounded (caller contract) so the cross join is a
-    # broadcast fan, grid-sized x K
-    groups = counts.select("__g").distinct()
-    gridpts = counts.select("__qv").distinct()
-    dense = (
-        groups.crossJoin(gridpts)
-        .join(counts, ["__g", "__qv"], "left")
-        .select(
-            "__g",
-            "__qv",
-            F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("c"),
-        )
+    # K-wide grid pivot instead of a dense K x grid completion (r11
+    # optimization, guide §2.3/§2.4): the previous shape cross-joined
+    # the K groups against the pooled grid, re-joined the counts, ran
+    # per-(group, bucket) cumulatives, and self-joined the cumulative
+    # table on the grid point with a K^2 fan — 2 extra grid-sized
+    # exchanges and a grid-sized join. With the K group values in hand
+    # (a K-row collect off the stored rollup — the caller contract says
+    # K is bounded, and the kendall/markov family already pulls such
+    # grids through the driver), the SAME statistic is one row per grid
+    # point with K conditional-count columns: per-group cumulatives
+    # become K column expressions over ONE bucketed window pass, and
+    # the ordered-pair sum Σ_{i<j} c_j·(2·F_i − c_i) is a single
+    # column expression — every term integer-identical to the pair-join
+    # form (zero-count terms contribute 0 exactly as the dense rows
+    # did).
+    schema = (
+        "n_total long, n_groups long, jt_u double, expected_jt double"
     )
-    # two-level bucketed per-group cumulative (the drift-family skew
-    # discipline: every window (group, 1024-point bucket)-bounded)
-    keyed = dense.withColumn(
+    spark = df.sparkSession
+    grp_rows = counts.select("__g").distinct().collect()
+    groups = sorted(r["__g"] for r in grp_rows)
+    if not groups:
+        return spark.createDataFrame([(None, 0, None, None)], schema)
+    cg = [
+        F.sum(
+            F.when(F.col("__g") == F.lit(g), F.col("__c")).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"__c{i}")
+        for i, g in enumerate(groups)
+    ]
+    piv = counts.groupBy("__qv").agg(*cg)
+    # two-level bucketed cumulative (the drift-family skew discipline:
+    # in-bucket windows 1024-point-bounded; the bucket-offset window
+    # runs over the ~grid/1024-row bucket rollup)
+    keyed = piv.withColumn(
         "__bk", F.floor(F.col("__qv") / F.lit(1024)).cast("long")
     )
-    bsums = keyed.groupBy("__g", "__bk").agg(F.sum("c").alias("__b"))
-    w_boff = (
-        Window.partitionBy("__g")
-        .orderBy("__bk")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    bsums = keyed.groupBy("__bk").agg(
+        *[F.sum(f"__c{i}").alias(f"__b{i}") for i in range(len(groups))]
+    )
+    w_boff = Window.orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
     )
     boffs = bsums.select(
-        "__g",
         "__bk",
-        F.coalesce(F.sum("__b").over(w_boff), F.lit(0)).alias("__o"),
+        *[
+            F.coalesce(F.sum(f"__b{i}").over(w_boff), F.lit(0)).alias(
+                f"__o{i}"
+            )
+            for i in range(len(groups))
+        ],
     )
     w_in = (
-        Window.partitionBy("__g", "__bk")
+        Window.partitionBy("__bk")
         .orderBy("__qv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = keyed.join(F.broadcast(boffs), ["__g", "__bk"]).select(
-        "__g",
+    cum = keyed.join(F.broadcast(boffs), "__bk").select(
         "__qv",
-        "c",
-        (F.sum("c").over(w_in) + F.col("__o")).cast("long").alias("fcum"),
+        *[F.col(f"__c{i}") for i in range(len(groups))],
+        *[
+            (F.sum(f"__c{i}").over(w_in) + F.col(f"__o{i}"))
+            .cast("long")
+            .alias(f"__f{i}")
+            for i in range(len(groups))
+        ],
     )
-    a = cum.select(
-        F.col("__g").alias("__gi"),
-        F.col("__qv").alias("__qa"),
-        F.col("c").alias("__ci"),
-        F.col("fcum").alias("__fi"),
-    )
-    b = cum.select(
-        F.col("__g").alias("__gj"),
-        F.col("__qv").alias("__qb"),
-        F.col("c").alias("__cj"),
-    )
-    # ordered group pairs i<j aligned on the grid point: 2*U_ij =
+    # ordered group pairs i<j at each grid point: 2*U_ij =
     # sum_v c_j(v) * (2*F_i(v) - c_i(v)) — strictly-less pairs twice,
     # tied pairs once (the standard 1/2 tie credit, doubled)
-    pairs = a.join(
-        b,
-        (F.col("__qa") == F.col("__qb"))
-        & (F.col("__gi") < F.col("__gj")),
-    )
-    jt2 = pairs.agg(
+    jt_term = None
+    for j in range(len(groups)):
+        for i in range(j):
+            term = F.col(f"__c{j}").cast("decimal(38,0)") * (
+                F.lit(2) * F.col(f"__f{i}") - F.col(f"__c{i}")
+            ).cast("decimal(38,0)")
+            jt_term = term if jt_term is None else jt_term + term
+    if jt_term is None:
+        jt_term = F.lit(0).cast("decimal(38,0)")
+    agg = cum.agg(
         F.coalesce(
-            F.sum(
-                F.col("__cj").cast("decimal(38,0)")
-                * (F.lit(2) * F.col("__fi") - F.col("__ci")).cast(
-                    "decimal(38,0)"
-                )
-            ),
-            F.lit(0).cast("decimal(38,0)"),
-        ).alias("__jt2")
+            F.sum(jt_term), F.lit(0).cast("decimal(38,0)")
+        ).alias("__jt2"),
+        *[
+            F.sum(f"__c{i}").cast("long").alias(f"__n{i}")
+            for i in range(len(groups))
+        ],
     )
-    gtot = counts.groupBy("__g").agg(F.sum("__c").cast("long").alias("__n"))
-    tots = gtot.agg(
-        F.sum("__n").cast("long").alias("n_total"),
-        F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.sum(
-            F.col("__n").cast("decimal(19,0)")
-            * F.col("__n").cast("decimal(19,0)")
-        ).alias("__ssq"),
+    n_total = None
+    ssq = None
+    for i in range(len(groups)):
+        ni = F.col(f"__n{i}")
+        n_total = ni if n_total is None else n_total + ni
+        sq = ni.cast("decimal(19,0)") * ni.cast("decimal(19,0)")
+        ssq = sq if ssq is None else ssq + sq
+    out = agg.select(
+        n_total.cast("long").alias("n_total"),
+        F.lit(len(groups)).cast("long").alias("n_groups"),
+        "__jt2",
+        ssq.alias("__ssq"),
     )
-    out = jt2.crossJoin(F.broadcast(tots))
     valid = F.col("n_groups") >= 2
     nsq = (
         F.col("n_total").cast("decimal(19,0)")
