@@ -1200,16 +1200,25 @@ def content_defined_chunks(
     # Guard n < w: Spark's sequence(w, n) with w > n yields a DESCENDING
     # sequence (step inferred -1), not empty — short docs must produce
     # zero cuts (one whole-doc chunk).
+    # The w-window polynomial acc*31 + h over slice [i-w+1 .. i] equals
+    # sum_k th[i-k] * 31^k (k = 0..w-1) — w is a Python int, so the fold
+    # UNROLLS to w element_at terms with literal coefficients (r11
+    # optimization, guide §1.2 per-task work): the per-position
+    # F.slice(...) array allocation + F.aggregate lambda dispatch
+    # disappear from the inner loop while every window hash stays
+    # integer-identical.
+    def _win_hash(i):
+        acc = None
+        for k in range(w - 1, -1, -1):
+            term = F.element_at(hs, i - k) * F.lit(31 ** k).cast("long")
+            acc = term if acc is None else acc + term
+        return acc
+
     cuts_expr = F.when(
         n >= w,
         F.filter(
             F.sequence(F.lit(w), n),
-            # fold-state: _u32_expr hashes are non-NULL; non-nullable init safe
-            lambda i: F.aggregate(
-                F.slice(hs, i - (w - 1), w),
-                F.lit(0).cast("long"),
-                lambda acc, h: acc * 31 + h,
-            ) % divisor == 0,
+            lambda i: _win_hash(i) % divisor == 0,
         ),
     ).otherwise(F.expr("array()").cast("array<int>"))
     # Each intermediate is its OWN attribute (withColumn), never an
