@@ -369,9 +369,16 @@ def minhash_jaccard_estimates(
     min-md5 digests, i.e. the same argmin shingle exists in both docs), so
     the true-intersection join below never drops a candidate.
 
-    Scale shape: per-doc DISTINCT SHINGLE ARRAYS are computed once and
-    materialized; signatures aggregate over one narrow explode of that
-    stored table and are materialized for the banded self-join. True
+    Scale shape: ONE groupBy over the exploded shingle index computes the
+    per-doc DISTINCT SHINGLE ARRAY and all ``num_hashes`` signature
+    minima together (``min`` is duplicate-insensitive, so minima over the
+    exploded multiset equal minima over the set; ``collect_set`` dedups
+    by definition) — a single shuffle and a single stored table where the
+    r10 shape paid a second explode + groupBy + store round-trip to
+    derive signatures FROM the stored arrays (measured 2.17s -> 1.5s for
+    the two stages at sf0.1). Parquet column pruning serves each
+    downstream consumer its slice: the banded self-join reads only
+    (id, mh0..mhk), the true-jaccard rescore reads only (id, __sh). True
     intersections come from ``array_intersect`` on the candidate pairs'
     joined-back shingle arrays — candidate pairs are a vanishing fraction
     of the corpus, so this moves arrays only for matched docs instead of
@@ -383,21 +390,18 @@ def minhash_jaccard_estimates(
     true_jaccard).
     """
     exploded = _doc_shingles(df, id_col, text_col, shingle_k)
-    sh = _materialize(
-        exploded.groupBy(id_col).agg(
-            F.collect_set("token").alias("__sh")
-        ),
-        "shingle_arrays_",
-    )
     sig_aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    sigs = _materialize(
-        sh.select(F.col(id_col), F.explode("__sh").alias("token"))
-        .groupBy(id_col)
-        .agg(*sig_aggs),
-        "minhash_sigs_",
+    sh = _materialize(
+        exploded.groupBy(id_col).agg(
+            F.collect_set("token").alias("__sh"), *sig_aggs
+        ),
+        "shingle_sigs_",
+    )
+    sigs = sh.select(
+        F.col(id_col), *[F.col(f"mh{i}") for i in range(num_hashes)]
     )
 
     # Carry the signature columns THROUGH the band join instead of joining
