@@ -24,7 +24,7 @@ import atexit
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
@@ -72,6 +72,15 @@ def connected_components(
         .withColumn("comp", F.col("id")),
         0,
     )
+    # Empty edge set -> empty vertex set: every round is an exact no-op
+    # (nbr_min empty, every label already final), so skip the loop. The
+    # count is a zero-column scan of the just-written labels parquet —
+    # row-group metadata, one near-free job at any scale (r11, guide
+    # §1.2: don't compute what you throw away; the bench's max_df=100
+    # prune makes exactly this shape at sf0.1).
+    if labels.count() == 0:
+        shutil.rmtree(sym_path, ignore_errors=True)
+        return labels
     # Convergence witness: the count of labels a round actually lowered —
     # one cheap scalar per materialized round, and TYPE-AGNOSTIC (labels
     # may be strings, e.g. entity names; the previous sum(comp) witness
@@ -115,9 +124,19 @@ def connected_components(
                 ).cast("int").alias("__chg"),
             )
         )
-        upd = materialize(upd, i)
-        changed = upd.agg(F.sum("__chg")).first()[0]
-        labels = upd.drop("__chg")
+        # The convergence witness rides the round's ONE action as an
+        # observed metric (r11): the previous shape re-read the
+        # just-written labels parquet with a second agg-only job — a
+        # full |V|-row scan per round at cluster scale purely to learn
+        # the changed-count the write job had already streamed past.
+        obs = Observation()
+        path = f"{workdir}/iter_{i}"
+        upd.observe(obs, F.sum("__chg").alias("chg")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        shutil.rmtree(f"{workdir}/iter_{i - 1}", ignore_errors=True)
+        changed = obs.get["chg"]
+        labels = spark.read.parquet(path).drop("__chg")
         if not changed:
             shutil.rmtree(sym_path, ignore_errors=True)
             return labels
