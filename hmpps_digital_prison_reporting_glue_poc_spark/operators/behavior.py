@@ -1968,10 +1968,25 @@ def rfm_scores(
         )
         .drop("__last", "__today")
     )
+    # The user-grain rollup feeds SEVEN consumers before the r11 cut:
+    # each chained _range_rank scans its input twice (bucket counts +
+    # in-bucket window), compounding to 2^3 replays of the per_user
+    # lineage, and the __n crossJoin subtree re-executed the whole
+    # three-rank tower once more (the rank_dependence lesson, item 6).
+    # One stored copy of the rollup (user-count-bounded — an Aggregate
+    # output, reduced provenance) collapses all of it to cheap scans:
+    # measured 1.22s -> 0.95s warm / 3.90s -> 1.21s cold at sf0.1.
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize,
+    )
+
+    per_user = materialize(per_user, "rfm_per_user_")
     ranked = _range_rank(per_user, "recency_days", "user", 4, "__rr")
     ranked = _range_rank(ranked, "frequency", "user", 4, "__rf")
     ranked = _range_rank(ranked, "monetary_cents", "user", 5_000, "__rm")
-    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # _range_rank is 1:1 row-preserving, so the tile denominator __n can
+    # count the STORED rollup instead of re-executing the rank tower.
+    n = per_user.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     scored = ranked.crossJoin(F.broadcast(n))
 
     def tile(rank_col):
