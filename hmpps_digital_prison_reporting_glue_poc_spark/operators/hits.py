@@ -30,8 +30,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pyspark.sql import Observation
+
 from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
     materialize,
+    materialize_observed,
 )
 
 
@@ -80,18 +83,27 @@ def token_hits(
             F.lit(None).cast("double").alias("hub"),
         )
     v = F.lit(float(n_nodes))
-    scores = nodes.select(
-        "token",
-        F.round(F.lit(1.0) / v, 9).alias("authority"),
-        F.round(F.lit(1.0) / v, 9).alias("hub"),
-    )
+    init = F.round(F.lit(1.0) / v, 9)
 
-    def _half_step(scores_df, from_col, src_key, dst_key, out_name):
-        """One weighted propagation + L1 normalization: out_name(v) =
-        round(sum round(w * from(u), 9) / L1-total, 9)."""
+    def _norm(raw_col, tot):
+        """round(raw / L1-total, 9) with ``tot`` the driver-side
+        DECIMAL(38,9) total observed on the half-step's write — a single
+        exact global, so the > 0 branch is decided once (value-identical
+        to the per-row WHEN over the broadcast tot it replaces: both
+        casts are correctly-rounded decimal→double)."""
+        if tot is None or tot <= 0:
+            return F.lit(0.0)
+        return F.round(raw_col.cast("double") / F.lit(float(tot)), 9)
+
+    def _half_step(state, from_col, src_key, dst_key, prefix):
+        """One weighted propagation: store (token, __carry, __raw) with
+        the L1 total riding the SAME write action as an observed metric.
+        The previous shape computed the total with a broadcast agg
+        subtree that re-executed the whole edges-join contrib lineage —
+        two edge joins per half-step for one number (guide §1.2)."""
         contrib = (
             edges.join(
-                scores_df.select(
+                state.select(
                     F.col("token").alias(src_key),
                     F.col(from_col).alias("__f"),
                 ),
@@ -105,35 +117,45 @@ def token_hits(
                 ).alias("__raw")
             )
         )
-        raw = nodes.join(contrib, "token", "left").select(
-            "token",
-            F.coalesce(
-                F.col("__raw"), F.lit(0).cast("decimal(38,9)")
-            ).alias("__raw"),
+        out = (
+            state.select("token", F.col(from_col).alias("__carry"))
+            .join(contrib, "token", "left")
+            .select(
+                "token",
+                "__carry",
+                F.coalesce(
+                    F.col("__raw"), F.lit(0).cast("decimal(38,9)")
+                ).alias("__raw"),
+            )
         )
-        tot = raw.agg(F.sum("__raw").alias("__tot"))
-        return raw.crossJoin(F.broadcast(tot)).select(
-            "token",
-            F.when(
-                F.col("__tot") > 0,
-                F.round(
-                    F.col("__raw").cast("double")
-                    / F.col("__tot").cast("double"),
-                    9,
-                ),
-            ).otherwise(F.lit(0.0)).alias(out_name),
+        obs = Observation()
+        stored = materialize_observed(
+            out, prefix, obs, F.sum("__raw").alias("__tot")
         )
+        return stored, obs.get["__tot"]
 
-    for i in range(n_iter):
-        auth = _half_step(scores, "hub", "src", "dst", "authority")
-        scores = materialize(
-            scores.select("token", "hub").join(auth, "token"),
-            prefix="hits_scores_a_",
+    # State per half-step: the driving score is also the carried one
+    # (the A-step consumes AND keeps hub; the H-step authority), so each
+    # half-step is one edges join + one vocab-sized left join + one
+    # vocab-sized store; normalization folds into the NEXT step's
+    # projection as a literal-denominator expression.
+    scores = nodes.select(
+        "token", init.alias("authority"), init.alias("hub")
+    )
+    for _ in range(n_iter):
+        stored, tot = _half_step(scores, "hub", "src", "dst", "hits_raw_a_")
+        scores = stored.select(
+            "token",
+            _norm(F.col("__raw"), tot).alias("authority"),
+            F.col("__carry").alias("hub"),
         )
-        hub = _half_step(scores, "authority", "dst", "src", "hub")
-        scores = materialize(
-            scores.select("token", "authority").join(hub, "token"),
-            prefix="hits_scores_h_",
+        stored, tot = _half_step(
+            scores, "authority", "dst", "src", "hits_raw_h_"
+        )
+        scores = stored.select(
+            "token",
+            F.col("__carry").alias("authority"),
+            _norm(F.col("__raw"), tot).alias("hub"),
         )
     out = scores.select("token", "authority", "hub")
     if top_k is not None:

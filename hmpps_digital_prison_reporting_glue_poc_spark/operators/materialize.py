@@ -122,6 +122,30 @@ def materialize(df: DataFrame, prefix: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def materialize_observed(df: DataFrame, prefix: str, observation, *metrics) -> DataFrame:
+    """``materialize()`` with ``metrics`` observed on the write action
+    itself (guide §1.2/§5: an aggregate the producing job already streams
+    past must not cost a second job that re-executes the producer — the
+    connected_components convergence-witness pattern, generalized).
+    ``observation.get`` blocks on the completed write, so the caller can
+    read the metric immediately after this returns. Bookkeeping
+    (per-prefix reaping, reduced-provenance recording) identical to
+    ``materialize()``."""
+    reduced = not _unreduced_base_reachable(
+        df._jdf.queryExecution().optimizedPlan()
+    )
+    path = tempfile.mkdtemp(prefix=prefix)
+    df.observe(observation, *metrics).write.mode("overwrite").parquet(path)
+    previous = _live.get(prefix)
+    if previous is not None:
+        shutil.rmtree(previous, ignore_errors=True)
+        _reduced.discard(previous)
+    _live[prefix] = path
+    if reduced:
+        _reduced.add(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def estimated_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for the frame's optimized plan — file
     sizes at the scan, propagated through filters/projections. Pure
