@@ -237,38 +237,87 @@ def blomqvist_beta(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.col(x_col).cast("long").alias("__x"),
         F.col(y_col).cast("long").alias("__y"),
     ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
-    # grid rollup feeding both marginals, the quadrant agg and totals
-    cells = materialize(
-        q.groupBy("__x", "__y").agg(
-            F.count(F.lit(1)).cast("long").alias("c")
+    # Both marginal count tables in ONE pass: explode each row to
+    # (axis, value) and group once. The previous shape rolled up the
+    # full (x-domain x y-domain) grid first — but for blomqvist that
+    # grid is INPUT-cardinality whenever one axis is near-continuous
+    # (price cents), so the "rollup" was a corpus-sized store feeding
+    # five consumers, and its y-marginal cumulative ran as an
+    # unpartitioned window. The marginals are the only value-bounded
+    # state the statistic needs (guide §2.3/§2.4: shuffle keys, not
+    # payloads; remove the store outright).
+    marg = materialize(
+        q.select(
+            F.posexplode(F.array("__x", "__y")).alias("__axis", "__v")
+        )
+        .groupBy("__axis", "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cc")),
+        "blomqvist_marg_",
+    )
+    # Two-level bucketed cumulative (the drift.py _grid_from_counts
+    # skew discipline): a bare per-axis window is ONE task for a whole
+    # near-continuous marginal; bucketing on floor(v/1024) bounds every
+    # in-bucket window at 1024 grid points by construction, with
+    # per-axis bucket offsets (and the axis total n) broadcast back —
+    # so medians AND n_total come out of one window job + one 1-row agg
+    # (the old shape executed the grid store's tot agg three times
+    # under crossJoin broadcasts).
+    keyed = marg.withColumn(
+        "__bk", F.floor(F.col("__v") / F.lit(1024)).cast("long")
+    )
+    bsums = keyed.groupBy("__axis", "__bk").agg(
+        F.sum("__cc").cast("long").alias("__bc")
+    )
+    w_boff = (
+        Window.partitionBy("__axis")
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_ball = Window.partitionBy("__axis")
+    boffs = bsums.select(
+        "__axis",
+        "__bk",
+        F.coalesce(F.sum("__bc").over(w_boff), F.lit(0))
+        .cast("long")
+        .alias("__off"),
+        F.sum("__bc").over(w_ball).cast("long").alias("__n"),
+    )
+    w_in = (
+        Window.partitionBy("__axis", "__bk")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = keyed.join(F.broadcast(boffs), ["__axis", "__bk"]).select(
+        "__axis",
+        "__v",
+        (F.sum("__cc").over(w_in) + F.col("__off")).cast("long").alias(
+            "__f"
         ),
-        "blomqvist_cells_",
+        "__n",
     )
-    tot = cells.agg(
-        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_total")
-    )
-
-    def _median(axis: str, out: str) -> DataFrame:
-        w = Window.orderBy(axis).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        cum = (
-            cells.groupBy(axis)
-            .agg(F.sum("c").cast("long").alias("__cc"))
-            .select(axis, F.sum("__cc").over(w).alias("__f"))
-        )
-        # exact type-1 lower median: min{v : F(v) >= (n+1) div 2}
-        return (
-            cum.crossJoin(F.broadcast(tot))
-            .filter(
-                F.col("__f")
-                >= F.expr("(n_total + 1) div 2").cast("long")
+    # exact type-1 lower median per axis: min{v : F(v) >= (n+1) div 2}
+    # (posexplode order: axis 0 = x, 1 = y)
+    med = (
+        cum.filter(F.col("__f") >= F.expr("(__n + 1) div 2").cast("long"))
+        .agg(
+            F.min(F.when(F.col("__axis") == 0, F.col("__v"))).alias(
+                "med_x"
+            ),
+            F.min(F.when(F.col("__axis") == 1, F.col("__v"))).alias(
+                "med_y"
+            ),
+            F.coalesce(
+                F.max(F.when(F.col("__axis") == 0, F.col("__n"))),
+                F.lit(0),
             )
-            .agg(F.min(axis).alias(out))
+            .cast("long")
+            .alias("n_total"),
         )
-
-    med = _median("__x", "med_x").crossJoin(_median("__y", "med_y"))
-    joined = cells.crossJoin(F.broadcast(med))
+    )
+    # quadrant agg straight over the base rows (map-side combinable;
+    # no grid, no store): points ON either median excluded by the
+    # strict inequalities
+    joined = q.crossJoin(F.broadcast(med))
     conc = (
         (F.col("__x") > F.col("med_x")) & (F.col("__y") > F.col("med_y"))
     ) | ((F.col("__x") < F.col("med_x")) & (F.col("__y") < F.col("med_y")))
@@ -276,17 +325,20 @@ def blomqvist_beta(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         (F.col("__x") > F.col("med_x")) & (F.col("__y") < F.col("med_y"))
     ) | ((F.col("__x") < F.col("med_x")) & (F.col("__y") > F.col("med_y")))
     agg = joined.agg(
-        F.coalesce(F.sum(F.when(conc, F.col("c"))), F.lit(0))
+        F.coalesce(F.sum(F.when(conc, F.lit(1))), F.lit(0))
         .cast("long")
         .alias("n_conc"),
-        F.coalesce(F.sum(F.when(disc, F.col("c"))), F.lit(0))
+        F.coalesce(F.sum(F.when(disc, F.lit(1))), F.lit(0))
         .cast("long")
         .alias("n_disc"),
         F.max("med_x").alias("med_x"),
         F.max("med_y").alias("med_y"),
+        F.coalesce(F.max("n_total"), F.lit(0)).cast("long").alias(
+            "n_total"
+        ),
     )
     denom = F.col("n_conc") + F.col("n_disc")
-    return agg.crossJoin(F.broadcast(tot)).select(
+    return agg.select(
         "n_total",
         "med_x",
         "med_y",
