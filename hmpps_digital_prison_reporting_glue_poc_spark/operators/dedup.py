@@ -1121,6 +1121,14 @@ def jaccard_pairs_prefix(
         .filter(F.col("__rn") <= F.col("__s") - ceil_ts + F.lit(1))
         .select(id_col, "token")
     )
+    # the self-join below consumes `prefix` TWICE — un-cut, the dfreq
+    # join + both document windows execute once per side (2x the index
+    # build at corpus scale); size-gated so pin-scale plans stay inline
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize_if_large,
+    )
+
+    prefix = materialize_if_large(prefix, "jaccard_prefix_idx_")
     cands = (
         prefix.alias("l")
         .join(prefix.alias("r"), on="token")
