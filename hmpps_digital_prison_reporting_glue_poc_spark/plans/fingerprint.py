@@ -150,10 +150,16 @@ def _funnels_base_rows(jnode) -> bool:
     return False
 
 
-def plan_fingerprint(df: DataFrame) -> dict[str, int]:
-    """Count vector over the physical plan tree of ``df`` (pre-execution;
-    caller should take it with AQE disabled for a static tree)."""
+def plan_fingerprint_and_scans(
+    df: DataFrame, tables: list[str] | None = None
+) -> tuple[dict[str, int], dict[str, int]]:
+    """ONE tree walk computing both the plan-shape count vector AND the
+    per-base-table scan counts (r12: the plan-pin and scan-pin suites
+    each rebuilt the query and re-walked the same executed plan — every
+    py4j node visit twice, every materialize() producer job twice; one
+    walk serves both)."""
     counts = dict.fromkeys(FIELDS, 0)
+    scans: dict[str, int] = {}
     root = df._jdf.queryExecution().executedPlan()
     for node in _walk(root):
         name = node.getClass().getSimpleName()
@@ -181,7 +187,18 @@ def plan_fingerprint(df: DataFrame) -> dict[str, int]:
                 # group-count-bounded (same walk as the Exchange check).
                 if _funnels_base_rows(node.child()):
                     counts["n_window_unpartitioned_on_base"] += 1
-    return counts
+        elif name in _BASE_SCAN_NODES:
+            s = node.toString()
+            for t in tables or BASE_TABLES:
+                if f"{t}.parquet" in s:
+                    scans[t] = scans.get(t, 0) + 1
+    return counts, scans
+
+
+def plan_fingerprint(df: DataFrame) -> dict[str, int]:
+    """Count vector over the physical plan tree of ``df`` (pre-execution;
+    caller should take it with AQE disabled for a static tree)."""
+    return plan_fingerprint_and_scans(df)[0]
 
 
 def fingerprint_query(
@@ -234,16 +251,7 @@ def base_scan_counts(
     operator whose location matches ``<table>.parquet``), so a long
     multi-line scan node cannot overcount. Scans of materialized temp
     dirs never match a base-table name and are therefore free."""
-    counts: dict[str, int] = {}
-    root = df._jdf.queryExecution().executedPlan()
-    for node in _walk(root):
-        if node.getClass().getSimpleName() not in _BASE_SCAN_NODES:
-            continue
-        s = node.toString()
-        for t in tables or BASE_TABLES:
-            if f"{t}.parquet" in s:
-                counts[t] = counts.get(t, 0) + 1
-    return counts
+    return plan_fingerprint_and_scans(df, tables)[1]
 
 
 def scan_counts_query(

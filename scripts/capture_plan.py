@@ -1,9 +1,10 @@
-"""Capture .explain('formatted') for named queries into plans/r11/.
+"""Capture .explain('formatted') for named queries into plans/<round>/.
 
 Usage: python scripts/capture_plan.py TAG name [name ...]
-  TAG is 'before' or 'after'; files land at plans/r11/<name>_<TAG>.txt.
-  SPARK_GRAFT_SF_DIR selects the data dir (default sf0.1 — the judged
-  scale, so the plan matches what the bench executes).
+  TAG is 'before' or 'after'; files land at plans/$PLAN_ROUND/<name>_<TAG>.txt
+  (PLAN_ROUND defaults to r12). SPARK_GRAFT_SF_DIR selects the data dir
+  (default sf0.1 — the judged scale, so the plan matches what the bench
+  executes).
 """
 
 from __future__ import annotations
@@ -17,7 +18,9 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from hmpps_digital_prison_reporting_glue_poc_spark.session import get_spark  # noqa: E402
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLAN_ROUND", "r12"),
 )
 
 

@@ -11,5 +11,39 @@ from hmpps_digital_prison_reporting_glue_poc_spark.session import get_spark  # n
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "8g")
-    session = get_spark(app_name="dpr_spark_tests", shuffle_partitions=8)
+    session = get_spark(
+        app_name="dpr_spark_tests",
+        shuffle_partitions=int(os.environ.get("TEST_SHUFFLE_PARTITIONS", "8")),
+    )
     yield session
+
+
+# One (plan fingerprint, base-table scan counts) probe per (query, SF dir),
+# shared session-wide. The plan-pin and scan-pin suites each parametrize
+# over the whole registry and previously each rebuilt the query — running
+# every materialize() producer job twice — and re-walked the same executed
+# plan over py4j twice (r12, driver-verify budget: the duplicated work was
+# ~1/4 of the whole suite's wall-clock).
+_PIN_PROBE_CACHE: dict = {}
+
+
+@pytest.fixture(scope="session")
+def pin_probe(spark):
+    from hmpps_digital_prison_reporting_glue_poc_spark.plans.fingerprint import (
+        plan_fingerprint_and_scans,
+    )
+
+    def probe(name: str, fn, sf_dir: str):
+        key = (name, sf_dir)
+        if key not in _PIN_PROBE_CACHE:
+            prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                _PIN_PROBE_CACHE[key] = plan_fingerprint_and_scans(
+                    fn(spark, sf_dir)
+                )
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", prev)
+        return _PIN_PROBE_CACHE[key]
+
+    return probe

@@ -20,7 +20,6 @@ import __spark_entry__ as entry_mod
 from hmpps_digital_prison_reporting_glue_poc_spark.plans.fingerprint import (
     FORBIDDEN_FIELDS,
     compare_to_pin,
-    fingerprint_query,
 )
 
 SF_DIR = os.environ.get("PLAN_PIN_SF_DIR", "/root/testdata/sf0.001")
@@ -86,8 +85,10 @@ def test_unpartitioned_windows_consume_rollups_registry_wide():
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) & set(PINS)))
-def test_plan_shape_not_regressed(spark, name):
-    fp = fingerprint_query(spark, QUERIES[name], SF_DIR)
+def test_plan_shape_not_regressed(spark, pin_probe, name):
+    # shared probe: ONE query build + ONE plan walk serves this suite and
+    # test_scan_pins.py (r12 — the driver-verify wall-clock budget)
+    fp = pin_probe(name, QUERIES[name], SF_DIR)[0]
     pin = PINS[name]
     problems = compare_to_pin(fp, pin)
     assert not problems, f"{name} plan regressed: {problems}; full={fp}"

@@ -28,9 +28,6 @@ import os
 import pytest
 
 import __spark_entry__ as entry_mod
-from hmpps_digital_prison_reporting_glue_poc_spark.plans.fingerprint import (
-    scan_counts_query,
-)
 
 SF_DIR = os.environ.get("SCAN_PIN_SF_DIR", "/root/testdata/sf0.001")
 PIN_PATH = os.path.join(
@@ -71,8 +68,10 @@ def test_audit_fixes_hold():
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) & set(PINS)))
-def test_scan_count_not_increased(spark, name):
-    counts = scan_counts_query(spark, QUERIES[name], SF_DIR)
+def test_scan_count_not_increased(spark, pin_probe, name):
+    # shared probe: ONE query build + ONE plan walk serves this suite and
+    # test_plan_pins.py (r12 — the driver-verify wall-clock budget)
+    counts = pin_probe(name, QUERIES[name], SF_DIR)[1]
     pin = PINS[name]
     grew = {
         t: (pin.get(t, 0), c)

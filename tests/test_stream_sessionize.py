@@ -93,7 +93,7 @@ def test_idle_timeout_evicts_and_restarts(spark, tmp_path):
     ckpt = os.path.join(str(tmp_path), "ckpt")
     os.makedirs(srcdir)
 
-    def _run_t(timeout_min):
+    def _run_t(timeout_min, n_expected):
         stream = (
             spark.readStream.schema(SRC_SCHEMA)
             .json(srcdir)
@@ -111,19 +111,36 @@ def test_idle_timeout_evicts_and_restarts(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        # availableNow + ProcessingTimeTimeout never SELF-terminates: once
+        # the data batch commits, the engine loops "no new data but
+        # cleaning up state" batches forever (r12 measurement: still
+        # active at 200s), so awaitTermination(180) burned its full cap on
+        # every run — 540s for this one test. Poll the sink for the
+        # committed rows and stop explicitly instead; state and timers
+        # persist in the checkpoint exactly as across any stop/restart,
+        # which is the restart semantics this test exercises anyway.
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(outdir).count() >= n_expected:
+                    break
+            except Exception:
+                pass  # sink dir not yet created by the first commit
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
 
     _write_batch(srcdir, "b1.json", [(1, 1, "2024-01-01 10:00:00")])
-    _run_t(0.02)  # 1.2 s idle timeout
+    _run_t(0.02, 1)  # 1.2 s idle timeout
     _time.sleep(3)
     # batch 2: only user 2 — the trigger fires user 1's timeout (evicted)
     _write_batch(srcdir, "b2.json", [(2, 2, "2024-01-01 10:01:00")])
-    _run_t(0.02)
+    _run_t(0.02, 2)
     _time.sleep(1)
     # batch 3: user 1 returns 10 minutes later (same session if state had
     # survived) -> restart proves the eviction happened
     _write_batch(srcdir, "b3.json", [(1, 3, "2024-01-01 10:10:00")])
-    _run_t(0.02)
+    _run_t(0.02, 3)
 
     got = {
         r.event_id: (r.user_id, r.session_idx)
