@@ -28,6 +28,10 @@ from hmpps_digital_prison_reporting_glue_poc_spark.functions.text import tokens
 from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
     materialize as _materialize,
 )
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+    estimated_bytes,
+    materialize_if_large,
+)
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -617,10 +621,6 @@ def simhash_near_dup_pairs(
     # with the cutover at the broadcast-threshold scale where Catalyst
     # stops making the per-chunk joins broadcasts.
     if explode_join is None:
-        from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
-            estimated_bytes,
-        )
-
         explode_join = estimated_bytes(sketches) >= (10 << 20)
     if explode_join:
         chunk_structs = [
@@ -678,11 +678,17 @@ def simhash_near_dup_pairs(
         for frame in frames[1:]:
             cand = cand.unionByName(frame)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # hamming/filter/projection BEFORE the distinct (r12, guide §2.3):
+    # (id_a, id_b) functionally determines (sh_a, sh_b) — each id carries
+    # ONE sketch — so distinct-then-score equals score-then-distinct, and
+    # the dedup exchange now moves 3 narrow columns of only the pairs
+    # that already passed the hamming gate instead of 4 columns of every
+    # raw chunk collision. (Catalyst was already pushing the <= filter
+    # into the chunk joins; the projection it could not push.)
     return (
-        cand.distinct()
-        .withColumn("hamming", hamming)
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -1124,10 +1130,6 @@ def jaccard_pairs_prefix(
     # the self-join below consumes `prefix` TWICE — un-cut, the dfreq
     # join + both document windows execute once per side (2x the index
     # build at corpus scale); size-gated so pin-scale plans stay inline
-    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
-        materialize_if_large,
-    )
-
     prefix = materialize_if_large(prefix, "jaccard_prefix_idx_")
     cands = (
         prefix.alias("l")
