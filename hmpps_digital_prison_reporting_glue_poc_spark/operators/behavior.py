@@ -952,21 +952,34 @@ def value_decile_transition(
         ),
         qv,
     )
-    # event-sized frame, two consumers (span + per_up): size-gated cut
-    base = materialize_if_large(base, "vdt_base_")
-    span = base.agg(
+    # ONE fact pass (r12, the r11 rfm_scores store pattern): the user x
+    # day rollup is the only fact-derived state the transition needs —
+    # the span (min/max over a grouping key equals the global min/max)
+    # and both period rollups (integer sums of per-day sums equal sums
+    # over the raw rows; NULL day-cells drop out of the outer sum exactly
+    # as NULL rows dropped out of the inner one) derive from it. Before,
+    # the span agg and the per_up producer each re-scanned events raw.
+    # Size-gated cut (not unconditional): at pin scale the day-grain
+    # write job costs more than the two cheap rollup recomputes it saves
+    # (solo A/B: unconditional store 1.33s -> 2.01s), while above the
+    # gate the store caps the fact lineage at ONE scan.
+    per_ud = materialize_if_large(
+        base.groupBy("user", "__d").agg(F.sum("__qv").alias("__dqv")),
+        "vdt_per_ud_",
+    )
+    span = per_ud.agg(
         F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
     )
     mid = ((F.col("__lo") + F.col("__hi") + F.lit(1)) / 2).cast("long")
     per_up = (
-        base.crossJoin(F.broadcast(span))
+        per_ud.crossJoin(F.broadcast(span))
         .withColumn("period", (F.col("__d") >= mid).cast("int"))
         .groupBy("user", "period")
         # coalesce(0): all-NULL spend ranks as zero recorded cents, not
         # as a NULL that drops out of the bucket join (r9 fuzz sweep)
-        .agg(F.coalesce(F.sum("__qv"), F.lit(0)).cast("long").alias("cents"))
+        .agg(F.coalesce(F.sum("__dqv"), F.lit(0)).cast("long").alias("cents"))
     )
-    # user x period frame feeding the bucket/offset/total chain
+    # user x period frame feeding the bucket/offset chain
     per_up = materialize_if_large(per_up, "vdt_perup_")
     # Exact per-period rank: range-bucket on cents, rank in-bucket, add
     # per-(period, bucket) cumulative offsets (a tiny rollup: windows on
@@ -982,18 +995,26 @@ def value_decile_transition(
         .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # per-period total rides the SAME window pass as the offsets (same
+    # partition/order spec -> one Window operator) instead of a separate
+    # groupBy consumed via a second broadcast join, whose subtree
+    # re-executed the counts lineage once more (r12, the r11 item-6/12
+    # lesson): sum over the whole period partition == the period's row
+    # count, exact.
+    w_tot = (
+        Window.partitionBy("period")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     offsets = counts.select(
         "period",
         "__b",
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
-    )
-    totals = counts.groupBy("period").agg(
-        F.sum("__n").cast("long").alias("__tot")
+        F.sum("__n").over(w_tot).cast("long").alias("__tot"),
     )
     w_in = Window.partitionBy("period", "__b").orderBy("cents", "user")
     ranked = (
         bucketed.join(F.broadcast(offsets), ["period", "__b"])
-        .join(F.broadcast(totals), "period")
         .select(
             "user",
             "period",
@@ -2142,12 +2163,18 @@ def lorenz_deciles(
     # SQL twin's row_number KEEPS it — the engines must agree on the
     # population, not rely on join accidents (r9 fuzz, "nulls" seed).
     ).filter(F.col("__a").isNotNull())
-    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize_if_large
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
 
+    # Store the unit-grain input once under the rank fan-out (r12, the
+    # r11 rfm_scores pattern): _range_rank scans its input twice and the
+    # n/total denominator re-executed the whole ranked tower once more.
+    # _range_rank is 1:1 row-preserving (NULL amounts already filtered),
+    # and __a is untouched by it, so counting/summing the STORE is
+    # value-identical to aggregating the ranked output — the fact lineage
+    # now runs exactly once, inside the store's producer job.
+    staged = materialize(staged, "lorenz_staged_")
     ranked = _range_rank(staged, "__a", "__u", bucket_width, "__r")
-    # unit-sized frame, two consumers: size-gated cut (r10 plan audit)
-    ranked = materialize_if_large(ranked, "lorenz_ranked_")
-    n_row = ranked.agg(
+    n_row = staged.agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum("__a").cast("long").alias("__total"),
     )

@@ -322,19 +322,25 @@ def decile_lift(
     w_off = Window.orderBy(F.col("__b").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # The grand total rides the SAME bucket-rollup window pass as the
+    # offsets (same partition/order spec -> one Window operator) instead
+    # of a separate agg consumed via crossJoin(broadcast) — which
+    # re-executed the counts lineage (and under it the scored-rows
+    # producer) a second time for one number (r12; the r11 item-6/12
+    # lesson applied here). sum over ALL buckets == row count, exact.
+    w_all = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offsets = counts.select(
         "__b",
         F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off"),
-    )
-    totals = counts.agg(
-        F.sum("__bn").cast("long").alias("__nt")
+        F.sum("__bn").over(w_all).cast("long").alias("__nt"),
     )
     w_in = Window.partitionBy("__b").orderBy(
         F.col("__s").desc(), F.col("__id").asc()
     )
     ranked = (
         rows.join(F.broadcast(offsets), "__b")
-        .crossJoin(F.broadcast(totals))
         .select(
             "__pos",
             "__nt",
@@ -351,15 +357,22 @@ def decile_lift(
             F.max("__nt").alias("__n_all"),
         )
     )
-    tot = per.agg(F.sum("n_pos").cast("long").alias("__p_all"))
+    # __p_all likewise rides the n_tiles-row rollup's cumulative window
+    # (same orderBy -> same Window operator) instead of an agg whose
+    # crossJoin(broadcast) subtree re-executed the ENTIRE rank tower.
     w_cum = Window.orderBy("tile").rowsBetween(
         Window.unboundedPreceding, 0
+    )
+    w_tot = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per = per.withColumn(
+        "__p_all", F.sum("n_pos").over(w_tot).cast("long")
     )
     resp = F.col("n_pos").cast("double") / F.col("n").cast("double")
     base = F.col("__p_all").cast("double") / F.col("__n_all").cast("double")
     return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
+        per.select(
             "tile",
             "n",
             "n_pos",
@@ -1222,8 +1235,25 @@ def uplift_decile_terms(
         t.alias("__t"),
         y.alias("__y"),
     )
+    # Store the unit-grain input once under the rank fan-out (r12, the
+    # r11 rfm_scores pattern): _range_rank scans its input twice (bucket
+    # counts + in-bucket window) and the __n denominator's
+    # crossJoin(broadcast) subtree re-executed the WHOLE ranked tower a
+    # third time — each replay re-running the caller's per-unit rollup
+    # over the fact table. One stored copy collapses every replay to a
+    # cheap scan, and __n counts the STORE: _range_rank is 1:1
+    # row-preserving over non-NULL scores (a NULL bucket never matches
+    # the offset equi-join), so the filtered store count is
+    # value-identical to counting the ranked output.
+    from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+        materialize,
+    )
+
+    staged = materialize(staged, "uplift_staged_")
     ranked = _range_rank(staged, "__score", "__id", bucket_width, "__r")
-    n_row = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    n_row = staged.filter(F.col("__score").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
     tiled = ranked.crossJoin(F.broadcast(n_row)).withColumn(
         "decile",
         (
