@@ -287,6 +287,12 @@ def blomqvist_beta(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Domain note (r11 advice): boffs has ~distinct(__v)/1024 rows per
+    # axis, so the broadcast hint assumes value-DOMAIN-bounded axes
+    # (integer quantities, price cents — ladder-verified). A genuinely
+    # unbounded long column would grow this toward broadcast limits;
+    # such a caller should gate the hint on the marginal's estimated
+    # size (materialize.estimated_bytes) before reusing this shape.
     cum = keyed.join(F.broadcast(boffs), ["__axis", "__bk"]).select(
         "__axis",
         "__v",

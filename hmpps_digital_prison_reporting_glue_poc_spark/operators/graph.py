@@ -27,7 +27,10 @@ import tempfile
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import materialize
+from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
+    materialize,
+    materialize_observed,
+)
 
 
 def connected_components(
@@ -66,19 +69,23 @@ def connected_components(
     sym.write.mode("overwrite").parquet(sym_path)
     sym = spark.read.parquet(sym_path)
 
-    labels = materialize(
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id")),
-        0,
-    )
     # Empty edge set -> empty vertex set: every round is an exact no-op
     # (nbr_min empty, every label already final), so skip the loop. The
-    # count is a zero-column scan of the just-written labels parquet —
-    # row-group metadata, one near-free job at any scale (r11, guide
-    # §1.2: don't compute what you throw away; the bench's max_df=100
-    # prune makes exactly this shape at sf0.1).
-    if labels.count() == 0:
+    # vertex count RIDES the init write as an observed metric (r12 — it
+    # was a separate footer-count job; r11 note still applies: the
+    # bench's max_df=100 prune makes exactly this shape at sf0.1).
+    obs0 = Observation()
+    init_path = f"{workdir}/iter_0"
+    (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(init_path)
+    )
+    labels = spark.read.parquet(init_path)
+    if obs0.get["n"] == 0:
         shutil.rmtree(sym_path, ignore_errors=True)
         return labels
     # Convergence witness: the count of labels a round actually lowered —
@@ -224,8 +231,13 @@ def token_pagerank(
         .union(edges.select(F.col("dst").alias("token")))
         .distinct()
     )
-    nodes = materialize(nodes, prefix="pagerank_nodes_")
-    n_nodes = nodes.count()
+    # vocabulary count rides the nodes write (r12: was a separate
+    # footer-count job after the materialize)
+    obs = Observation()
+    nodes = materialize_observed(
+        nodes, "pagerank_nodes_", obs, F.count(F.lit(1)).alias("n")
+    )
+    n_nodes = obs.get["n"]
     if n_nodes == 0:
         # empty graph: no ranks to compute, and 1/V would divide by zero
         # under ANSI (r9 fuzz sweep, "empty" seed) — empty typed result
@@ -606,21 +618,24 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("v")
-        live = materialize(
+        # Convergence early-exit (r11, guide §1.2): the edge set shrinks
+        # monotonically, so an unchanged edge COUNT means no edge was
+        # removed -> every remaining round is an exact no-op and the
+        # round-`rounds` output is already in hand. The count now RIDES
+        # the round's write as an observed metric (r12 — it was a
+        # separate footer-count job per round; at cluster scale that is
+        # a per-round listing+footer job bought for a number the write
+        # already streamed past).
+        obs = Observation()
+        live = materialize_observed(
             live.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .select("a", "b"),
             f"kcore_r{r}_",
+            obs,
+            F.count(F.lit(1)).alias("n"),
         )
-        # Convergence early-exit (r11 optimization, guide §1.2): the
-        # edge set shrinks monotonically, so an unchanged edge COUNT
-        # means no edge was removed -> every remaining round is an
-        # exact no-op and the round-`rounds` output is already in hand.
-        # The count is a near-free parquet-footer job on the frame just
-        # materialized; on the bench bigram graphs the peel converges
-        # in 3-5 rounds, so this drops 3-5 full degree+semi-join+write
-        # rounds without changing a single output row.
-        n_edges = live.count()
+        n_edges = obs.get["n"]
         if n_edges == prev_edges or n_edges == 0:
             break
         prev_edges = n_edges
@@ -692,19 +707,45 @@ def label_propagation(
         F.col("__c").desc(), F.col("lab").asc()
     )
     for r in range(rounds):
+        # ONE exchange per round instead of two (r12, guide §2.4): the
+        # explicit repartition on v satisfies BOTH downstream
+        # distribution requirements — groupBy(v, lab) clusters on a
+        # superset of the partitioning key, and the argmax window
+        # partitions on v itself — so neither inserts its own Exchange.
         counted = (
             nbrs.join(
                 labels.withColumnRenamed("v", "u"), "u"
             )
+            .repartition("v")
             .groupBy("v", "lab")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        labels = materialize(
+        stepped = (
             counted.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .select("v", "lab"),
-            f"lpa_r{r}_",
+            .select("v", "lab")
         )
+        # Convergence witness rides the round's ONE write action (r12,
+        # the connected_components Observation pattern): labels are a
+        # deterministic function of (static nbrs, previous labels), so a
+        # zero-change round is a fixpoint and every remaining round is an
+        # exact no-op — the round-`rounds` output is already in hand.
+        # The bench bigram graph converges at round 3 of 4 (measured:
+        # changed 31 / 1 / 0). Empty graphs yield a NULL sum and exit
+        # after one empty round instead of running all `rounds`.
+        upd = stepped.join(
+            labels.select("v", F.col("lab").alias("__old")), "v"
+        ).select(
+            "v",
+            "lab",
+            (F.col("lab") != F.col("__old")).cast("int").alias("__chg"),
+        )
+        obs = Observation()
+        labels = materialize_observed(
+            upd, f"lpa_r{r}_", obs, F.sum("__chg").alias("chg")
+        ).drop("__chg")
+        if not obs.get["chg"]:
+            break
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )

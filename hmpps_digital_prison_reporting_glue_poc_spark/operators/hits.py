@@ -28,9 +28,7 @@ graph code).
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
-from pyspark.sql import Observation
+from pyspark.sql import Observation, functions as F
 
 from hmpps_digital_prison_reporting_glue_poc_spark.operators.materialize import (
     materialize,
@@ -74,8 +72,13 @@ def token_hits(
         .union(edges.select(F.col("dst").alias("token")))
         .distinct()
     )
-    nodes = materialize(nodes, prefix="hits_nodes_")
-    n_nodes = nodes.count()  # metadata-scale: vocabulary count
+    # vocabulary count rides the nodes write (r12: was a separate
+    # footer-count job after the materialize)
+    obs_n = Observation()
+    nodes = materialize_observed(
+        nodes, "hits_nodes_", obs_n, F.count(F.lit(1)).alias("n")
+    )
+    n_nodes = obs_n.get["n"]
     if n_nodes == 0:
         return nodes.select(
             "token",
