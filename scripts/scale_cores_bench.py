@@ -52,7 +52,18 @@ def main() -> None:
             "10x ladder corpus missing - run scripts/scale_ladder.py first"
         )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    spark = get_spark(app_name=f"scale_cores_{cpus}")
+    # The 10x rung's fact parquets pack into ~12 default-size splits, so
+    # scan parallelism — not the core count — binds scan-heavy queries
+    # (measured: partial_corr ran 12-task stages on 32 cores). For a
+    # CORE-scaling measurement the split size must not be the limiter;
+    # SCALE_MAX_PARTITION_BYTES=33554432 gives every rung-10 scan >= 32
+    # splits. Leave unset to measure with production defaults.
+    extra = {}
+    if os.environ.get("SCALE_MAX_PARTITION_BYTES"):
+        extra["spark.sql.files.maxPartitionBytes"] = os.environ[
+            "SCALE_MAX_PARTITION_BYTES"
+        ]
+    spark = get_spark(app_name=f"scale_cores_{cpus}", extra_conf=extra)
     queries = entry_mod.queries()
 
     # warm-up: JVM codegen + python worker pool + rung footer caches
