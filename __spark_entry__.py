@@ -972,7 +972,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #            hmpps_digital_prison_reporting_glue_poc_spark/fingerprint.py —
 #            generalizing the hand-maintained _R0x_CHANGED lists after the
 #            round-8 kruskal_wallis helper-refactor break proved hand
-#            lists miss things. _R11_CHANGED below remains as a belt-and-
+#            lists miss things. _R12_CHANGED below remains as a belt-and-
 #            braces floor: tests assert the generated set covers it.
 #   tier 1 — never driver-checked (brand-new this round), or checked but
 #            RED at its latest row (must re-check after the fix).
@@ -987,17 +987,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # Queries whose PLAN or ORACLE changed THIS round, kept as the hand
-# floor under the generated dirty set. Round 11: ks_value_drift gained
-# the counts-rollup materialization (the audit's known triple-fact-scan,
-# r10 verdict task 1) and mmd2_embedding_drift switched to the
-# deterministic max-length dimension probe on BOTH engines (r10 advice)
-# — the only two whose executed plan / oracle text materially moved.
-# Everything else the behavior.py/drift.py edits transitively dirty was
-# re-certified by a full sf0.01 oracle-parity run at the r11 QUERY_FP
-# --write point, so the remaining rotation budget drains the r3-era
-# staleness tail (r10 verdict task 2).
-# The r10 floor this replaces is in git history.
-_R11_CHANGED: set = {"ks_value_drift", "mmd2_embedding_drift"}
+# floor under the generated dirty set. Round 12 (optimization round):
+# the four decile-family queries had their rank fan-outs cut /
+# denominators moved onto windows, simhash_near_dups narrowed its
+# candidate-dedup exchange, and lpa_token_communities gained the
+# convergence early-exit + shared per-round exchange — the six whose
+# executed plan or producing-loop shape materially moved. Every one was
+# re-proven against its DuckDB oracle at sf0.001 AND sf0.01 before
+# commit; the floor makes the driver re-certify them regardless.
+# The r11 floor this replaces is in git history.
+_R12_CHANGED: set = {
+    "simhash_near_dups",
+    "decile_lift_value",
+    "uplift_deciles_click_purchase",
+    "revenue_lorenz_deciles",
+    "user_value_decile_transition",
+    "lpa_token_communities",
+}
 
 
 def _latest_driver_rounds() -> dict[str, int]:
@@ -1062,7 +1068,7 @@ def _dirty_rotation_set() -> set:
         )
 
         entry_mod = _sys.modules[__name__]
-        return _R11_CHANGED | _fp.dirty_queries(
+        return _R12_CHANGED | _fp.dirty_queries(
             _all_queries(), oracle_sql(), entry_mod
         )
     except Exception as exc:  # defensive driver-contract guard
@@ -1077,7 +1083,7 @@ def _dirty_rotation_set() -> set:
             flush=True,
         )
         _tb.print_exc(file=_sys.stderr)
-        return set(_R11_CHANGED)
+        return set(_R12_CHANGED)
 
 
 _DIRTY_CACHE: list = []  # one-shot memo: fingerprinting is ~0.5s
@@ -1278,7 +1284,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the full registry, rotation-ordered — (0) dirty
     (fingerprint changed since last green driver check, incl. the
-    _R11_CHANGED hand floor), (1) never-checked-green, then oldest green
+    _R12_CHANGED hand floor), (1) never-checked-green, then oldest green
     driver row first. Name tie-break keeps the order deterministic."""
     all_q = _all_queries()
     if not _DIRTY_CACHE:

@@ -6,7 +6,7 @@ a driver-green query silently; these tests pin the machinery that now
 front-loads every such query into the next driver rotation window:
 
 - the generated dirty set is a SUPERSET of the hand-maintained
-  ``_R11_CHANGED`` floor (the verdict's done-criterion);
+  ``_R12_CHANGED`` floor (the verdict's done-criterion);
 - the rotation orders dirty -> never-checked-green -> oldest-first;
 - the import map actually connects queries to the operator modules they
   execute (and does NOT over-connect pure-DataFrame queries);
@@ -38,7 +38,7 @@ def module_map(registry):
 
 def test_generated_dirty_superset_of_hand_list():
     generated = entry_mod._dirty_rotation_set()
-    assert entry_mod._R11_CHANGED <= generated, (
+    assert entry_mod._R12_CHANGED <= generated, (
         "the generated dirty set must cover the hand-maintained floor"
     )
     # The defensive fallback must never have fired (r10 advice: a silent
